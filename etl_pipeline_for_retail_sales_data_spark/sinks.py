@@ -1,0 +1,54 @@
+"""Sinks (SURVEY.md §2.8). Replace-semantics everywhere (L3): re-running a
+day must replace, not accumulate (reference TRUNCATE, scripts/loading.py:145).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """The scale-path sink: partitioned parquet, full overwrite. At 100 TB
+    use partition_by on a low-cardinality column (e.g. date) so readers get
+    partition pruning; never coalesce(1) in the hot path."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv_single_file(df: DataFrame, path: str) -> None:
+    """L1 (reference scripts/loading.py:124-132): ONE csv file with header,
+    full overwrite. Spark writes a directory; for the small summary output
+    we coalesce(1) and rename — explicitly NOT for large data (documented
+    deviation: big outputs use write_parquet)."""
+    tmp = path + "._spark_tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if os.path.exists(path):
+        os.remove(path)
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+
+
+def write_jdbc_replace(df: DataFrame, url: str, table: str, **options) -> None:
+    """L2 (reference scripts/loading.py:134-172): observable behavior is
+    full replace — truncate + batch insert. mode('overwrite') with
+    truncate=true is semantically exact; batching replaces executemany.
+    Requires a JDBC driver jar on the classpath."""
+    w = (
+        df.write.format("jdbc")
+        .mode("overwrite")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("truncate", True)
+        .option("batchsize", options.pop("batchsize", 10000))
+    )
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()

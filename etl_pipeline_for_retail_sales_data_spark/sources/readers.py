@@ -1,0 +1,62 @@
+"""Sources (SURVEY.md §2.1): parquet star-schema scans, CSV scan, JDBC edge.
+
+The reference's extract stage (S1 JDBC scan, S2 CSV scan,
+reference scripts/extraction.py:98-183) maps to lazy ``spark.read`` calls;
+its stringly-typed transport is deliberately NOT reproduced (typed
+end-to-end, SURVEY.md §1.3).
+
+Scale notes: parquet scans get predicate pushdown + column pruning from
+Catalyst for free as long as callers keep expressions declarative. Readers
+here never call an action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import SALES_SCHEMA, TESTDATA_TABLES
+from ..session import configure_session
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one driver testdata table (TESTDATA.md)."""
+    configure_session(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def read_sales_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV scan with the declared sales schema (reference S2,
+    scripts/extraction.py:146-183). Missing path raises AnalysisException —
+    the Spark-native analog of the reference's FileNotFoundError
+    (scripts/extraction.py:164-166)."""
+    return spark.read.csv(path, header=True, schema=SALES_SCHEMA, dateFormat="yyyy-MM-dd")
+
+
+def sales_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's ``lineitem`` onto the canonical sales schema
+    (FIXTURES.md mapping: l_partkey→product_id, l_quantity→quantity,
+    l_extendedprice→sale_amount, l_shipdate→sale_date)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("sale_id"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.col("l_extendedprice").alias("sale_amount"),
+        F.to_date("l_shipdate").alias("sale_date"),
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("online")).otherwise(F.lit("in_store")).alias("source"),
+    )
+
+
+def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
+    """JDBC scan (reference S1, scripts/extraction.py:98-144). Kept behind
+    an option — parquet is the system of record; a JDBC driver jar must be
+    on the classpath for this to work."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
