@@ -1,0 +1,26 @@
+"""Shared column-expression helpers (all JVM-side, codegen-friendly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(c: Column) -> Column:
+    """Round a money expression to cents with pure IEEE float ops:
+    floor(x*100 + 0.5)/100.
+
+    Why not F.round: Spark rounds the value's DECIMAL STRING representation
+    (BigDecimal HALF_UP on Double.toString) while DuckDB and most engines
+    round the binary double — the two disagree whenever the shortest
+    decimal repr ends in ...5. floor/multiply/divide are IEEE-exact and
+    bit-identical in every engine given the same input double.
+
+    SQL equivalent (DuckDB oracle): FLOOR(x * 100 + 0.5) / 100
+    """
+    return F.floor(c * 100 + F.lit(0.5)) / 100
+
+
+def sql_cents(expr: str) -> str:
+    """Oracle-side twin of ``cents``."""
+    return f"FLOOR(({expr}) * 100 + 0.5) / 100"

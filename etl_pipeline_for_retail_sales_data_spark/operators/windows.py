@@ -1,0 +1,70 @@
+"""Window functions (SURVEY.md §2.7 — none in the reference; extension
+tier). All rankings take an explicit unique tiebreak so results are
+deterministic and oracle-comparable.
+
+Scale: a window partitioned by a key is one shuffle on that key; frames
+evaluate streaming per partition (no materialization of the whole
+partition for running aggregates). Top-k per group via row_number is the
+standard scalable shape — never a driver-side sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence,
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """row_number ≤ k per partition. ``order_by`` must end with a unique
+    tiebreak column for deterministic output."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def running_total(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence,
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum with ROWS UNBOUNDED PRECEDING..CURRENT ROW.
+    ``order_by`` must be a total order within the partition (unique
+    tiebreak) or the prefix sums are nondeterministic."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.round(F.sum(value_col).over(w), 2))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: lag(ts) per user, new session when the gap
+    exceeds the threshold, session id = cumulative count of boundaries.
+    One shuffle on the user key; lag/cumsum stream within partitions.
+    (Streaming equivalent: session_window — streaming/windows.py.)"""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("__new_session", is_new).withColumn(
+        session_col,
+        F.sum("__new_session").over(
+            Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("__new_session")

@@ -22,6 +22,11 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
+    # rejects outright; read as raw nanos long and convert with
+    # `timestamp_micros(ts DIV 1000)` (sources/readers.py:load_events) —
+    # verified bit-equal to DuckDB's epoch_us truncation.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

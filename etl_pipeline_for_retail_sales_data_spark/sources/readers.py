@@ -52,6 +52,15 @@ def sales_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream table. Parquet stores TIMESTAMP(NANOS); with
+    nanosAsLong (session.py) the raw ns long is converted to a microsecond
+    timestamp via integer division — identical truncation to DuckDB's
+    parquet ns→µs read, so oracle comparisons are exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
 def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
     """JDBC scan (reference S1, scripts/extraction.py:98-144). Kept behind
     an option — parquet is the system of record; a JDBC driver jar must be

@@ -30,10 +30,15 @@ def _norm(v):
     return v
 
 
+def _sort_key(row):
+    # total order tolerant of None / mixed types (grouping-set nulls)
+    return tuple((v is None, str(v)) for v in row)
+
+
 def _norm_rows(rows, columns):
     # order-insensitive: sort columns by name, then sort rows
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=_sort_key)
 
 
 def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
