@@ -40,9 +40,11 @@ def to_typed(df: DataFrame, types: dict[str, str] | None = None, date_columns: S
     for field in df.columns:
         c = F.col(field)
         if field in types:
-            exprs.append(c.cast(types[field]).alias(field))
+            # try_cast: unparseable → null regardless of spark.sql.ansi.enabled
+            # (Spark 4 defaults ANSI on, where plain cast would throw).
+            exprs.append(c.try_cast(types[field]).alias(field))
         elif field in date_columns:
-            exprs.append(F.to_date(c).alias(field))
+            exprs.append(c.try_cast("date").alias(field))
         else:
             exprs.append(c)
     return df.select(*exprs)
@@ -57,7 +59,15 @@ def count_cast_failures(raw: DataFrame, typed: DataFrame, columns: Sequence[str]
     pred = None
     for c in columns:
         typed_field = dict(zip(typed.columns, [f.dataType.simpleString() for f in typed.schema.fields]))[c]
-        bad = F.col(f"__raw_{c}").isNotNull() & F.col(f"__raw_{c}").cast(typed_field).isNull()
+        raw_c = F.col(f"__raw_{c}")
+        # 'nan'/'' are the stringified-null artifacts of the reference's
+        # transport (astype(str) on NaN) — pd.to_numeric parses 'nan' to
+        # NaN, so they are nulls, not conversion errors.
+        bad = (
+            raw_c.isNotNull()
+            & ~F.lower(raw_c).isin("nan", "")
+            & raw_c.try_cast(typed_field).isNull()
+        )
         pred = bad if pred is None else (pred | bad)
     return raw_sel.filter(pred).count()
 

@@ -1,0 +1,163 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the whole point at 100 TB):
+- Exact dedup = hash groupBy on a digest — one shuffle on the digest key,
+  map-side partial agg collapses most duplicates before the exchange.
+- N-gram Jaccard never does the O(n²) cross join: docs explode to DISTINCT
+  shingles, a self-equi-join ON SHINGLE produces only co-occurring pairs,
+  and intersection counts fall out of a groupBy — the classic
+  inverted-index join. Shuffles are on shingle then (doc_a, doc_b).
+- MinHash-LSH: k independent permutations approximated by min(md5(j:s));
+  signatures band-hashed so candidate pairs come from equi-joins on band
+  keys, never a cross join. All hashing is md5 hex (lexicographic min) so
+  the DuckDB oracle can reproduce it verbatim — no engine-specific hash().
+- SimHash: 64-bit signature from per-token hashes; near-dups = equal
+  16-bit bands (hamming-adjacent candidates via 4 band joins).
+
+Everything is built-in column expressions + higher-order array functions;
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_RE
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """DISTINCT on a projection — deterministic exact dedup (unlike
+    dropDuplicates, which keeps an arbitrary full row per key)."""
+    return df.select(*key_cols).distinct()
+
+
+def doc_dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-text dedup: group by md5(text); keep min(doc_id) as canonical,
+    count duplicates. One shuffle on the 128-bit digest."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs — DISTINCT word n-grams per doc.
+    Tokens via regexp match (identical under Java regex and RE2); shingle
+    = n consecutive tokens joined by a single space."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)  # 0-based start positions
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all co-occurring doc pairs via
+    inverted-index self-join (no cross join anywhere)."""
+    sh = doc_shingles(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.floor(jac * 1e6 + F.lit(0.5)) / 1e6)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = 16, n: int = 3) -> DataFrame:
+    """K-permutation MinHash approximated portably: permutation j ranks a
+    shingle by md5(j ':' shingle) and the signature component is the
+    lexicographic MIN of those hex digests. One groupBy over exploded
+    shingles computes all k components (k aggregates, single shuffle)."""
+    sh = doc_shingles(df, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidates(
+    df: DataFrame, text_col: str = "text", k: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """LSH banding: signature split into ``bands`` bands of k/bands rows;
+    band key = md5 of the concatenated band. Docs sharing ANY band key
+    become candidate pairs (equi-join per band, distinct across bands);
+    est_jaccard = fraction of equal signature components."""
+    sig = minhash_signatures(df, text_col, k, n)
+    rows_per_band = k // bands
+    band_keys = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    sigb = sig.select("doc_id", *[F.col(f"h{j}") for j in range(k)], *band_keys)
+
+    pairs = None
+    for b in range(bands):
+        left = sigb.select(F.col("doc_id").alias("doc_a"), F.col(f"b{b}").alias("bk"))
+        right = sigb.select(F.col("doc_id").alias("doc_b"), F.col(f"b{b}").alias("bk"))
+        p = left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+
+    siga = sigb.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)])
+    sigc = sigb.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{j}").alias(f"c{j}") for j in range(k)])
+    matches = sum(F.when(F.col(f"a{j}") == F.col(f"c{j}"), 1).otherwise(0) for j in range(k))
+    return (
+        pairs.join(siga, "doc_a")
+        .join(sigc, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("long").alias("n_equal"),
+            (F.floor(matches / F.lit(float(k)) * 1e6 + F.lit(0.5)) / 1e6).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash_64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-token hash = xxhash64 (JVM-side), signature bit
+    i = sign of the sum over tokens of (2*bit_i - 1). Spark-native (
+    xxhash64 has no portable SQL twin → rows-only correctness check +
+    property tests). Bits are assembled with bit ops, no UDF."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    tok = df.select("doc_id", F.explode(toks).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))

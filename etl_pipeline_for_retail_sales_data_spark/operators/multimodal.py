@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas iterators.
+
+The decode step is STUBBED (no image/audio libs in this container): the
+default ``decoder`` raises NotImplementedError and tests use
+``fake_decoder`` — a deterministic stand-in keyed on the payload bytes.
+Everything Spark-side is real and tested: binary schema, mapInPandas batch
+shape, partition-preserving metadata extraction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("sha", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload column + typed metadata.
+    (Driver testdata has no real media; UTF-8 bytes of the text stand in
+    as the payload — the schema/plumbing is what's exercised.)"""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("payload_len"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("sha"),
+    )
+
+
+def default_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Real decode would use PIL/ffmpeg — not available in this container."""
+    raise NotImplementedError("media decode requires image/audio libs not present in this environment")
+
+
+def fake_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in: dimensions derived from payload bytes."""
+    n = len(payload)
+    return (n % 640 + 1, (n * 7) % 480 + 1, n % 30 + 1)
+
+
+def decode_media(
+    media: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, int]] = default_decoder,
+) -> DataFrame:
+    """Arrow-batched decode via mapInPandas: per-partition batch iterator,
+    no row-at-a-time serde. The decoder runs on executor workers; at scale
+    this is the pattern for CPU-bound media feature extraction (partition
+    count controls parallelism; payloads never pass through the driver)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decoder(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_len": pdf["payload_len"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, DECODED_SCHEMA)

@@ -433,3 +433,301 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline tier: text analysis, dedup, similarity, multimodal
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as D  # noqa: E402
+from .operators import multimodal as MM  # noqa: E402
+from .operators import similarity as SIM  # noqa: E402
+from .operators import text as TX  # noqa: E402
+from .streaming.windows import hourly_event_stream  # noqa: E402
+
+_STOP_PAT = r"\b(the|a|an|and|of|to|in)\b"
+
+
+@query(
+    "text_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS BIGINT) AS n_stopwords,
+           FLOOR(length(text) / GREATEST(len(regexp_extract_all(text, '\S+')), 1) * 1e6 + 0.5) / 1e6
+               AS avg_token_len
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.text_stats(docs)
+    return out.withColumn("n_chars", F.col("n_chars").cast("long"))
+
+
+@query(
+    "quality_score",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+               len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS stops,
+               len(regexp_extract_all(text, '[[:punct:]]')) AS puncts,
+               CAST(length(text) AS DOUBLE) AS chars
+        FROM documents
+    )
+    SELECT doc_id,
+           FLOOR((stops / GREATEST(toks, 1.0)) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+           FLOOR((puncts / GREATEST(chars, 1.0)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+           FLOOR(((stops / GREATEST(toks, 1.0)) * 0.4
+                  + (LEAST(toks, 100.0) / 100.0) * 0.3
+                  + (1 - (puncts / GREATEST(chars, 1.0))) * 0.3) * 1e6 + 0.5) / 1e6 AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "|".join(TX.LANG_MARKERS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
+
+
+@query(
+    "lang_id",
+    oracle=rf"""
+    WITH s AS (
+        SELECT doc_id,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('it')} AS s_it
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s_de AS BIGINT) AS score_de, CAST(s_en AS BIGINT) AS score_en,
+           CAST(s_es AS BIGINT) AS score_es, CAST(s_fr AS BIGINT) AS score_fr,
+           CAST(s_it AS BIGINT) AS score_it,
+           CASE
+             WHEN s_it > GREATEST(s_de, s_en, s_es, s_fr) THEN 'it'
+             WHEN s_fr > GREATEST(s_de, s_en, s_es) THEN 'fr'
+             WHEN s_es > GREATEST(s_de, s_en) THEN 'es'
+             WHEN s_en > s_de THEN 'en'
+             ELSE 'de'
+           END AS pred_lang
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID. The chained argmax (alphabetical tiebreak,
+    later language wins only on strictly greater score) mirrors the CASE
+    chain in the oracle exactly."""
+    return TX.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.doc_dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_exact_lineitem",
+    oracle="SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+)
+def q_dedup_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "lineitem"), ["l_partkey", "l_suppkey"])
+
+
+_SHINGLE_SQL = r"""
+    sh AS (
+        SELECT DISTINCT doc_id, UNNEST(list_transform(range(len(toks) - 2),
+               i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingle
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    )
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=rf"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e6 + 0.5) / 1e6 >= 0.1
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard via inverted-index self-join — no cross join;
+    shuffles on shingle then (doc_a, doc_b)."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
+    rpb = k // bands
+    mins = ",\n               ".join(
+        f"MIN(md5('{j}:' || shingle)) AS h{j}" for j in range(k)
+    )
+    bkeys = ",\n               ".join(
+        "md5(" + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    bandmatch = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    eq = " + ".join(f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(k))
+    return rf"""
+    WITH {_SHINGLE_SQL},
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    sigb AS (
+        SELECT *,
+               {bkeys}
+        FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({eq} AS BIGINT) AS n_equal,
+           FLOOR(({eq}) / {float(k)} * 1e6 + 0.5) / 1e6 AS est_jaccard
+    FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND ({bandmatch})
+    """
+
+
+@query("minhash_candidates", oracle=_minhash_oracle())
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: 16 md5-permutation minima, 4 bands,
+    candidate pairs from band-key equi-joins (never a cross join)."""
+    return D.minhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@query("simhash_docs")
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (xxhash64 has no DuckDB twin → rows-only
+    driver check; property-tested in tests/test_dedup.py)."""
+    return D.simhash_64(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT q_id, vec_id,
+                 list_dot_product(qe, e)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS cos
+          FROM c CROSS JOIN q WHERE vec_id <> q_id),
+    r AS (SELECT q_id, vec_id AS neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+          FROM s)
+    SELECT q_id, neighbor_id, FLOOR(cos * 1e6 + 0.5) / 1e6 AS sim, rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries, one
+    corpus pass, window top-k. Dot accumulation is bit-identical to
+    DuckDB's list_dot_product (verified), so ranks match exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_bruteforce(emb, F.col("vec_id") < 10, k=5)
+
+
+def _lsh_tables(n_tables: int = 4, n_planes: int = 4, dim: int = 64) -> list[list[list[float]]]:
+    import random
+
+    rng = random.Random(42)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+@query("ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table random-hyperplane LSH (deterministic
+    seeded planes). Rows-only driver check; recall vs brute force is
+    asserted in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_lsh(emb, F.col("vec_id") < 10, _lsh_tables(), k=5)
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload bytes + typed metadata (payload
+    itself excluded from the comparison projection)."""
+    media = MM.attach_binary(load_table(spark, sf_dir, "documents"))
+    return media.select("doc_id", "media_type", "payload_len", "sha")
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing with the deterministic fake decoder
+    (real decoder stubbed — no media libs in container). The Arrow batch
+    path, schema, and partitioning are fully exercised and oracle-checked."""
+    media = MM.attach_binary(load_table(spark, sf_dir, "documents"))
+    return MM.decode_media(media, MM.fake_decoder)
+
+
+@query(
+    "streaming_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling window driven to completion on the
+    static events parquet — same semantics as the batch oracle."""
+    return hourly_event_stream(spark, sf_dir)
