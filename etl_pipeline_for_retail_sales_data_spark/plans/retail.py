@@ -35,17 +35,17 @@ def transform_sales_from_strings(*raw_sources: DataFrame) -> DataFrame:
 
 def retail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query on driver testdata: total quantity + revenue per
-    product across both (simulated) channels. Two channel scans tagged
-    online/in_store partition the lineitem rows, so the union is exactly
-    the reference's two-source concat with no row duplication."""
+    product across both (simulated) channels. The rows are tagged
+    online/in_store by the reader; since every row belongs to exactly one
+    channel, the two-source union of the reference equals ONE scan of the
+    tagged table — splitting and re-unioning would scan the 100 TB fact
+    table twice for the same result (U1 semantics are exercised on real
+    two-frame inputs in union_channels / transform_sales tests)."""
     sales = sales_from_lineitem(spark, sf_dir)
-    online = sales.filter(sales.source == "online")
-    in_store = sales.filter(sales.source == "in_store")
-    for df in (online, in_store):  # schema-only check, no action (F3a)
-        missing = [c for c in SALES_REQUIRED_COLUMNS if c not in df.columns]
-        if missing:
-            raise ValueError(f"missing required columns: {missing}")
-    return transform_sales(online, in_store)
+    missing = [c for c in SALES_REQUIRED_COLUMNS if c not in sales.columns]
+    if missing:  # schema-only check, no action (F3a)
+        raise ValueError(f"missing required columns: {missing}")
+    return transform_sales(sales)
 
 
 def validated_summary(df: DataFrame) -> DataFrame:

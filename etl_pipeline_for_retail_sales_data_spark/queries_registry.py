@@ -137,17 +137,19 @@ def q_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 + F2 at row level (reference clean_data,
     scripts/transformation.py:64-93): any-null drop + strict positive
     filter, with a selective predicate so pushdown matters. Predicates
-    reach the parquet scan (PushedFilters in .explain)."""
+    are applied on the RAW columns before any cast so they reach the
+    parquet scan (PushedFilters in .explain) — a cast-then-filter order
+    would block pushdown and scan every row group at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
-    df = li.select(
+    li = li.na.drop("any", subset=["l_quantity", "l_extendedprice"])
+    li = li.filter((F.col("l_quantity") > 25) & (F.col("l_extendedprice") > 0))
+    return li.select(
         F.col("l_orderkey").alias("sale_id"),
         F.col("l_linenumber").alias("line_no"),
         F.col("l_partkey").alias("product_id"),
         F.col("l_quantity").cast("long").alias("quantity"),
         F.col("l_extendedprice").alias("sale_amount"),
     )
-    df = df.na.drop("any", subset=["quantity", "sale_amount"])
-    return df.filter((F.col("quantity") > 25) & (F.col("sale_amount") > 0))
 
 
 # ---------------------------------------------------------------------------
@@ -731,3 +733,293 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling window driven to completion on the
     static events parquet — same semantics as the batch oracle."""
     return hourly_event_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# SQL breadth tier: outer/semi/anti joins, subqueries, set ops, scalar funcs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "left_outer_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers; COUNT over the
+    nullable key counts only matches (ANSI semantics both sides)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return j.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                  AND o_orderstatus = 'O')
+    """,
+)
+def q_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS: no row multiplication, right side only
+    probed. At scale the filtered orders side is aggregated to distinct
+    keys by the semi-join itself — no manual dedup needed."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "having_part_volume",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 20 AND SUM(l_quantity) > 400
+    """,
+)
+def q_having_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter (runs after the final agg, before
+    anything downstream — no second shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+        .filter((F.col("n_lines") >= 20) & (F.col("sum_qty") > 400))
+    )
+
+
+@query(
+    "intersect_returned_parts",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q_intersect_returned_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersect(a)
+
+
+@query(
+    "except_unreturned_parts",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_except_unreturned_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return n.subtract(r)  # EXCEPT DISTINCT semantics
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT FLOOR(AVG(o_totalprice) * 100) / 100 FROM orders)
+    """,
+)
+def q_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery. The threshold is floored to cents so
+    the ulp-level AVG difference between engines cannot flip a comparison
+    against the 2-decimal prices."""
+    orders = load_table(spark, sf_dir, "orders")
+    threshold = orders.agg(
+        (F.floor(F.avg("o_totalprice") * 100) / 100).alias("t")
+    )
+    return orders.join(F.broadcast(threshold)).filter(
+        F.col("o_totalprice") > F.col("t")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "conditional_agg_nations",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_value
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_conditional_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = broadcast_dim_join(
+        broadcast_dim_join(orders, cust, on=[F.col("o_custkey") == F.col("c_custkey")]),
+        nation,
+        on=[F.col("c_nationkey") == F.col("n_nationkey")],
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).cast("long").alias("n_big"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)), 2
+        ).alias("finished_value"),
+    )
+
+
+@query(
+    "string_funcs_parts",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substring(p_type, 1, 6) AS type_prefix,
+           p_brand || '/' || p_type AS brand_type,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS type_word,
+           CAST(strpos(p_name, 'part') AS BIGINT) AS part_pos,
+           replace(p_brand, 'Brand#', 'B') AS brand_short
+    FROM part
+    """,
+)
+def q_string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (the reference has none,
+    SURVEY.md §2.2): upper/substring/concat/length/regexp_extract/
+    instr/replace — all 1-based, ANSI-aligned in both engines."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("type_word"),
+        F.instr(F.col("p_name"), "part").cast("long").alias("part_pos"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+    )
+
+
+@query(
+    "date_arithmetic_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+           strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT)
+               AS days_to_y2k
+    FROM orders
+    """,
+)
+def q_date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scalar surface: extract/add/diff/last_day. DuckDB's
+    dayofweek is 0=Sunday vs Spark's 1=Sunday — aligned with +1 in SQL."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow_sun1"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("long").alias("days_to_y2k"),
+    )
+
+
+@query(
+    "percentile_prices",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(quantile_cont(l_extendedprice, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+           FLOOR(quantile_cont(l_extendedprice, 0.9) * 1e6 + 0.5) / 1e6 AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ==
+    quantile_cont's linear interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.floor(F.expr("percentile(l_extendedprice, 0.5)") * 1e6 + F.lit(0.5)) / 1e6).alias("p50"),
+        (F.floor(F.expr("percentile(l_extendedprice, 0.9)") * 1e6 + F.lit(0.5)) / 1e6).alias("p90"),
+    )
+
+
+@query(
+    "top100_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    top-k then merge — never a full global sort). Unique tiebreak makes
+    the selected set deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(100).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "null_handling_discounts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(NULLIF(l_discount, 0)) AS n_discounted,
+           COUNT(*) - COUNT(NULLIF(l_discount, 0)) AS n_zero_discount,
+           ROUND(SUM(COALESCE(NULLIF(l_discount, 0), 0.05)), 4) AS discount_imputed
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_null_handling_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics surface: NULLIF/COALESCE/COUNT-over-nullable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nz = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(nz).alias("n_discounted"),
+        (F.count("*") - F.count(nz)).alias("n_zero_discount"),
+        F.round(F.sum(F.coalesce(nz, F.lit(0.05))), 4).alias("discount_imputed"),
+    )

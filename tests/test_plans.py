@@ -1,0 +1,97 @@
+"""Physical-plan assertions — the 100 TB design contract, checked at
+sf0.001. A query that passes correctness but plans a cartesian product or
+a full-column scan would fail here before it fails at scale.
+"""
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke):
+    """clean_filter's predicates must appear as PushedFilters on the
+    parquet scan, not as a post-scan Filter only."""
+    df = QUERIES["clean_filter"](spark, sf_smoke)
+    txt = formatted(df)
+    assert "PushedFilters" in txt
+    compact = txt.replace(" ", "")
+    assert "GreaterThan(l_quantity,25" in compact, txt
+    assert "GreaterThan(l_extendedprice,0" in compact, txt
+
+
+def test_column_pruning_reads_subset(spark, sf_smoke):
+    """sales_summary needs only 4 of 11 lineitem columns; ReadSchema must
+    not contain the unused ones."""
+    df = QUERIES["sales_summary"](spark, sf_smoke)
+    txt = formatted(df)
+    read_schema_lines = [l for l in txt.splitlines() if "ReadSchema" in l]
+    assert read_schema_lines, txt
+    joined = " ".join(read_schema_lines)
+    assert "l_comment" not in joined
+    assert "l_tax" not in joined and "l_discount" not in joined
+
+
+def test_dim_joins_are_broadcast(spark, sf_smoke):
+    """brand_revenue and q5 must use BroadcastHashJoin for dimension sides
+    — the fact table never shuffles for a dim join."""
+    for name in ("brand_revenue", "q5_region_revenue"):
+        txt = plan_of(QUERIES[name](spark, sf_smoke))
+        assert "BroadcastHashJoin" in txt, f"{name} lost its broadcast:\n{txt}"
+
+
+def test_no_cartesian_in_dedup(spark, sf_smoke):
+    """The jaccard/minhash family must never plan a cartesian/BNL join —
+    candidate generation is equi-join only."""
+    for name in ("ngram_jaccard_pairs", "minhash_candidates"):
+        txt = plan_of(QUERIES[name](spark, sf_smoke))
+        assert "CartesianProduct" not in txt, name
+        assert "BroadcastNestedLoopJoin" not in txt, name
+
+
+def test_top100_uses_take_ordered(spark, sf_smoke):
+    """Global top-k must plan TakeOrderedAndProject, not a full sort."""
+    txt = plan_of(QUERIES["top100_orders"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in txt, txt
+
+
+def test_aggregation_is_partial_then_final(spark, sf_smoke):
+    """sales_summary must plan two-phase hash aggregation (map-side
+    partial before the exchange)."""
+    txt = plan_of(QUERIES["sales_summary"](spark, sf_smoke))
+    assert txt.count("HashAggregate") >= 2, txt
+
+
+def test_whole_stage_codegen_active(spark, sf_smoke):
+    """The scan→filter→agg pipeline of the flagship must run inside
+    WholeStageCodegen spans (no Python/interpreted breaks). Formatted
+    mode marks them as `[codegen id : N]` (AQE hides the tree in the
+    simple string until execution). Execute first so AQE finalizes; the
+    `*(n)` prefix in the simple plan string marks codegen spans."""
+    df = QUERIES["sales_summary"](spark, sf_smoke)
+    df.collect()
+    txt = plan_of(df)
+    assert "*(" in txt, txt
+
+
+def test_sales_summary_single_scan(spark, sf_smoke):
+    """The flagship must scan lineitem exactly once — the two-channel
+    union must not plan two scans of the same fact table."""
+    txt = formatted(QUERIES["sales_summary"](spark, sf_smoke))
+    # formatted mode prints each scan once in the tree and once in the
+    # detail section; `Location:` appears exactly once per physical scan
+    assert txt.count("Location:") == 1, txt
