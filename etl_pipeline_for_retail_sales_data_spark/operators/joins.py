@@ -28,3 +28,28 @@ def fact_join(left: DataFrame, right: DataFrame, on, how: str = "inner") -> Data
     with runtime skew splitting). Co-location via bucketing is the manual
     escape hatch when the same key is joined repeatedly."""
     return left.join(right, on=on, how=how)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-beating equi-join: the fact side deterministically spreads each
+    join key over ``n_salts`` sub-keys (salt = hash of ``salt_source``, a
+    unique-ish fact column, mod n); the dim side replicates each row to all
+    n salts. A hot key's rows then land on n partitions instead of one.
+    Semantically identical to ``fact.join(dim, key, how)`` — asserted in
+    tests. Prefer AQE skew-join for sort-merge cases; explicit salting is
+    for when the skew is known up front or the join must stay hash-based."""
+    salt_expr = (
+        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+        if salt_source
+        else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    f = fact.withColumn("__salt", salt_expr.cast("int"))
+    d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return f.join(d, on=[key, "__salt"], how=how).drop("__salt")

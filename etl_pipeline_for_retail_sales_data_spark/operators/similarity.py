@@ -62,6 +62,115 @@ def knn_bruteforce(
     )
 
 
+def embedding_neardup_exact(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact baseline: all (a, b)
+    with a < b and cosine >= threshold. O(n²) self-join — correct at any
+    scale but only affordable when one side fits broadcast; the 100 TB
+    path is ``embedding_neardup_lsh`` (same output filtered to LSH
+    candidates, recall-tested against this baseline)."""
+    a = emb.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    pairs = b.crossJoin(F.broadcast(a)).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", round6(F.col("cos")).alias("sim"))
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    tables: list[list[list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs at scale: multi-table hyperplane LSH generates
+    candidate pairs via equi-joins on bucket keys (same-bucket in ANY
+    table), then exact cosine filters at the threshold. Misses only pairs
+    bucketed apart in every table — recall vs the exact baseline is
+    asserted in tests."""
+    cand = None
+    for planes in tables:
+        bucketed = hyperplane_buckets(emb, planes, id_col, vec_col)
+        l = bucketed.select(F.col(id_col).alias("id_a"), "bucket")
+        r = bucketed.select(F.col(id_col).alias("id_b"), "bucket")
+        p = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", round6(F.col("cos")).alias("sim"))
+    )
+
+
+def knn_ivf(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: the corpus is pre-assigned to inverted lists
+    (``list_col`` — here the stored cluster label; in production the
+    argmin-centroid assignment from a k-means pass). Centroids are the
+    per-list mean vectors, computed distributively via posexplode +
+    groupBy. Each query scores only the ``nprobe`` lists whose centroids
+    are nearest, so the scan cost drops by ~n_lists/nprobe vs brute force.
+    Recall vs brute force is asserted in tests."""
+    # centroids: mean per (list, dim) then re-assemble ordered arrays
+    expl = emb.select(
+        F.col(list_col).alias("lst"), F.posexplode(as_double(F.col(vec_col))).alias("dim", "x")
+    )
+    cent = (
+        expl.groupBy("lst", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("lst")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+        .select("lst", F.transform("s", lambda t: t["m"]).alias("centroid"))
+    )
+    q = emb.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qe")
+    )
+    # probe: top-nprobe lists per query by centroid cosine (both sides tiny)
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "qe", "lst", cosine(F.col("qe"), F.col("centroid")).alias("ccos"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("lst"))
+    probed = probes.withColumn("pr", F.row_number().over(wp)).filter(F.col("pr") <= nprobe)
+    # score only vectors in probed lists: equi-join on the list key
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(list_col).alias("lst"),
+        as_double(F.col(vec_col)).alias("e"),
+    )
+    scored = (
+        c.join(F.broadcast(probed.select("q_id", "qe", "lst")), "lst")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", cosine(F.col("qe"), F.col("e")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", round6(F.col("cos")).alias("sim"), "rnk")
+    )
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     planes: list[list[float]],

@@ -1,0 +1,99 @@
+"""Temporal join operators the reference lacks entirely (it has zero joins,
+reference scripts/transformation.py:166 — SURVEY.md §2.5): as-of join and
+interval/range join, both built scale-first.
+
+As-of join (each left row matches the latest right row at-or-before its
+timestamp, per key) is NOT expressible as an equi-join, and the naive
+formulation — inequality join + argmax — is a cross join per key. The
+scalable shape used here is the union-merge pattern:
+
+    union(left tagged 0, right tagged 1)
+      → window over (key) ordered by (ts, tag desc)
+      → last(right_value, ignorenulls) carries the most recent right row
+      → keep left rows
+
+One shuffle on the key, streaming window evaluation, no join node at all.
+This is how kdb/Flink-style as-of semantics map onto a hash-partitioned
+engine: co-partition both sides by key, merge-sort within partition.
+
+Interval/range join: when the interval side is small (promo calendars,
+maintenance windows — typically thousands of rows), broadcast it and let
+the BETWEEN predicate run as a broadcast nested-loop join; each fact
+partition streams past the tiny interval table, which is the optimal plan
+(a shuffle-based interval join would move 100 TB to co-locate against a
+kilobyte). For big×big interval joins, bucketize time and equi-join on the
+bucket + refine — not needed for the surfaces here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the value columns of the latest right row
+    with right.ts <= left.ts (strictly < if ``inclusive=False``), matching
+    on ``key_cols``. Left rows with no prior right row keep nulls (left
+    as-of semantics; filter on matched ts for inner).
+
+    Output: all left columns + ``value_cols`` + ``__matched_ts``.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_r"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in key_cols],
+        *[F.col(k) for k in key_cols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_r"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_ts).alias("__r_ts"),
+    ).select(*l_tagged.columns)  # align column order for unionByName
+
+    merged = l_tagged.unionByName(r_tagged)
+    # At equal ts a right row must sort before (inclusive) or after
+    # (exclusive) the left rows so last() sees / doesn't see it.
+    tag_order = F.col("__is_r").desc() if inclusive else F.col("__is_r").asc()
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), tag_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        *lcols,
+        F.col("__is_r"),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__matched_ts"),
+    )
+    return carried.filter(F.col("__is_r") == 0).drop("__is_r")
+
+
+def range_join_broadcast(
+    fact: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str,
+    start_col: str,
+    end_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact rows to the (small, broadcast) intervals containing their
+    timestamp: start <= ts <= end. Plans as BroadcastNestedLoopJoin — the
+    right plan when the interval side is tiny relative to the fact side."""
+    cond = (F.col(fact_ts) >= F.col(start_col)) & (F.col(fact_ts) <= F.col(end_col))
+    return fact.join(F.broadcast(intervals), on=cond, how=how)

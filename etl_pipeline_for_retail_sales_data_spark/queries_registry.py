@@ -1023,3 +1023,347 @@ def q_null_handling_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count(nz)).alias("n_zero_discount"),
         F.round(F.sum(F.coalesce(nz, F.lit(0.05))), 4).alias("discount_imputed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins, window breadth, correlated subqueries, JSON/array funcs
+# ---------------------------------------------------------------------------
+
+from .operators.joins import salted_join  # noqa: E402
+from .operators.temporal_joins import asof_join_backward, range_join_broadcast  # noqa: E402
+
+
+@query(
+    "window_funcs_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER wd AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER wd AS BIGINT) AS drnk,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           FLOOR(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w3 AS DOUBLE)
+                 / COUNT(*) OVER w3 / 100 * 1e6 + 0.5) / 1e6 AS ma3
+    FROM orders
+    WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+           w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: rank/dense_rank (value ties on the date),
+    lag/lead, ntile, and a 3-row moving average. The moving average sums
+    exact cents (BIGINT) before dividing so sliding-frame accumulation
+    order (Spark re-scan vs DuckDB segment tree) cannot perturb the
+    double. One shuffle on o_custkey serves every window."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w.rowsBetween(-2, 0)
+    cents_l = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    ma3 = F.sum(cents_l).over(w3).cast("double") / F.count(F.lit(1)).over(w3) / 100
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(wd).cast("long").alias("rnk"),
+        F.dense_rank().over(wd).cast("long").alias("drnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        (F.floor(ma3 * 1e6 + F.lit(0.5)) / 1e6).alias("ma3"),
+    )
+
+
+@query(
+    "asof_event_ticks",
+    oracle="""
+    WITH ticks AS (
+        SELECT event_type, date_trunc('hour', ts) AS tick_ts,
+               FLOOR(MAX(value) * 1e6 + 0.5) / 1e6 AS tick_value
+        FROM events
+        WHERE EXTRACT(hour FROM ts) % 4 = 0
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, e.value, t.tick_value, t.tick_ts
+    FROM events e ASOF JOIN ticks t
+      ON e.event_type = t.event_type AND e.ts >= t.tick_ts
+    """,
+)
+def q_asof_event_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each event picks up the latest
+    4-hourly "tick" of its type. Spark side is the union-merge pattern
+    (operators/temporal_joins.py) — one shuffle on the key, no join node;
+    oracle is DuckDB's native ASOF JOIN, so the semantics are checked
+    against an independent implementation."""
+    ev = load_events(spark, sf_dir)
+    ticks = (
+        ev.filter(F.hour("ts") % 4 == 0)
+        .groupBy(F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("tick_ts"))
+        .agg((F.floor(F.max("value") * 1e6 + F.lit(0.5)) / 1e6).alias("tick_value"))
+    )
+    left = ev.select("event_id", "event_type", "ts", "value")
+    joined = asof_join_backward(
+        left, ticks, ["event_type"], "ts", "tick_ts", ["tick_value"], inclusive=True
+    )
+    return joined.filter(F.col("__matched_ts").isNotNull()).select(
+        "event_id", "event_type", "value", "tick_value", F.col("__matched_ts").alias("tick_ts")
+    )
+
+
+_PROMOS = [
+    ("WINTER96", "1996-01-01", "1996-02-15"),
+    ("SUMMER97", "1997-06-01", "1997-07-20"),
+    ("FALL98", "1998-09-10", "1998-11-01"),
+    ("SPRING99", "1999-03-01", "1999-04-15"),
+    ("MILLENNIUM", "1999-12-01", "2000-01-31"),
+]
+
+_PROMOS_SQL = ", ".join(
+    f"('{n}', TIMESTAMP '{s} 00:00:00', TIMESTAMP '{e} 00:00:00')" for n, s, e in _PROMOS
+)
+
+
+@query(
+    "range_join_promos",
+    oracle=f"""
+    SELECT promo,
+           ROUND(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN (VALUES {_PROMOS_SQL}) p(promo, start_ts, end_ts)
+      ON l_shipdate BETWEEN start_ts AND end_ts
+    GROUP BY promo
+    """,
+)
+def q_range_join_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: lineitems shipped inside promo windows. The
+    interval side is 5 rows → broadcast nested-loop is the optimal plan
+    (the fact side never moves); revenue per promo window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    promos = spark.createDataFrame(_PROMOS, ["promo", "start_d", "end_d"]).select(
+        "promo",
+        F.to_timestamp("start_d").alias("start_ts"),
+        F.to_timestamp("end_d").alias("end_ts"),
+    )
+    joined = range_join_broadcast(li, promos, "l_shipdate", "start_ts", "end_ts")
+    return joined.groupBy("promo").agg(
+        F.round(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q4_late_shipments",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS with a cross-side predicate):
+    planned as a left-semi join whose condition references both sides —
+    no decorrelation pass needed, no row multiplication."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li["l_orderkey"] == orders["o_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+               AS small_qty_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < 0.5 * (SELECT AVG(li.l_quantity) FROM lineitem li
+                              WHERE li.l_partkey = l.l_partkey)
+    """,
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar AVG per part): decorrelated into
+    a per-part aggregate joined back on the part key — the standard
+    rewrite; the avg over integral-valued doubles is order-independent so
+    the threshold is bit-identical to the oracle's correlated form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__avg_qty"))
+    j = (
+        li.join(F.broadcast(brand_parts), li["l_partkey"] == brand_parts["p_partkey"])
+        .join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")) / 100.0, 2
+        ).alias("small_qty_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: JSON path extraction from a string column
+    (get_json_object runs JVM-side; no Python UDF) + integer aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+@query(
+    "array_funcs_embeddings",
+    oracle=r"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding FROM embeddings)
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           FLOOR(sqrt(list_dot_product(v, v)) * 1e6 + 0.5) / 1e6 AS l2_norm,
+           list_max(v) AS max_elem,
+           FLOOR(list_sum(v[1:8]) * 1e6 + 0.5) / 1e6 AS head8_sum,
+           CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM e
+    """,
+)
+def q_array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column: size, L2 norm via
+    higher-order aggregate, max element, prefix-slice sum, predicate
+    count. All JVM-side higher-order functions — no UDFs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        SIM.round6(F.sqrt(SIM.dot(v, v))).alias("l2_norm"),
+        F.array_max(v).alias("max_elem"),
+        SIM.round6(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("head8_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+@query(
+    "embed_neardup_exact",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, FLOOR(cos * 1e6 + 0.5) / 1e6 AS sim
+    FROM s WHERE cos >= 0.35
+    """,
+)
+def q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact baseline (broadcast self-join).
+    The 100 TB path is embed_neardup_lsh; this baseline defines the
+    ground truth it is recall-tested against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_exact(emb, threshold=0.35)
+
+
+@query("embed_neardup_lsh")
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup at scale: LSH candidate pairs (equi-joins
+    on bucket keys) + exact cosine filter. Rows-only driver check; recall
+    vs embed_neardup_exact asserted in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_lsh(emb, _lsh_tables(n_tables=8, n_planes=3), threshold=0.35)
+
+
+@query("knn_ivf")
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-list centroids (posexplode + groupBy mean),
+    queries probe the nprobe nearest lists and score only those vectors.
+    Rows-only driver check; recall vs knn_bruteforce asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_ivf(emb, F.col("vec_id") < 10, k=5, nprobe=3)
+
+
+@query("approx_aggregates")
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling: HLL++ distinct counts and
+    approximate percentiles — one pass, fixed memory, mergeable across
+    partitions (vs the shuffle-heavy exact versions). No DuckDB twin
+    (different sketch implementations) → rows-only driver check; accuracy
+    vs exact is asserted in tests/test_dedup_similarity.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_p50"),
+    )
+
+
+@query(
+    "salted_brand_revenue",
+    oracle="""
+    SELECT p_brand,
+           ROUND(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-beating salted join, oracle-checked for semantic
+    equivalence to the plain equi-join: fact keys spread over 8 salts,
+    dim replicated ×8, join on (key, salt). For a genuinely hot key this
+    turns 1 straggler partition into 8 even ones."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(li, part, "p_partkey", n_salts=8, salt_source="l_orderkey")
+    return j.groupBy("p_brand").agg(
+        F.round(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )

@@ -83,3 +83,58 @@ def test_multimodal_stub_raises(spark):
     media = MM.attach_binary(docs)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         MM.decode_media(media).collect()
+
+
+def test_embed_neardup_lsh_recall(spark, sf_smoke):
+    """LSH near-dup must recover most exact pairs at the same threshold,
+    and every pair it emits must be a true pair (precision 1.0 — the
+    final cosine filter is exact)."""
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    exact = {(r.id_a, r.id_b) for r in QUERIES["embed_neardup_exact"](spark, sf_smoke).collect()}
+    approx = {(r.id_a, r.id_b) for r in QUERIES["embed_neardup_lsh"](spark, sf_smoke).collect()}
+    assert approx <= exact, "LSH emitted a pair below the exact threshold"
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"neardup LSH recall {recall} collapsed"
+
+
+def test_knn_ivf_recall(spark, sf_smoke):
+    """IVF with nprobe=3 of 10 lists must recover a reasonable fraction of
+    the true top-5; every emitted neighbor must carry its exact cosine."""
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    exact = QUERIES["knn_bruteforce"](spark, sf_smoke).collect()
+    approx = QUERIES["knn_ivf"](spark, sf_smoke).collect()
+    truth = {(r.q_id, r.neighbor_id) for r in exact}
+    found = {(r.q_id, r.neighbor_id) for r in approx}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.3, f"IVF recall {recall} collapsed"
+    exact_sims = {(r.q_id, r.neighbor_id): r.sim for r in exact}
+    for r in approx:
+        if (r.q_id, r.neighbor_id) in exact_sims:
+            assert abs(r.sim - exact_sims[(r.q_id, r.neighbor_id)]) < 1e-9
+
+
+def test_approx_aggregates_accuracy(spark, sf_smoke):
+    """HLL++ distinct counts within 10% of exact; approx p50 within 5% of
+    the exact interpolated percentile."""
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+    from pyspark.sql import functions as F2
+
+    approx = {r.l_returnflag: r for r in QUERIES["approx_aggregates"](spark, sf_smoke).collect()}
+    li = load_table(spark, sf_smoke, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F2.countDistinct("l_partkey").alias("parts"),
+            F2.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.approx_parts - e.parts) / e.parts < 0.10
+        assert abs(a.approx_p50 - e.p50) / e.p50 < 0.05

@@ -1,0 +1,79 @@
+"""Unit tests for the as-of join (union-merge implementation) and the
+salted skew join — edge semantics that the oracle queries don't isolate."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_retail_sales_data_spark.operators.joins import salted_join
+from etl_pipeline_for_retail_sales_data_spark.operators.temporal_joins import (
+    asof_join_backward,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 00:30:00")),
+            (2, "a", _ts("2024-01-01 01:00:00")),  # exactly at tick t2
+            (3, "a", _ts("2024-01-01 02:15:00")),
+            (4, "b", _ts("2024-01-01 00:10:00")),  # before any b tick
+        ],
+        "id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00"), 10.0),
+            ("a", _ts("2024-01-01 01:00:00"), 20.0),
+            ("b", _ts("2024-01-01 01:00:00"), 99.0),
+        ],
+        "key string, tick_ts timestamp, px double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = {
+        r.id: (r.px, r["__matched_ts"])
+        for r in asof_join_backward(left, right, ["key"], "ts", "tick_ts", ["px"]).collect()
+    }
+    assert out[1] == (10.0, _ts("2024-01-01 00:00:00"))
+    assert out[2] == (20.0, _ts("2024-01-01 01:00:00"))  # equal ts matches
+    assert out[3] == (20.0, _ts("2024-01-01 01:00:00"))
+    assert out[4] == (None, None)  # no prior tick → left semantics
+
+
+def test_asof_backward_exclusive(spark):
+    left, right = _frames(spark)
+    out = {
+        r.id: r.px
+        for r in asof_join_backward(
+            left, right, ["key"], "ts", "tick_ts", ["px"], inclusive=False
+        ).collect()
+    }
+    assert out[2] == 10.0  # strictly-before: the 01:00 tick is NOT visible
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(100)], "k long, id long, v double"
+    )
+    dim = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k long, name string")
+    plain = {(r.id, r.name) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r.id, r.name)
+        for r in salted_join(fact, dim, "k", n_salts=4, salt_source="id").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark):
+    fact = spark.createDataFrame([(0, 1), (9, 2)], "k long, id long")
+    dim = spark.createDataFrame([(0, "x")], "k long, name string")
+    out = {r.id: r.name for r in salted_join(fact, dim, "k", 4, "id", how="left").collect()}
+    assert out == {1: "x", 2: None}
