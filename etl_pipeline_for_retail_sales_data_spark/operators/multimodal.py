@@ -89,3 +89,45 @@ def decode_media(
             )
 
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: pick evenly-spaced frame indices
+    (step = ceil(n_frames / max_frames)) per document. Pure column
+    expressions — the explode happens JVM-side, one output row per sampled
+    frame; at scale this is how a 100 TB video corpus fans out to
+    per-frame work units without a UDF."""
+    step = F.greatest(F.lit(1), F.ceil(F.col("n_frames") / float(max_frames)).cast("int"))
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, step)
+    return decoded.select("doc_id", "n_frames", F.explode(idx).alias("frame_idx"))
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction as an Arrow-batched pandas iterator: a
+    deterministic byte-histogram embedding (real extractors — CLIP,
+    mel-spectrogram — would slot into the same mapInPandas shape). The
+    histogram buckets payload bytes mod ``dim`` and L1-normalizes, so the
+    output is a stable array<double> usable by the similarity operators."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                counts = [0] * dim
+                for b in payload:
+                    counts[b % dim] += 1
+                total = max(sum(counts), 1)
+                feats.append([c / total for c in counts])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return media.mapInPandas(feat_batches, FEATURES_SCHEMA)

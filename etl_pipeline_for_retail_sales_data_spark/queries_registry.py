@@ -1367,3 +1367,107 @@ def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming breadth + multimodal feature ops
+# ---------------------------------------------------------------------------
+
+from .streaming.windows import (  # noqa: E402
+    session_window_stream,
+    sliding_event_stream,
+    stateful_running_counts,
+)
+
+
+@query(
+    "streaming_sliding",
+    oracle="""
+    SELECT win_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM (
+        SELECT event_type, value,
+               UNNEST([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+        FROM events
+    )
+    GROUP BY win_start, event_type
+    """,
+)
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windowed stream run to completion on the static
+    events parquet. Oracle: every event belongs to exactly the two hourly
+    window starts covering it (its own hour and the previous one)."""
+    return sliding_event_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min gap). Spark closes a
+    session when the next event is >= gap after the last one; the oracle
+    encodes the identical boundary rule via lag/cumsum."""
+    return session_window_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_stateful_counts",
+    oracle="SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
+)
+def q_streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-type running
+    counts in explicit GroupState; the final state equals the batch
+    COUNT(*) oracle."""
+    return stateful_running_counts(spark, sf_dir)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, n_frames,
+           UNNEST(range(0, n_frames, GREATEST(1, CAST(ceil(n_frames / 4.0) AS INT))))
+               AS frame_idx
+    FROM (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+        FROM documents
+    )
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over decoded video metadata: evenly-spaced frame
+    indices, one output row per sampled frame (JVM-side sequence+explode,
+    no UDF)."""
+    media = MM.attach_binary(load_table(spark, sf_dir, "documents"))
+    decoded = MM.decode_media(media, MM.fake_decoder)
+    return MM.frame_sample(decoded, max_frames=4)
+
+
+@query("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (byte-histogram embedding stand-in
+    for CLIP/mel-spectrogram). Rows-only driver check; determinism and
+    norm properties asserted in tests."""
+    media = MM.attach_binary(load_table(spark, sf_dir, "documents"))
+    return MM.extract_features(media)

@@ -74,3 +74,103 @@ def hourly_event_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 ho
             "total_value",
         )
     )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def _run_to_completion(spark: SparkSession, agg: DataFrame, prefix: str) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def sliding_event_stream(spark: SparkSession, sf_dir: str, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 2-hour windows every 1 hour: each event lands in exactly two
+    overlapping windows. Spark expands the window set at plan time (no
+    data duplication before the aggregate's map-side partial)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_completion(spark, agg, "sliding_events")
+    return out.select(
+        F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value"
+    )
+
+
+def session_window_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows (dynamic gap-merged state) in Structured
+    Streaming: a session closes when no event arrives for ``gap``. The
+    batch twin is the lag/cumsum sessionize operator; the oracle encodes
+    the same >=gap boundary rule, so all three agree."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_completion(spark, agg, "session_events")
+    return out.select(
+        "user_id", F.col("sw.start").alias("session_start"), "n_events", "total_value"
+    )
+
+
+def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-event_type running event count held in explicit GroupState. This
+    is the extension point for operators Spark's built-in windows can't
+    express (per-key ML state, CEP, custom eviction). Counts are
+    cumulative across micro-batches; the final per-key row equals the
+    batch COUNT(*) — which is the oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        n = sum(len(pdf) for pdf in pdf_iter)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [key[0]], "n_events": [total]})
+
+    stream = _events_stream(spark, sf_dir)
+    counted = stream.groupBy("event_type").applyInPandasWithState(
+        update_counts,
+        outputStructType="event_type string, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_counts_{uuid.uuid4().hex[:8]}"
+    q = counted.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode emits one row per key per micro-batch; counts are
+    # monotone so the final value per key is the max
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )

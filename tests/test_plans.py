@@ -95,3 +95,19 @@ def test_sales_summary_single_scan(spark, sf_smoke):
     # formatted mode prints each scan once in the tree and once in the
     # detail section; `Location:` appears exactly once per physical scan
     assert txt.count("Location:") == 1, txt
+
+
+def test_asof_join_has_no_join_node(spark, sf_smoke):
+    """The as-of join must plan as window-over-union — no join operator,
+    no cartesian product (the naive inequality-join formulation would)."""
+    txt = formatted(QUERIES["asof_event_ticks"](spark, sf_smoke))
+    assert "CartesianProduct" not in txt
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+    assert "Window" in txt
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_smoke):
+    """The interval join against a 5-row calendar must broadcast the tiny
+    side (BroadcastNestedLoopJoin), never shuffle the fact table."""
+    txt = formatted(QUERIES["range_join_promos"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in txt, txt

@@ -77,3 +77,29 @@ def test_salted_join_left_outer_preserves_unmatched(spark):
     dim = spark.createDataFrame([(0, "x")], "k long, name string")
     out = {r.id: r.name for r in salted_join(fact, dim, "k", 4, "id", how="left").collect()}
     assert out == {1: "x", 2: None}
+
+
+def test_frame_sample_bounds(spark, sf_smoke):
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    rows = QUERIES["multimodal_frame_sample"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.frame_idx < r.n_frames
+    # every doc samples at most 4 frames and always frame 0
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for idxs in by_doc.values():
+        assert len(idxs) <= 4 and min(idxs) == 0
+
+
+def test_feature_extraction_deterministic_and_normalized(spark, sf_smoke):
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    a = {r.doc_id: r.features for r in QUERIES["multimodal_features"](spark, sf_smoke).collect()}
+    b = {r.doc_id: r.features for r in QUERIES["multimodal_features"](spark, sf_smoke).collect()}
+    assert a == b, "feature extraction is nondeterministic"
+    for feats in a.values():
+        assert len(feats) == 16
+        assert abs(sum(feats) - 1.0) < 1e-9  # L1-normalized histogram
