@@ -25,16 +25,29 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: the flagship plus the queries that exercise each engine
 # subsystem (scan+agg, joins, windows, grouping sets, event-time).
 HEADLINE = [
+    # reference surface + TPC-H-style relational core
     "sales_summary",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q4_late_shipments",
+    "q17_small_quantity_revenue",
     "brand_revenue",
+    # windows / event time
     "top3_lines_per_brand",
     "running_customer_spend",
+    "window_funcs_orders",
     "rollup_flag_status",
     "events_hourly",
     "sessionization",
+    "asof_event_ticks",
+    # training-data pipeline tier
+    "text_stats",
+    "minhash_candidates",
+    "ngram_jaccard_pairs",
+    "knn_bruteforce",
+    "embed_neardup_lsh",
+    "json_props_stats",
 ]
 
 

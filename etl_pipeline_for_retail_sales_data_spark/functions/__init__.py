@@ -24,3 +24,16 @@ def cents(c: Column) -> Column:
 def sql_cents(expr: str) -> str:
     """Oracle-side twin of ``cents``."""
     return f"FLOOR(({expr}) * 100 + 0.5) / 100"
+
+
+def spread(df, min_partitions: int | None = None):
+    """Repartition a DataFrame up to the cluster's parallelism when its
+    scan produced too few splits. A small parquet file arrives as ONE
+    partition, serializing every downstream CPU-heavy expression (regex
+    shingling, per-row hashing) onto one core; at 100 TB the scan itself
+    yields thousands of splits and this is a no-op. Round-robin is fine:
+    callers do per-row work, not keyed work."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

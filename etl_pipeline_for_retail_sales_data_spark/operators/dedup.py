@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import spread
 from .text import TOKEN_RE
 
 
@@ -47,6 +48,7 @@ def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
     """(doc_id, shingle) pairs — DISTINCT word n-grams per doc.
     Tokens via regexp match (identical under Java regex and RE2); shingle
     = n consecutive tokens joined by a single space."""
+    df = spread(df)  # small-file scans arrive as 1 partition (functions.spread)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     idx = F.sequence(F.lit(0), F.size(toks) - n)  # 0-based start positions
     shingles = F.transform(
@@ -66,8 +68,11 @@ def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all co-occurring doc pairs via
-    inverted-index self-join (no cross join anywhere)."""
-    sh = doc_shingles(df, text_col, n)
+    inverted-index self-join (no cross join anywhere). The shingle frame
+    feeds three plan branches (sizes + both join sides); persisting it
+    computes the regex shingling once instead of three times — at scale,
+    persist to MEMORY_AND_DISK or checkpoint to parquet."""
+    sh = doc_shingles(df, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -109,26 +114,40 @@ def minhash_candidates(
     band key = md5 of the concatenated band. Docs sharing ANY band key
     become candidate pairs (equi-join per band, distinct across bands);
     est_jaccard = fraction of equal signature components."""
-    sig = minhash_signatures(df, text_col, k, n)
+    # The signature frame is tiny (one row per doc) but expensive to build
+    # (shingling + k md5 mins) and feeds four plan branches — persist it so
+    # the lineage runs once.
+    sig = minhash_signatures(df, text_col, k, n).persist()
     rows_per_band = k // bands
-    band_keys = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    sigb = sig.select("doc_id", *[F.col(f"h{j}") for j in range(k)], *band_keys)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # one explode + ONE self-equi-join on (band, key) replaces a join per
+    # band: fewer stages, one shuffle for candidate generation
+    banded = sig.select("doc_id", F.explode(band_structs).alias("s")).select(
+        "doc_id", F.col("s.band").alias("band"), F.col("s.bk").alias("bk")
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    pairs = (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
-    pairs = None
-    for b in range(bands):
-        left = sigb.select(F.col("doc_id").alias("doc_a"), F.col(f"b{b}").alias("bk"))
-        right = sigb.select(F.col("doc_id").alias("doc_b"), F.col(f"b{b}").alias("bk"))
-        p = left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.distinct()
-
-    siga = sigb.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)])
-    sigc = sigb.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{j}").alias(f"c{j}") for j in range(k)])
+    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)])
+    sigc = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{j}").alias(f"c{j}") for j in range(k)])
     matches = sum(F.when(F.col(f"a{j}") == F.col(f"c{j}"), 1).otherwise(0) for j in range(k))
     return (
         pairs.join(siga, "doc_a")
@@ -147,6 +166,7 @@ def simhash_64(df: DataFrame, text_col: str = "text") -> DataFrame:
     i = sign of the sum over tokens of (2*bit_i - 1). Spark-native (
     xxhash64 has no portable SQL twin → rows-only correctness check +
     property tests). Bits are assembled with bit ops, no UDF."""
+    df = spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     tok = df.select("doc_id", F.explode(toks).alias("tok"))
     h = F.xxhash64("tok")

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import spread
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -35,6 +37,20 @@ def round6(c: Column) -> Column:
     return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
 
 
+def unit_vectors(df: DataFrame, id_col: str, vec_col: str, out_col: str = "uv") -> DataFrame:
+    """(id, unit-normalized vector): the norm is computed ONCE per row in a
+    prior projection (not inlined per element), so pairwise cosine becomes
+    a single dot product — 3× fewer array folds in pair-heavy scoring."""
+    return (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__norm", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__v"), lambda x: x / F.col("__norm")).alias(out_col),
+        )
+    )
+
+
 def knn_bruteforce(
     emb: DataFrame,
     query_filter: Column,
@@ -48,7 +64,7 @@ def knn_bruteforce(
     q = emb.filter(query_filter).select(
         F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qe")
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("e"))
+    c = spread(emb).select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("e"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("q_id"))
@@ -72,14 +88,40 @@ def embedding_neardup_exact(
     with a < b and cosine >= threshold. O(n²) self-join — correct at any
     scale but only affordable when one side fits broadcast; the 100 TB
     path is ``embedding_neardup_lsh`` (same output filtered to LSH
-    candidates, recall-tested against this baseline)."""
-    a = emb.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
-    pairs = b.crossJoin(F.broadcast(a)).filter(F.col("id_a") < F.col("id_b"))
+    candidates, recall-tested against this baseline). Vectors are
+    unit-normalized up front so each pair costs one dot product."""
+    ua = unit_vectors(emb, id_col, vec_col).select(F.col(id_col).alias("id_a"), F.col("uv").alias("ua"))
+    ub = unit_vectors(spread(emb), id_col, vec_col).select(
+        F.col(id_col).alias("id_b"), F.col("uv").alias("ub")
+    )
+    pairs = ub.crossJoin(F.broadcast(ua)).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        pairs.select("id_a", "id_b", dot(F.col("ua"), F.col("ub")).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", round6(F.col("cos")).alias("sim"))
+    )
+
+
+def multitable_buckets(
+    emb: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) rows for every LSH table in ONE corpus pass:
+    all tables' sign-bit buckets are computed in a single projection and
+    exploded, so candidate generation is one self-equi-join on
+    (table, bucket) instead of a join per table."""
+    e = as_double(F.col(vec_col))
+    structs = []
+    for t, planes in enumerate(tables):
+        bits = [
+            F.when(dot(e, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in planes
+        ]
+        structs.append(F.struct(F.lit(t).alias("tbl"), F.concat(*bits).alias("bucket")))
+    return spread(emb).select(F.col(id_col), F.explode(F.array(*structs)).alias("s")).select(
+        F.col(id_col), F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket")
     )
 
 
@@ -91,25 +133,28 @@ def embedding_neardup_lsh(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-dup pairs at scale: multi-table hyperplane LSH generates
-    candidate pairs via equi-joins on bucket keys (same-bucket in ANY
-    table), then exact cosine filters at the threshold. Misses only pairs
-    bucketed apart in every table — recall vs the exact baseline is
-    asserted in tests."""
-    cand = None
-    for planes in tables:
-        bucketed = hyperplane_buckets(emb, planes, id_col, vec_col)
-        l = bucketed.select(F.col(id_col).alias("id_a"), "bucket")
-        r = bucketed.select(F.col(id_col).alias("id_b"), "bucket")
-        p = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
-    vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+    candidate pairs via ONE self-equi-join on (table, bucket) — a pair is
+    a candidate if it shares a bucket in ANY table — then exact cosine
+    filters at the threshold. Misses only pairs bucketed apart in every
+    table; recall vs the exact baseline is asserted in tests. The bucket
+    and vector frames are persisted: each is one corpus pass feeding two
+    join branches."""
+    bucketed = multitable_buckets(emb, tables, id_col, vec_col).persist()
+    l = bucketed.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    r = bucketed.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cand = (
+        l.join(r, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = unit_vectors(emb, id_col, vec_col).persist()
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("uv").alias("ua"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("uv").alias("ub"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select("id_a", "id_b", dot(F.col("ua"), F.col("ub")).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", round6(F.col("cos")).alias("sim"))
     )
@@ -132,7 +177,7 @@ def knn_ivf(
     are nearest, so the scan cost drops by ~n_lists/nprobe vs brute force.
     Recall vs brute force is asserted in tests."""
     # centroids: mean per (list, dim) then re-assemble ordered arrays
-    expl = emb.select(
+    expl = spread(emb).select(
         F.col(list_col).alias("lst"), F.posexplode(as_double(F.col(vec_col))).alias("dim", "x")
     )
     cent = (
@@ -153,7 +198,7 @@ def knn_ivf(
     wp = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("lst"))
     probed = probes.withColumn("pr", F.row_number().over(wp)).filter(F.col("pr") <= nprobe)
     # score only vectors in probed lists: equi-join on the list key
-    c = emb.select(
+    c = spread(emb).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(list_col).alias("lst"),
         as_double(F.col(vec_col)).alias("e"),
@@ -199,24 +244,22 @@ def ann_lsh(
     tables of a few planes each; candidates = union over tables of
     same-bucket pairs (distinct), then exact cosine scoring + top-k.
     More tables → higher recall at linear candidate cost; recall vs brute
-    force is asserted in tests. At scale each table join is an equi-join
-    on a small bucket key — never a cross join."""
-    cand = None
-    for planes in tables:
-        bucketed = hyperplane_buckets(emb, planes, id_col, vec_col)
-        q = bucketed.filter(query_filter).select(
-            F.col(id_col).alias("q_id"), F.col("bucket")
-        )
-        c = bucketed.select(F.col(id_col).alias("neighbor_id"), F.col("bucket"))
-        p = (
-            c.join(F.broadcast(q), "bucket")
-            .filter(F.col("neighbor_id") != F.col("q_id"))
-            .select("q_id", "neighbor_id")
-        )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    force is asserted in tests. At scale the candidate join is ONE
+    equi-join on (table, bucket) — never a cross join; buckets for all
+    tables come from a single persisted corpus pass."""
+    bucketed = multitable_buckets(emb, tables, id_col, vec_col).persist()
+    q = bucketed.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), "tbl", "bucket"
+    )
+    c = bucketed.select(F.col(id_col).alias("neighbor_id"), "tbl", "bucket")
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id")
+        .distinct()
+    )
 
-    vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v")).persist()
     qv = vecs.select(F.col(id_col).alias("q_id"), F.col("__v").alias("qe"))
     cv = vecs.select(F.col(id_col).alias("neighbor_id"), F.col("__v").alias("e"))
     scored = (

@@ -1286,11 +1286,13 @@ def q_array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_neardup_exact",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH n AS (
+        SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm, v
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
     s AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.u, b.u) AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, FLOOR(cos * 1e6 + 0.5) / 1e6 AS sim
@@ -1298,7 +1300,9 @@ def q_array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, exact baseline (broadcast self-join).
+    """Embedding-cosine near-dup, exact baseline (broadcast self-join over
+    unit-normalized vectors — one dot per pair; the oracle normalizes with
+    the identical elementwise division so the doubles are bit-equal).
     The 100 TB path is embed_neardup_lsh; this baseline defines the
     ground truth it is recall-tested against."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1309,9 +1313,15 @@ def q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup at scale: LSH candidate pairs (equi-joins
     on bucket keys) + exact cosine filter. Rows-only driver check; recall
-    vs embed_neardup_exact asserted in tests/test_dedup_similarity.py."""
+    vs embed_neardup_exact asserted in tests/test_dedup_similarity.py.
+
+    Tuning note: hyperplane LSH pays off in the true near-dup regime
+    (cos >= ~0.8, where per-plane agreement is high); this corpus's max
+    pairwise cosine is ~0.51, so the demo threshold sits where LSH only
+    halves the candidate set. Plane count should grow ~log2(corpus) to
+    hold bucket sizes constant at scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.embedding_neardup_lsh(emb, _lsh_tables(n_tables=8, n_planes=3), threshold=0.35)
+    return SIM.embedding_neardup_lsh(emb, _lsh_tables(n_tables=8, n_planes=4), threshold=0.35)
 
 
 @query("knn_ivf")
