@@ -1481,3 +1481,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm properties asserted in tests."""
     media = MM.attach_binary(load_table(spark, sf_dir, "documents"))
     return MM.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: one shared ANSI string runs on BOTH engines verbatim
+# ---------------------------------------------------------------------------
+
+from .sql import sql as run_sql  # noqa: E402
+
+_NATION_YEAR_SQL = """
+    SELECT n_name,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           ROUND(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, order_year
+"""
+
+
+@query("sql_nation_year_revenue", oracle=_NATION_YEAR_SQL)
+def q_sql_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door (sql.py): the SAME ANSI string is executed by
+    Catalyst here and by DuckDB as the oracle — full surface parity, one
+    definition. Plans identically to the DataFrame formulation (broadcast
+    dims, two-phase agg)."""
+    return run_sql(spark, sf_dir, _NATION_YEAR_SQL)
