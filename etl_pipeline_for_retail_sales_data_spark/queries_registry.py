@@ -1509,3 +1509,233 @@ def q_sql_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition. Plans identically to the DataFrame formulation (broadcast
     dims, two-phase agg)."""
     return run_sql(spark, sf_dir, _NATION_YEAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth (Q6/Q10/Q14/Q19 shapes), hierarchical rollup, funnel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT ROUND(SUM(FLOOR(l_extendedprice * l_discount * 100 + 0.5) / 100), 2)
+               AS forecast_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+aggregate — every predicate pushes to the
+    parquet scan; the plan is scan → partial agg → single-row final agg
+    (no shuffle of data rows at all)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"))), 2).alias(
+            "forecast_revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q10_returned_customers",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: who returned the most revenue. Customer+nation broadcast,
+    orders⋈lineitem sort-merge, cents-exact revenue so the top-20 cut is
+    deterministic (revenue desc, custkey tiebreak) →
+    TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias(
+            "revenue"
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT FLOOR(100.0 * promo / total * 1e6 + 0.5) / 1e6 AS promo_pct,
+           ROUND(total, 2) AS total_revenue
+    FROM (
+        SELECT SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+                        ELSE 0 END) AS promo,
+               SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100) AS total
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    )
+    """,
+)
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share. The ratio of two cents-exact sums
+    is a deterministic double in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = broadcast_dim_join(li, part, on=[F.col("l_partkey") == F.col("p_partkey")])
+    disc = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0)).alias("promo"),
+        F.sum(disc).alias("total"),
+    )
+    return agg.select(
+        (F.floor(100.0 * F.col("promo") / F.col("total") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "promo_pct"
+        ),
+        F.round(F.col("total"), 2).alias("total_revenue"),
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-table predicates. Catalyst
+    extracts the common join key and pushes the OR branches below the
+    join where columns allow."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = broadcast_dim_join(li, part, on=[F.col("l_partkey") == F.col("p_partkey")])
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    pred = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(pred).agg(
+        F.round(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts), event_type),
+                            (date_trunc('day', ts), event_type),
+                            (event_type), ())
+    """,
+)
+def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour, day, type, and
+    grand totals in ONE pass via grouping sets (Spark expands the sets
+    before the partial agg — no second scan per resolution)."""
+    from .sql import sql as _sql
+
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts), event_type),
+                                (date_trunc('day', ts), event_type),
+                                (event_type), ())
+        """,
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): each stage is
+    the MIN event time strictly after the previous stage, per user.
+    Per-stage aggregates stay small (one row per user), so the stage
+    joins broadcast; the events table is scanned once per stage with the
+    event_type filter pushed down."""
+    ev = load_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v.select("user_id", "t_view")), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c.select("user_id", "t_click")), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )

@@ -111,3 +111,20 @@ def test_range_join_is_broadcast_nested_loop(spark, sf_smoke):
     side (BroadcastNestedLoopJoin), never shuffle the fact table."""
     txt = formatted(QUERIES["range_join_promos"](spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in txt, txt
+
+
+def test_q6_all_predicates_pushed(spark, sf_smoke):
+    """Q6 is the canonical pushdown test: every predicate must reach the
+    scan and the ReadSchema must carry only the 4 needed columns."""
+    txt = formatted(QUERIES["q6_revenue_forecast"](spark, sf_smoke))
+    compact = txt.replace(" ", "")
+    assert "GreaterThanOrEqual(l_shipdate" in compact, txt
+    assert "GreaterThanOrEqual(l_discount,0.05)" in compact, txt
+    assert "LessThan(l_quantity,24" in compact, txt
+    read = [l for l in txt.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_partkey" not in read and "l_tax" not in read
+
+
+def test_q10_take_ordered_top20(spark, sf_smoke):
+    txt = plan_of(QUERIES["q10_returned_customers"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in txt, txt
