@@ -1,0 +1,86 @@
+"""Iterative clustering (mini k-means) over embedding columns — the
+engine's template for iterative distributed algorithms: small state
+(centroids) broadcast each round, big data (points) scanned once per
+round, intermediate frames persisted so each iteration is one job, not a
+replay of the whole lineage.
+
+Determinism: seeds are the k lowest vector ids; assignment ties break on
+the lowest cluster id; centroid means are computed per (cluster, dim) via
+posexplode + avg. At 100 TB each iteration is one scan + one shuffle
+(the posexplode groupBy); centroids stay driver-side tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import spread
+from .similarity import as_double
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, vec, cluster, dist): nearest centroid per point (broadcast)."""
+    scored = pts.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cluster", _sq_dist(F.col("v"), F.col("centroid")).alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    expl = assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+    return (
+        expl.groupBy("cluster", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+        .select("cluster", F.transform("s", lambda t: t["m"]).alias("centroid"))
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` rounds of Lloyd's algorithm; return the final
+    (vec_id, cluster, dist) assignment. Each round's assignment frame is
+    persisted so the next round's centroid job does not replay prior
+    rounds (lineage would otherwise grow exponentially)."""
+    pts = spread(emb).select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).persist()
+    w = Window.orderBy("vec_id")
+    centroids = (
+        pts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).alias("cluster"), F.col("v").alias("centroid"))
+    )
+    assigned = None
+    for _ in range(iters):
+        prev = assigned
+        assigned = _assign(pts, centroids).persist()
+        assigned.count()  # materialize before unpersisting the parent
+        if prev is not None:
+            prev.unpersist()
+        centroids = _recompute_centroids(assigned)
+    return assigned.select("vec_id", "cluster", "dist")
+
+
+def kmeans_inertia(assigned: DataFrame) -> float:
+    """Sum of squared distances to the assigned centroid (the quantity
+    Lloyd's algorithm monotonically decreases)."""
+    return assigned.agg(F.sum("dist").alias("i")).collect()[0]["i"]

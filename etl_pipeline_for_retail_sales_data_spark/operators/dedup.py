@@ -44,10 +44,13 @@ def doc_dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) pairs — DISTINCT word n-grams per doc.
-    Tokens via regexp match (identical under Java regex and RE2); shingle
-    = n consecutive tokens joined by a single space."""
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) pairs — word n-grams per doc, DISTINCT by default
+    (set semantics for Jaccard/MinHash; pass distinct=False for frequency
+    counting). Tokens via regexp match (identical under Java regex and
+    RE2); shingle = n consecutive tokens joined by a single space."""
     df = spread(df)  # small-file scans arrive as 1 partition (functions.spread)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     idx = F.sequence(F.lit(0), F.size(toks) - n)  # 0-based start positions
@@ -57,11 +60,8 @@ def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        df.filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    out = df.filter(F.size(toks) >= n).select("doc_id", F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(

@@ -1739,3 +1739,93 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p.select("user_id", "t_purchase"), "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering, bigram frequency, data profiling
+# ---------------------------------------------------------------------------
+
+from .operators.clustering import kmeans_assign  # noqa: E402
+from .operators.windows import topk_per_group as _topk  # noqa: E402
+
+
+@query("kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed k-means (3 Lloyd rounds, deterministic seeds
+    and tiebreaks). Rows-only driver check; inertia monotonicity and
+    cluster-count invariants asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=10, iters=3)
+
+
+@query(
+    "top_bigrams_per_lang",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(len(toks) - 1),
+                      i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents)
+        WHERE len(toks) >= 2
+    ),
+    cnt AS (
+        SELECT lang, bigram, COUNT(*) AS n
+        FROM sh JOIN documents USING (doc_id)
+        GROUP BY lang, bigram
+    ),
+    r AS (
+        SELECT lang, bigram, n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+        FROM cnt
+    )
+    SELECT lang, bigram, n, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def q_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency top-5 per language: non-distinct shingling (all
+    occurrences), broadcast doc→lang join, integer counts so the ranking
+    is deterministic with the bigram tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, n=2, distinct=False)
+    langs = docs.select("doc_id", "lang")
+    cnt = (
+        sh.join(F.broadcast(langs), "doc_id")
+        .groupBy("lang", F.col("shingle").alias("bigram"))
+        .agg(F.count("*").alias("n"))
+    )
+    top = _topk(cnt, ["lang"], [F.col("n").desc(), F.col("bigram")], k=5)
+    return top.select("lang", "bigram", "n", "rnk")
+
+
+@query(
+    "profile_lineitem",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           FLOOR(AVG(l_quantity) * 1e6 + 0.5) / 1e6 AS avg_qty,
+           MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+           MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling aggregate (the first thing a 100 TB
+    pipeline runs on a new table): row/distinct/null counts, ranges.
+    avg over integral-valued doubles is order-independent → exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        (F.floor(F.avg("l_quantity") * 1e6 + F.lit(0.5)) / 1e6).alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )

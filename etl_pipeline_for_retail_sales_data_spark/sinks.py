@@ -36,6 +36,28 @@ def write_csv_single_file(df: DataFrame, path: str) -> None:
     shutil.rmtree(tmp)
 
 
+def merge_parquet(spark, updates: DataFrame, path: str, key_cols: list[str]) -> None:
+    """Upsert (merge) into a parquet table: rows whose key matches an
+    update are replaced, everything else is kept. The reference's MySQL
+    `INSERT ... ON DUPLICATE KEY UPDATE` (scripts/loading.py:24-32) is
+    dead code behind a truncate; this is the live equivalent for a
+    file-native engine. Implementation: anti-join survivors ∪ updates,
+    write to a fresh directory, atomically swap — the read and the
+    overwrite never touch the same files. (On Delta/Iceberg this becomes
+    a native MERGE; plain parquet needs the rewrite.)"""
+    if os.path.isdir(path):
+        target = spark.read.parquet(path)
+        survivors = target.join(updates.select(*key_cols).distinct(), on=key_cols, how="left_anti")
+        out = survivors.unionByName(updates)
+    else:
+        out = updates
+    tmp = path + "._merge_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def write_jdbc_replace(df: DataFrame, url: str, table: str, **options) -> None:
     """L2 (reference scripts/loading.py:134-172): observable behavior is
     full replace — truncate + batch insert. mode('overwrite') with

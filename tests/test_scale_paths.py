@@ -92,3 +92,35 @@ def test_dynamic_partition_overwrite(spark, sf_smoke, tmp_path):
         assert after.count() == before - n_r + n_half  # siblings intact
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+
+def test_merge_parquet_upserts(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark.sinks import merge_parquet
+
+    out = str(tmp_path / "merged")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    merge_parquet(spark, base, out, ["id"])
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    merge_parquet(spark, updates, out, ["id"])
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_kmeans_inertia_decreases(spark, sf_smoke):
+    from etl_pipeline_for_retail_sales_data_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_inertia,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    i1 = kmeans_inertia(kmeans_assign(emb, k=5, iters=1))
+    i3 = kmeans_inertia(kmeans_assign(emb, k=5, iters=3))
+    assert i3 <= i1 + 1e-9, (i1, i3)
+    out = kmeans_assign(emb, k=5, iters=2)
+    assert out.select("cluster").distinct().count() <= 5
+    assert out.count() == emb.count()
