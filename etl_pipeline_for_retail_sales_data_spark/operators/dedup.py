@@ -98,8 +98,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = 16, n: in
     """K-permutation MinHash approximated portably: permutation j ranks a
     shingle by md5(j ':' shingle) and the signature component is the
     lexicographic MIN of those hex digests. One groupBy over exploded
-    shingles computes all k components (k aggregates, single shuffle)."""
-    sh = doc_shingles(df, text_col, n)
+    shingles computes all k components (k aggregates, single shuffle).
+    MIN is idempotent over duplicates, so the shingle-dedup shuffle is
+    skipped entirely (distinct=False) — one less exchange than the
+    Jaccard path."""
+    sh = doc_shingles(df, text_col, n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
         for j in range(k)

@@ -1829,3 +1829,79 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                   AS cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(cents / 100.0, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE cents = (SELECT MAX(cents) FROM rev)
+    """,
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (argmax over an aggregate): quarterly revenue per
+    supplier in exact integer cents, then the max — integer comparison,
+    no float-tie ambiguity. The rev frame is persisted: it feeds both the
+    scalar-max subquery and the equality filter."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5))
+                .cast("long")
+            ).alias("cents")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("cents").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    top = rev.join(F.broadcast(mx)).filter(F.col("cents") == F.col("mx"))
+    return (
+        F.broadcast(supp)
+        .join(top, supp["s_suppkey"] == top["l_suppkey"])
+        .select("s_suppkey", "s_name", F.round(F.col("cents") / 100.0, 2).alias("total_revenue"))
+    )
+
+
+@query(
+    "sales_summary_decimal",
+    oracle="""
+    SELECT l_partkey AS product_id,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_quantity,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2)) AS DOUBLE)
+               AS total_sale_amount
+    FROM lineitem
+    WHERE l_quantity > 0 AND l_extendedprice > 0
+    GROUP BY l_partkey
+    """,
+)
+def q_sales_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact money mode (SURVEY.md §1.3's alternative): sums in
+    DECIMAL are associative and exact, so no floor/rounding choreography
+    is needed for engine parity — the trade is ~2x agg cost vs doubles.
+    This is the mode a financial deployment would pick. (The final cast
+    to double is presentation only: the exact decimal total converts to
+    the identical nearest double in both engines.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+    return f.groupBy(F.col("l_partkey").alias("product_id")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("total_quantity"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(20,2)")
+        .cast("double")
+        .alias("total_sale_amount"),
+    )

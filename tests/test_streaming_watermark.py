@@ -1,0 +1,65 @@
+"""Watermark semantics with real multi-batch progression: a second
+micro-batch arriving entirely behind the watermark must be dropped in
+append mode. This is the state-bounding contract that keeps streaming
+aggregations at fixed memory on unbounded input."""
+
+import datetime
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # batch 1: events up to 10:00 — watermark will advance to max - 10min
+    _write_batch(spark, src, [(ts(0), "a", 1), (ts(600), "a", 1)])
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "k")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: an event 9 hours behind the watermark → must be dropped;
+        # plus one ahead that advances the stream
+        _write_batch(spark, src, [(ts(60), "a", 1), (ts(700), "a", 1)])
+        q.processAllAvailable()
+        # batch 3: push watermark far forward so all open windows close/emit
+        _write_batch(spark, src, [(ts(10000), "a", 1)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["win"]["start"], r["k"]): r["n"]
+        for r in spark.table(name).collect()
+    }
+    # after batch 1 the watermark is 10:00 - 10min = 09:50, so batch 2's
+    # ts(60)=01:00 row (window closing 02:00) is behind it → dropped;
+    # its window must never emit. On-time rows emit one row per window.
+    assert got[(t0, "a")] == 1
+    assert (ts(60), "a") not in got, got  # late row's window never emitted
+    assert got[(ts(600), "a")] == 1  # 10:00 window
+    assert got[(ts(660), "a")] == 1  # 11:00 window (the on-time ts(700) row)
