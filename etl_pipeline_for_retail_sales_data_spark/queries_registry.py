@@ -1905,3 +1905,101 @@ def q_sales_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_sale_amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-op and reshaping breadth: UNION DISTINCT, ALL-variants, listagg, unpivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_distinct_keys",
+    oracle="""
+    SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    UNION
+    SELECT p_partkey AS k FROM part WHERE p_size > 40
+    """,
+)
+def q_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — dedup across both inputs in one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("k"))
+    b = part.filter(F.col("p_size") > 40).select(F.col("p_partkey").alias("k"))
+    return a.union(b).distinct()
+
+
+@query(
+    "except_all_parts",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_except_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference — multiplicities subtract, unlike the
+    DISTINCT variant)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return n.exceptAll(r)
+
+
+@query(
+    "intersect_all_parts",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q_intersect_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersectAll(a)
+
+
+@query(
+    "listagg_brands_per_mfr",
+    oracle="""
+    SELECT substring(p_brand, 1, 7) AS mfr,
+           string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS brands,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+    FROM part GROUP BY 1
+    """,
+)
+def q_listagg_brands_per_mfr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: Spark's collect_set is unordered, so a
+    deterministic listagg is sort_array → concat_ws (matching DuckDB's
+    string_agg ... ORDER BY)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy(F.substring("p_brand", 1, 7).alias("mfr")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("p_brand"))).alias("brands"),
+        F.countDistinct("p_brand").alias("n_brands"),
+    )
+
+
+@query(
+    "unpivot_priority_counts",
+    oracle="""
+    WITH pv AS (
+        SELECT o_orderstatus,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, metric, n FROM pv
+    UNPIVOT (n FOR metric IN (urgent, low))
+    """,
+)
+def q_unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): the inverse of pivot, one output row per
+    (status, metric). Spark's unpivot is a zero-shuffle projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    pv = orders.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)).alias("low"),
+    )
+    return pv.unpivot(["o_orderstatus"], ["urgent", "low"], "metric", "n")
