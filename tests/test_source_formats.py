@@ -1,0 +1,52 @@
+"""Source/sink format breadth: the engine reads parquet natively; ORC,
+JSON-lines, and CSV round-trips must preserve values with declared schemas
+(no inference in the contract, SURVEY.md §1.3)."""
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_retail_sales_data_spark.sources.readers import (
+    load_table,
+    read_sales_csv,
+)
+
+
+def _summary(df):
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+    ).collect()[0]
+
+
+def test_orc_roundtrip(spark, sf_smoke, tmp_path):
+    li = load_table(spark, sf_smoke, "lineitem")
+    out = str(tmp_path / "li_orc")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == li.schema
+    assert _summary(back) == _summary(li)
+
+
+def test_jsonl_roundtrip(spark, sf_smoke, tmp_path):
+    li = load_table(spark, sf_smoke, "lineitem").drop("l_shipdate")  # ts formats vary in JSON
+    out = str(tmp_path / "li_json")
+    li.write.mode("overwrite").json(out)
+    back = spark.read.schema(li.schema).json(out)  # declared schema, no inference
+    assert _summary(back) == _summary(li)
+
+
+def test_csv_roundtrip_declared_schema(spark, tmp_path):
+    rows = [
+        (1, 101, 3, 60.0, "2024-01-01", "in_store"),
+        (2, 102, 1, 25.5, "2024-01-02", "in_store"),
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "sale_id long, product_id long, quantity long, sale_amount double, "
+        "sale_date string, source string",
+    ).withColumn("sale_date", F.col("sale_date").cast("date"))
+    out = str(tmp_path / "sales_csv")
+    src.write.mode("overwrite").option("header", True).csv(out)
+    back = read_sales_csv(spark, out)
+    assert back.schema == src.schema
+    assert sorted(back.collect()) == sorted(src.collect())
