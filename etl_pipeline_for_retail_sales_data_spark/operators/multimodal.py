@@ -102,6 +102,46 @@ def frame_sample(decoded: DataFrame, max_frames: int = 4) -> DataFrame:
     return decoded.select("doc_id", "n_frames", F.explode(idx).alias("frame_idx"))
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("scale_num", T.IntegerType()),
+        T.StructField("scale_den", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(decoded: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Aspect-preserving resize planning over decoded media metadata: the
+    target box is (max_w, max_h); the scale factor is the tighter of the
+    two ratios, kept as an exact integer fraction (no float drift). The
+    actual pixel resample is the stubbed decode step's job — what the
+    engine owns is the distributed metadata math, done here with pure
+    column expressions (no UDF, no shuffle)."""
+    w, h = F.col("width"), F.col("height")
+    # scale = min(max_w/w, max_h/h) as a fraction num/den
+    use_w = (max_w * h) <= (max_h * w)  # max_w/w <= max_h/h, cross-multiplied
+    num = F.when(use_w, F.lit(max_w)).otherwise(F.lit(max_h)).cast("int")
+    den = F.when(use_w, w).otherwise(h).cast("int")
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "payload_len",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(w * num / den)).cast("int").alias("target_w"),
+        F.greatest(F.lit(1), F.floor(h * num / den)).cast("int").alias("target_h"),
+        num.alias("scale_num"),
+        den.alias("scale_den"),
+    )
+
+
 FEATURE_DIM = 16
 
 FEATURES_SCHEMA = T.StructType(

@@ -2003,3 +2003,90 @@ def q_unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)).alias("low"),
     )
     return pv.unpivot(["o_orderstatus"], ["urgent", "low"], "metric", "n")
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 'image/fake' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+               CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height
+        FROM documents
+    )
+    SELECT doc_id, media_type, payload_len, width, height,
+           CAST(GREATEST(1, FLOOR(width * num / den)) AS INTEGER) AS target_w,
+           CAST(GREATEST(1, FLOOR(height * num / den)) AS INTEGER) AS target_h,
+           CAST(num AS INTEGER) AS scale_num, CAST(den AS INTEGER) AS scale_den
+    FROM (
+        SELECT *,
+               CASE WHEN 224 * height <= 224 * width THEN 224 ELSE 224 END AS num,
+               CASE WHEN 224 * height <= 224 * width THEN width ELSE height END AS den
+        FROM d
+    )
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning to a 224x224 box: exact integer
+    fraction scale, pure column expressions over decoded metadata."""
+    media = MM.attach_binary(load_table(spark, sf_dir, "documents"))
+    decoded = MM.decode_media(media, MM.fake_decoder)
+    return MM.resize_media(decoded, 224, 224)
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(FLOOR(volume * 100 + 0.5) / 100), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): a 6-table join
+    where both nation aliases broadcast; the disjunctive nation-pair
+    predicate prunes rows before the year rollup."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.round(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias(
+            "revenue"
+        )
+    )

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): engine semantics vs straight-Python
+reference implementations on randomized inputs. Few examples, many rows per
+example — each example costs a Spark job."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_retail_sales_data_spark.operators.cleaning import (
+    count_cast_failures,
+    to_typed,
+)
+from etl_pipeline_for_retail_sales_data_spark.operators.windows import sessionize
+
+SLOW = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=20000),  # seconds offset
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sessionize_matches_python(spark, rows):
+    gap = 1800
+    df = spark.createDataFrame(
+        [(u, s, i) for i, (u, s) in enumerate(rows)], "user_id long, sec long, event_id long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    out = sessionize(df, "user_id", "ts", gap, tiebreak_col="event_id")
+    got = {
+        (r.user_id, r.event_id): r.session_id
+        for r in out.collect()
+    }
+    # python reference: sort by (ts, event_id) per user, new session if gap > 1800
+    by_user = {}
+    for i, (u, s) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for s, i in evs:
+            if prev is None or s - prev > gap:
+                sid += 1
+            expect[(u, i)] = sid
+            prev = s
+    assert got == expect
+
+
+@SLOW
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**40), max_value=2**40).map(str),
+            st.just(""),
+            st.just("nan"),
+            st.text(alphabet="abcxyz!#", min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_to_typed_cast_and_failure_accounting(spark, vals):
+    raw = spark.createDataFrame([(v,) for v in vals], "quantity string")
+    typed = to_typed(raw, {"quantity": "long"})
+    got = [r.quantity for r in typed.collect()]
+    expect = []
+    for v in vals:
+        try:
+            expect.append(int(v))
+        except ValueError:
+            expect.append(None)
+    assert sorted(x for x in got if x is not None) == sorted(
+        x for x in expect if x is not None
+    )
+    # failure accounting: non-null, non-'nan'/'' inputs that cast to null
+    n_bad = sum(
+        1
+        for v in vals
+        if v.lower() not in ("nan", "") and not _is_int(v)
+    )
+    assert count_cast_failures(raw, typed, ["quantity"]) == n_bad
+
+
+def _is_int(v: str) -> bool:
+    try:
+        int(v)
+        return True
+    except ValueError:
+        return False
+
+
+@SLOW
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cents_matches_python_ieee(spark, xs):
+    """cents() must equal the same IEEE ops in Python: floor(x*100+0.5)/100."""
+    from etl_pipeline_for_retail_sales_data_spark.functions import cents
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r.c for r in df.select(cents(F.col("x")).alias("c")).collect()]
+    expect = [math.floor(x * 100 + 0.5) / 100 for x in xs]
+    assert sorted(got) == sorted(expect)
