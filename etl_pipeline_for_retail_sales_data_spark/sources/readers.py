@@ -61,6 +61,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+def table_exists(spark: SparkSession, name: str, path: str | None = None) -> bool:
+    """Catalog/filesystem existence probe (reference S3: the
+    information_schema query at scripts/extraction.py:118-125). Catalog
+    tables via spark.catalog; path-backed datasets via the Hadoop FS API
+    (works for any supported filesystem scheme, not just local)."""
+    if path is not None:
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jvm_path))
+    return spark.catalog.tableExists(name)
+
+
 def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
     """JDBC scan (reference S1, scripts/extraction.py:98-144). Kept behind
     an option — parquet is the system of record; a JDBC driver jar must be

@@ -50,3 +50,13 @@ def test_csv_roundtrip_declared_schema(spark, tmp_path):
     back = read_sales_csv(spark, out)
     assert back.schema == src.schema
     assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_table_exists_probe(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import table_exists
+
+    assert not table_exists(spark, "no_such_table")
+    assert table_exists(spark, "", path="/root/testdata/sf0.001/lineitem.parquet")
+    assert not table_exists(spark, "", path=str(tmp_path / "missing"))
+    spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("probe_view")
+    assert table_exists(spark, "probe_view")
