@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2090,3 +2092,52 @@ def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join + vectorized pandas UDF path
+# ---------------------------------------------------------------------------
+
+from .streaming.windows import stream_stream_click_purchase  # noqa: E402
+
+
+@query(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join with dual watermarks (bounded state on unbounded
+    input): clicks matched to same-user purchases within 1 hour. Oracle is
+    the identical time-bounded batch self-join."""
+    return stream_stream_click_purchase(spark, sf_dir)
+
+
+@query(
+    "pandas_udf_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sanctioned slow path: an Arrow-vectorized @pandas_udf (batch
+    in, batch out — never row-at-a-time). Oracle-checked equal to the
+    JVM-native regexp version (text_stats), which remains the hot-path
+    choice; this entry exists to pin the UDF plumbing and its exact
+    semantic equivalence."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.findall(r"\S+").str.len().astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))

@@ -137,6 +137,51 @@ def session_window_stream(
     )
 
 
+def stream_stream_click_purchase(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each click joins the purchases of the
+    same user within the next ``horizon``. Both sides carry watermarks so
+    Spark can bound the join state (clicks older than the horizon beyond
+    the watermark are evicted — unbounded input, bounded memory). Run to
+    completion on the static events parquet; the oracle is the identical
+    time-bounded batch join."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (purchases["purchase_ts"] <= clicks["click_ts"] + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(clicks["user_id"], "click_id", "purchase_id")
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState: a
     per-event_type running event count held in explicit GroupState. This
