@@ -148,6 +148,9 @@ def embedding_neardup_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
+    # vecs joins: let AQE pick broadcast vs shuffle from runtime sizes —
+    # measured faster than forcing broadcast on both probes, and at 100 TB
+    # the vector side may exceed broadcast limits anyway
     vecs = unit_vectors(emb, id_col, vec_col).persist()
     va = vecs.select(F.col(id_col).alias("id_a"), F.col("uv").alias("ua"))
     vb = vecs.select(F.col(id_col).alias("id_b"), F.col("uv").alias("ub"))
