@@ -161,6 +161,49 @@ def minhash_candidates(
     )
 
 
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 8, n_bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs: the 64-bit signature splits into ``n_bands``
+    16-bit bands; a pair with hamming distance <= 64/n_bands - 1 per the
+    pigeonhole principle shares at least one exact band, so candidates
+    come from band equi-joins (one explode + one self-join — no cartesian)
+    and the exact hamming filter (bit_count of XOR) runs only on
+    candidates. Signatures persist across the band and verify branches."""
+    sig = simhash_64(df, text_col).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("s")).select(
+        "doc_id", F.col("s.band").alias("band"), F.col("s.bk").alias("bk")
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    pairs = (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_64(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per-token hash = xxhash64 (JVM-side), signature bit
     i = sign of the sum over tokens of (2*bit_i - 1). Spark-native (

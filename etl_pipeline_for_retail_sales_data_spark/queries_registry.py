@@ -2141,3 +2141,61 @@ def q_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling + SimHash candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+               FROM events),
+    hours AS (SELECT UNNEST(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                            INTERVAL 1 HOUR)) AS hour),
+    types AS (SELECT DISTINCT event_type FROM events),
+    c AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                 COUNT(*) AS n, ROUND(SUM(value), 2) AS tv
+          FROM events GROUP BY 1, 2)
+    SELECT hour, types.event_type,
+           COALESCE(n, 0) AS n_events,
+           COALESCE(tv, 0.0) AS total_value
+    FROM hours
+    CROSS JOIN types
+    LEFT JOIN c ON c.h = hours.hour AND c.event_type = types.event_type
+    """,
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling: a dense (hour x event_type) grid from
+    sequence+explode (both sides tiny — the grid is bounded by the time
+    range, not the data volume), left-joined against the hourly aggregate
+    with zero-fill. Missing hours appear with n_events = 0."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    return grid.join(counts, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("tv"), F.lit(0.0)).alias("total_value"),
+    )
+
+
+@query("simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (band equi-joins + exact hamming
+    filter). xxhash64 has no DuckDB twin → rows-only driver check;
+    behavioral tests in tests/test_dedup_similarity.py."""
+    return D.simhash_candidates(load_table(spark, sf_dir, "documents"), max_hamming=12)

@@ -138,3 +138,18 @@ def test_approx_aggregates_accuracy(spark, sf_smoke):
         a = approx[flag]
         assert abs(a.approx_parts - e.parts) / e.parts < 0.10
         assert abs(a.approx_p50 - e.p50) / e.p50 < 0.05
+
+
+def test_simhash_candidates_find_neardups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base + "extra token"),
+            (3, "completely different content about spark engines and parquet files"),
+        ],
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_candidates(docs, max_hamming=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+    assert (1, 3) not in pairs and (2, 3) not in pairs
