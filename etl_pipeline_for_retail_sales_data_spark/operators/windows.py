@@ -47,6 +47,25 @@ def running_total(
     return df.withColumn(out_col, F.round(F.sum(value_col).over(w), 2))
 
 
+def locf(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward: fill nulls with the most recent
+    non-null value per key (time-series imputation). One shuffle on the
+    key; `last(ignorenulls)` streams within the partition. Rows before
+    the first observation stay null."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col or value_col, F.last(value_col, ignorenulls=True).over(w))
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

@@ -2199,3 +2199,49 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter). xxhash64 has no DuckDB twin → rows-only driver check;
     behavioral tests in tests/test_dedup_similarity.py."""
     return D.simhash_candidates(load_table(spark, sf_dir, "documents"), max_hamming=12)
+
+
+@query(
+    "timeseries_locf",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+               FROM events),
+    hours AS (SELECT UNNEST(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                            INTERVAL 1 HOUR)) AS hour),
+    types AS (SELECT DISTINCT event_type FROM events),
+    c AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                 FLOOR(MAX(value) * 1e6 + 0.5) / 1e6 AS tv
+          FROM events GROUP BY 1, 2)
+    SELECT hour, types.event_type AS event_type, tv,
+           last_value(tv IGNORE NULLS) OVER (
+               PARTITION BY types.event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS tv_filled
+    FROM hours
+    CROSS JOIN types
+    LEFT JOIN c ON c.h = hours.hour AND c.event_type = types.event_type
+    """,
+)
+def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (LOCF) over the dense hourly grid: hours
+    with no observation carry the last seen per-type value; hours before
+    the first observation stay null. One shuffle on the type key."""
+    from .operators.windows import locf as _locf
+
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg((F.floor(F.max("value") * 1e6 + F.lit(0.5)) / 1e6).alias("tv"))
+    sparse = grid.join(counts, ["hour", "event_type"], "left")
+    return _locf(sparse, ["event_type"], ["hour"], "tv", "tv_filled").select(
+        "hour", "event_type", "tv", "tv_filled"
+    )
