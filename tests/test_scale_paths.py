@@ -124,3 +124,84 @@ def test_kmeans_inertia_decreases(spark, sf_smoke):
     out = kmeans_assign(emb, k=5, iters=2)
     assert out.select("cluster").distinct().count() <= 5
     assert out.count() == emb.count()
+
+
+def test_repartition_by_range_sorted_output(spark, sf_smoke, tmp_path):
+    """Range repartitioning: sorted, non-overlapping partitions — the
+    layout for sorted parquet output and range-pruned readers. The plan
+    must show RangePartitioning, and partition files must hold disjoint
+    key ranges."""
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_extendedprice")
+    rp = li.repartitionByRange(4, "l_orderkey").sortWithinPartitions("l_orderkey")
+    assert "rangepartitioning" in rp._jdf.queryExecution().executedPlan().toString().lower()
+    out = str(tmp_path / "ranged")
+    rp.write.mode("overwrite").parquet(out)
+    import glob as _glob
+
+    ranges = []
+    for f in sorted(_glob.glob(out + "/part-*.parquet")):
+        pdf = spark.read.parquet(f).agg(
+            F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+        ).collect()[0]
+        if pdf.lo is not None:
+            ranges.append((pdf.lo, pdf.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, ranges  # disjoint, ordered ranges
+
+
+def test_permissive_corrupt_record_handling(spark, tmp_path):
+    """Malformed JSON rows must not kill a 100 TB job: PERMISSIVE mode
+    parks them in _corrupt_record for quarantine instead of failing."""
+    p = tmp_path / "events.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\nnot json at all\n{"a": bad}\n')
+    df = spark.read.schema("a long, b string, _corrupt_record string").option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(str(p))
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.a for r in good} == {1, 2}
+    assert len(bad) == 2  # quarantined, not fatal
+
+
+def test_foreachbatch_incremental_merge(spark, sf_smoke, tmp_path):
+    """End-to-end incremental streaming ETL: micro-batches upsert an
+    hourly aggregate table via foreachBatch + merge_parquet; the final
+    table equals the one-shot batch aggregate (exactly-once semantics per
+    batch against an idempotent keyed sink)."""
+    from etl_pipeline_for_retail_sales_data_spark.sinks import merge_parquet
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_events
+    from etl_pipeline_for_retail_sales_data_spark.streaming.windows import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    out = str(tmp_path / "hourly_agg")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_smoke)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    agg = stream.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+
+    def upsert(batch_df, batch_id):
+        merge_parquet(batch_df.sparkSession, batch_df, out, ["hour", "event_type"])
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.hour, r.event_type): r.n_events for r in spark.read.parquet(out).collect()}
+    expect = {
+        (r.hour, r.event_type): r.n_events
+        for r in load_events(spark, sf_smoke)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == expect
