@@ -2245,3 +2245,107 @@ def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _locf(sparse, ["event_type"], ["hour"], "tv", "tv_filled").select(
         "hour", "event_type", "tv", "tv_filled"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 / Q18 / Q22 shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (histogram of orders per customer): outer join so
+    zero-order customers count, then a second aggregation over the first
+    — two shuffles, both on small keys."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    HAVING SUM(l_quantity) > 250
+    """,
+)
+def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): integer quantity sums with a
+    HAVING cut; the per-order aggregate and the joins share the orderkey
+    partitioning."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    return (
+        j.groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT FLOOR(AVG(c_acctbal) * 100) / 100 FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold (floored to cents so the
+    ulp-level AVG difference cannot flip a comparison) + NOT EXISTS as a
+    left-anti join (here: above-average-balance customers with no recent
+    orders)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.floor(F.avg("c_acctbal") * 100) / 100).alias("t")
+    )
+    rich = cust.join(F.broadcast(threshold)).filter(F.col("c_acctbal") > F.col("t"))
+    inactive = rich.join(orders, rich["c_custkey"] == orders["o_custkey"], "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
