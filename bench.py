@@ -41,6 +41,11 @@ HEADLINE = [
     "events_hourly",
     "sessionization",
     "asof_event_ticks",
+    "timeseries_gapfill",
+    "funnel_view_click_purchase",
+    # relational breadth
+    "q13_order_count_distribution",
+    "sql_nation_year_revenue",
     # training-data pipeline tier
     "text_stats",
     "minhash_candidates",

@@ -205,3 +205,48 @@ def test_foreachbatch_incremental_merge(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_daily_pipeline_idempotent_partitions(spark, tmp_path):
+    """The reference's daily schedule as engine code: each run replaces
+    only its own date partition; re-running a day replaces rather than
+    accumulates; other days stay untouched."""
+    import datetime
+
+    from etl_pipeline_for_retail_sales_data_spark.plans.daily import run_daily
+    from etl_pipeline_for_retail_sales_data_spark.schemas import SALES_SCHEMA
+
+    d1, d2 = datetime.date(2025, 4, 2), datetime.date(2025, 4, 3)
+    rows = [
+        (1, 101, 3, 60.0, d1, "online"),
+        (2, 101, 2, 40.0, d1, "in_store"),
+        (3, 102, 1, 25.0, d2, "online"),
+        (4, 101, -1, 10.0, d2, "online"),  # cleaned out
+    ]
+    sales = spark.createDataFrame(rows, SALES_SCHEMA)
+    out = str(tmp_path / "daily_summary")
+
+    run_daily(spark, sales, "2025-04-02", out)
+    run_daily(spark, sales, "2025-04-03", out)
+    got = {
+        (str(r.sale_date), r.product_id): (r.total_quantity, r.total_sale_amount)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("2025-04-02", 101): (5, 100.0),
+        ("2025-04-03", 102): (1, 25.0),
+    }
+
+    # re-run day 2 with revised data: replaces day 2, day 1 untouched
+    revised = spark.createDataFrame(
+        [(3, 102, 4, 100.0, d2, "online")] + rows[:2], SALES_SCHEMA
+    )
+    run_daily(spark, revised, "2025-04-03", out)
+    got = {
+        (str(r.sale_date), r.product_id): (r.total_quantity, r.total_sale_amount)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("2025-04-02", 101): (5, 100.0),
+        ("2025-04-03", 102): (4, 100.0),
+    }
