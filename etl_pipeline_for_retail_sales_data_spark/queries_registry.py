@@ -2349,3 +2349,16 @@ def q_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
+)
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once under duplicate delivery: the source consumed twice
+    and unioned, dropDuplicates on the event key, then counted — equals
+    the batch count oracle despite every event arriving twice."""
+    from .streaming.windows import deduped_event_counts
+
+    return deduped_event_counts(spark, sf_dir)

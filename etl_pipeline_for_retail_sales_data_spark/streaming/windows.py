@@ -182,6 +182,22 @@ def stream_stream_click_purchase(
     return spark.table(name)
 
 
+def deduped_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event processing: the same source consumed twice and
+    unioned (simulating at-least-once duplicate delivery), then
+    dropDuplicates on the event key before aggregation — counts equal the
+    batch COUNT(*) despite every event arriving twice. In production the
+    dedup state is bounded with dropDuplicatesWithinWatermark; on this
+    finite source plain dropDuplicates shows the same semantics."""
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    doubled = s1.unionByName(s2)
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    out = _run_to_completion(spark, agg, "dedup_events")
+    return out
+
+
 def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState: a
     per-event_type running event count held in explicit GroupState. This

@@ -115,3 +115,40 @@ def test_cents_matches_python_ieee(spark, xs):
     got = [r.c for r in df.select(cents(F.col("x")).alias("c")).collect()]
     expect = [math.floor(x * 100 + 0.5) / 100 for x in xs]
     assert sorted(got) == sorted(expect)
+
+
+@SLOW
+@given(
+    st.lists(  # left events: (key 0/1, ts)
+        st.tuples(st.integers(0, 1), st.integers(0, 1000)), min_size=1, max_size=30
+    ),
+    st.lists(  # right ticks: (key, ts, value)
+        st.tuples(st.integers(0, 1), st.integers(0, 1000), st.integers(0, 100)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_python(spark, lefts, rights):
+    from etl_pipeline_for_retail_sales_data_spark.operators.temporal_joins import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "id long, k long, t long"
+    )
+    # dedupe right on (k, t): multiple ticks at the same instant have no
+    # defined winner — not part of the operator's contract
+    seen = {}
+    for k, t, v in rights:
+        seen[(k, t)] = v
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in seen.items()], "k long, rt long, v long"
+    )
+    out = {
+        r.id: r.v
+        for r in asof_join_backward(left, right, ["k"], "t", "rt", ["v"]).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, v) for (rk, rt), v in seen.items() if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert out[i] == expect, (i, k, t, cands)
