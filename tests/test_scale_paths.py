@@ -250,3 +250,37 @@ def test_daily_pipeline_idempotent_partitions(spark, tmp_path):
         ("2025-04-02", 101): (5, 100.0),
         ("2025-04-03", 102): (4, 100.0),
     }
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew handling on a genuinely skewed join: one key holds ~90%
+    of the fact rows. With forced sort-merge and low skew thresholds, the
+    executed plan must mark the join as skew=true and still return exact
+    results."""
+    import random
+
+    rng = random.Random(7)
+    fact_rows = [(0 if rng.random() < 0.9 else rng.randint(1, 50), i) for i in range(200_000)]
+    fact = spark.createDataFrame(fact_rows, "k long, id long").repartition(32)
+    dim = spark.createDataFrame([(i, f"n{i}") for i in range(51)], "k long, name string")
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = fact.join(dim, "k")
+        # execute THIS DataFrame (count() would plan its own tree and
+        # leave j's adaptive plan unfinalized)
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
