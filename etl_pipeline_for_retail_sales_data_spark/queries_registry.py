@@ -2362,3 +2362,37 @@ def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import deduped_event_counts
 
     return deduped_event_counts(spark, sf_dir)
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT cohort_day,
+           CAST(datediff('day', CAST(cohort_day AS DATE),
+                         CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts USING (user_id)
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, activity
+    counted per day offset. The per-user first-day aggregate is small →
+    broadcast back onto the event stream; one wide shuffle total."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    j = ev.join(F.broadcast(firsts), "user_id")
+    return j.groupBy(
+        "cohort_day",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"), F.col("cohort_day").cast("date")
+        )
+        .cast("long")
+        .alias("day_offset"),
+    ).agg(F.countDistinct("user_id").alias("active_users"))
