@@ -2396,3 +2396,108 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day_offset"),
     ).agg(F.countDistinct("user_id").alias("active_users"))
+
+
+# ---------------------------------------------------------------------------
+# Final breadth: full outer join, RANGE frames, GROUPING() markers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "full_outer_brand_presence",
+    oracle="""
+    WITH r AS (SELECT p_brand, COUNT(*) AS n_returned
+               FROM lineitem JOIN part ON p_partkey = l_partkey
+               WHERE l_returnflag = 'R' AND p_size <= 25 GROUP BY p_brand),
+    b AS (SELECT p_brand, COUNT(*) AS n_big
+          FROM part WHERE p_size > 40 GROUP BY p_brand)
+    SELECT COALESCE(r.p_brand, b.p_brand) AS brand,
+           COALESCE(n_returned, 0) AS n_returned,
+           COALESCE(n_big, 0) AS n_big
+    FROM r FULL OUTER JOIN b ON r.p_brand = b.p_brand
+    """,
+)
+def q_full_outer_brand_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with partially-overlapping key
+    sets; COALESCE folds the two key columns and zero-fills the gaps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(part.filter(F.col("p_size") <= 25)), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_returned"))
+        .select(F.col("p_brand").alias("rb"), "n_returned")
+    )
+    b = (
+        part.filter(F.col("p_size") > 40)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_big"))
+        .select(F.col("p_brand").alias("bb"), "n_big")
+    )
+    j = r.join(b, r["rb"] == b["bb"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("rb"), F.col("bb")).alias("brand"),
+        F.coalesce(F.col("n_returned"), F.lit(0)).alias("n_returned"),
+        F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big"),
+    )
+
+
+@query(
+    "range_frame_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, day_no,
+           SUM(cents) OVER (
+               PARTITION BY o_custkey ORDER BY day_no
+               RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+           ) AS spend_7d_cents
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS day_no,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    """,
+)
+def q_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, unlike ROWS): trailing-7-day spend
+    per customer. The frame key is an integer day number and the sums are
+    exact cents, so ties and accumulation are deterministic. All orders on
+    the same day share one frame result — the defining RANGE semantics."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    ).cast("long")
+    cents_l = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.select(
+        "o_custkey", "o_orderkey", day_no.alias("day_no"), cents_l.alias("cents")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-7, 0)
+    return base.select(
+        "o_custkey", "o_orderkey", "day_no", F.sum("cents").over(w).alias("spend_7d_cents")
+    )
+
+
+@query(
+    "rollup_with_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers distinguish subtotal rows from genuine NULL
+    group keys — the ANSI way to consume rollup output unambiguously."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count("*").alias("n_lines"),
+    )
