@@ -2501,3 +2501,30 @@ def q_rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("long").alias("g_status"),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "window_rank_ratios",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           FLOOR(percent_rank() OVER w * 1e9 + 0.5) / 1e9 AS pr,
+           FLOOR(cume_dist() OVER w * 1e9 + 0.5) / 1e9 AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_rank_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist: rank-ratio windows. The order key carries
+    a unique tiebreak, and k/n double division is deterministic, so the
+    ratios agree to the last ulp (rounded at 1e-9 for the hash)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        r9(F.percent_rank().over(w)).alias("pr"),
+        r9(F.cume_dist().over(w)).alias("cd"),
+    )
