@@ -48,6 +48,11 @@ def asof_join_backward(
     as-of semantics; filter on matched ts for inner).
 
     Output: all left columns + ``value_cols`` + ``__matched_ts``.
+
+    Contract: right rows must be unique per (key, ts) — with duplicate
+    ticks at the same instant the carried value is whichever sorts last,
+    which is not defined. Dedup the right side first if the source can
+    emit duplicates.
     """
     lcols = left.columns
     l_tagged = left.select(
