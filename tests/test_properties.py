@@ -152,3 +152,55 @@ def test_asof_join_matches_python(spark, lefts, rights):
         cands = [(rt, v) for (rk, rt), v in seen.items() if rk == k and rt <= t]
         expect = max(cands)[1] if cands else None
         assert out[i] == expect, (i, k, t, cands)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 1000)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_topk_per_group_matches_python(spark, rows):
+    from etl_pipeline_for_retail_sales_data_spark.operators.windows import topk_per_group
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v, _) in enumerate(rows)], "g long, v long, id long"
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=3)
+    got = {(r.g, r.id) for r in out.collect()}
+    by_g = {}
+    for i, (g, v, _) in enumerate(rows):
+        by_g.setdefault(g, []).append((-v, i))
+    expect = set()
+    for g, items in by_g.items():
+        for _, i in sorted(items)[:3]:
+            expect.add((g, i))
+    assert got == expect
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.one_of(st.none(), st.integers(0, 99))),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_locf_matches_python(spark, rows):
+    from etl_pipeline_for_retail_sales_data_spark.operators.windows import locf
+
+    # unique (key, t) per row: index-augmented time avoids undefined order
+    data = [(g, t * 100 + i, v) for i, (g, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, t long, v long")
+    out = {(r.g, r.t): r.f for r in locf(df, ["g"], ["t"], "v", "f").collect()}
+    by_g = {}
+    for g, t, v in data:
+        by_g.setdefault(g, []).append((t, v))
+    for g, items in by_g.items():
+        last = None
+        for t, v in sorted(items):
+            if v is not None:
+                last = v
+            assert out[(g, t)] == last, (g, t)
