@@ -17,6 +17,52 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\S+"
+
+
+def chunk_documents(
+    df, chunk_tokens: int = 64, overlap: int = 16, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Split documents into overlapping token-window chunks — the standard
+    LLM-training preprocessing step. Chunk starts advance by
+    (chunk_tokens - overlap); the final partial chunk is kept. One output
+    row per chunk, all JVM-side (sequence → slice → array_join), so a
+    100 TB corpus fans out without a UDF."""
+    from pyspark.sql import functions as F
+
+    step = chunk_tokens - overlap
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / step).cast("long").alias("chunk_id"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.size(toks) - s, F.lit(chunk_tokens)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return (
+        df.filter(F.size(toks) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def redact_patterns(df, text_col: str = "text", out_col: str = "redacted"):
+    """Pattern scrubbing (PII-style): long digit runs and email-shaped
+    tokens replaced with typed placeholders. Portable regexes (identical
+    under Java regex and RE2-family engines), applied JVM-side."""
+    from pyspark.sql import functions as F
+
+    emails = F.regexp_replace(
+        F.col(text_col), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    digits = F.regexp_replace(emails, r"\d{6,}", "<NUM>")
+    return df.withColumn(out_col, digits)
 PUNCT_RE = r"[[:punct:]]"  # DuckDB spelling; Spark uses \p{Punct} (same ASCII set)
 SPARK_PUNCT_RE = r"\p{Punct}"
 

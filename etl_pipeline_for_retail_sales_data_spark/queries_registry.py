@@ -2528,3 +2528,89 @@ def q_window_rank_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         r9(F.percent_rank().over(w)).alias("pr"),
         r9(F.cume_dist().over(w)).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus preprocessing: chunking, contamination, redaction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_chunks",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(s / 48 AS BIGINT) AS chunk_id,
+           array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text,
+           CAST(LEAST(len(toks) - s, 64) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT doc_id, toks,
+               UNNEST(range(0, GREATEST(len(toks) - 1, 0) + 1, 48)) AS s
+        FROM t WHERE len(toks) > 0
+    )
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token chunks, 16-token overlap → stride
+    48): the standard LLM preprocessing fan-out, one row per chunk."""
+    return TX.chunk_documents(load_table(spark, sf_dir, "documents"), 64, 16)
+
+
+@query(
+    "contamination_check",
+    oracle=r"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(len(toks) - 2),
+                      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingle
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 50),
+    c AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 50)
+    SELECT doc_id, bench_id, COUNT(*) AS n_overlap
+    FROM c JOIN b USING (shingle)
+    GROUP BY doc_id, bench_id
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination via shingle overlap: corpus docs sharing
+    >= 5 distinct 3-gram shingles with any benchmark doc (doc_id < 50 as
+    the held-out set). The benchmark shingle set is small -> broadcast;
+    one pass over the corpus shingles, no cross join. Exact-dup
+    contamination is the fingerprint equi-join special case; near-dup
+    composes with the MinHash candidates on the same split."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs)
+    bench = sh.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") >= 50)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 5)
+    )
+
+
+@query(
+    "redacted_docs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\d{6,}', '<NUM>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def q_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: emails and long digit runs replaced with typed
+    placeholders, JVM-side regexp_replace on both engines."""
+    return TX.redact_patterns(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "redacted"
+    )
