@@ -2614,3 +2614,38 @@ def q_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.redact_patterns(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "redacted"
     )
+
+
+@query(
+    "stats_corr_cov",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(corr(l_quantity, l_extendedprice) * 1e6 + 0.5) / 1e6 AS qty_price_corr,
+           FLOOR(covar_samp(l_quantity, l_discount) * 1e6 + 0.5) / 1e6 AS qty_disc_cov,
+           FLOOR(stddev_samp(l_extendedprice) * 1e4 + 0.5) / 1e4 AS price_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev): both engines use the
+    numerically-stable single-pass co-moment recurrences; rounding at
+    1e-6/1e-4 absorbs the accumulation-order ulp noise (verified stable
+    across partition counts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r6 = lambda c, s: F.floor(c * s + F.lit(0.5)) / s  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        r6(F.corr("l_quantity", "l_extendedprice"), 1e6).alias("qty_price_corr"),
+        r6(F.covar_samp("l_quantity", "l_discount"), 1e6).alias("qty_disc_cov"),
+        r6(F.stddev_samp("l_extendedprice"), 1e4).alias("price_stddev"),
+    )
+
+
+@query("freq_items_parts")
+def q_freq_items_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass frequent-items sketch (DataFrame.freqItems) over the
+    lineitem part keys — the profiling sketch for hot-key detection
+    before choosing a skew strategy. Sketch internals differ per engine →
+    rows-only check; superset guarantee tested in pytest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.freqItems(["l_partkey"], support=0.001)

@@ -153,3 +153,20 @@ def test_simhash_candidates_find_neardups(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_candidates(docs, max_hamming=8).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 8
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_freq_items_superset(spark, sf_smoke):
+    """freqItems guarantees: every item with true frequency >= support
+    appears in the result (false positives allowed, no false negatives)."""
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    n = li.count()
+    support = 0.001
+    truly_frequent = {
+        r.l_partkey
+        for r in li.groupBy("l_partkey").count().filter(F.col("count") >= n * support).collect()
+    }
+    sketch = set(QUERIES["freq_items_parts"](spark, sf_smoke).collect()[0][0])
+    assert truly_frequent <= sketch
