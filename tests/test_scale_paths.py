@@ -284,3 +284,39 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injection(spark, sf_smoke):
+    """Runtime row-level filtering: a selective build side of a shuffle
+    join injects a bloom filter (might_contain) onto the probe side, so
+    probe rows drop BEFORE the exchange — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the matching
+    slice. (Thresholds lowered to trigger at test scale.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_smoke, "orders").filter(F.col("o_totalprice") > 400000)
+        li = load_table(spark, sf_smoke, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        txt = formatted(j)
+        assert "might_contain" in txt.lower(), txt[:3000]
+        # results identical to the unfiltered-plan join
+        n = j.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
