@@ -14,17 +14,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Observation
+
 from ..operators.cleaning import clean_sales
 
 
-def daily_summary(sales: DataFrame, run_date: str) -> DataFrame:
+def daily_summary(sales: DataFrame, run_date: str, observation: Observation | None = None) -> DataFrame:
     """Per-product totals for ONE day: filter(run_date) → clean → agg.
     The date filter sits on the raw column so it prunes partitions/row
-    groups before anything else runs."""
+    groups before anything else runs.
+
+    Pass an ``Observation`` to collect data-quality telemetry (rows in /
+    rows surviving cleaning) for free during the write — no second pass
+    over the data, which matters when the day is terabytes."""
     day = sales.filter(F.col("sale_date") == F.lit(run_date).cast("date"))
+    cleaned = clean_sales(day)
+    if observation is not None:
+        cleaned = cleaned.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_clean"),
+            F.sum("sale_amount").alias("amount_clean"),
+        )
     return (
-        clean_sales(day)
-        .groupBy("product_id")
+        cleaned.groupBy("product_id")
         .agg(
             F.sum("quantity").alias("total_quantity"),
             F.round(F.sum("sale_amount"), 2).alias("total_sale_amount"),

@@ -2649,3 +2649,38 @@ def q_freq_items_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check; superset guarantee tested in pytest."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.freqItems(["l_partkey"], support=0.001)
+
+
+@query(
+    "chunk_dedup_pipeline",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_id,
+               array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+        FROM (SELECT doc_id, toks,
+                     UNNEST(range(0, GREATEST(len(toks) - 1, 0) + 1, 48)) AS s
+              FROM t WHERE len(toks) > 0)
+    )
+    SELECT md5(chunk_text) AS digest,
+           MIN(doc_id * 1000000 + chunk_id) AS canonical_chunk,
+           COUNT(*) AS n_copies
+    FROM chunks GROUP BY digest
+    """,
+)
+def q_chunk_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus pipeline: chunk → exact-dedup at CHUNK granularity
+    (overlapping windows of near-identical docs collapse even when the
+    full texts differ). One extra shuffle on the chunk digest after the
+    chunk fan-out; the shape every dedup-before-training pipeline runs."""
+    chunks = TX.chunk_documents(load_table(spark, sf_dir, "documents"), 64, 16)
+    return (
+        chunks.select(
+            F.md5(F.col("chunk_text")).alias("digest"),
+            (F.col("doc_id") * 1000000 + F.col("chunk_id")).alias("ck"),
+        )
+        .groupBy("digest")
+        .agg(F.min("ck").alias("canonical_chunk"), F.count("*").alias("n_copies"))
+    )

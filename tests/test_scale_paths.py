@@ -320,3 +320,27 @@ def test_runtime_bloom_filter_injection(spark, sf_smoke):
             if v is not None:
                 spark.conf.set(k, v)
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+
+
+def test_daily_pipeline_observation_metrics(spark):
+    """observe() collects cleaning telemetry during the action itself —
+    no second pass over the day's data."""
+    import datetime
+
+    from pyspark.sql import Observation
+
+    from etl_pipeline_for_retail_sales_data_spark.plans.daily import daily_summary
+    from etl_pipeline_for_retail_sales_data_spark.schemas import SALES_SCHEMA
+
+    d = datetime.date(2025, 4, 2)
+    rows = [
+        (1, 101, 3, 60.0, d, "online"),
+        (2, 101, -1, 10.0, d, "online"),  # cleaned out
+        (3, 102, 2, 40.0, d, "in_store"),
+    ]
+    sales = spark.createDataFrame(rows, SALES_SCHEMA)
+    obs = Observation("dq")
+    out = daily_summary(sales, "2025-04-02", observation=obs)
+    assert out.count() == 2
+    assert obs.get["rows_clean"] == 2
+    assert abs(obs.get["amount_clean"] - 100.0) < 1e-9
