@@ -2684,3 +2684,57 @@ def q_chunk_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digest")
         .agg(F.min("ck").alias("canonical_chunk"), F.count("*").alias("n_copies"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface: recursive CTE, VariantType
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE months(m) AS (
+        SELECT 1
+        UNION ALL
+        SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT m AS month_no,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS month_value
+    FROM months
+    LEFT JOIN orders ON CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) = m
+                    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY m
+"""
+
+
+@query("recursive_cte_months", oracle=_RECURSIVE_SQL)
+def q_recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): generate the month spine recursively and
+    outer-join order activity onto it — the same SQL text runs verbatim
+    on DuckDB as the oracle."""
+    return run_sql(spark, sf_dir, _RECURSIVE_SQL)
+
+
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType path (Spark 4's semi-structured type): parse_json once
+    into a variant column, then typed variant_get extraction — the
+    open-schema alternative to get_json_object string probing (binary
+    variant encoding decodes ~an order of magnitude faster on repeated
+    multi-field access)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("__v", F.parse_json("props"))
+    k = F.variant_get(F.col("__v"), "$.k", "long")
+    return v.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
