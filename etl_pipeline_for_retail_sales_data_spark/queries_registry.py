@@ -178,6 +178,7 @@ def q_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical scan -> wide partial+final aggregate, cents-exact derived measures."""
     return tpch.q1_pricing_summary(spark, sf_dir)
 
 
@@ -196,6 +197,7 @@ def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: broadcast customer dim, sort-merge orders-lineitem, revenue per order."""
     return tpch.q3_shipping_priority(spark, sf_dir)
 
 
@@ -215,6 +217,7 @@ def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 regional revenue: 5-table join with all dims broadcast; one fact shuffle."""
     return tpch.q5_region_revenue(spark, sf_dir)
 
 
@@ -230,6 +233,7 @@ def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue/quantity/line counts per brand: broadcast part dim join, cents-exact revenue."""
     return tpch.brand_revenue(spark, sf_dir)
 
 
@@ -326,6 +330,7 @@ def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping: all 4 subtotal combinations of (returnflag, linestatus) in one pass."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
@@ -466,6 +471,7 @@ _STOP_PAT = r"\b(the|a|an|and|of|to|in)\b"
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation/stopword counts and mean token length (regexp_extract_all, no UDFs)."""
     docs = load_table(spark, sf_dir, "documents")
     out = TX.text_stats(docs)
     return out.withColumn("n_chars", F.col("n_chars").cast("long"))
@@ -492,6 +498,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score from stopword/length/punctuation ratios (JVM-side regex counting)."""
     return TX.quality_score(load_table(spark, sf_dir, "documents"))
 
 
@@ -542,6 +549,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint (lowercase, collapse non-alphanumerics, md5) per document."""
     return TX.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
@@ -553,6 +561,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-text dedup: md5 digest groupBy, min doc_id as canonical, duplicate counts."""
     return D.doc_dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
@@ -561,6 +570,7 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
 )
 def q_dedup_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as DISTINCT on a key projection (one shuffle)."""
     return D.exact_dedup(load_table(spark, sf_dir, "lineitem"), ["l_partkey", "l_suppkey"])
 
 
@@ -832,6 +842,7 @@ def q_having_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_intersect_returned_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set intersection) between two filtered key sets."""
     li = load_table(spark, sf_dir, "lineitem")
     r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
     a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
@@ -847,6 +858,7 @@ def q_intersect_returned_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_except_unreturned_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference) between two filtered key sets."""
     li = load_table(spark, sf_dir, "lineitem")
     n = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
     r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
@@ -888,6 +900,8 @@ def q_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_conditional_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE inside SUM) over a two-hop broadcast
+    dim join to nation."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -1957,6 +1971,7 @@ def q_except_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_intersect_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag intersection, multiplicities min-matched."""
     li = load_table(spark, sf_dir, "lineitem")
     r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
     a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
