@@ -2753,3 +2753,110 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-set assembly: splits, class weights, sequence packing, sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, lang,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                       % 100 AS b
+            FROM documents
+        )
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM tagged GROUP BY split, lang
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: bucket = md5(doc_id)
+    prefix mod 100 — stable across engines, runs, and partitionings
+    (re-adding documents never reshuffles existing assignments, unlike
+    randomSplit). Oracle reproduces the identical hash arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = docs.withColumn(
+        "split",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+    )
+    return tagged.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "class_weights",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM c)
+    SELECT lang, n,
+           FLOOR(CAST(total AS DOUBLE) / (k * n) * 1e6 + 0.5) / 1e6 AS weight
+    FROM c, t
+    """,
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (total / (k * class_count)) for
+    balancing skewed language distributions — integer counts so the
+    weights are deterministic doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"), F.count("*").alias("k"))
+    w = F.floor(F.col("total").cast("double") / (F.col("k") * F.col("n")) * 1e6 + F.lit(0.5)) / 1e6
+    return c.join(F.broadcast(t)).select("lang", "n", w.alias("weight"))
+
+
+@query(
+    "sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - 1) / 2048) AS BIGINT) AS bin_id
+    FROM toks
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents stream into ~2048-token
+    bins per language via a prefix-sum window (deterministic doc_id
+    order) — the distributed form of greedy context packing. One shuffle
+    on the partition key; bin boundaries are integer arithmetic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TX.TOKEN_RE), 0)).cast("long")
+    toks = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bin_id = F.floor((F.sum("n_tokens").over(w) - 1) / 2048).cast("long")
+    return toks.select("doc_id", "lang", "n_tokens", bin_id.alias("bin_id"))
+
+
+@query("stratified_sample")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class stratified sampling (sampleBy with per-lang fractions,
+    fixed seed): the balancing primitive for skewed corpora. Sampling RNG
+    is engine-specific → rows-only driver check; per-class fraction
+    tolerance asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "it": 1.0}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

@@ -170,3 +170,24 @@ def test_freq_items_superset(spark, sf_smoke):
     }
     sketch = set(QUERIES["freq_items_parts"](spark, sf_smoke).collect()[0][0])
     assert truly_frequent <= sketch
+
+
+def test_stratified_sample_fractions(spark, sf_smoke):
+    """sampleBy must hit each class's requested fraction within tolerance
+    and never emit rows from outside the fraction map."""
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sample = QUERIES["stratified_sample"](spark, sf_smoke).collect()
+    by_lang = {}
+    for r in sample:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "it": 1.0}
+    for lang, frac in fractions.items():
+        if lang not in totals:
+            continue
+        got = by_lang.get(lang, 0) / totals[lang]
+        assert abs(got - frac) < 0.35, (lang, got, frac)  # Bernoulli tolerance
+    assert set(by_lang) <= set(fractions)
