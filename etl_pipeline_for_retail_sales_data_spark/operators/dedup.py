@@ -62,15 +62,34 @@ def doc_shingles(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all co-occurring doc pairs via
     inverted-index self-join (no cross join anywhere). The shingle frame
     feeds three plan branches (sizes + both join sides); persisting it
     computes the regex shingling once instead of three times — at scale,
-    persist to MEMORY_AND_DISK or checkpoint to parquet."""
+    persist to MEMORY_AND_DISK or checkpoint to parquet.
+
+    ``max_df``: the hot-shingle cap. A shingle present in d documents
+    contributes O(d²) join pairs; at corpus scale stop-phrase shingles
+    dominate the shuffle. Dropping shingles with document frequency >
+    max_df bounds the per-shingle fan-out. This UNDERCOUNTS intersections
+    (Jaccard becomes a lower bound; sizes stay exact), so it is a
+    documented recall/cost lever, off by default."""
     sh = doc_shingles(df, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

@@ -191,3 +191,43 @@ def test_stratified_sample_fractions(spark, sf_smoke):
         got = by_lang.get(lang, 0) / totals[lang]
         assert abs(got - frac) < 0.35, (lang, got, frac)  # Bernoulli tolerance
     assert set(by_lang) <= set(fractions)
+
+
+def test_jaccard_max_df_cap(spark):
+    """With a generous cap the capped variant equals the exact one; with a
+    tight cap, jaccard only ever decreases (undercount, never overcount)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "a b c x y z w v"),
+        ],
+    )
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    loose = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.0, max_df=100).collect()}
+    assert loose == exact
+    tight = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.0, max_df=2).collect()}
+    for pair, j in tight.items():
+        assert j <= exact[pair] + 1e-12
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Parquet schema evolution: files written with an extended schema
+    merge with old files (mergeSchema), and frames with differing columns
+    union with allowMissingColumns — the 100 TB reality of append-only
+    datasets whose schema grows over time."""
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v1.write.mode("append").parquet(out)
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    v2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    assert set(u.columns) == {"id", "name", "score"}
+    assert u.count() == 2
