@@ -1,0 +1,73 @@
+"""Grouped-map and Arrow-native operators — the remaining two shapes of
+the sanctioned Python boundary (alongside scalar @pandas_udf, mapInPandas,
+and applyInPandasWithState used elsewhere):
+
+- applyInPandas: one pandas DataFrame per GROUP (the whole group
+  materializes in one worker — correct tool when the algorithm genuinely
+  needs the full group, e.g. per-entity model fitting; NOT for aggregations
+  a window/groupBy can express JVM-side).
+- mapInArrow: per-partition pyarrow RecordBatch iterator — skips the
+  pandas conversion entirely; the fastest path for pure-numpy/arrow work.
+
+Both are Arrow-batched; neither is ever row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+def zscore_per_user(events: DataFrame) -> DataFrame:
+    """Per-user z-score of event values via applyInPandas (grouped map).
+    Semantically identical to the JVM window formulation — equality is
+    asserted in tests; this exists to pin the grouped-map plumbing, not
+    because windows couldn't do it."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / std if std and std > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "zscore": z,
+            }
+        )
+
+    return events.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        zscore, ZSCORE_SCHEMA
+    )
+
+
+def byte_lengths_arrow(media: DataFrame) -> DataFrame:
+    """Payload byte lengths via mapInArrow: pyarrow compute on the raw
+    RecordBatch, no pandas materialization. The template for numpy/arrow
+    kernels over binary columns."""
+    import pyarrow.compute as pc
+
+    def lengths(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.binary_length(batch.column("payload"))],
+                ["doc_id", "payload_len_arrow"],
+            )
+
+    return media.select("doc_id", "payload").mapInArrow(
+        lengths, "doc_id long, payload_len_arrow int"
+    )

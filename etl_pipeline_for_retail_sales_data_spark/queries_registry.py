@@ -2860,3 +2860,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "it": 1.0}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@query("zscore_per_user")
+def q_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (one pandas frame per user group):
+    per-user z-scores. Rows-only driver check; equality with the JVM
+    window formulation asserted in tests (numpy pairwise summation
+    differs from SQL engines at the ulp level, so no SQL oracle)."""
+    from .operators.pandas_ops import zscore_per_user
+
+    return zscore_per_user(load_events(spark, sf_dir))

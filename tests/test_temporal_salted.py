@@ -103,3 +103,37 @@ def test_feature_extraction_deterministic_and_normalized(spark, sf_smoke):
     for feats in a.values():
         assert len(feats) == 16
         assert abs(sum(feats) - 1.0) < 1e-9  # L1-normalized histogram
+
+
+def test_apply_in_pandas_zscore_equals_window(spark, sf_smoke):
+    """Grouped-map applyInPandas must agree with the JVM window z-score
+    to float tolerance (same sample-stddev definition)."""
+    from pyspark.sql import Window
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.pandas_ops import zscore_per_user
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_smoke)
+    got = {r.event_id: r.zscore for r in zscore_per_user(ev).collect()}
+    w = Window.partitionBy("user_id")
+    native = ev.select(
+        "event_id",
+        ((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)).alias("z"),
+    )
+    expect = {r.event_id: r.z for r in native.collect()}
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9, k
+
+
+def test_map_in_arrow_byte_lengths(spark, sf_smoke):
+    from etl_pipeline_for_retail_sales_data_spark.operators.multimodal import attach_binary
+    from etl_pipeline_for_retail_sales_data_spark.operators.pandas_ops import (
+        byte_lengths_arrow,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    media = attach_binary(load_table(spark, sf_smoke, "documents"))
+    got = {r.doc_id: r.payload_len_arrow for r in byte_lengths_arrow(media).collect()}
+    expect = {r.doc_id: r.payload_len for r in media.collect()}
+    assert got == expect
