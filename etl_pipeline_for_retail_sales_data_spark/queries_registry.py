@@ -2871,3 +2871,21 @@ def q_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pandas_ops import zscore_per_user
 
     return zscore_per_user(load_events(spark, sf_dir))
+
+
+_HINTED_SQL = """
+    SELECT /*+ BROADCAST(nation) REPARTITION(8) */
+           n_name,
+           COUNT(*) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+"""
+
+
+@query("hinted_join", oracle=_HINTED_SQL)
+def q_hinted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL hint surface (/*+ BROADCAST, REPARTITION */): Catalyst consumes
+    the hints; DuckDB parses them as plain comments — the same text runs
+    on both engines, so the hinted plan is oracle-checked for free."""
+    return run_sql(spark, sf_dir, _HINTED_SQL)

@@ -140,3 +140,23 @@ def test_cast_failure_accounting(spark):
     typed = to_typed(raw)
     with pytest.raises(ValueError, match="failed numeric conversion"):
         assert_casts_ok(raw, typed, ["sale_id", "product_id", "quantity", "sale_amount"])
+
+
+def test_golden_csv_bytes(spark, frames, tmp_path):
+    """End-to-end sink parity: the summary written through the CSV sink
+    must reproduce the reference's golden file content exactly —
+    ascending product_id, double-formatted amounts (300.0, not 300.00)."""
+    from etl_pipeline_for_retail_sales_data_spark.sinks import write_csv_single_file
+
+    out = str(tmp_path / "sales_summary.csv")
+    write_csv_single_file(transform_sales(*frames), out)
+    lines = open(out).read().strip().splitlines()
+    assert lines[0] == "product_id,total_quantity,total_sale_amount"
+    assert lines[1:] == [
+        "101,13,300.0",
+        "102,9,225.0",
+        "103,7,180.0",
+        "104,7,165.0",
+        "105,3,78.0",
+        "106,6,135.0",
+    ]
