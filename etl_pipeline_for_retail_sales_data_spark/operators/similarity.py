@@ -219,22 +219,6 @@ def knn_ivf(
     )
 
 
-def hyperplane_buckets(
-    emb: DataFrame,
-    planes: list[list[float]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign-bit string over the planes.
-    Planes are passed as literals (deterministic, seeded by the caller)."""
-    e = as_double(F.col(vec_col))
-    bits = [
-        F.when(dot(e, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in planes
-    ]
-    return emb.select(F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket"))
-
-
 def ann_lsh(
     emb: DataFrame,
     query_filter: Column,

@@ -2889,3 +2889,14 @@ def q_hinted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hints; DuckDB parses them as plain comments — the same text runs
     on both engines, so the hinted plan is oracle-checked for free."""
     return run_sql(spark, sf_dir, _HINTED_SQL)
+
+
+@query("ml_minhash_pairs")
+def q_ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML interop: MinHashLSH approxSimilarityJoin over binary token
+    vectors (tokenize -> CountVectorizer -> LSH pipeline). Rows-only
+    driver check; exact-distance agreement with the hand-built 1-gram
+    Jaccard is asserted in tests."""
+    from .operators.ml_interop import ml_minhash_pairs
+
+    return ml_minhash_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)

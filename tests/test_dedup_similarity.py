@@ -231,3 +231,24 @@ def test_schema_evolution_merge(spark, tmp_path):
     u = v1.unionByName(v2, allowMissingColumns=True)
     assert set(u.columns) == {"id", "name", "score"}
     assert u.count() == 2
+
+
+def test_ml_minhash_agrees_with_exact_jaccard(spark, sf_smoke):
+    """Every pair MLlib's MinHashLSH verifies must carry the exact 1-gram
+    token-set Jaccard distance: cross-check against the hand-built
+    inverted-index operator on the same pairs."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.ml_interop import (
+        ml_minhash_pairs,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    ml = {(r.doc_a, r.doc_b): r.jaccard_dist for r in ml_minhash_pairs(docs, 0.95).collect()}
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, n=1, threshold=0.0).collect()
+    }
+    assert ml, "ML LSH found no candidate pairs at all"
+    for pair, dist in ml.items():
+        if pair in exact:
+            assert abs((1.0 - dist) - exact[pair]) < 1e-5, (pair, dist, exact[pair])
