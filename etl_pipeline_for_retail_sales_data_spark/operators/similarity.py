@@ -163,6 +163,57 @@ def embedding_neardup_lsh(
     )
 
 
+def embedding_neardup_lsh_numpy(
+    emb: DataFrame,
+    tables: list[list[list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs, Arrow/numpy scoring variant: instead of
+    materializing candidate PAIRS and folding a dot per pair (the
+    pure-JVM path above), each (table, bucket) group ships its vectors
+    once to a numpy worker that computes the bucket's gram matrix
+    (M @ M.T) and emits only the pairs above threshold. Data transfer is
+    per-vector-per-bucket (not per-pair); the matmul is BLAS. Same
+    candidate semantics as embedding_neardup_lsh; float results differ
+    from the sequential fold only at the ulp level (rows-only path —
+    the oracle'd exact baseline keeps the fold)."""
+    import numpy as np
+    import pandas as pd
+
+    bucketed = multitable_buckets(emb, tables, id_col, vec_col)
+    vecs = unit_vectors(emb, id_col, vec_col)
+    grouped = bucketed.join(vecs, id_col)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["uv"].to_numpy()[order])
+        g = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = g[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "sim": np.floor(g[iu[keep], ju[keep]] * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    out = grouped.groupBy("tbl", "bucket").applyInPandas(
+        score_bucket, "id_a long, id_b long, sim double"
+    )
+    # same pair can surface from several tables with an identical sim
+    # (same vectors → same BLAS result) — one distinct dedups
+    return out.distinct()
+
+
 def knn_ivf(
     emb: DataFrame,
     query_filter: Column,

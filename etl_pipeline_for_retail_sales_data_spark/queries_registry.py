@@ -1337,7 +1337,9 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves the candidate set. Plane count should grow ~log2(corpus) to
     hold bucket sizes constant at scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.embedding_neardup_lsh(emb, _lsh_tables(n_tables=8, n_planes=4), threshold=0.35)
+    return SIM.embedding_neardup_lsh_numpy(
+        emb, _lsh_tables(n_tables=8, n_planes=4), threshold=0.35
+    )
 
 
 @query("knn_ivf")

@@ -91,11 +91,20 @@ def test_embed_neardup_lsh_recall(spark, sf_smoke):
     final cosine filter is exact)."""
     from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
 
-    exact = {(r.id_a, r.id_b) for r in QUERIES["embed_neardup_exact"](spark, sf_smoke).collect()}
-    approx = {(r.id_a, r.id_b) for r in QUERIES["embed_neardup_lsh"](spark, sf_smoke).collect()}
-    assert approx <= exact, "LSH emitted a pair below the exact threshold"
-    if exact:
-        recall = len(approx) / len(exact)
+    exact_sims = {
+        (r.id_a, r.id_b): r.sim for r in QUERIES["embed_neardup_exact"](spark, sf_smoke).collect()
+    }
+    approx = {(r.id_a, r.id_b): r.sim for r in QUERIES["embed_neardup_lsh"](spark, sf_smoke).collect()}
+    # precision: every emitted pair is at/above threshold (ulp tolerance —
+    # the numpy-scored path may differ from the sequential fold in the
+    # last bits, so compare values, not set membership)
+    for pair, sim in approx.items():
+        assert sim >= 0.35 - 1e-6, (pair, sim)
+        if pair in exact_sims:
+            assert abs(sim - exact_sims[pair]) < 1e-6, pair
+    interior = {p for p, s in exact_sims.items() if s >= 0.35 + 1e-6}
+    if interior:
+        recall = len(interior & set(approx)) / len(interior)
         assert recall >= 0.5, f"neardup LSH recall {recall} collapsed"
 
 
