@@ -2115,7 +2115,10 @@ def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stream-stream join + vectorized pandas UDF path
 # ---------------------------------------------------------------------------
 
-from .streaming.windows import stream_stream_click_purchase  # noqa: E402
+from .streaming.windows import (  # noqa: E402
+    stream_stream_click_purchase,
+    stream_stream_left_outer,
+)
 
 
 @query(
@@ -2902,3 +2905,31 @@ def q_ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ml_interop import ml_minhash_pairs
 
     return ml_minhash_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query(
+    "streaming_left_outer_join",
+    oracle="""
+    WITH cutoff AS (SELECT MAX(ts) - INTERVAL 4 HOUR AS c FROM events)
+    SELECT c.user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND c.ts <= (SELECT c FROM cutoff)
+    """,
+)
+def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (1h horizon, 2h watermark):
+    unmatched clicks emit null purchase_id once the watermark passes
+    their window. Clicks in the last horizon+delay of the finite stream
+    never reach their emit point (the watermark freezes at
+    max(ts) - delay), so BOTH sides cut at max(ts) - 4h — the streaming
+    result then matches the batch left join exactly."""
+    out = stream_stream_left_outer(spark, sf_dir)
+    max_ts = load_events(spark, sf_dir).agg(F.max("ts").alias("m")).collect()[0]["m"]
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 4 HOURS")
+    return out.filter(F.col("click_ts") <= cutoff).select(
+        "user_id", "click_id", "purchase_id"
+    )

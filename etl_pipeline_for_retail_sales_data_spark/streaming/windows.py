@@ -182,6 +182,52 @@ def stream_stream_click_purchase(
     return spark.table(name)
 
 
+def stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour", delay: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click emits, matched or not —
+    the unmatched ones only AFTER the watermark passes their join window
+    (the state-timeout semantics that make outer stream joins hard). On a
+    finite source the watermark freezes at max(ts) - delay, so clicks
+    near the stream's end never reach their emit point; callers cut both
+    the stream result and any batch comparison at the same horizon+delay
+    cutoff to compare apples to apples (see the registry query)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", delay)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", delay)
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (purchases["purchase_ts"] <= clicks["click_ts"] + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select("user_id", "click_id", "click_ts", "purchase_id")
+    name = f"ss_louter_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def deduped_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once event processing: the same source consumed twice and
     unioned (simulating at-least-once duplicate delivery), then
