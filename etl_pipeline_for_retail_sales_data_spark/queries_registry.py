@@ -2933,3 +2933,45 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("click_ts") <= cutoff).select(
         "user_id", "click_id", "purchase_id"
     )
+
+
+@query(
+    "nested_struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           order_info.status AS status,
+           order_info.pricing.total AS total,
+           order_info.pricing.cents AS cents
+    FROM (
+        SELECT o_orderkey,
+               {'status': o_orderstatus,
+                'pricing': {'total': ROUND(o_totalprice, 2),
+                            'cents': CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)}}
+                   AS order_info
+        FROM orders
+    )
+    WHERE order_info.pricing.cents > 30000000
+    """,
+)
+def q_nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct surface: build a two-level struct, filter on a
+    nested field (Catalyst prunes/pushes through struct fields), then
+    project dotted paths back out — the shape of working with nested
+    parquet/protobuf data."""
+    orders = load_table(spark, sf_dir, "orders")
+    built = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.round("o_totalprice", 2).alias("total"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            ).alias("pricing"),
+        ).alias("order_info"),
+    )
+    return built.filter(F.col("order_info.pricing.cents") > 30000000).select(
+        "o_orderkey",
+        F.col("order_info.status").alias("status"),
+        F.col("order_info.pricing.total").alias("total"),
+        F.col("order_info.pricing.cents").alias("cents"),
+    )

@@ -344,3 +344,23 @@ def test_daily_pipeline_observation_metrics(spark):
     assert out.count() == 2
     assert obs.get["rows_clean"] == 2
     assert abs(obs.get["amount_clean"] - 100.0) < 1e-9
+
+
+def test_catalog_ctas_and_insert(spark, sf_smoke, tmp_path):
+    """Catalog DML surface: CREATE TABLE AS SELECT, INSERT INTO append,
+    and catalog metadata (tableExists / listColumns) round-trip."""
+    spark.sql("DROP TABLE IF EXISTS ctas_demo")
+    li = load_table(spark, sf_smoke, "lineitem")
+    li.limit(100).createOrReplaceTempView("li_src")
+    spark.sql(
+        f"CREATE TABLE ctas_demo USING parquet LOCATION '{tmp_path}/ctas' "
+        "AS SELECT l_orderkey, l_quantity FROM li_src"
+    )
+    assert spark.catalog.tableExists("ctas_demo")
+    n0 = spark.table("ctas_demo").count()
+    assert n0 == 100
+    spark.sql("INSERT INTO ctas_demo SELECT l_orderkey, l_quantity FROM li_src LIMIT 10")
+    assert spark.table("ctas_demo").count() == n0 + 10
+    cols = [c.name for c in spark.catalog.listColumns("ctas_demo")]
+    assert cols == ["l_orderkey", "l_quantity"]
+    spark.sql("DROP TABLE ctas_demo")
