@@ -16,7 +16,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import cents
+from .functions import cents, spread
 from .operators.cleaning import to_typed
 from .operators.joins import broadcast_dim_join
 from .operators.union_ops import union_sources
@@ -2974,4 +2974,49 @@ def q_nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_info.status").alias("status"),
         F.col("order_info.pricing.total").alias("total"),
         F.col("order_info.pricing.cents").alias("cents"),
+    )
+
+
+@query(
+    "tf_map_lookup",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, map_from_entries(list({'k': tok, 'v': n})) AS m
+        FROM (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY doc_id, tok)
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(cardinality(m) AS BIGINT) AS n_distinct_tokens,
+           CAST(COALESCE(m['the'][1], 0) AS BIGINT) AS tf_the,
+           CAST(COALESCE(m['and'][1], 0) AS BIGINT) AS tf_and
+    FROM tf
+    """,
+)
+def q_tf_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: per-document term-frequency MAP built from
+    grouped counts (map_from_entries — insertion order irrelevant, so the
+    nondeterministic collect_list order is safe), then key lookups and
+    cardinality projected back to scalars."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TX.TOKEN_RE), 0)).alias(
+            "tok"
+        ),
+    )
+    tf = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("tok", "n"))).alias("m"))
+    )
+    return tf.select(
+        "doc_id",
+        F.size("m").cast("long").alias("n_distinct_tokens"),
+        F.coalesce(F.element_at("m", "the"), F.lit(0)).cast("long").alias("tf_the"),
+        F.coalesce(F.element_at("m", "and"), F.lit(0)).cast("long").alias("tf_and"),
     )
