@@ -3020,3 +3020,24 @@ def q_tf_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "the"), F.lit(0)).cast("long").alias("tf_the"),
         F.coalesce(F.element_at("m", "and"), F.lit(0)).cast("long").alias("tf_and"),
     )
+
+
+_LATERAL_SQL = """
+    SELECT o_orderkey, t.l_linenumber, t.l_extendedprice
+    FROM orders, LATERAL (
+        SELECT l_linenumber, l_extendedprice
+        FROM lineitem WHERE l_orderkey = o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1
+    ) t
+    WHERE o_totalprice > 400000
+"""
+
+
+@query("lateral_top_line", oracle=_LATERAL_SQL)
+def q_lateral_top_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-1 lineitem per big order): the
+    same text runs on both engines; Spark decorrelates the per-row
+    ORDER BY LIMIT into a join + window under the hood — the explicit
+    window formulation is what the operator library uses, this pins the
+    SQL planner path."""
+    return run_sql(spark, sf_dir, _LATERAL_SQL)
