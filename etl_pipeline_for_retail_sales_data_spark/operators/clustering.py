@@ -63,11 +63,14 @@ def kmeans_assign(
     pts = spread(emb).select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).persist()
+    # seeds: k lowest ids via orderBy().limit(k) — plans
+    # TakeOrderedAndProject (per-partition top-k, merge on driver), NOT a
+    # global single-partition sort of the whole corpus. The k-row window
+    # that assigns cluster ids is trivially small.
+    seeds = pts.orderBy("vec_id").limit(k)
     w = Window.orderBy("vec_id")
-    centroids = (
-        pts.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select((F.col("__rn") - 1).alias("cluster"), F.col("v").alias("centroid"))
+    centroids = seeds.withColumn("__rn", F.row_number().over(w)).select(
+        (F.col("__rn") - 1).alias("cluster"), F.col("v").alias("centroid")
     )
     assigned = None
     for _ in range(iters):

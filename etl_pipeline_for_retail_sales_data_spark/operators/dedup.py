@@ -184,11 +184,17 @@ def simhash_candidates(
     df: DataFrame, text_col: str = "text", max_hamming: int = 8, n_bands: int = 4
 ) -> DataFrame:
     """SimHash near-dup pairs: the 64-bit signature splits into ``n_bands``
-    16-bit bands; a pair with hamming distance <= 64/n_bands - 1 per the
-    pigeonhole principle shares at least one exact band, so candidates
-    come from band equi-joins (one explode + one self-join — no cartesian)
-    and the exact hamming filter (bit_count of XOR) runs only on
-    candidates. Signatures persist across the band and verify branches."""
+    16-bit bands; candidates come from band equi-joins (one explode + one
+    self-join — no cartesian) and the exact hamming filter (bit_count of
+    XOR) runs only on candidates.
+
+    Recall contract (pigeonhole): a pair with hamming <= n_bands - 1 is
+    GUARANTEED to share a clean band and be found. Pairs with
+    n_bands <= hamming <= max_hamming are found only if their differing
+    bits happen to cluster outside some band — probabilistic recall, like
+    every banded LSH. Raise n_bands for a stronger guarantee at higher
+    candidate cost. Signatures persist across the band and verify
+    branches."""
     sig = simhash_64(df, text_col).persist()
     band_structs = F.array(
         *[

@@ -42,9 +42,18 @@ def salted_join(
     join key over ``n_salts`` sub-keys (salt = hash of ``salt_source``, a
     unique-ish fact column, mod n); the dim side replicates each row to all
     n salts. A hot key's rows then land on n partitions instead of one.
-    Semantically identical to ``fact.join(dim, key, how)`` — asserted in
-    tests. Prefer AQE skew-join for sort-merge cases; explicit salting is
-    for when the skew is known up front or the join must stay hash-based."""
+    Semantically identical to ``fact.join(dim, key, how)`` for fact-side
+    join types (inner/left/semi/anti) — asserted in tests. Right/full
+    outer are rejected: the replicated dim side would emit one unmatched
+    row PER SALT, multiplying rows the plain join never produces. Prefer
+    AQE skew-join for sort-merge cases; explicit salting is for when the
+    skew is known up front or the join must stay hash-based."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-side join types {sorted(allowed)}, got {how!r}: "
+            "the replicated dim side breaks right/full outer semantics"
+        )
     salt_expr = (
         F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
         if salt_source

@@ -52,9 +52,17 @@ def asof_join_backward(
     Contract: right rows must be unique per (key, ts) — with duplicate
     ticks at the same instant the carried value is whichever sorts last,
     which is not defined. Dedup the right side first if the source can
-    emit duplicates.
+    emit duplicates. ``value_cols`` may not collide with left column
+    names (the output would carry two ambiguous columns) — rename on the
+    right side first.
     """
     lcols = left.columns
+    collisions = set(value_cols) & set(lcols)
+    if collisions:
+        raise ValueError(
+            f"value_cols {sorted(collisions)} collide with left columns; "
+            "alias the right-side value columns before the as-of join"
+        )
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),

@@ -1681,35 +1681,25 @@ def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rollup_time_hierarchy",
-    oracle="""
+_TIME_HIERARCHY_SQL = """
     SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
     FROM events
     GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts), event_type),
                             (date_trunc('day', ts), event_type),
                             (event_type), ())
-    """,
-)
+"""
+
+
+@query("rollup_time_hierarchy", oracle=_TIME_HIERARCHY_SQL)
 def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: hour, day, type, and
     grand totals in ONE pass via grouping sets (Spark expands the sets
-    before the partial agg — no second scan per resolution)."""
+    before the partial agg — no second scan per resolution). The same
+    SQL text is the oracle, so the two engines provably run one query."""
     from .sql import sql as _sql
 
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, event_type,
-               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
-        FROM events
-        GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts), event_type),
-                                (date_trunc('day', ts), event_type),
-                                (event_type), ())
-        """,
-    )
+    return _sql(spark, sf_dir, _TIME_HIERARCHY_SQL)
 
 
 @query(
@@ -2168,6 +2158,22 @@ def q_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+
+def _hourly_grid(ev: DataFrame):
+    """Dense (hour x event_type) grid over the events time range —
+    shared by the gap-fill and LOCF queries (both sides bounded by the
+    time range, not data volume)."""
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    return hours.crossJoin(ev.select("event_type").distinct())
+
+
 @query(
     "timeseries_gapfill",
     oracle="""
@@ -2193,15 +2199,7 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     range, not the data volume), left-joined against the hourly aggregate
     with zero-fill. Missing hours appear with n_events = 0."""
     ev = load_events(spark, sf_dir)
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    hours = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
-    )
-    types = ev.select("event_type").distinct()
-    grid = hours.crossJoin(types)
+    grid = _hourly_grid(ev)
     counts = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
@@ -2249,15 +2247,7 @@ def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.windows import locf as _locf
 
     ev = load_events(spark, sf_dir)
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    hours = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
-    )
-    types = ev.select("event_type").distinct()
-    grid = hours.crossJoin(types)
+    grid = _hourly_grid(ev)
     counts = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg((F.floor(F.max("value") * 1e6 + F.lit(0.5)) / 1e6).alias("tv"))

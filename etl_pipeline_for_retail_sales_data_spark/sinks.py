@@ -42,9 +42,17 @@ def merge_parquet(spark, updates: DataFrame, path: str, key_cols: list[str]) -> 
     `INSERT ... ON DUPLICATE KEY UPDATE` (scripts/loading.py:24-32) is
     dead code behind a truncate; this is the live equivalent for a
     file-native engine. Implementation: anti-join survivors ∪ updates,
-    write to a fresh directory, atomically swap — the read and the
-    overwrite never touch the same files. (On Delta/Iceberg this becomes
-    a native MERGE; plain parquet needs the rewrite.)"""
+    write to a fresh directory, swap via two renames with the old data
+    kept until the new directory is in place — the crash window is one
+    rename, and the previous table survives as `path._merge_old` if the
+    process dies mid-swap (NOT a transaction: Delta/Iceberg MERGE is the
+    real answer where available). Local-filesystem paths only — remote
+    schemes are rejected rather than silently mis-merged."""
+    if "://" in path:
+        raise ValueError(
+            f"merge_parquet swaps directories with local-FS renames; got {path!r}. "
+            "Use a table format with native MERGE for remote filesystems."
+        )
     if os.path.isdir(path):
         target = spark.read.parquet(path)
         survivors = target.join(updates.select(*key_cols).distinct(), on=key_cols, how="left_anti")
@@ -52,10 +60,16 @@ def merge_parquet(spark, updates: DataFrame, path: str, key_cols: list[str]) -> 
     else:
         out = updates
     tmp = path + "._merge_tmp"
+    old = path + "._merge_old"
     out.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    had_target = os.path.isdir(path)
+    if had_target:
+        os.rename(path, old)
     os.rename(tmp, path)
+    if had_target:
+        shutil.rmtree(old)
 
 
 def write_jdbc_replace(df: DataFrame, url: str, table: str, **options) -> None:

@@ -137,3 +137,32 @@ def test_map_in_arrow_byte_lengths(spark, sf_smoke):
     got = {r.doc_id: r.payload_len_arrow for r in byte_lengths_arrow(media).collect()}
     expect = {r.doc_id: r.payload_len for r in media.collect()}
     assert got == expect
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest as _pytest
+
+    fact = spark.createDataFrame([(0, 1)], "k long, id long")
+    dim = spark.createDataFrame([(0, "x")], "k long, name string")
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError, match="fact-side"):
+            salted_join(fact, dim, "k", 4, "id", how=how)
+
+
+def test_asof_rejects_value_col_collision(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, "a", 10, 5.0)], "id long, k string, t long, px double")
+    right = spark.createDataFrame([("a", 1, 2.0)], "k string, rt long, px double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join_backward(left, right, ["k"], "t", "rt", ["px"])
+
+
+def test_merge_parquet_rejects_remote_scheme(spark):
+    import pytest as _pytest
+
+    from etl_pipeline_for_retail_sales_data_spark.sinks import merge_parquet
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="local-FS"):
+        merge_parquet(spark, df, "s3://bucket/table", ["id"])
