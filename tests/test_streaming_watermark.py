@@ -104,3 +104,48 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
 
     got = sorted(r.k for r in spark.read.parquet(out).collect())
     assert got == ["a", "b", "c"], got  # no duplicates, nothing lost
+
+
+def test_trigger_available_now_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: process everything currently available in
+    bounded micro-batches, then stop on its own — the batch-like way to
+    run a streaming pipeline on a schedule."""
+    src = str(tmp_path / "an_src")
+    t0 = datetime.datetime(2024, 1, 1)
+    _write_batch(spark, src, [(t0, "a", 1), (t0, "b", 2)])
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = stream.groupBy("k").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("an_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "AvailableNow query did not self-terminate"
+    got = {r.k: r.n for r in spark.table("an_counts").collect()}
+    assert got == {"a": 1, "b": 1}
+
+
+def test_rate_source_smoke(spark):
+    """The rate source (synthetic benchmark stream) produces monotonically
+    increasing values — smoke the second built-in streaming source."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_smoke")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 30
+        while _t.time() < deadline and spark.table("rate_smoke").count() == 0:
+            _t.sleep(0.5)
+        rows = spark.table("rate_smoke").collect()
+    finally:
+        q.stop()
+    assert rows, "rate source produced nothing in 30s"
+    vals = sorted(r.value for r in rows)
+    assert vals == list(range(vals[0], vals[0] + len(vals)))
