@@ -3031,3 +3031,191 @@ def q_lateral_top_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     window formulation is what the operator library uses, this pins the
     SQL planner path."""
     return run_sql(spark, sf_dir, _LATERAL_SQL)
+
+
+@query(
+    "levenshtein_nation_pairs",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+    FROM nation a, nation b
+    WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) <= 6
+    """,
+)
+def q_levenshtein_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: edit-distance self-join on the 25-row
+    nation dim. `levenshtein` has identical unit-cost edit semantics in
+    Spark and DuckDB. The tiny side makes this a broadcast nested-loop by
+    construction — the same shape a fuzzy dim-matching step has at scale
+    (dim stays broadcastable; the fact side streams)."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 6)
+    )
+
+
+@query(
+    "string_funcs_suppliers",
+    oracle="""
+    SELECT s_suppkey,
+           upper(s_name) AS name_upper,
+           split_part(s_name, '#', 2) AS name_num,
+           lpad(CAST(s_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+           reverse(s_name) AS name_rev,
+           translate(s_name, '#0', '-x') AS name_tr,
+           substr(s_name, 1, 8) AS name_head,
+           CAST(strpos(s_name, '#') AS BIGINT) AS hash_pos,
+           concat_ws('|', s_name, CAST(s_suppkey AS VARCHAR)) AS name_key
+    FROM supplier
+    """,
+)
+def q_string_funcs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function breadth (all JVM built-ins, one codegen
+    stage, no UDFs): upper / split_part / lpad / reverse / translate /
+    substr / instr / concat_ws — each with an exact DuckDB twin."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.upper("s_name").alias("name_upper"),
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.lpad(F.col("s_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.reverse("s_name").alias("name_rev"),
+        F.translate("s_name", "#0", "-x").alias("name_tr"),
+        F.substring("s_name", 1, 8).alias("name_head"),
+        F.instr("s_name", "#").cast("long").alias("hash_pos"),
+        F.concat_ws("|", "s_name", F.col("s_suppkey").cast("string")).alias("name_key"),
+    )
+
+
+@query(
+    "try_arithmetic_lines",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR((l_extendedprice / NULLIF(l_quantity - 10, 0)) * 100 + 0.5) / 100
+               AS unit_over_rem,
+           TRY_CAST(l_returnflag AS INTEGER) IS NULL AS flag_not_numeric
+    FROM lineitem
+    WHERE l_quantity <= 12
+    """,
+)
+def q_try_arithmetic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe (`try_`) arithmetic: Spark's try_divide yields NULL on
+    division by zero instead of failing under ANSI mode; DuckDB (which
+    errors on /0) mirrors it with NULLIF. try_cast of a non-numeric string
+    is NULL in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 12)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        cents(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 10)).alias(
+            "unit_over_rem"
+        ),
+        F.col("l_returnflag").try_cast("int").isNull().alias("flag_not_numeric"),
+    )
+
+
+@query(
+    "bitmap_distinct_parts",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_bitmap_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via bitmap aggregates (Spark 3.5+
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count): each (group, bucket) builds a fixed 4KB bitmap
+    map-side, so the shuffle carries one bitmap per 32k-id bucket instead
+    of every distinct id — the scale path for high-cardinality COUNT
+    DISTINCT. Oracle is the plain COUNT(DISTINCT) it must equal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag", F.expr("bitmap_bucket_number(l_partkey)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias("bm"))
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("distinct_parts")
+    )
+
+
+@query(
+    "mode_via_argmax",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus,
+           arg_max(o_orderpriority, lpad(CAST(n AS VARCHAR), 12, '0') || '|' || o_orderpriority)
+               AS modal_priority,
+           CAST(MAX(n) AS BIGINT) AS n_modal
+    FROM c GROUP BY o_orderstatus
+    """,
+)
+def q_mode_via_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: count then max_by over a
+    zero-padded (count, value) sort key — the value tiebreak makes the
+    answer unique where a bare mode() (Spark and DuckDB both pick an
+    arbitrary tied value) could not be oracle-checked. The string key
+    (not a struct) is because DuckDB's arg_max only orders by scalar
+    types. Two-level agg keeps the heavy first groupBy partial-aggregated
+    map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    return c.groupBy("o_orderstatus").agg(
+        F.expr(
+            "max_by(o_orderpriority, concat(lpad(cast(n as string), 12, '0'), '|', o_orderpriority))"
+        ).alias("modal_priority"),
+        F.max("n").cast("long").alias("n_modal"),
+    )
+
+
+_SQL_UDF_BODY = """
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(disc_price(l_extendedprice, l_discount) * 100 + 0.5) / 100 AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45
+"""
+
+
+@query(
+    "sql_scalar_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+)
+def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (CREATE TEMPORARY FUNCTION ... RETURN,
+    Spark 3.5+): the body is inlined into the plan by Catalyst at analysis
+    time, so it codegens exactly like the written-out expression — a UDF
+    surface with zero Python-boundary cost. Oracle runs the inlined
+    expression directly."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return run_sql(spark, sf_dir, _SQL_UDF_BODY)
+
+
+@query("hll_distinct_estimate")
+def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch distinct-count (Spark 3.5+ Apache DataSketches
+    hll_sketch_agg/hll_sketch_estimate): mergeable fixed-size state, the
+    100 TB path for distinct counts where bitmap buckets (exact, see
+    bitmap_distinct_parts) would be too wide. No oracle — DuckDB's
+    approx_count_distinct uses a different sketch; tests/test_edge_cases
+    asserts the estimate lands within 5% of the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
+        .cast("long")
+        .alias("hll_parts"),
+        F.approx_count_distinct("l_partkey").alias("hpp_parts"),
+    )

@@ -56,3 +56,21 @@ def test_single_row_group(spark):
     ).withColumn("ts", F.timestamp_seconds("sec"))
     out = sessionize(ts, "user_id", "ts", 1800, tiebreak_col="event_id").collect()
     assert out[0].session_id == 1
+
+
+def test_hll_estimate_within_tolerance(spark, sf_smoke):
+    # hll_distinct_estimate has no DuckDB oracle (different sketch); pin
+    # its accuracy against the exact count instead: lgConfigK=12 default
+    # gives ~1.6% relative standard error, assert a loose 5%.
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    est = {r.l_returnflag: r.hll_parts for r in QUERIES["hll_distinct_estimate"](spark, sf_smoke).collect()}
+    li = load_table(spark, sf_smoke, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for flag, n in exact.items():
+        assert abs(est[flag] - n) <= max(2, 0.05 * n), (flag, est[flag], n)
