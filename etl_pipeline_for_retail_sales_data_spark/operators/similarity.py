@@ -182,9 +182,37 @@ def embedding_neardup_lsh_numpy(
     import numpy as np
     import pandas as pd
 
-    bucketed = multitable_buckets(emb, tables, id_col, vec_col)
-    vecs = unit_vectors(emb, id_col, vec_col)
-    grouped = bucketed.join(vecs, id_col)
+    # One Arrow pass computes ALL tables' sign-bit buckets AND the unit
+    # vector per row: X @ P.T against the stacked plane matrix replaces
+    # n_tables*n_planes interpreted F.aggregate folds per row — the fold
+    # version spent more time bucketing than scoring. Emitting one row
+    # per (vector, table) duplicates the 64-double uv per table, which is
+    # exactly what the (tbl, bucket) shuffle needs anyway.
+    planes = np.array([p for t in tables for p in t], dtype=np.float64)
+    n_tables, n_planes = len(tables), len(tables[0])
+
+    def bucket_and_unit(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            u = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            bits = (x @ planes.T) >= 0  # (n, n_tables*n_planes)
+            weights = 1 << np.arange(n_planes - 1, -1, -1)
+            codes = bits.reshape(len(x), n_tables, n_planes) @ weights  # (n, n_tables)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(x)),
+                    "bucket": codes.astype(np.int32).ravel(),
+                    "uv": list(np.repeat(u, n_tables, axis=0)),
+                }
+            )
+
+    grouped = spread(emb).mapInPandas(
+        bucket_and_unit, f"{id_col} long, tbl int, bucket int, uv array<double>"
+    )
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

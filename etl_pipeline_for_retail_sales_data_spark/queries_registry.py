@@ -3204,6 +3204,182 @@ def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _SQL_UDF_BODY)
 
 
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS rev,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           FLOOR(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+                 / SUM(rev) * 1e6 + 0.5) / 1e6 AS mkt_share
+    FROM v GROUP BY o_year
+    """,
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the widest join tree in the
+    suite — lineitem joins five broadcast dims (filtered part, supplier,
+    both nation roles, customer×region) plus one fact-fact join to
+    orders; only the orders join shuffles. Revenue floored to cents per
+    element, ratio rounded to 6dp (noise ~1e-15, far below). Adapted from
+    reference-absent surface: the reference has no joins at all
+    (SURVEY.md §2.5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders")
+
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    amer_nations = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    amer_custs = c.join(F.broadcast(amer_nations), c["c_nationkey"] == F.col("c_nk")).select(
+        "c_custkey"
+    )
+    ord_years = o.join(F.broadcast(amer_custs), o["o_custkey"] == F.col("c_custkey")).select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    vol = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("s_nk"))
+        .select(
+            "l_orderkey",
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            "supp_nation",
+        )
+    )
+    j = vol.join(ord_years, vol["l_orderkey"] == ord_years["o_orderkey"])
+    nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(0.0))
+    return j.groupBy("o_year").agg(
+        (F.floor(nation_rev / F.sum("rev") * 1e6 + F.lit(0.5)) / 1e6).alias("mkt_share")
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+"""
+
+
+@query("grouping_sets_explicit", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the rollup/cube shorthands already
+    covered): one scan expanded to all four groupings in a single
+    aggregate — Spark plans an Expand node feeding one exchange, not four
+    scans. Identical text runs on both engines."""
+    return run_sql(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
+@query(
+    "array_funcs_orders",
+    oracle="""
+    WITH lns AS (
+        SELECT l_orderkey AS o_orderkey, list_sort(list(l_linenumber)) AS a
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderkey,
+           array_to_string(a, ',') AS lines_csv,
+           CAST(len(a) AS BIGINT) AS n_lines,
+           array_to_string(a[1:2], ',') AS first_two,
+           list_contains(a, 1) AS has_line1,
+           CAST(a[-1] AS BIGINT) AS last_line
+    FROM lns
+    """,
+)
+def q_array_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: per-order line-number lists built with
+    collect_list + array_sort (collect_list order is nondeterministic —
+    the sort makes the value deterministic; linenumbers are unique per
+    order), then slice / contains / element_at(-1) / size / array_join.
+    Arrays are serialized to CSV strings in the output because the
+    driver's hash compare is defined over scalars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lns = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("a")
+    )
+    as_csv = lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), ",")  # noqa: E731
+    return lns.select(
+        "o_orderkey",
+        as_csv(F.col("a")).alias("lines_csv"),
+        F.size("a").cast("long").alias("n_lines"),
+        as_csv(F.slice(F.col("a"), 1, 2)).alias("first_two"),
+        F.array_contains("a", F.lit(1)).alias("has_line1"),
+        F.element_at("a", -1).cast("long").alias("last_line"),
+    )
+
+
+@query(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(MIN(o_totalprice) * 100 + 0.5) / 100 AS lo,
+           FLOOR(MAX(o_totalprice) * 100 + 0.5) / 100 AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(x/width) — a pure
+    map-side expression, so the aggregate shuffles only (bucket, partial
+    stats) regardless of input size. The distributed histogram pattern
+    for 100 TB profiling jobs."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            cents(F.min("o_totalprice")).alias("lo"),
+            cents(F.max("o_totalprice")).alias("hi"),
+        )
+    )
+
+
+@query(
+    "posexplode_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS a FROM documents
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(a[1:8], 1) - 1 AS BIGINT) AS pos,
+           unnest(a[1:8]) AS tok
+    FROM toks
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: first 8 tokens of each document with their
+    0-based ordinal (Spark posexplode == DuckDB zipped
+    unnest/generate_subscripts). The slice-before-explode keeps the
+    generated row count bounded per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.slice(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0), 1, 8
+        ).alias("a"),
+    )
+    return toks.select("doc_id", F.posexplode("a").alias("pos", "tok")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "tok"
+    )
+
+
 @query("hll_distinct_estimate")
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch distinct-count (Spark 3.5+ Apache DataSketches
