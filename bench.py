@@ -63,8 +63,18 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM, parquet footer cache, codegen
+    # warmup: JVM, parquet footer cache, codegen, and the Python worker
+    # pool (first Arrow-batched query otherwise pays numpy/pandas import
+    # in every worker at once)
     queries["sales_summary"](spark, SF_DIR).count()
+
+    def _noop(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    spark.range(64).repartition(32).mapInPandas(_noop, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

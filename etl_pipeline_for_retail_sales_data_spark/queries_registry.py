@@ -3380,6 +3380,56 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WITHIN_GROUP_SQL = """
+    SELECT l_returnflag,
+           FLOOR(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity) * 1e6 + 0.5) / 1e6
+               AS q1_cont,
+           PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1_disc,
+           PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3_disc
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "within_group_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(quantile_cont(l_quantity, 0.25) * 1e6 + 0.5) / 1e6 AS q1_cont,
+           quantile_disc(l_quantity, 0.25) AS q1_disc,
+           quantile_disc(l_quantity, 0.75) AS q3_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_within_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard inverse-distribution syntax (PERCENTILE_CONT/DISC
+    WITHIN GROUP, Spark 3.4+): continuous (interpolated) vs discrete
+    (actual data value) quantiles in one aggregate. DuckDB spells the
+    same semantics quantile_cont/quantile_disc."""
+    return run_sql(spark, sf_dir, _WITHIN_GROUP_SQL)
+
+
+@query(
+    "bool_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface (SURVEY §2.6 A3 is the reference's ad-hoc
+    `lt(0).any()` — these are the engine-native forms): every/bool_or and
+    count_if, all partial-aggregable map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).cast("long").alias("n_tax_free"),
+    )
+
+
 @query("hll_distinct_estimate")
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch distinct-count (Spark 3.5+ Apache DataSketches
