@@ -61,6 +61,31 @@ def doc_shingles(
     return out.distinct() if distinct else out
 
 
+def doc_shingles_arrow(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """DISTINCT (doc_id, shingle) rows computed per document in an Arrow
+    batch — same output as ``doc_shingles(distinct=True)`` (asserted in
+    tests) but the per-doc set replaces BOTH the interpreted
+    transform/slice lambdas and the global ``.distinct()`` exchange:
+    dedup needs no shuffle when it's within-document by construction."""
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(r"[^ \t\n\x0b\f\r]+")  # ASCII expansion of Java \S
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = pat.findall(text.lower())
+                uniq = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                ids.extend([doc_id] * len(uniq))
+                shingles.extend(uniq)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shingles})
+
+    return spread(df).mapInPandas(gen, "doc_id long, shingle string")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -80,7 +105,7 @@ def ngram_jaccard_pairs(
     max_df bounds the per-shingle fan-out. This UNDERCOUNTS intersections
     (Jaccard becomes a lower bound; sizes stay exact), so it is a
     documented recall/cost lever, off by default."""
-    sh = doc_shingles(df, text_col, n).persist()
+    sh = doc_shingles_arrow(df, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         rare = (
@@ -126,6 +151,49 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = 16, n: in
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_arrow(
+    df: DataFrame, text_col: str = "text", k: int = 16, n: int = 3
+) -> DataFrame:
+    """MinHash signatures computed per document inside an Arrow batch:
+    tokens → shingle set → k md5 minima, all local to the worker — NO
+    explode, NO sort-aggregate (min(string) can't hash-aggregate, so the
+    expression form pays a per-partition sort), NO shuffle at all. Output
+    is bit-identical to ``minhash_signatures`` (same md5 bytes, same
+    lexicographic min — asserted in tests), so the DuckDB oracle for the
+    downstream candidates query is unchanged. The token regex is the
+    ASCII expansion of Java's ``\\S`` (Python's ``\\S`` is
+    Unicode-aware; the engines agree on ASCII corpora — the JVM
+    expression path remains the reference semantics)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(r"[^ \t\n\x0b\f\r]+")
+    prefixes = [f"{j}:".encode() for j in range(k)]
+    schema = "doc_id long, " + ", ".join(f"h{j} string" for j in range(k))
+
+    def sign(batches):
+        for pdf in batches:
+            ids, sigs = [], [[] for _ in range(k)]
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = pat.findall(text.lower())
+                if len(toks) < n:
+                    continue
+                enc = {
+                    " ".join(toks[i : i + n]).encode() for i in range(len(toks) - n + 1)
+                }
+                ids.append(doc_id)
+                for j, pj in enumerate(prefixes):
+                    sigs[j].append(min(hashlib.md5(pj + e).hexdigest() for e in enc))
+            out = {"doc_id": ids}
+            for j in range(k):
+                out[f"h{j}"] = sigs[j]
+            yield pd.DataFrame(out)
+
+    return spread(df).mapInPandas(sign, schema)
+
+
 def minhash_candidates(
     df: DataFrame, text_col: str = "text", k: int = 16, bands: int = 4, n: int = 3
 ) -> DataFrame:
@@ -135,8 +203,9 @@ def minhash_candidates(
     est_jaccard = fraction of equal signature components."""
     # The signature frame is tiny (one row per doc) but expensive to build
     # (shingling + k md5 mins) and feeds four plan branches — persist it so
-    # the lineage runs once.
-    sig = minhash_signatures(df, text_col, k, n).persist()
+    # the lineage runs once. Built via the Arrow path (bit-identical to the
+    # expression form, no explode/sort/shuffle — see minhash_signatures_arrow).
+    sig = minhash_signatures_arrow(df, text_col, k, n).persist()
     rows_per_band = k // bands
     band_structs = F.array(
         *[

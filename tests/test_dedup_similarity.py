@@ -261,3 +261,29 @@ def test_ml_minhash_agrees_with_exact_jaccard(spark, sf_smoke):
     for pair, dist in ml.items():
         if pair in exact:
             assert abs((1.0 - dist) - exact[pair]) < 1e-5, (pair, dist, exact[pair])
+
+
+def test_arrow_signature_path_equals_expression_path(spark, sf_smoke):
+    # the Arrow fast paths must be BIT-identical to the JVM expression
+    # forms (same md5 bytes, same lexicographic min, same shingle sets) —
+    # they share the downstream DuckDB oracles.
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    expr_sig = sorted(map(tuple, D.minhash_signatures(docs).collect()))
+    arrow_sig = sorted(map(tuple, D.minhash_signatures_arrow(docs).collect()))
+    assert expr_sig == arrow_sig
+
+    expr_sh = sorted(map(tuple, D.doc_shingles(docs, distinct=True).collect()))
+    arrow_sh = sorted(map(tuple, D.doc_shingles_arrow(docs).collect()))
+    assert expr_sh == arrow_sh
+
+
+def test_arrow_paths_on_edge_docs(spark):
+    # short docs (< n tokens) drop out of both paths identically; empty ok
+    docs = _docs(spark, [(1, "one"), (2, "two words"), (3, "three whole tokens here")])
+    assert D.minhash_signatures_arrow(docs).count() == 1
+    assert D.doc_shingles_arrow(docs).count() == 2
+    empty = _docs(spark, [])
+    assert D.minhash_signatures_arrow(empty).count() == 0
+    assert D.doc_shingles_arrow(empty).count() == 0
