@@ -3430,6 +3430,136 @@ def q_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "xml_roundtrip_orders",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def q_xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (Spark 4 to_xml/from_xml): serialize each order row to
+    an XML document and parse it back with a declared schema. The oracle
+    is the original projection — the roundtrip must be lossless
+    (Double.toString is shortest-round-trippable)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    xml = o.select(
+        F.to_xml(F.struct("o_orderkey", "o_orderstatus", "o_totalprice")).alias("x")
+    )
+    return xml.select(
+        F.from_xml(
+            "x", "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        ).alias("r")
+    ).select("r.*")
+
+
+@query(
+    "approx_topk_priorities",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_approx_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k sketch (Spark 4): heavy-hitter items with counts in
+    one pass of bounded memory. With k >= the true cardinality (5
+    priorities) and the default 10k tracked items the sketch is EXACT, so
+    the plain GROUP BY oracle applies — the same query at 100 TB
+    cardinalities degrades gracefully to approximate counts instead of a
+    multi-TB exact shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(F.expr("approx_top_k(o_orderpriority, 5)").alias("tk"))
+    return agg.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("item"), F.col("s.count").cast("long").alias("cnt")
+    )
+
+
+@query(
+    "udtf_char_bigrams",
+    oracle="""
+    SELECT n_name, substr(n_name, i, 2) AS bigram, CAST(i - 1 AS BIGINT) AS pos
+    FROM (SELECT n_name, unnest(generate_series(1, length(n_name) - 1)) AS i FROM nation)
+    """,
+)
+def q_udtf_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ table function) applied via SQL LATERAL:
+    one generated row per character bigram. Row-at-a-time Python — kept
+    on the tiny nation dim and documented as the non-hot-path surface
+    (the hot-path equivalents are higher-order array functions or Arrow
+    batches; see SCALE.md Python boundary)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram string, pos bigint")
+    class CharBigrams:
+        def eval(self, name: str):
+            for i in range(len(name) - 1):
+                yield name[i : i + 2], i
+
+    spark.udtf.register("char_bigrams", CharBigrams)
+    return run_sql(
+        spark,
+        sf_dir,
+        "SELECT n_name, b.bigram, b.pos FROM nation, LATERAL char_bigrams(n_name) b",
+    )
+
+
+@query(
+    "param_sql_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100) * 100 + 0.5)
+               / 100 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity < 30
+    GROUP BY l_returnflag
+    """,
+)
+def q_param_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named parameter markers): the query
+    text carries :from_date / :max_qty placeholders and values are bound
+    server-side — no string interpolation, no injection surface. The
+    oracle inlines the same constants."""
+    from .sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               FLOOR(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100) * 100 + 0.5)
+                   / 100 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= :from_date AND l_quantity < :max_qty
+        GROUP BY l_returnflag
+        """,
+        args={"from_date": "1997-01-01", "max_qty": 30},
+    )
+
+
+@query(
+    "regex_funcs_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), 'the')) AS BIGINT) AS n_the,
+           regexp_extract(text, '[A-Z][a-z]+') AS first_capitalized,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(text, '[0-9]') AS has_digit
+    FROM documents
+    """,
+)
+def q_regex_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar breadth: count / first-match extract / global replace
+    / boolean match. Spark regexp_replace is global by default — DuckDB
+    needs the explicit 'g' flag; Spark regexp_extract with no group and
+    no match yields '' exactly like DuckDB's."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit("the")).cast("long").alias("n_the"),
+        F.regexp_extract(F.col("text"), "[A-Z][a-z]+", 0).alias("first_capitalized"),
+        F.regexp_replace(F.col("text"), "[aeiou]", "_").alias("devoweled"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+    )
+
+
 @query("hll_distinct_estimate")
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch distinct-count (Spark 3.5+ Apache DataSketches

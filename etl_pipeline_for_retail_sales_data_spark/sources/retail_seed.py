@@ -1,0 +1,103 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API): the
+reference's bootstrap seed generator as a first-class Spark connector.
+
+The reference seeds its Postgres source table with 15 rows per channel —
+10 valid (5 per day) and 5 deliberately invalid for cleaning tests
+(reference scripts/extraction.py:38-57; in-store twin
+data/input/in_store_sales.csv:2-16). Here that bootstrap is a registered
+``spark.read.format("retail_seed")`` source instead of engine-side DDL:
+one InputPartition per channel, so the read is planned like any
+multi-split scan (each partition deserializes independently on an
+executor — the same contract a real connector at scale follows).
+
+Usage::
+
+    register(spark)
+    df = spark.read.format("retail_seed").load()          # both channels
+    df = spark.read.format("retail_seed").option("channel", "online").load()
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..schemas import SALES_SCHEMA
+
+D1 = datetime.date(2025, 4, 2)
+D2 = datetime.date(2025, 4, 3)
+
+# (sale_id, product_id, quantity, sale_amount, sale_date, source) — values
+# mirror reference scripts/extraction.py:38-57 / in_store_sales.csv:2-16:
+# rows 11-15 of each channel are the dirty rows (zero/negative/null
+# quantity or amount) that the cleaning stage must drop.
+SEED_ROWS: dict[str, list[tuple]] = {
+    "online": [
+        (1, 101, 3, 60.00, D1, "online"),
+        (2, 102, 2, 45.00, D1, "online"),
+        (3, 103, 1, 30.00, D1, "online"),
+        (4, 104, 2, 40.00, D1, "online"),
+        (5, 105, 1, 22.50, D1, "online"),
+        (6, 101, 4, 120.00, D2, "online"),
+        (7, 102, 2, 55.00, D2, "online"),
+        (8, 103, 3, 75.00, D2, "online"),
+        (9, 105, 1, 20.00, D2, "online"),
+        (10, 106, 2, 55.00, D2, "online"),
+        (11, 101, 0, 10.00, D2, "online"),
+        (12, 102, -1, 20.00, D2, "online"),
+        (13, 103, 2, -5.00, D2, "online"),
+        (14, 104, None, 30.00, D2, "online"),
+        (15, 105, 2, None, D2, "online"),
+    ],
+    "in_store": [
+        (1, 101, 2, 40.00, D1, "in_store"),
+        (2, 102, 1, 25.00, D1, "in_store"),
+        (3, 103, 3, 75.00, D1, "in_store"),
+        (4, 101, 1, 20.00, D1, "in_store"),
+        (5, 102, 2, 50.00, D1, "in_store"),
+        (6, 104, 5, 125.00, D2, "in_store"),
+        (7, 105, 1, 35.50, D2, "in_store"),
+        (8, 101, 3, 60.00, D2, "in_store"),
+        (9, 102, 2, 50.00, D2, "in_store"),
+        (10, 106, 4, 80.00, D2, "in_store"),
+        (11, 103, 0, 30.00, D2, "in_store"),
+        (12, 104, -1, 25.00, D2, "in_store"),
+        (13, 105, None, 45.00, D2, "in_store"),
+        (14, 106, 2, -15.00, D2, "in_store"),
+        (15, 101, 3, None, D2, "in_store"),
+    ],
+}
+
+
+class ChannelPartition(InputPartition):
+    def __init__(self, channel: str):
+        self.channel = channel
+
+
+class RetailSeedReader(DataSourceReader):
+    def __init__(self, options):
+        self.channel = options.get("channel")
+
+    def partitions(self):
+        channels = [self.channel] if self.channel else sorted(SEED_ROWS)
+        return [ChannelPartition(c) for c in channels]
+
+    def read(self, partition: ChannelPartition):
+        yield from SEED_ROWS[partition.channel]
+
+
+class RetailSeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "retail_seed"
+
+    def schema(self):
+        return SALES_SCHEMA
+
+    def reader(self, schema) -> RetailSeedReader:
+        return RetailSeedReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(RetailSeedDataSource)

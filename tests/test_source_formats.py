@@ -60,3 +60,33 @@ def test_table_exists_probe(spark, tmp_path):
     assert not table_exists(spark, "", path=str(tmp_path / "missing"))
     spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("probe_view")
     assert table_exists(spark, "probe_view")
+
+
+def test_python_datasource_retail_seed(spark):
+    # Spark 4 Python DataSource API: the reference's seed bootstrap as a
+    # registered connector — one InputPartition per channel, read planned
+    # as a 2-split scan; feeding it through the retail pipeline must
+    # reproduce the committed golden aggregate.
+    from etl_pipeline_for_retail_sales_data_spark.plans.retail import transform_sales
+    from etl_pipeline_for_retail_sales_data_spark.schemas import SALES_SCHEMA
+    from etl_pipeline_for_retail_sales_data_spark.sources.retail_seed import register
+
+    register(spark)
+    df = spark.read.format("retail_seed").load()
+    assert df.schema == SALES_SCHEMA
+    assert df.count() == 30
+    assert df.rdd.getNumPartitions() == 2
+
+    online = spark.read.format("retail_seed").option("channel", "online").load()
+    assert online.count() == 15
+
+    out = transform_sales(df.filter(df.source == "online"), df.filter(df.source == "in_store"))
+    rows = [(r.product_id, r.total_quantity, float(r.total_sale_amount)) for r in out.collect()]
+    assert rows == [
+        (101, 13, 300.0),
+        (102, 9, 225.0),
+        (103, 7, 180.0),
+        (104, 7, 165.0),
+        (105, 3, 78.0),
+        (106, 6, 135.0),
+    ]
