@@ -15,13 +15,19 @@ Usage::
     register(spark)
     df = spark.read.format("retail_seed").load()          # both channels
     df = spark.read.format("retail_seed").option("channel", "online").load()
+    stream = spark.readStream.format("retail_seed").load()   # one micro-batch per day
 """
 
 from __future__ import annotations
 
 import datetime
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..schemas import SALES_SCHEMA
 
@@ -87,6 +93,41 @@ class RetailSeedReader(DataSourceReader):
         yield from SEED_ROWS[partition.channel]
 
 
+class RetailSeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: one micro-batch per sale day (the reference's
+    daily-schedule seam, SURVEY.md §1.1 — each Airflow run day becomes an
+    offset range). Offsets are replayable dicts, so checkpoint recovery
+    re-reads a day deterministically via readBetweenOffsets."""
+
+    DAYS = (D1, D2)
+
+    def __init__(self, options):
+        self.channel = options.get("channel")
+
+    def initialOffset(self) -> dict:
+        return {"day_idx": 0}
+
+    def _rows_for(self, day_idx: int):
+        day = self.DAYS[day_idx]
+        for c in [self.channel] if self.channel else sorted(SEED_ROWS):
+            for r in SEED_ROWS[c]:
+                if r[4] == day:
+                    yield r
+
+    def read(self, start: dict):
+        # rows must be a picklable sequence (the runner caches the batch
+        # for possible replay), not a generator
+        i = start["day_idx"]
+        if i >= len(self.DAYS):
+            return iter([]), start
+        return iter(list(self._rows_for(i))), {"day_idx": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            r for i in range(start["day_idx"], end["day_idx"]) for r in self._rows_for(i)
+        ]
+
+
 class RetailSeedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -97,6 +138,9 @@ class RetailSeedDataSource(DataSource):
 
     def reader(self, schema) -> RetailSeedReader:
         return RetailSeedReader(self.options)
+
+    def simpleStreamReader(self, schema) -> RetailSeedStreamReader:
+        return RetailSeedStreamReader(self.options)
 
 
 def register(spark) -> None:

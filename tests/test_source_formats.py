@@ -90,3 +90,31 @@ def test_python_datasource_retail_seed(spark):
         (105, 3, 78.0),
         (106, 6, 135.0),
     ]
+
+
+def test_python_datasource_streaming_daily_batches(spark):
+    # streaming form of the connector: one micro-batch per seed day via
+    # SimpleDataSourceStreamReader offsets; both days drain under
+    # processAllAvailable and the union equals the batch read.
+    import uuid
+
+    from etl_pipeline_for_retail_sales_data_spark.sources.retail_seed import register
+
+    register(spark)
+    name = f"seed_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("retail_seed")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table(name)
+    assert streamed.count() == 30
+    assert {str(r.sale_date) for r in streamed.collect()} == {"2025-04-02", "2025-04-03"}
+    batch = spark.read.format("retail_seed").load()
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
