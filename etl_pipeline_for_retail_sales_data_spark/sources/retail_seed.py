@@ -84,13 +84,47 @@ class ChannelPartition(InputPartition):
 class RetailSeedReader(DataSourceReader):
     def __init__(self, options):
         self.channel = options.get("channel")
+        self.min_product: int | None = None
+        self._pushed = False
+
+    def pushFilters(self, filters):
+        """Connector-side pushdown (the Python-DataSource analog of
+        parquet PushedFilters): EqualTo(source) prunes a whole partition
+        before any row is produced; GreaterThan(product_id) filters
+        inside read(). Everything else is returned as unsupported and
+        Spark re-applies it above the scan.
+
+        Guard: two differently-filtered branches derived from ONE
+        ``load()`` share this reader instance, and Spark pushes each
+        branch's filters into it in turn — last write would silently win
+        for BOTH branches (observed: a union of online/in_store branches
+        double-counting one channel). Absorbing state twice is therefore
+        an error; use a separate ``load()`` per branch."""
+        from pyspark.sql.datasource import EqualTo, GreaterThan
+
+        if self._pushed:
+            raise RuntimeError(
+                "retail_seed reader received pushFilters twice — branches of a "
+                "shared load() would overwrite each other's pushed filters; "
+                "call spark.read.format('retail_seed').load() once per branch"
+            )
+        self._pushed = True
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("source",) and f.value in SEED_ROWS:
+                self.channel = f.value
+            elif isinstance(f, GreaterThan) and f.attribute == ("product_id",):
+                self.min_product = f.value
+            else:
+                yield f
 
     def partitions(self):
         channels = [self.channel] if self.channel else sorted(SEED_ROWS)
         return [ChannelPartition(c) for c in channels]
 
     def read(self, partition: ChannelPartition):
-        yield from SEED_ROWS[partition.channel]
+        for r in SEED_ROWS[partition.channel]:
+            if self.min_product is None or r[1] > self.min_product:
+                yield r
 
 
 class RetailSeedStreamReader(SimpleDataSourceStreamReader):
@@ -144,4 +178,6 @@ class RetailSeedDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # connector-side pushdown is opt-in for Python sources
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(RetailSeedDataSource)

@@ -80,7 +80,11 @@ def test_python_datasource_retail_seed(spark):
     online = spark.read.format("retail_seed").option("channel", "online").load()
     assert online.count() == 15
 
-    out = transform_sales(df.filter(df.source == "online"), df.filter(df.source == "in_store"))
+    # one load() per filtered branch: branches of a SHARED load would
+    # push conflicting filters into one reader (guarded by the connector)
+    on = spark.read.format("retail_seed").load()
+    ins = spark.read.format("retail_seed").load()
+    out = transform_sales(on.filter(on.source == "online"), ins.filter(ins.source == "in_store"))
     rows = [(r.product_id, r.total_quantity, float(r.total_sale_amount)) for r in out.collect()]
     assert rows == [
         (101, 13, 300.0),
@@ -118,3 +122,51 @@ def test_python_datasource_streaming_daily_batches(spark):
     assert {str(r.sale_date) for r in streamed.collect()} == {"2025-04-02", "2025-04-03"}
     batch = spark.read.format("retail_seed").load()
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_python_datasource_reader_pushdown(spark):
+    # pushFilters: EqualTo(source) prunes to ONE input partition before
+    # any row is generated; GreaterThan(product_id) filters inside the
+    # connector; results stay correct either way.
+    from etl_pipeline_for_retail_sales_data_spark.sources.retail_seed import register
+
+    register(spark)
+    online = spark.read.format("retail_seed").load().filter(F.col("source") == "online")
+    assert online.count() == 15
+    assert online.rdd.getNumPartitions() == 1  # partition pruned in the connector
+    high = spark.read.format("retail_seed").load().filter(
+        (F.col("source") == "in_store") & (F.col("product_id") > 104)
+    )
+    assert {r.product_id for r in high.collect()} == {105, 106}
+
+
+def test_python_datasource_jsonl_writer_commit_protocol(spark, sf_smoke, tmp_path):
+    # distributed write via the Python DataSourceWriter: staged temp files
+    # become visible only at commit(), with a _SUCCESS manifest; overwrite
+    # replaces previous committed files.
+    import json as _json
+    import os
+
+    from etl_pipeline_for_retail_sales_data_spark.sources.jsonl_writer import register_writer
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    register_writer(spark)
+    out = str(tmp_path / "orders_jsonl")
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.format("jsonl_dir").mode("append").option("path", out).save()
+
+    manifest = _json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == o.count()
+    assert not [n for n in os.listdir(out) if n.startswith("_tmp-")]
+
+    back = spark.read.json(out)
+    assert back.count() == o.count()
+    a = sorted((r.o_orderkey, r.o_orderstatus, r.o_totalprice) for r in back.collect())
+    b = sorted(map(tuple, o.collect()))
+    assert a == b
+
+    # overwrite replaces, not accumulates (reference L3 semantics)
+    o.limit(10).write.format("jsonl_dir").mode("overwrite").option("path", out).save()
+    assert spark.read.json(out).count() == 10
