@@ -3560,6 +3560,32 @@ def q_regex_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MODERN_SQL = """
+    WITH t AS (
+        SELECT o_orderstatus,
+               year(o_orderdate) AS o_year,
+               FLOOR(o_totalprice * (1 - 0.1) * 100 + 0.5) / 100 AS discounted,
+               discounted > 200000 AS is_big
+        FROM orders
+    )
+    SELECT o_orderstatus, o_year,
+           CAST(count(*) FILTER (WHERE is_big) AS BIGINT) AS n_big,
+           CAST(count(*) AS BIGINT) AS n_all
+    FROM t
+    GROUP BY ALL
+"""
+
+
+@query("modern_sql_syntax", oracle=_MODERN_SQL)
+def q_modern_sql_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL syntax surface, one text for both engines: lateral
+    column alias (``is_big`` referencing ``discounted`` in the same
+    SELECT, Spark 3.4+), aggregate FILTER clause, and GROUP BY ALL.
+    (Spark doesn't yet allow a lateral alias to feed GROUP BY ALL
+    directly — the CTE layers them.)"""
+    return run_sql(spark, sf_dir, _MODERN_SQL)
+
+
 @query("hll_distinct_estimate")
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch distinct-count (Spark 3.5+ Apache DataSketches

@@ -170,3 +170,49 @@ def test_python_datasource_jsonl_writer_commit_protocol(spark, sf_smoke, tmp_pat
     # overwrite replaces, not accumulates (reference L3 semantics)
     o.limit(10).write.format("jsonl_dir").mode("overwrite").option("path", out).save()
     assert spark.read.json(out).count() == 10
+
+
+def test_python_datasource_arrow_writer_roundtrip(spark, sf_smoke, tmp_path):
+    # Arrow-native writer: executors stream RecordBatches into parquet
+    # parts; commit publishes them atomically; Spark reads the result
+    # back identically to the source frame.
+    import json as _json
+    import os
+
+    from etl_pipeline_for_retail_sales_data_spark.sources.arrow_writer import (
+        register_arrow_writer,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    register_arrow_writer(spark)
+    out = str(tmp_path / "li_parquet")
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.write.format("parquet_dir").mode("append").option("path", out).save()
+
+    manifest = _json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == li.count()
+    assert not [n for n in os.listdir(out) if n.startswith("_tmp-")]
+
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+
+
+def test_jsonl_writer_abort_cleans_staged_files(tmp_path):
+    # unit-level: abort() removes every staged temp file so a failed job
+    # publishes nothing.
+    from pyspark.sql import Row
+
+    from etl_pipeline_for_retail_sales_data_spark.sources.jsonl_writer import JsonlDirWriter
+
+    out = str(tmp_path / "aborted")
+    w = JsonlDirWriter({"path": out}, overwrite=False)
+    msg = w.write(iter([Row(a=1), Row(a=2)]))
+    assert msg.n_rows == 2 and msg.temp_path.startswith(out)
+    import os
+
+    assert os.path.exists(msg.temp_path)
+    w.abort([msg, None])
+    assert not os.path.exists(msg.temp_path)
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
