@@ -249,6 +249,66 @@ def minhash_candidates(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id; each
+    round a node's label becomes the min of its own and its neighbors';
+    fixpoint = component id = min node id in the component. Deterministic
+    regardless of execution order (min is a semilattice), so the result is
+    oracle-comparable (DuckDB recursive-CTE transitive closure).
+
+    This is the dedup-pipeline step AFTER candidate generation: near-dup
+    PAIRS (MinHash/SimHash/Jaccard output) become GROUPS, and
+    min(component) picks the canonical document.
+
+    Scale shape: each round is one equi-join of the label frame against
+    the symmetrized edge list + one min-aggregation — all shuffles keyed
+    on node id, so a co-partitioned layout is reused across rounds.
+    Rounds needed = graph diameter (near-dup components are shallow —
+    a handful). localCheckpoint truncates the growing lineage each round;
+    convergence is detected with a count of changed labels (one tiny
+    action per round — the standard driver-side loop for iterative
+    algorithms, cf. GraphX connected components).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nb_min = (
+            labels.join(sym, labels["node"] == sym["u"])
+            .groupBy("v")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["node"] == nb_min["v"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component_id"))
+
+
 def simhash_candidates(
     df: DataFrame, text_col: str = "text", max_hamming: int = 8, n_bands: int = 4
 ) -> DataFrame:

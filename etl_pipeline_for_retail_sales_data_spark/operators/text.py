@@ -155,6 +155,118 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(*out, best.alias("pred_lang"))
 
 
+def doc_terms(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term) pairs — lowercase whitespace tokens, duplicates kept
+    (term frequency lives in the multiplicity). One explode, no shuffle."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    return df.select("doc_id", F.explode(toks).alias("term"))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", top_k: int = 5) -> DataFrame:
+    """Top-k most characteristic terms per document by tf-idf.
+
+    Weighting is the LOG-FREE smoothed variant ``tf * (N+1)/(df+1)`` — a
+    strictly monotone transform of add-one log-idf per term, chosen because
+    +,*,/ on doubles are bit-identical across engines while ln() can differ
+    in the last ulp and flip a rank (functions.cents rationale). Extension
+    tier: the reference has no string functions at all (SURVEY.md §2.2).
+
+    Scale shape: one explode → two hash aggregations (tf keyed by
+    (doc, term), df keyed by term) → equi-join on term → per-doc top-k via
+    ROW_NUMBER window. No cross join; N arrives as a broadcast scalar.
+    """
+    from pyspark.sql import Window
+
+    tok = doc_terms(df, text_col)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df_docs"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            round6(F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "tf", "df_docs", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+) -> DataFrame:
+    """BM25-family keyword relevance: top-k documents for a bag of query
+    terms. Per-term weight is the raw Robertson idf ratio
+    ``(N - df + 0.5)/(df + 0.5)`` WITHOUT the usual ln() — same per-term
+    ranking (ln is monotone), bit-reproducible across engines (module
+    docstring / functions.cents rationale); documented deviation from the
+    textbook formula.
+
+    Determinism choreography: dl and tf are integers; avgdl = int-sum / n
+    (single exact division); the per-document score sums one term at a
+    time IN THE LITERAL ORDER of ``query_terms`` via conditional
+    aggregation — never a float SUM over an engine-ordered group.
+
+    Scale shape: the token stream is filtered to the query terms BEFORE
+    any shuffle (the inverted-index discipline: work is O(postings of the
+    query), not O(corpus)); df/avgdl are broadcast scalars; one hash agg
+    keyed by doc pivots the ≤len(query_terms) rows per doc.
+    """
+    tok = doc_terms(df, text_col)
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # corpus scalars: N and avgdl (exact integer sum / exact count)
+    scalars = df.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    qtok = tok.filter(F.col("term").isin(query_terms))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = qtok.groupBy("term").agg(F.count_distinct("doc_id").alias("df_docs"))
+    base = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (F.col("df_docs") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    part = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    pivoted = base.groupBy("doc_id", "dl").agg(
+        *[
+            F.max(F.when(F.col("term") == t, part)).alias(f"s_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    total = None
+    for i in range(len(query_terms)):
+        term_score = F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+        total = term_score if total is None else total + term_score
+    from pyspark.sql import Window
+
+    # global top-k as sort+limit (planned as TakeOrderedAndProject — a
+    # per-partition heap + driver merge of k rows, never a full sort); the
+    # rank window then runs over only k rows
+    top = (
+        pivoted.select("doc_id", "dl", round6(total).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "dl", "score", F.row_number().over(w).cast("long").alias("rnk")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace/punct-
     normalized lowercase text — the exact-dedup key for noisy duplicates."""

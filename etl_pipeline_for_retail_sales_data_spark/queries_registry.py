@@ -3601,3 +3601,129 @@ def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hll_parts"),
         F.approx_count_distinct("l_partkey").alias("hpp_parts"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_docs FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dft.df_docs,
+               FLOOR(tf.tf * (n.n_docs + 1.0) / (dft.df_docs + 1.0) * 1e6 + 0.5) / 1e6 AS score
+        FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df_docs, score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf-idf (log-free smoothed
+    idf variant for cross-engine bit parity — see operators.text.tfidf_top_terms).
+    Extension tier: the reference has no text functions (SURVEY.md §2.2 note)."""
+    return TX.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+_BM25_TERMS = ["join", "vector", "data"]
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75, top_k: int = 50) -> str:
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    parts = " + ".join(
+        f"""COALESCE(MAX(CASE WHEN tf.term = '{t}' THEN
+            (n_docs - df_docs + 0.5) / (df_docs + 0.5)
+            * tf * {k1 + 1.0} / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+        END), 0.0)"""
+        for t in terms
+    )
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    scalars AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               (SELECT SUM(dl) / COUNT(*) FROM dl) AS avgdl
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ({quoted}) GROUP BY 1, 2),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_docs FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, dl.dl,
+               FLOOR(({parts}) * 1e6 + 0.5) / 1e6 AS score
+        FROM tf JOIN dft ON tf.term = dft.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN scalars
+        GROUP BY tf.doc_id, dl.dl
+    )
+    SELECT doc_id, dl, score, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {top_k}
+    """
+
+
+@query("bm25_keyword_search", oracle=_bm25_oracle(_BM25_TERMS))
+def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-family keyword relevance (top-50 docs for 3 query terms):
+    inverted-index discipline — the token stream is filtered to query-term
+    postings before any shuffle; df/avgdl broadcast; per-doc score summed
+    in literal query-term order (float determinism). Raw Robertson idf
+    ratio without ln() — monotone-equivalent per term, bit-reproducible
+    (operators.text.bm25_rank docstring)."""
+    return TX.bm25_rank(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+_CC_EDGES_SQL = r"""
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e6 + 0.5) / 1e6 >= 0.5
+    )
+"""
+
+
+@query(
+    "neardup_components",
+    oracle=rf"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_CC_EDGES_SQL},
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    )
+    SELECT a AS doc_id, MIN(b) AS component_id
+    FROM reach GROUP BY a
+    """,
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS from near-dup PAIRS: 3-gram Jaccard >= 0.5
+    edges → connected components by iterative min-label propagation
+    (component id = min doc_id = the canonical document). The oracle walks
+    the same graph with a recursive-CTE transitive closure. Completes the
+    dedup pipeline: candidates → clusters → canonical."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return D.connected_components(edges, docs)

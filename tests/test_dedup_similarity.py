@@ -287,3 +287,21 @@ def test_arrow_paths_on_edge_docs(spark):
     empty = _docs(spark, [])
     assert D.minhash_signatures_arrow(empty).count() == 0
     assert D.doc_shingles_arrow(empty).count() == 0
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    # separate pair 10-11, singleton 20
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.component_id for r in D.connected_components(edges, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_empty_edges(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {r.doc_id: r.component_id for r in D.connected_components(edges, nodes).collect()}
+    assert out == {1: 1, 2: 2}
