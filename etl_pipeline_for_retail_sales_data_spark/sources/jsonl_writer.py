@@ -25,7 +25,12 @@ import os
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -83,6 +88,56 @@ class JsonlDirWriter(DataSourceWriter):
                 os.remove(m.temp_path)
 
 
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    """Streaming micro-batch sink with EXACTLY-ONCE visibility: executors
+    stage each partition to a temp file; the driver's per-batch commit()
+    renames them into place and writes a ``_batch-<id>`` manifest. On
+    failure-replay of an already-committed batch (Structured Streaming
+    re-runs the last batch after a restart), the existing manifest is
+    detected and the staged duplicates are DISCARDED — idempotent commit,
+    the same contract as Spark's file-stream sink log."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir requires .option('path', ...)")
+
+    def write(self, iterator) -> FileCommit:
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        final_name = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        temp_path = os.path.join(self.path, f"_tmp-{final_name}")
+        n = 0
+        with open(temp_path, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=_default) + "\n")
+                n += 1
+        return FileCommit(temp_path=temp_path, final_name=final_name, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = os.path.join(self.path, f"_batch-{batchId}")
+        if os.path.exists(manifest):  # replayed batch: drop staged dupes
+            self.abort(messages, batchId)
+            return
+        total, names = 0, []
+        for m in messages:
+            if m is None:
+                continue
+            name = f"batch-{batchId}-{m.final_name}"
+            os.rename(m.temp_path, os.path.join(self.path, name))
+            names.append(name)
+            total += m.n_rows
+        with open(manifest, "w") as f:
+            json.dump({"files": sorted(names), "rows": total}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)
+
+
 class JsonlDirDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -90,6 +145,9 @@ class JsonlDirDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
         return JsonlDirWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlDirStreamWriter:
+        return JsonlDirStreamWriter(self.options)
 
 
 def register_writer(spark) -> None:

@@ -216,3 +216,93 @@ def test_jsonl_writer_abort_cleans_staged_files(tmp_path):
     w.abort([msg, None])
     assert not os.path.exists(msg.temp_path)
     assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_python_datasource_stream_writer_exactly_once(spark, tmp_path):
+    # streaming WRITE path of the Python DataSource: retail_seed stream →
+    # jsonl_dir stream sink; every batch lands atomically with a
+    # _batch-<id> manifest and the total equals the batch read.
+    import json
+    import os
+
+    from etl_pipeline_for_retail_sales_data_spark.sources.jsonl_writer import register_writer
+    from etl_pipeline_for_retail_sales_data_spark.sources.retail_seed import register
+
+    register(spark)
+    register_writer(spark)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("retail_seed")
+        .load()
+        .writeStream.format("jsonl_dir")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    manifests = sorted(n for n in os.listdir(out) if n.startswith("_batch-"))
+    assert manifests, "no batch manifests written"
+    total = 0
+    for m in manifests:
+        meta = json.load(open(os.path.join(out, m)))
+        for fname in meta["files"]:
+            assert os.path.exists(os.path.join(out, fname))
+        total += meta["rows"]
+    assert total == 30  # both seed days drained
+    assert not [n for n in os.listdir(out) if n.startswith("_tmp-")]
+    n_lines = sum(
+        sum(1 for _ in open(os.path.join(out, n)))
+        for n in os.listdir(out)
+        if n.endswith(".jsonl")
+    )
+    assert n_lines == 30
+
+
+def test_stream_writer_replayed_batch_is_idempotent(tmp_path):
+    # Structured Streaming re-runs the last uncommitted batch after a
+    # restart; a batch whose manifest already exists must discard the
+    # replayed staged files instead of double-committing.
+    import json
+    import os
+
+    from etl_pipeline_for_retail_sales_data_spark.sources.jsonl_writer import (
+        JsonlDirStreamWriter,
+    )
+
+    class Row:
+        def __init__(self, **kw):
+            self._d = kw
+
+        def asDict(self):
+            return self._d
+
+    out = str(tmp_path / "replay_out")
+    w = JsonlDirStreamWriter({"path": out})
+
+    class Ctx:  # write() runs on executors; fake the TaskContext locally
+        @staticmethod
+        def partitionId():
+            return 0
+
+    import pyspark
+
+    orig = pyspark.TaskContext.get
+    pyspark.TaskContext.get = staticmethod(lambda: Ctx())
+    try:
+        m1 = w.write(iter([Row(a=1), Row(a=2)]))
+        w.commit([m1], batchId=7)
+        m2 = w.write(iter([Row(a=1), Row(a=2)]))  # replay of batch 7
+        w.commit([m2], batchId=7)
+    finally:
+        pyspark.TaskContext.get = orig
+
+    jsonl = [n for n in os.listdir(out) if n.endswith(".jsonl")]
+    assert len(jsonl) == 1  # no duplicate visible output
+    meta = json.load(open(os.path.join(out, "_batch-7")))
+    assert meta["rows"] == 2
+    assert not [n for n in os.listdir(out) if n.startswith("_tmp-")]
