@@ -339,3 +339,57 @@ def ann_lsh(
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", round6(F.col("cos")).alias("sim"), "rnk")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Scalar (per-dimension affine) int8 quantization of an embedding
+    column — the storage/bandwidth lever for vector corpora (4x smaller
+    than float32 before any codec). Pass 1 computes per-dimension min/max
+    (exact, order-free aggregates); the 2x``dim``-value stats row
+    broadcasts onto the corpus scan; pass 2 maps each component to
+    q = floor((x-lo)/scale + 0.5) in [0,255] and reports reconstruction
+    error. No shuffle on the corpus side at any scale.
+
+    Float parity: all arithmetic is widened to double first (DuckDB would
+    otherwise subtract in float32), every op is +,-,*,/,floor,abs,min,max
+    (IEEE-deterministic), and the error sum folds sequentially in
+    dimension order on both engines."""
+    mins = F.array(
+        *[F.min(F.element_at(vec_col, i + 1)).cast("double") for i in range(dim)]
+    ).alias("mins")
+    maxs = F.array(
+        *[F.max(F.element_at(vec_col, i + 1)).cast("double") for i in range(dim)]
+    ).alias("maxs")
+    stats = df.agg(mins, maxs)
+
+    j = df.crossJoin(F.broadcast(stats))
+    idx = F.sequence(F.lit(1), F.lit(dim))
+
+    def _x(i):
+        return F.element_at(F.col(vec_col), i).cast("double")
+
+    def _lo(i):
+        return F.element_at(F.col("mins"), i)
+
+    def _scale(i):
+        return F.greatest(
+            (F.element_at(F.col("maxs"), i) - _lo(i)) / 255.0, F.lit(1e-30)
+        )
+
+    def _q(i):
+        return F.floor((_x(i) - _lo(i)) / _scale(i) + F.lit(0.5))
+
+    def _err(i):
+        return F.abs(_x(i) - (_lo(i) + _q(i) * _scale(i)))
+
+    q_arr = F.transform(idx, _q)
+    err_arr = F.transform(idx, _err)
+    sum_err = F.aggregate(err_arr, F.lit(0.0), lambda acc, x: acc + x)
+    return j.select(
+        F.col(id_col),
+        F.element_at(q_arr, 1).cast("long").alias("q_first"),
+        F.element_at(q_arr, dim).cast("long").alias("q_last"),
+        F.aggregate(q_arr, F.lit(0.0), lambda acc, x: acc + x).cast("long").alias("sum_q"),
+        round6(F.array_max(err_arr)).alias("max_abs_err"),
+        round6(sum_err / float(dim)).alias("mean_abs_err"),
+    )

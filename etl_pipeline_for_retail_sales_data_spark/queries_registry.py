@@ -3727,3 +3727,165 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     return D.connected_components(edges, docs)
+
+
+@query(
+    "winsorized_stats",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    cuts AS (
+        SELECT l_returnflag,
+               CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo,
+               CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi
+        FROM c GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           COUNT(*) AS n,
+           FLOOR(MIN(cuts.lo) / 100.0 * 1e6 + 0.5) / 1e6 AS p05,
+           FLOOR(MIN(cuts.hi) / 100.0 * 1e6 + 0.5) / 1e6 AS p95,
+           FLOOR(SUM(LEAST(GREATEST(c.cents, cuts.lo), cuts.hi)) / COUNT(*) / 100.0 * 1e6 + 0.5) / 1e6
+               AS winsorized_mean,
+           FLOOR(SUM(CASE WHEN c.cents BETWEEN cuts.lo AND cuts.hi THEN c.cents ELSE 0 END)
+                 / GREATEST(SUM(CASE WHEN c.cents BETWEEN cuts.lo AND cuts.hi THEN 1 ELSE 0 END), 1)
+                 / 100.0 * 1e6 + 0.5) / 1e6 AS trimmed_mean
+    FROM c JOIN cuts USING (l_returnflag)
+    GROUP BY c.l_returnflag
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: 5%/95% winsorized and trimmed means of
+    extendedprice. Float-parity choreography: prices become INTEGER cents
+    before any aggregation (exact sums in any accumulation order), cut
+    points come from percentile_disc (an actual data value — no
+    interpolation arithmetic to diverge between engines), and the only
+    float ops are two exact divisions + the floor-rounding idiom.
+
+    Scale shape: pass 1 computes per-group cut points (exact disc
+    percentile = one sort-based agg over the group); the tiny cuts frame
+    broadcasts back onto the fact scan for clamping; pass 2 is an ordinary
+    hash agg. At 100 TB swap percentile_disc for approx_percentile and the
+    plan shape is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cuts = c.groupBy("l_returnflag").agg(
+        F.expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) AS BIGINT)").alias("lo"),
+        F.expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) AS BIGINT)").alias("hi"),
+    )
+    w = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    in_band = F.col("cents").between(F.col("lo"), F.col("hi"))
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        c.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            r6(F.min("lo") / 100.0).alias("p05"),
+            r6(F.min("hi") / 100.0).alias("p95"),
+            r6(F.sum(w) / F.count("*") / 100.0).alias("winsorized_mean"),
+            r6(
+                F.sum(F.when(in_band, F.col("cents")).otherwise(F.lit(0)))
+                / F.greatest(F.sum(F.when(in_band, 1).otherwise(0)), F.lit(1))
+                / 100.0
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+def _quantize_oracle(dim: int = 64) -> str:
+    lo_hi = ", ".join(
+        f"MIN(CAST(embedding[{i}] AS DOUBLE)) AS lo{i}, MAX(CAST(embedding[{i}] AS DOUBLE)) AS hi{i}"
+        for i in range(1, dim + 1)
+    )
+    scales = ", ".join(
+        f"lo{i}, GREATEST((hi{i} - lo{i}) / 255.0, 1e-30) AS s{i}" for i in range(1, dim + 1)
+    )
+
+    def x(i):
+        return f"CAST(embedding[{i}] AS DOUBLE)"
+
+    def q(i):
+        return f"FLOOR(({x(i)} - lo{i}) / s{i} + 0.5)"
+
+    def err(i):
+        return f"ABS({x(i)} - (lo{i} + {q(i)} * s{i}))"
+
+    sum_q = " + ".join(q(i) for i in range(1, dim + 1))
+    sum_err = "0.0 + " + " + ".join(err(i) for i in range(1, dim + 1))
+    max_err = "GREATEST(" + ", ".join(err(i) for i in range(1, dim + 1)) + ")"
+    return f"""
+    WITH raw AS (SELECT {lo_hi} FROM embeddings),
+    stats AS (SELECT {scales} FROM raw)
+    SELECT vec_id,
+           CAST({q(1)} AS BIGINT) AS q_first,
+           CAST({q(dim)} AS BIGINT) AS q_last,
+           CAST({sum_q} AS BIGINT) AS sum_q,
+           FLOOR({max_err} * 1e6 + 0.5) / 1e6 AS max_abs_err,
+           FLOOR(({sum_err}) / {float(dim)} * 1e6 + 0.5) / 1e6 AS mean_abs_err
+    FROM embeddings CROSS JOIN stats
+    """
+
+
+@query("embed_quantize_int8", oracle=_quantize_oracle())
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization of the embedding corpus with
+    reconstruction-error report: per-dim min/max stats broadcast onto the
+    scan, components mapped to [0,255], max/mean absolute error per vector
+    (operators.similarity.quantize_int8 — the 4x storage lever for vector
+    search at corpus scale)."""
+    return SIM.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "mad_robust_dispersion",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    med AS (
+        SELECT l_returnflag, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med_cents
+        FROM c GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           FLOOR(MIN(med.med_cents) / 100.0 * 1e6 + 0.5) / 1e6 AS median_price,
+           FLOOR(CAST(quantile_disc(ABS(c.cents - med.med_cents), 0.5) AS BIGINT) / 100.0 * 1e6 + 0.5) / 1e6
+               AS mad_price
+    FROM c JOIN med USING (l_returnflag)
+    GROUP BY c.l_returnflag
+    """,
+)
+def q_mad_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust two-pass pattern:
+    pass 1 gets the per-group median (disc percentile on integer cents, no
+    interpolation to diverge), broadcasts it, pass 2 takes the median of
+    absolute deviations. Same integer-cents float-parity choreography as
+    winsorized_stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    med = c.groupBy("l_returnflag").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)").alias(
+            "med_cents"
+        )
+    )
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    dev = F.abs(F.col("cents") - F.col("med_cents"))
+    return (
+        c.join(F.broadcast(med), "l_returnflag")
+        .withColumn("dev", dev)
+        .groupBy("l_returnflag")
+        .agg(
+            r6(F.min("med_cents") / 100.0).alias("median_price"),
+            r6(
+                F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS BIGINT)") / 100.0
+            ).alias("mad_price"),
+        )
+    )
