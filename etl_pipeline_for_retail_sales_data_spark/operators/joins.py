@@ -62,3 +62,22 @@ def salted_join(
     f = fact.withColumn("__salt", salt_expr.cast("int"))
     d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return f.join(d, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def runtime_filter_join(fact: DataFrame, build: DataFrame, key: str, how: str = "inner") -> DataFrame:
+    """Runtime-filter (semi-join pruned) equi-join: the build side's
+    distinct key set is broadcast as a semi-join filter onto the fact scan
+    BEFORE the real join, so fact rows that can never match are dropped at
+    the scan instead of being shuffled. This is the hand-rolled form of
+    Catalyst's InjectRuntimeFilter / DPP: at 100 TB, a selective dimension
+    predicate (say 2% of parts) means 98% of the fact table never enters
+    the join exchange. Semantically identical to ``fact.join(build, key,
+    how)`` for inner/semi joins (asserted in tests + by the driver oracle,
+    which runs the plain join).
+
+    The distinct-key frame must be broadcastable (it is exactly the case
+    where the build side is selective); when it is not, skip the filter —
+    the plain join's shuffle was unavoidable anyway."""
+    keys = build.select(key).distinct()
+    pruned = fact.join(F.broadcast(keys), key, "left_semi")
+    return pruned.join(build, on=key, how=how)

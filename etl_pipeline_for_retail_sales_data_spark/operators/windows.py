@@ -87,3 +87,46 @@ def sessionize(
             Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     ).drop("__new_session")
+
+
+def scd2_history(
+    df: DataFrame,
+    entity_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from an event log:
+    per entity, consecutive runs of the same attribute value collapse into
+    one version row with [effective_from, effective_to) validity and an
+    is_current flag on the open interval. The classic warehouse dimension
+    load (the reference's truncate-and-replace MySQL load,
+    scripts/loading.py:141-161, is the degenerate type-1 form of this).
+
+    Plan shape: one shuffle on the entity key; change detection (lag),
+    version numbering (cumulative sum), run collapse (min per version) and
+    interval closing (lead) all stream inside that partitioning — no
+    second exchange. Timestamps are surfaced as epoch microseconds
+    (integer) so cross-engine comparison is exact."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    chg = F.when(
+        F.lag(attr_col).over(w).isNull() | (F.lag(attr_col).over(w) != F.col(attr_col)), 1
+    ).otherwise(0)
+    versions = df.withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = versions.groupBy(entity_col, "version", attr_col).agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("effective_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy(entity_col).orderBy("version")
+    return runs.select(
+        entity_col,
+        F.col("version").cast("long").alias("version"),
+        attr_col,
+        "effective_from_us",
+        F.coalesce(F.lead("effective_from_us").over(wv), F.lit(-1)).alias("effective_to_us"),
+        F.lead("effective_from_us").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -3889,3 +3889,254 @@ def q_mad_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_price"),
         )
     )
+
+
+from .operators.joins import runtime_filter_join  # noqa: E402
+from .operators.layout import (  # noqa: E402
+    clamp,
+    interleave_bits,
+    interleave_bits_sql,
+)
+from .operators.sketches import cm_bucket_sql, cm_estimate, cm_sketch_cells  # noqa: E402
+from .operators.windows import scd2_history  # noqa: E402
+
+
+@query(
+    "runtime_filter_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           FLOOR(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 * 1e6 + 0.5) / 1e6
+               AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+    GROUP BY p.p_brand
+    """,
+)
+def q_runtime_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by brand for small parts, executed with an explicit runtime
+    filter: the selective build side's distinct keys broadcast as a
+    semi-join onto the lineitem scan BEFORE the join, so non-matching fact
+    rows never reach the join (operators.joins.runtime_filter_join — the
+    hand-rolled InjectRuntimeFilter/DPP pattern; the oracle runs the plain
+    join, proving semantic equivalence)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    small = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = runtime_filter_join(li, small, "l_partkey")
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        r6(F.sum(c) / 100.0).alias("revenue"),
+    )
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM ordered
+    ),
+    runs AS (
+        SELECT user_id, version, event_type,
+               MIN(epoch_us(ts)) AS effective_from_us,
+               COUNT(*) AS n_events
+        FROM versions GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, effective_from_us,
+           COALESCE(lead(effective_from_us) OVER wv, -1) AS effective_to_us,
+           lead(effective_from_us) OVER wv IS NULL AS is_current,
+           n_events
+    FROM runs
+    WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from the event log: per user,
+    consecutive runs of the same event_type collapse into version rows
+    with [effective_from, effective_to) microsecond validity intervals and
+    an is_current flag (operators.windows.scd2_history — the warehouse
+    dimension-load pattern the reference's truncate-and-replace MySQL sink,
+    scripts/loading.py:141-161, degenerates to as type 1)."""
+    ev = load_events(spark, sf_dir)
+    return scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+
+
+def _cm_oracle(depth: int = 4, width: int = 256, topk: int = 20) -> str:
+    cell_selects = "\n        UNION ALL ".join(
+        f"SELECT {j} AS depth, {cm_bucket_sql('l_partkey', j, width)} AS bucket, COUNT(*) AS n "
+        f"FROM lineitem GROUP BY 2"
+        for j in range(depth)
+    )
+    probe_selects = "\n        UNION ALL ".join(
+        f"SELECT l_partkey, exact_n, {j} AS depth, {cm_bucket_sql('l_partkey', j, width)} AS bucket "
+        f"FROM probes"
+        for j in range(depth)
+    )
+    return f"""
+    WITH exact AS (
+        SELECT l_partkey, COUNT(*) AS exact_n FROM lineitem GROUP BY l_partkey
+    ),
+    probes AS (
+        SELECT l_partkey, exact_n FROM exact ORDER BY exact_n DESC, l_partkey LIMIT {topk}
+    ),
+    cells AS (
+        {cell_selects}
+    ),
+    probe_cells AS (
+        {probe_selects}
+    )
+    SELECT pc.l_partkey, pc.exact_n, MIN(c.n) AS est_n
+    FROM probe_cells pc JOIN cells c USING (depth, bucket)
+    GROUP BY pc.l_partkey, pc.exact_n
+    """
+
+
+@query("cm_heavy_hitters", oracle=_cm_oracle())
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: build a 4x256 sketch over lineitem
+    part keys (bounded-size hash agg regardless of input scale), then
+    point-estimate the top-20 keys and report estimated vs exact counts
+    (operators.sketches — md5-bucketed so DuckDB replays identical math;
+    the overcount-only guarantee is asserted in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = cm_sketch_cells(li, "l_partkey", depth=4, width=256)
+    exact = li.groupBy("l_partkey").agg(F.count("*").alias("exact_n"))
+    probes = exact.orderBy(F.desc("exact_n"), "l_partkey").limit(20)
+    est = cm_estimate(cells, probes, "l_partkey", depth=4, width=256)
+    return probes.join(est, "l_partkey").select("l_partkey", "exact_n", "est_n")
+
+
+@query(
+    "zorder_parts",
+    oracle=f"""
+    WITH xy AS (
+        SELECT p_partkey,
+               LEAST(GREATEST(CAST(p_size AS BIGINT), 0), 63) AS x,
+               LEAST(GREATEST(CAST(FLOOR((p_retailprice - 900.0) * 0.64) AS BIGINT), 0), 63) AS y
+        FROM part
+    )
+    SELECT p_partkey, x, y, {interleave_bits_sql('x', 'y')} AS zval
+    FROM xy
+    """,
+)
+def q_zorder_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two part dimensions — size and
+    a price bucket — bit-interleaved so a parquet layout sorted by zval
+    keeps row-group min/max tight on BOTH dims (operators.layout; the
+    write-side companion zorder_layout range-partitions + sorts by this
+    key). Pure shift/mask integer math, replayed verbatim by the oracle."""
+    p = load_table(spark, sf_dir, "part")
+    x = clamp(F.col("p_size").cast("long"), 0, 63)
+    y = clamp(F.floor((F.col("p_retailprice") - 900.0) * 0.64).cast("long"), 0, 63)
+    xy = p.select("p_partkey", x.alias("x"), y.alias("y"))
+    return xy.select("p_partkey", "x", "y", interleave_bits(F.col("x"), F.col("y")).alias("zval"))
+
+
+@query("pagerank_neardup")
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph (edges = doc pairs
+    with 3-gram Jaccard >= 0.3, symmetrized): the canonical-document picker
+    for dedup clusters — keep the most central copy, drop the rest
+    (operators.graph.pagerank, 6 synchronous iterations, damping 0.85).
+    Iterative float fixpoint → no SQL oracle; property tests assert mass
+    conservation, positivity, and determinism."""
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    pr = pagerank(
+        docs.select(F.col("doc_id")),
+        edges,
+        id_col="doc_id",
+        src="doc_a",
+        dst="doc_b",
+        iterations=6,
+    )
+    return pr.select("doc_id", F.floor(F.col("rank") * 1e6 + F.lit(0.5)).cast("long").alias("rank_ppm"))
+
+
+@query(
+    "skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys, MAX(n) AS max_n FROM per_key)
+    SELECT n_keys,
+           total,
+           max_n,
+           CAST(quantile_disc(n, 0.5) AS BIGINT) AS median_n,
+           CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n,
+           FLOOR(CAST(max_n AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS max_share,
+           FLOOR(CAST(max_n AS DOUBLE) * n_keys / total * 1e6 + 0.5) / 1e6 AS skew_factor
+    FROM per_key, tot
+    GROUP BY n_keys, total, max_n
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic for lineitem's part key: key count,
+    hottest-key share, disc-percentile distribution, and skew factor
+    (max/mean keys-per-key — 1.0 means uniform; >> 1 predicts a straggler
+    partition and argues for salting or AQE skew-join). The operational
+    pre-flight check before choosing a join strategy at scale; all
+    integer math except two exact divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("max_n"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)").alias("median_n"),
+        F.expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT)").alias("p99_n"),
+        r6(F.max("n").cast("double") / F.sum("n")).alias("max_share"),
+        r6(F.max("n").cast("double") * F.count("*") / F.sum("n")).alias("skew_factor"),
+    )
+
+
+@query(
+    "table_checksum",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substring(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+                 CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               ), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group content checksum: each row hashes to a
+    48-bit md5 prefix and the group checksum is the plain SUM — commutative,
+    so partitioning and scan order never change it. The reconciliation
+    primitive for replicated/migrated tables (detect drift without moving
+    data: ship per-group checksums, compare). Money enters the hash as
+    integer cents so float formatting can't flip a digest."""
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(h).alias("checksum"),
+    )

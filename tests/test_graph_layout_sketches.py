@@ -1,0 +1,174 @@
+"""Tests for the scale-technique operators: runtime-filter join, Z-order
+layout, count-min sketch, SCD2 history, PageRank."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_retail_sales_data_spark.operators.graph import pagerank
+from etl_pipeline_for_retail_sales_data_spark.operators.joins import runtime_filter_join
+from etl_pipeline_for_retail_sales_data_spark.operators.layout import (
+    clamp,
+    interleave_bits,
+    zorder_layout,
+)
+from etl_pipeline_for_retail_sales_data_spark.operators.sketches import (
+    cm_estimate,
+    cm_sketch_cells,
+)
+from etl_pipeline_for_retail_sales_data_spark.operators.windows import scd2_history
+from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------- runtime filter
+def test_runtime_filter_join_equals_plain_join(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem").select("l_partkey", "l_quantity")
+    small = (
+        load_table(spark, sf_smoke, "part")
+        .filter(F.col("p_size") <= 5)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    got = runtime_filter_join(li, small, "l_partkey")
+    want = li.join(small, "l_partkey")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_runtime_filter_join_plan_has_semi_prune(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    small = (
+        load_table(spark, sf_smoke, "part")
+        .filter(F.col("p_size") <= 5)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    plan = runtime_filter_join(li, small, "l_partkey")._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------- z-order
+def _interleave_py(x, y, bits=6):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_interleave_matches_python_and_roundtrips(spark):
+    rows = [(x, y) for x in (0, 1, 5, 31, 63) for y in (0, 2, 17, 63)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", interleave_bits(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _interleave_py(x, y)
+    # bijectivity on the clamped domain
+    assert len(set(got.values())) == len(rows)
+
+
+def test_zorder_layout_partitions_own_contiguous_ranges(spark, sf_smoke):
+    p = load_table(spark, sf_smoke, "part")
+    x = clamp(F.col("p_size").cast("long"), 0, 63)
+    y = clamp(F.floor((F.col("p_retailprice") - 900.0) * 0.64).cast("long"), 0, 63)
+    z = interleave_bits(x, y)
+    laid = zorder_layout(p, z, n_files=4)
+    # each output partition owns a contiguous, non-overlapping z-range
+    part_ranges = (
+        laid.withColumn("__z2", interleave_bits(x, y))
+        .withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.min("__z2").alias("lo"), F.max("__z2").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for a, b in zip(part_ranges, part_ranges[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+# ------------------------------------------------------------------- count-min
+def test_cm_sketch_never_undercounts(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    cells = cm_sketch_cells(li, "l_suppkey", depth=3, width=32)
+    exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_n"))
+    est = cm_estimate(cells, exact, "l_suppkey", depth=3, width=32)
+    joined = exact.join(est, "l_suppkey").collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert r["est_n"] >= r["exact_n"]
+
+
+def test_cm_sketch_bounded_cells(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    cells = cm_sketch_cells(li, "l_partkey", depth=4, width=16)
+    assert cells.count() <= 4 * 16
+    # every input row lands in exactly one bucket per depth row
+    per_depth = cells.groupBy("depth").agg(F.sum("n").alias("total")).collect()
+    n_rows = li.count()
+    assert all(r["total"] == n_rows for r in per_depth)
+
+
+# ------------------------------------------------------------------------ SCD2
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    t = datetime.datetime
+    rows = [
+        (1, "free", t(2024, 1, 1), 1),
+        (1, "free", t(2024, 1, 2), 2),
+        (1, "pro", t(2024, 1, 5), 3),
+        (1, "free", t(2024, 1, 9), 4),
+        (2, "pro", t(2024, 1, 1), 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, plan string, ts timestamp, event_id long")
+    hist = scd2_history(df, "user_id", "plan", "ts", "event_id").orderBy("user_id", "version")
+    got = [
+        (r.user_id, r.version, r.plan, r.is_current, r.n_events) for r in hist.collect()
+    ]
+    assert got == [
+        (1, 1, "free", False, 2),
+        (1, 2, "pro", False, 1),
+        (1, 3, "free", True, 1),
+        (2, 1, "pro", True, 1),
+    ]
+    rows_by_version = {(r.user_id, r.version): r for r in hist.collect()}
+    # intervals chain: v1 closes where v2 opens; current row is open (-1)
+    assert (
+        rows_by_version[(1, 1)].effective_to_us == rows_by_version[(1, 2)].effective_from_us
+    )
+    assert rows_by_version[(1, 3)].effective_to_us == -1
+
+
+# -------------------------------------------------------------------- PageRank
+@pytest.fixture(scope="module")
+def pr_result(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    # 1<->2<->3 triangle-ish cluster, 4->5, 6 dangling
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (4, 5)], "src long, dst long"
+    )
+    return pagerank(nodes, edges, iterations=10).collect()
+
+
+def test_pagerank_conserves_mass_and_positive(pr_result):
+    total = sum(r["rank"] for r in pr_result)
+    assert abs(total - 6.0) < 1e-6
+    assert all(r["rank"] > 0 for r in pr_result)
+
+
+def test_pagerank_ordering_reflects_structure(pr_result):
+    ranks = {r["id"]: r["rank"] for r in pr_result}
+    # 5 receives from 4; 4 and 6 receive only teleport+dangling mass
+    assert ranks[5] > ranks[4]
+    assert ranks[2] > ranks[4]
+    # symmetric triangle nodes 1 and 3 get identical ranks
+    assert abs(ranks[1] - ranks[3]) < 1e-9
+
+
+def test_pagerank_deterministic(spark, pr_result):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (4, 5)], "src long, dst long"
+    )
+    again = pagerank(nodes, edges, iterations=10).collect()
+    assert {r["id"]: r["rank"] for r in again} == {r["id"]: r["rank"] for r in pr_result}
