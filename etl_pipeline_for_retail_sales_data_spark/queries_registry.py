@@ -4140,3 +4140,55 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(h).alias("checksum"),
     )
+
+
+@query(
+    "incremental_rollup",
+    oracle="""
+    WITH partials AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents,
+               MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS min_cents,
+               MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(n) AS BIGINT) AS n_orders,
+           FLOOR(CAST(SUM(sum_cents) AS BIGINT) / 100.0 * 1e6 + 0.5) / 1e6 AS total_price,
+           FLOOR(MIN(min_cents) / 100.0 * 1e6 + 0.5) / 1e6 AS min_price,
+           FLOOR(MAX(max_cents) / 100.0 * 1e6 + 0.5) / 1e6 AS max_price,
+           FLOOR(CAST(SUM(sum_cents) AS BIGINT) / CAST(SUM(n) AS BIGINT) / 100.0 * 1e6 + 0.5) / 1e6
+               AS avg_price
+    FROM partials GROUP BY o_orderstatus
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance pattern: per-day partial aggregate
+    states (count/sum/min/max — all algebraic, so partials MERGE exactly)
+    re-aggregated into the global per-status rollup, with avg derived from
+    merged sum/count rather than averaged averages. At 100 TB this is how
+    a standing rollup absorbs a new day: aggregate ONLY the new partition
+    into a partial-state row, merge with the stored states — history is
+    never rescanned (the daily plan's idempotent partition overwrite,
+    plans/daily.py, stores exactly these states). The oracle computes the
+    same two-level aggregation; equality with the one-shot aggregate is
+    the algebraic-merge property itself."""
+    o = load_table(spark, sf_dir, "orders")
+    c = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    partials = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"), "o_orderstatus"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("sum_cents"),
+        F.min(c).alias("min_cents"),
+        F.max(c).alias("max_cents"),
+    )
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return partials.groupBy("o_orderstatus").agg(
+        F.sum("n").alias("n_orders"),
+        r6(F.sum("sum_cents") / 100.0).alias("total_price"),
+        r6(F.min("min_cents") / 100.0).alias("min_price"),
+        r6(F.max("max_cents") / 100.0).alias("max_price"),
+        r6((F.sum("sum_cents") / F.sum("n")) / 100.0).alias("avg_price"),
+    )
