@@ -71,3 +71,31 @@ def byte_lengths_arrow(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInArrow(
         lengths, "doc_id long, payload_len_arrow int"
     )
+
+
+def user_value_profile_arrow(events: DataFrame) -> DataFrame:
+    """Per-user value profile via groupBy().applyInArrow — the zero-copy
+    grouped-map shape (Spark 4): each group arrives as ONE pyarrow Table,
+    compute kernels run without a pandas conversion, and the result Table
+    ships straight back over Arrow IPC. Same shuffle as any grouped map
+    (one exchange on the group key); prefer this over applyInPandas when
+    the group fits in memory and the logic is expressible in pyarrow
+    compute — it skips the pandas materialization entirely. Equality with
+    the JVM aggregate is pinned in tests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def profile(table: pa.Table) -> pa.Table:
+        v = table["value"]
+        return pa.table(
+            {
+                "user_id": [table["user_id"][0].as_py()],
+                "n_events": [table.num_rows],
+                "total_value": [pc.sum(v).as_py()],
+                "max_value": [pc.max(v).as_py()],
+            }
+        )
+
+    return events.groupBy("user_id").applyInArrow(
+        profile, schema="user_id long, n_events long, total_value double, max_value double"
+    )

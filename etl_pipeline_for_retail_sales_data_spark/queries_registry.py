@@ -4192,3 +4192,36 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.max("max_cents") / 100.0).alias("max_price"),
         r6((F.sum("sum_cents") / F.sum("n")) / 100.0).alias("avg_price"),
     )
+
+
+@query(
+    "pipe_syntax_priority_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 * 1e6 + 0.5) / 1e6
+               AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+)
+def q_pipe_syntax_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operator chains — filter, aggregate,
+    post-aggregate filter as sequential pipeline steps): the modern SQL
+    front door reading top-to-bottom like the DataFrame API. Same logical
+    plan as the classic formulation the oracle runs; Catalyst treats both
+    identically."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n,
+                     FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 * 1e6 + 0.5) / 1e6
+                         AS total_price
+           GROUP BY o_orderpriority
+        |> WHERE n > 10
+        """
+    )

@@ -166,3 +166,31 @@ def test_merge_parquet_rejects_remote_scheme(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError, match="local-FS"):
         merge_parquet(spark, df, "s3://bucket/table", ["id"])
+
+
+def test_apply_in_arrow_profile_equals_jvm_agg(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.pandas_ops import (
+        user_value_profile_arrow,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_smoke)
+    got = {r.user_id: (r.n_events, r.total_value, r.max_value)
+           for r in user_value_profile_arrow(ev).collect()}
+    want = {
+        r.user_id: (r.n_events, r.total_value, r.max_value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+        assert got[k][2] == want[k][2]
