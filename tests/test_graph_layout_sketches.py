@@ -172,3 +172,51 @@ def test_pagerank_deterministic(spark, pr_result):
     )
     again = pagerank(nodes, edges, iterations=10).collect()
     assert {r["id"]: r["rank"] for r in again} == {r["id"]: r["rank"] for r in pr_result}
+
+
+def test_zorder_write_narrows_rowgroup_stats(spark, sf_smoke, tmp_path):
+    """The point of Z-ordering, proven on real parquet footers: after a
+    z-ordered write, each file's min/max span on BOTH encoded dimensions
+    is far narrower than the full domain, so a predicate on either
+    dimension can skip most files/row-groups on statistics alone."""
+    import pyarrow.parquet as pq
+
+    p = load_table(spark, sf_smoke, "part")
+    lo, hi = p.agg(F.min("p_retailprice"), F.max("p_retailprice")).first()
+    x = clamp(F.col("p_size").cast("long"), 0, 63)
+    # normalize price to the observed range so y fills the 0..63 domain
+    # regardless of scale factor
+    y = clamp(
+        F.floor((F.col("p_retailprice") - lo) / (hi - lo + 1e-9) * 64).cast("long"), 0, 63
+    )
+    enc = p.select("p_partkey", x.alias("zx"), y.alias("zy"))
+    z = interleave_bits(F.col("zx"), F.col("zy"))
+
+    out_z = str(tmp_path / "zordered")
+    out_plain = str(tmp_path / "plain")
+    zorder_layout(enc, z, n_files=16).write.parquet(out_z)
+    enc.repartition(16).write.parquet(out_plain)
+
+    def mean_file_span(path, col):
+        spans = []
+        import glob, os
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                spans.append(max(his) - min(los))
+        assert spans, f"no stats found under {path}"
+        return sum(spans) / len(spans)
+
+    for col in ("zx", "zy"):
+        z_span = mean_file_span(out_z, col)
+        plain_span = mean_file_span(out_plain, col)
+        # round-robin files each cover ~the full 0..63 domain; z-ordered
+        # files must be at least 2x tighter on BOTH dimensions
+        assert z_span * 2 <= plain_span, (col, z_span, plain_span)
