@@ -4225,3 +4225,34 @@ def q_pipe_syntax_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         |> WHERE n > 10
         """
     )
+
+
+@query(
+    "file_audit",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    """,
+)
+def q_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-input-file audit via the hidden `_metadata` column: row count,
+    key range, and checksum-grade cents total for every physical file in
+    the scan — the bookkeeping primitive for incremental ingestion
+    (which files landed, what they contained) with zero extra I/O (the
+    metadata struct is constant-folded per split, never read from disk).
+    The oracle encodes the driver's known one-file-per-table layout
+    (TESTDATA.md) as a constant; DuckDB's filename=true variant produces
+    the same rows but can't run on the pre-registered views."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(F.col("_metadata.file_name").alias("file_name"), "o_orderkey", "o_totalprice").groupBy(
+        "file_name"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
+    )

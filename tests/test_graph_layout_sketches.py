@@ -220,3 +220,28 @@ def test_zorder_write_narrows_rowgroup_stats(spark, sf_smoke, tmp_path):
         # round-robin files each cover ~the full 0..63 domain; z-ordered
         # files must be at least 2x tighter on BOTH dimensions
         assert z_span * 2 <= plain_span, (col, z_span, plain_span)
+
+
+# ---------------------------------------------------------------- empty inputs
+def test_new_ops_on_empty_inputs(spark):
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, plan string, ts timestamp, event_id long"
+    )
+    assert scd2_history(empty_ev, "user_id", "plan", "ts", "event_id").count() == 0
+
+    empty_kv = spark.createDataFrame([], "k long")
+    cells = cm_sketch_cells(empty_kv, "k", depth=2, width=8)
+    assert cells.count() == 0
+    assert cm_estimate(cells, empty_kv, "k", depth=2, width=8).count() == 0
+
+    nodes = spark.createDataFrame([], "id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(nodes, edges, iterations=2).count() == 0
+
+    # nodes but no edges: every node ends at exactly rank 1 (teleport +
+    # dangling redistribution fixpoint)
+    nodes3 = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    ranks = pagerank(nodes3, edges, iterations=3).collect()
+    assert len(ranks) == 3
+    for r in ranks:
+        assert abs(r["rank"] - 1.0) < 1e-9
