@@ -4256,3 +4256,29 @@ def q_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("max_key"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
     )
+
+
+@query(
+    "streaming_static_enrichment",
+    oracle="""
+    WITH dim(event_type, stage) AS (
+        VALUES ('view', 'awareness'), ('click', 'engagement'),
+               ('signup', 'conversion'), ('purchase', 'conversion'),
+               ('error', 'ops')
+    )
+    SELECT stage,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events JOIN dim USING (event_type)
+    GROUP BY stage
+    """,
+)
+def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (streaming/windows.py
+    stream_static_enrichment): the events stream enriched with a static
+    funnel-stage dimension per micro-batch, aggregated per stage; the
+    batch-SQL oracle proves the streaming result equals the one-shot
+    join."""
+    from .streaming.windows import stream_static_enrichment
+
+    return stream_static_enrichment(spark, sf_dir)

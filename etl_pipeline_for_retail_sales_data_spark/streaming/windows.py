@@ -281,3 +281,32 @@ def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against a static
+    dimension (event_type → funnel stage), then aggregated per stage.
+    The static side is broadcast into every micro-batch — no state, no
+    watermark needed for a static inner join, and at scale the dimension
+    is re-read per batch only if its source changes (here it is a literal
+    frame). This is THE standard enrichment shape for click streams
+    against slowly-refreshed dimension snapshots."""
+    ev = _events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [
+            ("view", "awareness"),
+            ("click", "engagement"),
+            ("signup", "conversion"),
+            ("purchase", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, stage string",
+    )
+    joined = ev.join(F.broadcast(dim), "event_type")
+    # per-row cents BEFORE the sum: integer accumulation is order-free,
+    # a raw double sum is not (float-parity doctrine, NOTES.md)
+    agg = joined.groupBy("stage").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("value_cents"),
+    )
+    return _run_to_completion(spark, agg, "stream_static")
