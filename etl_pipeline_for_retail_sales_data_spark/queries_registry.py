@@ -4282,3 +4282,43 @@ def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     from .streaming.windows import stream_static_enrichment
 
     return stream_static_enrichment(spark, sf_dir)
+
+
+@query(
+    "grouped_agg_weighted_price",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             / 100.0 * 1e6 + 0.5) / 1e6 AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_grouped_agg_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per return flag via a GROUPED_AGG
+    pandas UDF — the true Python UDAF surface (per-group Series → scalar,
+    Arrow transfer, partial aggregation NOT available: the whole group's
+    columns ship to Python, which is exactly why built-ins win when they
+    can express the logic; this query exists to cover the API and pin its
+    semantics against the identical JVM-side formulation). Internals are
+    integer cents×quantity sums (order-free, exact), one float division
+    at the end."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg_cents(cents: pd.Series, qty: pd.Series) -> float:
+        num = int((cents.astype("int64") * qty.astype("int64")).sum())
+        den = int(qty.astype("int64").sum())
+        return num / den
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        li.select("l_returnflag", c.alias("cents"), F.col("l_quantity").cast("long").alias("qty"))
+        .groupBy("l_returnflag")
+        .agg(r6(weighted_avg_cents(F.col("cents"), F.col("qty")) / 100.0).alias("weighted_avg_price"))
+    )
