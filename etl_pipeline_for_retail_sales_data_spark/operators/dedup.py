@@ -389,3 +389,46 @@ def simhash_64(df: DataFrame, text_col: str = "text") -> DataFrame:
         term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return sums.select("doc_id", sig.alias("simhash"))
+
+
+def canonical_dedup(
+    docs: DataFrame,
+    edges: DataFrame,
+    ranks: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full near-dup dedup decision: given candidate edges and a
+    centrality score per document, group documents into components and
+    keep exactly ONE canonical representative per component — the
+    highest-centrality member (ties broken by min id, so the choice is
+    total and deterministic). Non-keepers carry their keeper's id for
+    provenance. This is the last step of the corpus-dedup pipeline:
+    documents in → `{doc_id, component, is_keeper, keeper_id}` out; the
+    downstream training set filters `is_keeper`.
+
+    Scale shape: components via min-label propagation (see
+    connected_components), then one window (rank over component) — both
+    keyed on node/component ids. The ranks frame is a per-doc scalar
+    (PageRank output or any quality score); no additional shuffle beyond
+    the window's."""
+    from pyspark.sql import Window
+
+    comp = connected_components(edges, docs.select(id_col), id_col=id_col)
+    scored = comp.join(ranks.select(id_col, "rank"), id_col, "left").withColumn(
+        "rank", F.coalesce(F.col("rank"), F.lit(0.0))
+    )
+    w = Window.partitionBy("component_id").orderBy(F.desc("rank"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("is_keeper", F.col("__rn") == 1)
+        .withColumn(
+            "keeper_id",
+            F.first(F.col(id_col)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .select(
+            id_col,
+            F.col("component_id").alias("component"),
+            "is_keeper",
+            "keeper_id",
+        )
+    )

@@ -4322,3 +4322,21 @@ def q_grouped_agg_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(r6(weighted_avg_cents(F.col("cents"), F.col("qty")) / 100.0).alias("weighted_avg_price"))
     )
+
+
+@query("canonical_dedup_pipeline")
+def q_canonical_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup decision: 3-gram Jaccard candidate edges →
+    connected components → PageRank centrality → ONE canonical keeper per
+    near-dup cluster (highest rank, min-id tiebreak), non-keepers pointing
+    at their keeper (operators.dedup.canonical_dedup). The composition of
+    the whole dedup family into the artifact a training pipeline actually
+    consumes; iterative stages → rows-only with structural property
+    tests."""
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b").persist()
+    sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    pr = pagerank(docs.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4)
+    return D.canonical_dedup(docs, pairs, pr)

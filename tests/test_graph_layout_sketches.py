@@ -245,3 +245,31 @@ def test_new_ops_on_empty_inputs(spark):
     assert len(ranks) == 3
     for r in ranks:
         assert abs(r["rank"] - 1.0) < 1e-9
+
+
+# ------------------------------------------------------------ canonical dedup
+def test_canonical_dedup_one_keeper_per_component(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.dedup import canonical_dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # components: {1,2,3}, {4,5}; singletons 6, 7
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long")
+    ranks = spark.createDataFrame(
+        [(1, 0.5), (2, 2.0), (3, 1.0), (4, 1.0), (5, 1.0), (6, 0.1), (7, 0.2)],
+        "doc_id long, rank double",
+    )
+    out = canonical_dedup(docs, edges, ranks).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    assert set(by_comp) == {1, 4, 6, 7}
+    for comp, rows in by_comp.items():
+        keepers = [r for r in rows if r.is_keeper]
+        assert len(keepers) == 1
+        # every member points at the component's keeper
+        assert all(r.keeper_id == keepers[0].doc_id for r in rows)
+    # highest rank wins in {1,2,3}; equal ranks in {4,5} -> min id wins
+    assert [r for r in by_comp[1] if r.is_keeper][0].doc_id == 2
+    assert [r for r in by_comp[4] if r.is_keeper][0].doc_id == 4
+    # singletons keep themselves
+    assert by_comp[6][0].is_keeper and by_comp[7][0].is_keeper
