@@ -273,3 +273,34 @@ def test_canonical_dedup_one_keeper_per_component(spark):
     assert [r for r in by_comp[4] if r.is_keeper][0].doc_id == 4
     # singletons keep themselves
     assert by_comp[6][0].is_keeper and by_comp[7][0].is_keeper
+
+
+def test_interleave_n_three_dims_matches_python(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.layout import interleave_bits_n
+
+    def ref(vals, bits=6):
+        z, n = 0, len(vals)
+        for i in range(bits):
+            for d, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * n + d)
+        return z
+
+    rows = [(a, b, c) for a in (0, 7, 63) for b in (1, 32) for c in (0, 63)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.select(
+        "a", "b", "c",
+        interleave_bits_n([F.col("a"), F.col("b"), F.col("c")]).alias("z"),
+    ).collect()
+    for r in got:
+        assert r.z == ref([r.a, r.b, r.c])
+    # 2-dim n-ary form must equal the classic pairwise interleave
+    df2 = spark.createDataFrame([(5, 9), (63, 0)], "x long, y long")
+    both = df2.select(
+        interleave_bits(F.col("x"), F.col("y")).alias("z2"),
+        interleave_bits_n([F.col("x"), F.col("y")]).alias("zn"),
+    ).collect()
+    assert all(r.z2 == r.zn for r in both)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        interleave_bits_n([F.col("a")] * 11, bits=6)
