@@ -272,3 +272,32 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     normalized lowercase text — the exact-dedup key for noisy duplicates."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
     return df.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each row draws a uniform u from a hash of (seed, id)
+    and gets priority u^(1/w); the k highest priorities are the sample.
+    Inclusion probability is proportional to weight, and because u comes
+    from md5 — not an RNG — the sample is reproducible across runs,
+    partitionings, and cluster sizes (re-running a 100 TB corpus job
+    yields the same training subset; randomSplit/sample cannot promise
+    that under repartitioning).
+
+    Plan shape: scan-local priority computation + global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort). The
+    transcendental pow() keeps this out of the DuckDB oracle set (ln/pow
+    are not bit-stable across engines); determinism and weight-bias are
+    pinned by property tests instead."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # u in (0,1): 2^24-bucket md5 hash, offset by 0.5 so u is never 0 or 1
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 6), 16, 10).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 24))
+    priority = F.pow(u, 1.0 / w.cast("double"))
+    return df.withColumn("__priority", priority).orderBy(F.desc("__priority"), F.asc(id_col)).limit(k)

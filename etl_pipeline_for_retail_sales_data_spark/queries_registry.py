@@ -4340,3 +4340,15 @@ def q_canonical_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
     pr = pagerank(docs.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4)
     return D.canonical_dedup(docs, pairs, pr)
+
+
+@query("weighted_sample_docs")
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES, operators.text.weighted_sample): 50 documents drawn with
+    probability ∝ length, reproducible across runs/partitionings because
+    the per-row uniform comes from md5(seed:id), not an RNG. pow/ln are
+    not bit-stable across engines → rows-only, with determinism and
+    weight-bias property tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id", "lang", "n_chars")

@@ -304,3 +304,27 @@ def test_interleave_n_three_dims_matches_python(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         interleave_bits_n([F.col("a")] * 11, bits=6)
+
+
+# ------------------------------------------------------------ weighted sample
+def test_weighted_sample_deterministic_and_biased(spark, sf_smoke):
+    from etl_pipeline_for_retail_sales_data_spark.operators.text import weighted_sample
+
+    docs = load_table(spark, sf_smoke, "documents")
+    s1 = [r.doc_id for r in weighted_sample(docs, F.col("n_chars"), 50).select("doc_id").collect()]
+    s2 = [r.doc_id for r in weighted_sample(docs, F.col("n_chars"), 50).select("doc_id").collect()]
+    assert s1 == s2 and len(s1) == 50 and len(set(s1)) == 50
+
+    # different seed -> different sample (overwhelmingly)
+    s3 = [r.doc_id for r in weighted_sample(docs, F.col("n_chars"), 50, seed=7).select("doc_id").collect()]
+    assert s1 != s3
+
+    # extreme weights dominate: give 10 chosen docs weight 10_000x, rest 1
+    heavy = set(range(1, 11))
+    w = F.when(F.col("doc_id").isin(*heavy), 10_000.0).otherwise(1.0)
+    got = {r.doc_id for r in weighted_sample(docs, w, 10).select("doc_id").collect()}
+    assert len(got & heavy) >= 9
+
+    # plan: global top-k must be TakeOrderedAndProject, not a full sort
+    plan = weighted_sample(docs, F.col("n_chars"), 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
