@@ -4352,3 +4352,180 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight-bias property tests."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "iqr_outlier_fence",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    q AS (
+        SELECT o_orderstatus,
+               CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+               CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3
+        FROM c GROUP BY o_orderstatus
+    )
+    SELECT c.o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN c.cents * 2 < q.q1 * 5 - q.q3 * 3
+                           OR c.cents * 2 > q.q3 * 5 - q.q1 * 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM c JOIN q USING (o_orderstatus)
+    GROUP BY c.o_orderstatus
+    """,
+)
+def q_iqr_outlier_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fencing per group, in pure integer arithmetic:
+    x < Q1 - 1.5*IQR  ⟺  2x < 5*Q1 - 3*Q3 (both sides scaled by 2 so the
+    1.5 factor never touches floats). Quartiles via percentile_disc on
+    integer cents — the data-cleaning pre-filter for training pipelines,
+    exact on both engines. Same broadcast-cuts two-pass shape as
+    winsorized_stats."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    q = c.groupBy("o_orderstatus").agg(
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT)").alias("q1"),
+        F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT)").alias("q3"),
+    )
+    is_out = (F.col("cents") * 2 < F.col("q1") * 5 - F.col("q3") * 3) | (
+        F.col("cents") * 2 > F.col("q3") * 5 - F.col("q1") * 3
+    )
+    return (
+        c.join(F.broadcast(q), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "event_dedup_window",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM ranked
+    WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 300 * 1000000
+    GROUP BY user_id
+    """,
+)
+def q_event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed dedup (batch twin of dropDuplicatesWithinWatermark):
+    within (user, event_type), an event repeating within 5 minutes of the
+    previous kept-or-dropped occurrence is a duplicate delivery and is
+    dropped; per-user surviving counts and value totals. Gap test in
+    integer microseconds (no float time math). One shuffle on the
+    dedup key."""
+    ev = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    keep = prev.isNull() | (F.unix_micros(F.col("ts")) - prev > 300 * 1_000_000)
+    return (
+        ev.withColumn("__keep", keep)
+        .filter(F.col("__keep"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 1000
+                    ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents
+        FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 8
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                WHEN a.cents <> b.cents THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n,
+           CAST(SUM(COALESCE(b.cents, 0) - COALESCE(a.cents, 0)) AS BIGINT) AS cents_delta
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: FULL OUTER JOIN of two keyed
+    snapshots classifies every key as insert/delete/update/unchanged and
+    totals the value drift — the reconciliation op when a source system
+    has no change log (the reference's truncate-and-reload world,
+    scripts/loading.py:141-161, gives exactly these before/after states).
+    Snapshots here are deterministic filters/mutations of orders so the
+    oracle reproduces them; at scale this is one sort-merge join on the
+    key with map-side classification."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    a = o.filter(F.col("o_orderkey") % 10 < 8).select("o_orderkey", cents.alias("cents_a"))
+    b = o.filter((F.col("o_orderkey") % 10 >= 1) & (F.col("o_orderkey") % 10 <= 8)).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, cents + 1000).otherwise(cents).alias("cents_b"),
+    )
+    j = a.join(b, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("cents_a").isNull(), "insert")
+        .when(F.col("cents_b").isNull(), "delete")
+        .when(F.col("cents_a") != F.col("cents_b"), "update")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change_type")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce(F.col("cents_b"), F.lit(0)) - F.coalesce(F.col("cents_a"), F.lit(0)))
+        .cast("long")
+        .alias("cents_delta"),
+    )
+
+
+@query(
+    "gini_concentration",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           FLOOR((1.0 - SUM(CAST(n AS DOUBLE) * n) / (MIN(total) * MIN(total))) * 1e6 + 0.5) / 1e6
+               AS gini_impurity,
+           FLOOR(MAX(n) / CAST(MIN(total) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS majority_share
+    FROM c, t
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of the language distribution — the label-balance
+    metric for a training corpus, chosen over entropy precisely because
+    1 - Σp² is rational arithmetic (ln is not bit-stable across engines).
+    Integer counts, one squared-sum, two exact divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return c.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        r6(
+            1.0
+            - F.sum(F.col("n").cast("double") * F.col("n")) / (F.sum("n") * F.sum("n"))
+        ).alias("gini_impurity"),
+        r6(F.max("n") / F.sum("n").cast("double")).alias("majority_share"),
+    )
