@@ -4529,3 +4529,115 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini_impurity"),
         r6(F.max("n") / F.sum("n").cast("double")).alias("majority_share"),
     )
+
+
+@query(
+    "bigram_conditional_prob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+    ),
+    bi AS (
+        SELECT UNNEST(list_transform(range(len(toks) - 1),
+                      i -> toks[i + 1])) AS w1,
+               UNNEST(list_transform(range(len(toks) - 1),
+                      i -> toks[i + 2])) AS w2
+        FROM toks WHERE len(toks) >= 2
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bi GROUP BY w1, w2),
+    uni AS (SELECT w1, SUM(n_bigram) AS n_first FROM big GROUP BY w1),
+    scored AS (
+        SELECT b.w1, b.w2, b.n_bigram, u.n_first,
+               FLOOR(CAST(b.n_bigram AS DOUBLE) / u.n_first * 1e6 + 0.5) / 1e6 AS p_cond,
+               ROW_NUMBER() OVER (ORDER BY b.n_bigram DESC, b.w1, b.w2) AS rnk
+        FROM big b JOIN uni u USING (w1)
+    )
+    SELECT w1, w2, CAST(n_bigram AS BIGINT) AS n_bigram,
+           CAST(n_first AS BIGINT) AS n_first, p_cond, rnk
+    FROM scored WHERE rnk <= 20
+    """,
+)
+def q_bigram_conditional_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional probability P(w2|w1) = n(w1 w2)/n(w1 ·) for the
+    20 most frequent bigrams — the counting backbone of n-gram language
+    modeling / next-token statistics over a corpus. Both the bigram and
+    the first-token marginal come from ONE shingling pass (the marginal
+    is a re-aggregation of bigram counts, not a second scan); integer
+    counts, one exact division, deterministic rank tiebreaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = D.doc_shingles(docs, n=2, distinct=False).select(
+        F.split(F.col("shingle"), " ", 2).alias("parts")
+    ).select(F.col("parts")[0].alias("w1"), F.col("parts")[1].alias("w2"))
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
+    uni = big.groupBy("w1").agg(F.sum("n_bigram").alias("n_first"))
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    from pyspark.sql import Window
+
+    scored = (
+        big.join(uni, "w1")
+        .withColumn("p_cond", r6(F.col("n_bigram").cast("double") / F.col("n_first")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_bigram").desc(), F.col("w1"), F.col("w2"))
+            ),
+        )
+    )
+    return scored.filter(F.col("rnk") <= 20).select(
+        "w1", "w2", F.col("n_bigram").cast("long").alias("n_bigram"),
+        F.col("n_first").cast("long").alias("n_first"), "p_cond", "rnk",
+    )
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+    ),
+    cuts AS (
+        SELECT CAST(quantile_disc(cents, 0.25) AS BIGINT) AS c1,
+               CAST(quantile_disc(cents, 0.50) AS BIGINT) AS c2,
+               CAST(quantile_disc(cents, 0.75) AS BIGINT) AS c3
+        FROM c
+    )
+    SELECT CASE WHEN cents <= c1 THEN 0 WHEN cents <= c2 THEN 1
+                WHEN cents <= c3 THEN 2 ELSE 3 END AS bucket,
+           COUNT(*) AS n,
+           FLOOR(MIN(cents) / 100.0 * 1e6 + 0.5) / 1e6 AS lo_price,
+           FLOOR(MAX(cents) / 100.0 * 1e6 + 0.5) / 1e6 AS hi_price
+    FROM c, cuts
+    GROUP BY 1
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile binning) of order totals — the
+    complement of the fixed-width `histogram_totalprice`: bucket
+    boundaries are disc-percentile cut points (actual data values) so
+    each bucket holds ~25% of rows regardless of skew; this is how an
+    optimizer's histogram statistics and feature-binning transforms
+    bucket at scale. Cut points broadcast onto the scan; all comparisons
+    on integer cents."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"))
+    cuts = c.agg(
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT)").alias("c1"),
+        F.expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS BIGINT)").alias("c2"),
+        F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT)").alias("c3"),
+    )
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    bucket = (
+        F.when(F.col("cents") <= F.col("c1"), 0)
+        .when(F.col("cents") <= F.col("c2"), 1)
+        .when(F.col("cents") <= F.col("c3"), 2)
+        .otherwise(3)
+    )
+    return (
+        c.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            r6(F.min("cents") / 100.0).alias("lo_price"),
+            r6(F.max("cents") / 100.0).alias("hi_price"),
+        )
+    )
