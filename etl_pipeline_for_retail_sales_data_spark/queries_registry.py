@@ -4641,3 +4641,106 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.max("cents") / 100.0).alias("hi_price"),
         )
     )
+
+
+@query(
+    "sampled_group_estimate",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus,
+               CAST(('0x' || substring(md5('s:' || CAST(o_orderkey AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 10 AS b
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS exact_n,
+           CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) * 10 AS BIGINT) AS est_n,
+           FLOOR(ABS(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) * 10.0 - COUNT(*))
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS rel_error
+    FROM s GROUP BY o_orderstatus
+    """,
+)
+def q_sampled_group_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by DETERMINISTIC 10% hash sampling:
+    group counts estimated from rows whose md5(key) bucket is 0, scaled
+    x10, with relative error against the exact count. Unlike TABLESAMPLE
+    the sample is stable across runs/partitionings (auditable estimates),
+    and at 100 TB the sampled scan is the only full-data touch — the
+    estimate pipeline is 10% of the I/O. Integer counts, one float
+    division for the error report."""
+    o = load_table(spark, sf_dir, "orders")
+    b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("s:"), F.col("o_orderkey").cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 10
+    )
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    samp = F.sum(F.when(b == 0, 1).otherwise(0))
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("exact_n"),
+        (samp * 10).cast("long").alias("est_n"),
+        r6(F.abs(samp * 10.0 - F.count("*")) / F.count("*")).alias("rel_error"),
+    )
+
+
+def _join_card_oracle(depth: int = 4, width: int = 256) -> str:
+    a_cells = "\n        UNION ALL ".join(
+        f"SELECT {j} AS depth, {cm_bucket_sql('l_partkey', j, width)} AS bucket, "
+        f"COUNT(*) AS n FROM lineitem GROUP BY 2"
+        for j in range(depth)
+    )
+    b_cells = "\n        UNION ALL ".join(
+        f"SELECT {j} AS depth, {cm_bucket_sql('p_partkey', j, width)} AS bucket, "
+        f"COUNT(*) AS n FROM part WHERE p_size <= 10 GROUP BY 2"
+        for j in range(depth)
+    )
+    return f"""
+    WITH a_cells AS (
+        {a_cells}
+    ),
+    b_cells AS (
+        {b_cells}
+    ),
+    per_depth AS (
+        SELECT a.depth, CAST(SUM(a.n * b.n) AS BIGINT) AS est
+        FROM a_cells a JOIN b_cells b USING (depth, bucket)
+        GROUP BY a.depth
+    ),
+    exact AS (
+        SELECT COUNT(*) AS true_n
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 10
+    )
+    SELECT CAST(MIN(est) AS BIGINT) AS est_join_size,
+           MIN(true_n) AS true_join_size,
+           CAST(MIN(est) >= MIN(true_n) AS BOOLEAN) AS est_is_upper_bound
+    FROM per_depth, exact
+    """
+
+
+@query("sketch_join_cardinality", oracle=_join_card_oracle())
+def q_sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join: the count-min inner
+    product — per depth row, Σ_bucket cnt_A(bucket)·cnt_B(bucket); the
+    estimate is the min across depth rows and never undercounts (both
+    facts verified against the true join size in the output). This is the
+    pre-flight cardinality check before committing to a shuffle strategy
+    at 100 TB: two bounded sketch aggregations instead of the join itself
+    (operators.sketches + the same md5 bucket family as cm_heavy_hitters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    a = cm_sketch_cells(li, "l_partkey", depth=4, width=256)
+    bq = cm_sketch_cells(pt, "p_partkey", depth=4, width=256)
+    per_depth = (
+        a.alias("a")
+        .join(bq.alias("b"), ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("est"))
+    )
+    exact = li.join(
+        pt.select(F.col("p_partkey").alias("l_partkey")), "l_partkey"
+    ).agg(F.count("*").alias("true_n"))
+    return per_depth.crossJoin(F.broadcast(exact)).agg(
+        F.min("est").cast("long").alias("est_join_size"),
+        F.min("true_n").alias("true_join_size"),
+        (F.min("est") >= F.min("true_n")).alias("est_is_upper_bound"),
+    )
