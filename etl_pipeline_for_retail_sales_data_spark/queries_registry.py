@@ -4744,3 +4744,91 @@ def q_sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("true_n").alias("true_join_size"),
         (F.min("est") >= F.min("true_n")).alias("est_is_upper_bound"),
     )
+
+
+@query(
+    "kmv_distinct_estimate",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 12))
+                             AS BIGINT) AS hv
+        FROM lineitem
+    ),
+    kmv AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+    exact AS (SELECT COUNT(DISTINCT l_partkey) AS true_distinct FROM lineitem)
+    SELECT CAST(FLOOR((64 - 1) * CAST(281474976710656 AS DOUBLE) / MAX(kmv.hv) + 0.5)
+                AS BIGINT) AS est_distinct,
+           MIN(true_distinct) AS true_distinct
+    FROM kmv, exact
+    """,
+)
+def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count estimate: keep the 64 smallest
+    48-bit md5 values of the key; estimate = (k-1)·2^48 / max(kept). The
+    mergeable, bounded-memory distinct sketch with fully portable hashing
+    (vs HLL's engine-specific internals — this one the oracle can replay
+    bit-for-bit). Output pairs the estimate with the exact count so the
+    error is visible. One float division; everything else integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    kmv = li.select(hv).distinct().orderBy("hv").limit(64)
+    exact = li.agg(F.countDistinct("l_partkey").alias("true_distinct"))
+    est = F.floor((64 - 1) * F.lit(float(1 << 48)) / F.max("hv") + F.lit(0.5)).cast("long")
+    return kmv.crossJoin(F.broadcast(exact)).agg(
+        est.alias("est_distinct"),
+        F.min("true_distinct").alias("true_distinct"),
+    )
+
+
+@query(
+    "value_anomaly_count",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS q
+        FROM c GROUP BY user_id
+    )
+    SELECT c.user_id,
+           MIN(stats.n) AS n_events,
+           CAST(SUM(CASE WHEN (stats.n * c.cents - stats.s) * (stats.n * c.cents - stats.s)
+                              > 4 * (stats.n * stats.q - stats.s * stats.s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM c JOIN stats USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def q_value_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 2σ anomaly detection with ZERO float arithmetic: the test
+    |x-μ| > 2σ is squared and cross-multiplied into
+    (n·x - S)² > 4(nQ - S²) over integer cents sums S and Q — exact under
+    any accumulation order, immune to the float-variance pitfalls that
+    make naive z-score oracles flaky. Two-pass broadcast-stats shape like
+    winsorized_stats; the anomaly counts feed data-quality quarantine."""
+    ev = load_events(spark, sf_dir)
+    c = ev.select(
+        "user_id", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    stats = c.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    is_anom = dev * dev > 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        c.join(F.broadcast(stats), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("n").alias("n_events"),
+            F.sum(F.when(is_anom, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+        )
+    )
