@@ -4832,3 +4832,87 @@ def q_value_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_anom, 1).otherwise(0)).cast("long").alias("n_anomalies"),
         )
     )
+
+
+def _minhash_quality_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rpb = k // bands
+    mins = ",\n               ".join(f"MIN(md5('{j}:' || shingle)) AS h{j}" for j in range(k))
+    bkeys = ",\n               ".join(
+        "md5(" + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    bandmatch = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return rf"""
+    WITH {_SHINGLE_SQL},
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    sigb AS (
+        SELECT *,
+               {bkeys}
+        FROM sig
+    ),
+    cands AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND ({bandmatch})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+        HAVING FLOOR(COUNT(*) / (sa.n_sh + sb.n_sh - COUNT(*)) * 1e6 + 0.5) / 1e6
+               >= {threshold}
+    ),
+    joined AS (
+        SELECT COALESCE(c.doc_a, t.doc_a) AS doc_a,
+               c.doc_a IS NOT NULL AS is_cand,
+               t.doc_a IS NOT NULL AS is_true
+        FROM cands c FULL OUTER JOIN truth t
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           FLOOR(SUM(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END)
+                 / GREATEST(CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS DOUBLE), 1)
+                 * 1e6 + 0.5) / 1e6 AS precision_at_threshold,
+           FLOOR(SUM(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END)
+                 / GREATEST(CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS DOUBLE), 1)
+                 * 1e6 + 0.5) / 1e6 AS recall_at_threshold
+    FROM joined
+    """
+
+
+@query("minhash_quality_report", oracle=_minhash_quality_oracle())
+def q_minhash_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality quantified: MinHash band candidates measured against
+    exact 3-gram Jaccard truth (threshold 0.5) — candidate count, true
+    pair count, hits, precision, recall, in one pass over both pipelines.
+    The evaluation a production dedup deployment runs on a sample before
+    trusting the sketch at corpus scale; the oracle replays both sides
+    (portable md5 permutations make even the sketch SQL-reproducible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_candidates(docs).select("doc_a", "doc_b", F.lit(True).alias("is_cand"))
+    truth = (
+        D.ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    )
+    j = cands.join(truth, ["doc_a", "doc_b"], "full_outer")
+    is_cand = F.coalesce(F.col("is_cand"), F.lit(False))
+    is_true = F.coalesce(F.col("is_true"), F.lit(False))
+    n_cand = F.sum(F.when(is_cand, 1).otherwise(0))
+    n_true = F.sum(F.when(is_true, 1).otherwise(0))
+    n_hits = F.sum(F.when(is_cand & is_true, 1).otherwise(0))
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return j.agg(
+        n_cand.cast("long").alias("n_candidates"),
+        n_true.cast("long").alias("n_true_pairs"),
+        n_hits.cast("long").alias("n_hits"),
+        r6(n_hits / F.greatest(n_cand.cast("double"), F.lit(1.0))).alias("precision_at_threshold"),
+        r6(n_hits / F.greatest(n_true.cast("double"), F.lit(1.0))).alias("recall_at_threshold"),
+    )
