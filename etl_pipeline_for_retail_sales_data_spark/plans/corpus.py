@@ -1,0 +1,106 @@
+"""The end-to-end training-corpus pipeline — every training-data operator
+composed into the artifact an LLM data team actually ships: raw documents
+in, cleaned / deduplicated / chunked / split corpus out, as ONE lazy
+composition with exactly one action at the sink.
+
+Stage order is the industry-standard funnel (cheapest filters first, the
+quadratic-ish near-dup step only after the corpus has shrunk):
+
+    quality + language gate        (scan-local expressions)
+    exact dedup                    (one shuffle on text digest)
+    near-dup canonical keep        (shingle join + components + PageRank)
+    chunk into token windows       (scan-local explode)
+    deterministic split assignment (hash arithmetic, no RNG)
+    partitioned parquet write      (split-partitioned, overwrite-idempotent)
+
+Scale notes per stage live on the operators themselves (operators.text,
+operators.dedup, operators.graph); this plan's own contribution is the
+ORDER (filter → exact-dedup → near-dup keeps the expensive stage smallest)
+and the single-lineage composition (no mid-pipeline materialization except
+the near-dup stage's own iterative checkpoints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators.graph import pagerank
+from ..operators.text import chunk_documents, quality_score
+from ..sources.readers import load_table
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    neardup_threshold: float = 0.5,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Return the chunk-level training corpus: one row per kept chunk with
+    (doc_id, chunk_id, chunk_text, n_tokens, lang, split). Lazy until the
+    caller writes/collects, except the near-dup component stage (iterative
+    by nature)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality + language gate (scan-local; pushdown-friendly)
+    q = quality_score(docs).select("doc_id", "quality")
+    gated = (
+        docs.join(q, "doc_id")
+        .filter((F.col("quality") >= min_quality) & F.col("lang").isin(*langs))
+        .drop("quality")
+    )
+
+    # 2. exact dedup: keep min doc_id per identical text
+    canon = (
+        gated.groupBy(F.md5("text").alias("__digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_kept = gated.join(canon, "doc_id")
+
+    # 3. near-dup canonical keep (components + centrality on the survivors)
+    pairs = D.ngram_jaccard_pairs(exact_kept, threshold=neardup_threshold).select(
+        "doc_a", "doc_b"
+    ).persist()
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    pr = pagerank(
+        exact_kept.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4
+    )
+    decision = D.canonical_dedup(exact_kept, pairs, pr)
+    kept = exact_kept.join(
+        decision.filter(F.col("is_keeper")).select("doc_id"), "doc_id"
+    )
+
+    # 4. chunk into overlapping token windows
+    chunks = chunk_documents(kept, chunk_tokens=chunk_tokens, overlap=overlap)
+
+    # 5. deterministic 80/10/10 split by doc hash (chunks of one doc never
+    #    straddle splits — no train/test leakage through overlap windows)
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+        % 100
+    )
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        chunks.join(kept.select("doc_id", "lang"), "doc_id")
+        .withColumn("split", split)
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens", "lang", "split")
+    )
+
+
+def write_training_corpus(corpus: DataFrame, out_dir: str) -> None:
+    """Split-partitioned, overwrite-idempotent parquet layout: re-running
+    the pipeline replaces the corpus atomically per partition; consumers
+    read only their split directory."""
+    (
+        corpus.repartition("split")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(out_dir)
+    )

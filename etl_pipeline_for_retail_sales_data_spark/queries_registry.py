@@ -4916,3 +4916,21 @@ def q_minhash_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(n_hits / F.greatest(n_cand.cast("double"), F.lit(1.0))).alias("precision_at_threshold"),
         r6(n_hits / F.greatest(n_true.cast("double"), F.lit(1.0))).alias("recall_at_threshold"),
     )
+
+
+@query("training_corpus_stats")
+def q_training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus pipeline (plans/corpus.py: quality+lang
+    gate → exact dedup → near-dup canonical keep → chunking → leakage-safe
+    split assignment) summarized per (split, lang): kept chunks, kept
+    docs, token totals. Iterative near-dup stage → rows-only; funnel
+    invariants (monotone shrink, no split straddle, idempotent re-run)
+    are pinned in tests/test_corpus_pipeline.py."""
+    from .plans.corpus import build_training_corpus
+
+    corpus = build_training_corpus(spark, sf_dir)
+    return corpus.groupBy("split", "lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
