@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import SALES_SCHEMA, TESTDATA_TABLES
 from ..session import configure_session
@@ -52,13 +53,27 @@ def sales_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-TZ microsecond
+    TimestampType, whichever physical type the parquet shipped with.
+
+    The driver's testdata has used two encodings across generations:
+    TIMESTAMP(NANOS) — which Spark 4 reads as a raw nanos BIGINT under the
+    nanosAsLong conf (session.py) and we truncate with integer division,
+    bit-equal to DuckDB's ns→µs parquet read — and plain TIMESTAMP(MICROS),
+    which Spark reads as TIMESTAMP_NTZ and we cast (value-preserving under
+    the pinned UTC session timezone). Downstream operators and oracles see
+    the identical column either way."""
+    t = df.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events stream table. Parquet stores TIMESTAMP(NANOS); with
-    nanosAsLong (session.py) the raw ns long is converted to a microsecond
-    timestamp via integer division — identical truncation to DuckDB's
-    parquet ns→µs read, so oracle comparisons are exact."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    """Events stream table with ``ts`` normalized to TimestampType
+    (see normalize_event_ts)."""
+    return normalize_event_ts(load_table(spark, sf_dir, "events"))
 
 
 def table_exists(spark: SparkSession, name: str, path: str | None = None) -> bool:

@@ -13,20 +13,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..session import configure_session
-
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.readers import normalize_event_ts
 
 
 def hourly_event_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
@@ -37,15 +26,7 @@ def hourly_event_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 ho
     Semantically identical to the batch events_hourly query — the oracle
     is the same SQL. The watermark bounds state at scale; with complete
     mode on a finite source it does not drop output."""
-    configure_session(spark)
-    # The file source needs a directory; events.parquet is a single file,
-    # so stream the sf dir with a glob filter pinned to it.
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
@@ -76,14 +57,24 @@ def hourly_event_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 ho
     )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with ``ts`` normalized to
+    TimestampType. The file source needs a directory + declared schema:
+    stream the sf dir with a glob filter pinned to the one file, and take
+    the schema from a footer-only batch read so the stream tracks whatever
+    physical ts type the driver generated (see readers.normalize_event_ts)."""
     configure_session(spark)
-    return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
+    return normalize_event_ts(stream)
+
+
+# internal alias kept for existing call sites
+_events_stream = events_stream
 
 
 def _run_to_completion(spark: SparkSession, agg: DataFrame, prefix: str) -> DataFrame:

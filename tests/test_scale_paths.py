@@ -173,16 +173,11 @@ def test_foreachbatch_incremental_merge(spark, sf_smoke, tmp_path):
     from etl_pipeline_for_retail_sales_data_spark.sinks import merge_parquet
     from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_events
     from etl_pipeline_for_retail_sales_data_spark.streaming.windows import (
-        EVENTS_STREAM_SCHEMA,
+        events_stream,
     )
 
     out = str(tmp_path / "hourly_agg")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_smoke)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, sf_smoke)
     agg = stream.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(F.count("*").alias("n_events"))
