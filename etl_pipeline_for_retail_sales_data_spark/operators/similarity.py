@@ -51,6 +51,47 @@ def unit_vectors(df: DataFrame, id_col: str, vec_col: str, out_col: str = "uv") 
     )
 
 
+def knn_bruteforce_expr(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding self),
+    pure-JVM expression form — the semantics twin of the Arrow hot path
+    below (a test pins them bit-equal). Queries are broadcast; ranking is
+    deterministic (cosine desc, id asc). The self-norm folds are hoisted
+    out of the pair loop (dot(e,e) once per corpus row, dot(qe,qe) once
+    per query — same fold, same value, 3x fewer interpreted HOF folds
+    than inlining cosine per pair)."""
+    q = (
+        emb.filter(query_filter)
+        .select(F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qe"))
+        .withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"))))
+    )
+    c = (
+        spread(emb)
+        .select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("e"))
+        .withColumn("en", F.sqrt(dot(F.col("e"), F.col("e"))))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            (dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", round6(F.col("cos")).alias("sim"), "rnk")
+    )
+
+
 def knn_bruteforce(
     emb: DataFrame,
     query_filter: Column,
@@ -58,17 +99,60 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector (excluding self).
-    Queries are broadcast; ranking is deterministic (cosine desc, id asc).
-    """
-    q = emb.filter(query_filter).select(
-        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qe")
-    )
-    c = spread(emb).select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("e"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", cosine(F.col("qe"), F.col("e")).alias("cos"))
+    """Exact top-k cosine neighbors, Arrow hot path. One mapInPandas pass
+    over the partitioned corpus scores every (query, row) pair with
+    numpy; each Arrow batch emits only its local top-k per query, so the
+    shuffle into the final window carries O(batches*k) rows, not the full
+    n_corpus x n_queries score matrix. At 100 TB the corpus never moves —
+    only the tiny query set (driver-collected, closure-broadcast) and the
+    per-batch top-k survivors do.
+
+    Float parity with the DuckDB oracle (and the expression twin above):
+    products are elementwise-exact, accumulation is np.cumsum — a
+    SEQUENTIAL left-to-right double fold, bit-identical to DuckDB's
+    list_dot_product and to the zip_with+aggregate JVM fold; sqrt and
+    divide are correctly-rounded IEEE ops. Ranks therefore match exactly
+    (asserted in tests: arrow == expr, both == oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = emb.filter(query_filter).select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (nq, dim)
+    q_norm = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])  # sequential fold
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            xn = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                # (n, dim) elementwise product, then sequential fold per row
+                dots = np.cumsum(x * q_mat[qi], axis=1)[:, -1]
+                cos = dots / (q_norm[qi] * xn)
+                mask = ids != q_ids[qi]
+                cid, cc = ids[mask], cos[mask]
+                # local top-k under the exact global order (cos desc, id
+                # asc) — safe pruning: a dropped row has >= k strictly
+                # better rows in this batch alone, so it can never enter
+                # the global top-k. lexsort keys are last-key-primary.
+                sel = np.lexsort((cid, -cc))[:k]
+                out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                out_n.append(cid[sel])
+                out_c.append(cc[sel])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = spread(emb).select(id_col, vec_col).mapInPandas(
+        score, "q_id long, neighbor_id long, cos double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

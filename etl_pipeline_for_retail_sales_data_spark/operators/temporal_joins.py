@@ -97,6 +97,85 @@ def asof_join_backward(
     return carried.filter(F.col("__is_r") == 0).drop("__is_r")
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    inclusive: bool = True,
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the value columns of the EARLIEST right
+    row with right.ts >= left.ts (strictly > if ``inclusive=False``) —
+    the forward mirror of :func:`asof_join_backward`, same union-merge
+    shape (one shuffle on the key, no join node): the window frame flips
+    to [current row, unbounded following] and ``first(ignorenulls)``
+    picks the next right row instead of the last prior one.
+
+    ``tolerance_sec`` bounds the lookahead: a match further than the
+    tolerance is nulled out (kdb ``aj`` tolerance / pandas merge_asof
+    ``tolerance=``). The comparison is integer epoch seconds — exact.
+
+    Same contract as backward: right unique per (key, ts); value_cols
+    must not collide with left columns.
+    """
+    lcols = left.columns
+    collisions = set(value_cols) & set(lcols)
+    if collisions:
+        raise ValueError(
+            f"value_cols {sorted(collisions)} collide with left columns; "
+            "alias the right-side value columns before the as-of join"
+        )
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_r"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in key_cols],
+        *[F.col(k) for k in key_cols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_r"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_ts).alias("__r_ts"),
+    ).select(*l_tagged.columns)
+
+    merged = l_tagged.unionByName(r_tagged)
+    # At equal ts a right row must sort after the left rows (inclusive —
+    # inside the [current, following] frame) or before them (exclusive —
+    # outside it).
+    tag_order = F.col("__is_r").asc() if inclusive else F.col("__is_r").desc()
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), tag_order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = merged.select(
+        *lcols,
+        F.col("__ts"),
+        F.col("__is_r"),
+        *[F.first(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.first("__r_ts", ignorenulls=True).over(w).alias("__matched_ts"),
+    )
+    out = carried.filter(F.col("__is_r") == 0).drop("__is_r")
+    if tolerance_sec is not None:
+        within = (
+            F.col("__matched_ts").cast("long") - F.col("__ts").cast("long")
+        ) <= F.lit(tolerance_sec)
+        out = out.select(
+            *lcols,
+            *[F.when(within, F.col(c)).alias(c) for c in value_cols],
+            F.when(within, F.col("__matched_ts")).alias("__matched_ts"),
+        )
+    else:
+        out = out.drop("__ts")
+    return out
+
+
 def range_join_broadcast(
     fact: DataFrame,
     intervals: DataFrame,

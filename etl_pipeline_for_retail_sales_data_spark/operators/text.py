@@ -301,3 +301,61 @@ def weighted_sample(
     u = (h.cast("double") + 0.5) / F.lit(float(1 << 24))
     priority = F.pow(u, 1.0 / w.cast("double"))
     return df.withColumn("__priority", priority).orderBy(F.desc("__priority"), F.asc(id_col)).limit(k)
+
+
+def cdc_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunking: a token ENDS its chunk when md5(token)
+    starts with '0' (p = 1/16 → mean chunk ≈ 16 tokens). Unlike
+    fixed-stride windows (chunk_documents), boundaries are decided by
+    CONTENT, so inserting or deleting text early in a document only
+    perturbs the chunks it touches — every later chunk keeps its digest,
+    which is what makes chunk-level dedup robust to edits (the rsync /
+    LBFS rolling-hash idea, md5-gated here so the DuckDB oracle can
+    reproduce boundaries verbatim).
+
+    All JVM-side array ops, no explode-shuffle: boundary positions →
+    (start, end) spans → one slice per chunk; chunk ids are indexes in
+    the UNFILTERED span list so they're stable across engines before the
+    empty-span filter. Output: (doc_id, chunk_id, n_tokens, digest)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    d = df.select(id_col, toks.alias("__toks")).filter(F.size("__toks") > 0)
+    # 0-based positions whose token closes a chunk
+    bpos = F.filter(
+        F.sequence(F.lit(0), F.size("__toks") - 1),
+        lambda i: F.md5(F.element_at("__toks", i + 1)).startswith("0"),
+    )
+    starts = F.concat(F.array(F.lit(0)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(F.transform(bpos, lambda p: p + 1), F.array(F.size("__toks")))
+    spans = d.select(
+        id_col,
+        F.col("__toks"),
+        starts.alias("__starts"),
+        ends.alias("__ends"),
+    )
+    idx = F.sequence(F.lit(0), F.size("__starts") - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            (F.element_at("__ends", i + 1) - F.element_at("__starts", i + 1))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.element_at("__starts", i + 1) + 1,
+                    F.element_at("__ends", i + 1) - F.element_at("__starts", i + 1),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        ),
+    )
+    out = spans.select(id_col, F.explode(F.filter(chunks, lambda c: c["n_tokens"] > 0)).alias("c"))
+    return out.select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.md5(F.col("c.chunk_text")).alias("digest"),
+    )

@@ -1250,7 +1250,7 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
@@ -1682,7 +1682,8 @@ def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TIME_HIERARCHY_SQL = """
-    SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, event_type,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
     FROM events
     GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts), event_type),
@@ -1811,7 +1812,7 @@ def q_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
            MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
            FLOOR(AVG(l_quantity) * 1e6 + 0.5) / 1e6 AS avg_qty,
            MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
@@ -2378,7 +2379,7 @@ def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retention_cohorts",
     oracle="""
     WITH firsts AS (
-        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
         FROM events GROUP BY user_id
     )
     SELECT cohort_day,
@@ -2394,6 +2395,9 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted per day offset. The per-user first-day aggregate is small →
     broadcast back onto the event stream; one wide shuffle total."""
     ev = load_events(spark, sf_dir)
+    # TIMESTAMP on both sides: DuckDB's date_trunc('day') yields DATE while
+    # Spark's yields TIMESTAMP — the oracle casts up to TIMESTAMP so raw
+    # values stringify identically at the driver's hash
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("cohort_day")
     )
@@ -2457,10 +2461,10 @@ def q_full_outer_brand_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_frame_spend",
     oracle="""
     SELECT o_custkey, o_orderkey, day_no,
-           SUM(cents) OVER (
+           CAST(SUM(cents) OVER (
                PARTITION BY o_custkey ORDER BY day_no
                RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
-           ) AS spend_7d_cents
+           ) AS BIGINT) AS spend_7d_cents
     FROM (
         SELECT o_custkey, o_orderkey,
                CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
@@ -2729,7 +2733,7 @@ def q_recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_props_stats",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -4075,7 +4079,8 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_key AS (
         SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
     ),
-    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys, MAX(n) AS max_n FROM per_key)
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys, MAX(n) AS max_n
+            FROM per_key)
     SELECT n_keys,
            total,
            max_n,
@@ -4933,4 +4938,227 @@ def q_training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: content-defined chunking, forward as-of, bucketed
+# co-located join, agg-based top-k, JSON roundtrip
+# ---------------------------------------------------------------------------
+
+from .operators.joins import bucketed_join_tables  # noqa: E402
+from .operators.temporal_joins import asof_join_forward  # noqa: E402
+
+
+@query(
+    "cdc_chunks",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+        WHERE len(regexp_extract_all(lower(text), '\S+')) > 0
+    ),
+    sp AS (
+        SELECT doc_id, toks,
+               list_concat([0], list_transform(bpos, p -> p + 1)) AS starts,
+               list_concat(list_transform(bpos, p -> p + 1), [len(toks)]) AS ends
+        FROM (
+            SELECT doc_id, toks,
+                   list_filter(range(len(toks)), i -> md5(toks[i + 1]) LIKE '0%') AS bpos
+            FROM t
+        )
+    )
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS chunk_id,
+           CAST(ends[ci + 1] - starts[ci + 1] AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[starts[ci + 1] + 1 : ends[ci + 1]], ' ')) AS digest
+    FROM (SELECT doc_id, toks, starts, ends, UNNEST(range(len(starts))) AS ci FROM sp)
+    WHERE ends[ci + 1] - starts[ci + 1] > 0
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling-hash/LBFS idea, md5-gated for
+    oracle portability): boundaries decided by token content, so edits
+    only perturb the chunks they touch — every later chunk keeps its
+    digest, making chunk-level dedup robust to insertions (unlike the
+    fixed-stride doc_chunks). All JVM array ops; no explode shuffle
+    before the final fan-out."""
+    return TX.cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "asof_forward_tolerance",
+    oracle="""
+    WITH ticks AS (
+        SELECT event_type, date_trunc('hour', ts) AS tick_ts,
+               FLOOR(MAX(value) * 1e6 + 0.5) / 1e6 AS tick_value
+        FROM events
+        WHERE EXTRACT(hour FROM ts) % 4 = 0
+        GROUP BY 1, 2
+    )
+    SELECT event_id, e.event_type, e.value,
+           CASE WHEN epoch(t.tick_ts) - epoch(e.ts) <= 7200 THEN t.tick_value END
+               AS next_tick_value,
+           CASE WHEN epoch(t.tick_ts) - epoch(e.ts) <= 7200 THEN t.tick_ts END
+               AS next_tick_ts
+    FROM events e ASOF LEFT JOIN ticks t
+      ON e.event_type = t.event_type AND e.ts <= t.tick_ts
+    """,
+)
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a 2-hour tolerance (kdb aj / pandas
+    merge_asof direction='forward'): each event attaches the NEXT tick
+    at-or-after its timestamp, nulled when the lookahead exceeds the
+    tolerance. Union-merge shape — one shuffle on event_type, a window
+    first(ignorenulls) over [current, following], no join node; the
+    tolerance test is integer epoch seconds (exact on both engines)."""
+    ev = load_events(spark, sf_dir)
+    ticks = (
+        ev.filter(F.hour("ts") % 4 == 0)
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("tick_ts"))
+        .agg((F.floor(F.max("value") * 1e6 + F.lit(0.5)) / 1e6).alias("tick_value"))
+    )
+    out = asof_join_forward(
+        ev.select("event_id", "event_type", "value", "ts"),
+        ticks.select(
+            "event_type",
+            "tick_ts",
+            F.col("tick_value").alias("next_tick_value"),
+        ),
+        key_cols=["event_type"],
+        left_ts="ts",
+        right_ts="tick_ts",
+        value_cols=["next_tick_value"],
+        tolerance_sec=7200,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        "next_tick_value",
+        F.col("__matched_ts").alias("next_tick_ts"),
+    )
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join with BOTH sides pre-bucketed on the join key:
+    the write pays the shuffle once, after which the SortMergeJoin reads
+    co-located, pre-sorted buckets with NO Exchange on either side
+    (pinned in tests/test_scale_paths.py) — the repeated-join layout
+    lever at 100 TB. Demo writes managed bucketed tables per scale
+    factor; results identical to the plain join oracle."""
+    suffix = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = bucketed_join_tables(
+        spark, li, orders, "l_orderkey", "o_orderkey", n_buckets=8,
+        table_prefix=f"bkt_{suffix}",
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "topk_agg_brand",
+    oracle="""
+    SELECT p_brand, l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue, rnk
+    FROM (
+        SELECT p_brand, l_orderkey, l_linenumber, l_extendedprice, l_discount,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) DESC,
+                            l_orderkey, l_linenumber
+               ) AS rnk
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q_topk_agg_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per brand WITHOUT a window: ranking happens inside ONE hash
+    aggregate via sort_array(collect_list(struct))[1:k] — no second
+    shuffle and no per-partition sort of every row, which beats the
+    window formulation when groups are few and wide. The window twin is
+    top3_lines_per_brand (same result set, same oracle shape). Ordering
+    (cents desc, orderkey asc, linenumber asc) is encoded by negating
+    the tiebreak keys inside the sorted struct — exact integer
+    arithmetic, so ranks are engine-independent."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = broadcast_dim_join(li, part, on=[F.col("l_partkey") == F.col("p_partkey")])
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    candidate = F.struct(
+        rev_cents.alias("rc"),
+        (-F.col("l_orderkey")).alias("nok"),
+        (-F.col("l_linenumber")).alias("nln"),
+    )
+    top3 = (
+        joined.groupBy("p_brand")
+        .agg(F.slice(F.sort_array(F.collect_list(candidate), asc=False), 1, 3).alias("top"))
+        .select("p_brand", F.posexplode("top").alias("pos", "t"))
+    )
+    return top3.select(
+        "p_brand",
+        (-F.col("t.nok")).alias("l_orderkey"),
+        (-F.col("t.nln")).alias("l_linenumber"),
+        (F.col("t.rc").cast("double") / 100).alias("revenue"),
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+    )
+
+
+@query(
+    "json_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status_rt, o_totalprice AS price_rt,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year_rt
+    FROM orders
+    """,
+)
+def q_json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json -> from_json structured roundtrip (the serialization path a
+    JSON-transport pipeline exercises — the reference shipped every task
+    boundary as JSON, scripts/extraction.py:291-294; here it's lossless
+    and typed): pack (status, price, year) into a JSON string, parse it
+    back with an explicit schema, emit the extracted fields. Identity
+    oracle — any roundtrip corruption (quoting, precision, field order)
+    breaks the hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    packed = orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_totalprice").alias("p"),
+                F.year("o_orderdate").alias("y"),
+            )
+        ).alias("js"),
+    )
+    schema = "s string, p double, y int"
+    parsed = packed.select(
+        "o_orderkey", F.from_json("js", schema).alias("v")
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("v.s").alias("status_rt"),
+        F.col("v.p").alias("price_rt"),
+        F.col("v.y").cast("long").alias("year_rt"),
     )

@@ -6,6 +6,9 @@ query result and its ANSI-SQL oracle run by DuckDB on the same parquet.
 from __future__ import annotations
 
 import math
+from decimal import Decimal
+
+import numpy as np
 
 import duckdb
 
@@ -20,12 +23,19 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
-    if isinstance(v, float):
+    # Type-tag floats/decimals: the driver hashes STRINGIFIED values, so
+    # int64 99111 vs float64 99111.0 ("99111" vs "99111.0") is a driver
+    # mismatch even though Python == says equal. Tagging reproduces that
+    # strictness locally (caught live: DuckDB SUM(BIGINT) -> HUGEINT ->
+    # pandas float64 while Spark sum(long) stays int64).
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         # kill -0.0 and representation noise far below any rounded output
-        return round(v, 9) + 0.0
-    if isinstance(v, list):
+        return ("f", round(float(v), 9) + 0.0)
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
+    if isinstance(v, (list, np.ndarray)):
         return tuple(_norm(x) for x in v)
     return v
 

@@ -305,3 +305,15 @@ def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "doc_a long, doc_b long")
     out = {r.doc_id: r.component_id for r in D.connected_components(edges, nodes).collect()}
     assert out == {1: 1, 2: 2}
+
+
+def test_knn_arrow_path_equals_expression_path(spark, sf_smoke):
+    """The Arrow knn hot path (np.cumsum sequential fold) must be
+    BIT-identical to the JVM expression twin — same ranks, same rounded
+    sims — because they share the DuckDB oracle."""
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    expr = sorted(map(tuple, SIM.knn_bruteforce_expr(emb, F.col("vec_id") < 10, k=5).collect()))
+    arrow = sorted(map(tuple, SIM.knn_bruteforce(emb, F.col("vec_id") < 10, k=5).collect()))
+    assert expr == arrow
