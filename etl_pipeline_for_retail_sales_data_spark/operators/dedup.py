@@ -432,3 +432,28 @@ def canonical_dedup(
             "keeper_id",
         )
     )
+
+
+def simhash_md5(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
+    """PORTABLE SimHash: per-token hash = first 15 hex digits of md5
+    (60 bits — fits signed BIGINT on both engines), signature bit i =
+    sign of the sum over tokens of (2*bit_i - 1). Unlike simhash_64
+    (xxhash64, Spark-native, faster), every step here has an exact DuckDB
+    twin, so the signature is fully oracle-checkable. Token multiplicity
+    counts (explode, not distinct) — frequency-weighted like simhash_64."""
+    df = spread(df)
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    tok = df.select("doc_id", F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash60"))

@@ -687,11 +687,65 @@ def _lsh_tables(n_tables: int = 4, n_planes: int = 4, dim: int = 64) -> list[lis
     ]
 
 
-@query("ann_lsh")
+def _ann_lsh_oracle() -> str:
+    """SQL twin of ann_lsh with the seeded hyperplanes inlined as double
+    literals (repr() round-trips doubles exactly, and DuckDB parses a
+    decimal literal to the identical nearest double). Buckets, candidate
+    join, cosine scoring, and top-k are all reproduced; every dot product
+    is list_dot_product — the same sequential left-to-right double fold
+    as the Spark zip_with/aggregate expression (verified bit-identical),
+    so bucket sign bits and neighbor ranks match exactly."""
+    tables = _lsh_tables()
+    per_table = []
+    for t, planes in enumerate(tables):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e"
+        )
+    buckets = "\nUNION ALL\n".join(per_table)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+        {buckets}
+    ),
+    q AS (SELECT vec_id AS q_id, tbl, bucket FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, tbl, bucket FROM b),
+    cand AS (
+        SELECT DISTINCT q_id, neighbor_id
+        FROM c JOIN q USING (tbl, bucket)
+        WHERE neighbor_id <> q_id
+    ),
+    s AS (
+        SELECT q_id, neighbor_id,
+               list_dot_product(qe.v, ce.v)
+                 / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+                   AS cos
+        FROM cand
+        JOIN e qe ON qe.vec_id = q_id
+        JOIN e ce ON ce.vec_id = neighbor_id
+    ),
+    r AS (
+        SELECT q_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM s
+    )
+    SELECT q_id, neighbor_id, FLOOR(cos * 1e6 + 0.5) / 1e6 AS sim, rnk
+    FROM r WHERE rnk <= 5
+    """
+
+
+@query("ann_lsh", oracle=_ann_lsh_oracle())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH (deterministic
-    seeded planes). Rows-only driver check; recall vs brute force is
-    asserted in tests/test_dedup_similarity.py."""
+    seeded planes — inlined verbatim into the DuckDB oracle, which
+    replays bucketing, the candidate equi-join, and cosine top-k; recall
+    vs brute force additionally asserted in
+    tests/test_dedup_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ann_lsh(emb, F.col("vec_id") < 10, _lsh_tables(), k=5)
 
@@ -5162,3 +5216,132 @@ def q_json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.p").alias("price_rt"),
         F.col("v.y").cast("long").alias("year_rt"),
     )
+
+
+@query(
+    "activity_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_no
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, day_no,
+               day_no - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_no) AS island
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, island, COUNT(*) AS run_len,
+               MIN(day_no) AS run_start
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(run_len) AS BIGINT) AS active_days,
+           CAST(MIN(run_start) AS BIGINT) AS first_day_no
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days via the
+    classic day_no - row_number() grouping key (consecutive days share a
+    constant difference). Pure integer arithmetic end-to-end; one shuffle
+    on user_id serves the distinct, the window, and both aggregates."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    grp = days.withColumn("island", F.col("day_no") - F.row_number().over(w))
+    runs = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len"), F.min("day_no").alias("run_start")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.sum("run_len").cast("long").alias("active_days"),
+        F.min("run_start").cast("long").alias("first_day_no"),
+    )
+
+
+@query(
+    "array_set_ops_orders",
+    oracle="""
+    WITH parts AS (
+        SELECT l_orderkey,
+               list_sort(list(DISTINCT l_partkey)) AS all_parts,
+               COALESCE(list_sort(list(DISTINCT l_partkey) FILTER (WHERE l_returnflag = 'R')),
+                        []::BIGINT[]) AS returned_parts
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(all_parts) AS BIGINT) AS n_parts,
+           CAST(len(returned_parts) AS BIGINT) AS n_returned,
+           list_filter(all_parts, p -> NOT list_contains(returned_parts, p)) AS kept_parts,
+           all_parts[1:2] AS first2_parts
+    FROM parts
+    """,
+)
+def q_array_set_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation surface over grouped collections: per order,
+    the distinct part set (sorted for a deterministic array value),
+    conditional sub-set, array difference, and a prefix slice — the
+    collect_set/array_except/slice family with DuckDB list_* twins.
+    Sorting the collected sets first makes every downstream array value
+    order-deterministic on both engines (array_except preserves left
+    order, so sorted input → sorted output)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("all_parts"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("l_returnflag") == "R", F.col("l_partkey")))
+        ).alias("returned_parts"),
+    )
+    return parts.select(
+        "l_orderkey",
+        F.size("all_parts").cast("long").alias("n_parts"),
+        F.size("returned_parts").cast("long").alias("n_returned"),
+        F.array_except("all_parts", "returned_parts").alias("kept_parts"),
+        F.slice("all_parts", 1, 2).alias("first2_parts"),
+    )
+
+
+def _simhash_md5_oracle(bits: int = 60) -> str:
+    s_cols = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(bits))
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM tok
+    ),
+    s AS (
+        SELECT doc_id,
+               {s_cols}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash60
+    FROM s
+    """
+
+
+@query("simhash_md5_docs", oracle=_simhash_md5_oracle())
+def q_simhash_md5_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully oracle-checkable SimHash: 60-bit signatures from
+    conv(md5)-derived token hashes — the portable twin of simhash_docs
+    (xxhash64 stays the fast Spark-native path; this variant proves the
+    signature construction end-to-end against DuckDB, bit sums, sign
+    assembly and all)."""
+    return D.simhash_md5(load_table(spark, sf_dir, "documents"))
