@@ -5345,3 +5345,125 @@ def q_simhash_md5_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature construction end-to-end against DuckDB, bit sums, sign
     assembly and all)."""
     return D.simhash_md5(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window in BATCH mode (the same operator the
+    streaming path uses): per-user sessions merged under a 30-minute gap,
+    one aggregate — no lag/cumsum choreography. Oracle replays the
+    equivalent islands construction; note session_window's half-open
+    [ts, ts+gap) windows mean a gap of EXACTLY 30 minutes starts a new
+    session, hence >= in the oracle's boundary test (the lag-based
+    `sessionization` query uses > — both semantics are legitimate, and
+    the pair documents the difference)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "union_evolving_sources",
+    oracle="""
+    SELECT l_orderkey, l_partkey, quantity, src, ship_mode
+    FROM (
+        SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS quantity,
+               'v1' AS src, NULL AS ship_mode
+        FROM lineitem WHERE l_linenumber = 1
+        UNION ALL BY NAME
+        SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS quantity,
+               'v2' AS src, l_returnflag AS ship_mode
+        FROM lineitem WHERE l_linenumber = 2
+    )
+    """,
+)
+def q_union_evolving_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a v2 source grew a column the v1 source
+    lacks; unionByName(allowMissingColumns=True) aligns by NAME and
+    null-fills the gap — the append-only reality of long-lived datasets
+    (DuckDB twin: UNION ALL BY NAME). The reference's union is positional
+    pd.concat over identical schemas (scripts/transformation.py:166);
+    this is what it has to become once schemas drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v1 = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_partkey",
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.lit("v1").alias("src"),
+    )
+    v2 = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey", "l_partkey",
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.lit("v2").alias("src"),
+        F.col("l_returnflag").alias("ship_mode"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@query(
+    "tumbling_15min_events",
+    oracle="""
+    SELECT CAST(to_timestamp(epoch_us(ts) // 900000000 * 900) AS TIMESTAMP) AS win_start,
+           CAST(to_timestamp(epoch_us(ts) // 900000000 * 900 + 900) AS TIMESTAMP) AS win_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tumbling_15min_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling windows via the native F.window operator (the same
+    expression the streaming path uses — window start/end come from the
+    struct, not hand arithmetic). Oracle reproduces the bucketing with
+    integer epoch division."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
