@@ -99,3 +99,46 @@ def user_value_profile_arrow(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInArrow(
         profile, schema="user_id long, n_events long, total_value double, max_value double"
     )
+
+
+COGROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_clicks", T.LongType()),
+        T.StructField("n_purchases", T.LongType()),
+        T.StructField("click_cents", T.LongType()),
+        T.StructField("purchase_cents", T.LongType()),
+    ]
+)
+
+
+def cogroup_click_purchase(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Cogrouped applyInPandas — the LAST Python-boundary shape (two
+    DataFrames co-partitioned on the key, each group's slice of BOTH
+    sides delivered to one pandas function). The right tool when per-key
+    logic needs both inputs at once (custom per-entity reconciliation,
+    model scoring against per-key reference data) and neither a join nor
+    a union-window expresses it.
+
+    Scale shape: one shuffle per side on the key (exactly a join's cost);
+    the per-key pandas frames are small by construction. Output here is
+    deterministic integer math (counts + exact cents), so the query layer
+    can oracle-check the full cogroup plumbing."""
+
+    def merge(c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        uid = c["user_id"].iloc[0] if len(c) else p["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [int(uid)],
+                "n_clicks": [len(c)],
+                "n_purchases": [len(p)],
+                "click_cents": [int(c["cents"].sum()) if len(c) else 0],
+                "purchase_cents": [int(p["cents"].sum()) if len(p) else 0],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(merge, COGROUP_SCHEMA)
+    )

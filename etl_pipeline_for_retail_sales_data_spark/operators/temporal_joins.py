@@ -22,7 +22,8 @@ the BETWEEN predicate run as a broadcast nested-loop join; each fact
 partition streams past the tiny interval table, which is the optimal plan
 (a shuffle-based interval join would move 100 TB to co-locate against a
 kilobyte). For big×big interval joins, bucketize time and equi-join on the
-bucket + refine — not needed for the surfaces here.
+bucket + refine — implemented query-side as `range_join_bucketized`
+(queries_registry.py), oracle-checked against the plain BETWEEN join.
 """
 
 from __future__ import annotations

@@ -5467,3 +5467,107 @@ def q_tumbling_15min_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "cogroup_click_purchase",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS n_clicks,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS click_cents
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS purchase_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(click_cents, 0) AS click_cents,
+           COALESCE(purchase_cents, 0) AS purchase_cents
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def q_cogroup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (two co-partitioned inputs per key in one
+    pandas call — the remaining Python-boundary shape). Deterministic
+    integer outputs (counts + exact cents) let the oracle — a FULL OUTER
+    join of two aggregates — verify the cogroup plumbing end-to-end."""
+    from .operators.pandas_ops import cogroup_click_purchase
+
+    ev = load_events(spark, sf_dir)
+    cents_l = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", cents_l)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", cents_l)
+    return cogroup_click_purchase(clicks, purchases)
+
+
+@query(
+    "range_join_bucketized",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type,
+               CAST(to_timestamp(epoch_us(ts) // 21600000000 * 21600) AS TIMESTAMP)
+                   AS win_start,
+               CAST(to_timestamp(epoch_us(ts) // 21600000000 * 21600 + 7200) AS TIMESTAMP)
+                   AS win_end,
+               COUNT(*) AS n_anchor
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT e.event_id, e.event_type, iv.win_start,
+           CAST(iv.n_anchor AS BIGINT) AS n_anchor
+    FROM events e
+    JOIN iv ON e.event_type = iv.event_type
+           AND e.ts >= iv.win_start AND e.ts < iv.win_end
+    """,
+)
+def q_range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIG x BIG interval join WITHOUT a broadcast nested loop: intervals
+    (here the first 2h of every 6h block, derived per event type) are
+    exploded into the fixed-width time buckets they overlap, events map
+    to their single bucket, and the match becomes an EQUI-join on
+    (type, bucket) + an exact refine predicate — the bucketize-and-refine
+    pattern that keeps interval joins shuffle-based (hence scalable) when
+    NEITHER side fits in memory. Bucket width = 2h so each interval spans
+    ≤ 2 buckets; the oracle is the plain BETWEEN join."""
+    ev = load_events(spark, sf_dir)
+    six_h, two_h = 21600, 7200
+    epoch = F.col("ts").cast("long")
+    iv = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(epoch / six_h) * six_h).cast("long").alias("ws"),
+        )
+        .agg(F.count("*").alias("n_anchor"))
+        .select(
+            "event_type",
+            F.col("ws").cast("timestamp").alias("win_start"),
+            (F.col("ws") + two_h).cast("timestamp").alias("win_end"),
+            F.col("n_anchor").cast("long").alias("n_anchor"),
+            F.col("ws").alias("ws_epoch"),
+        )
+    )
+    # explode each interval into the 2h buckets it overlaps (here: start
+    # bucket and, when the window crosses a bucket edge, the next one)
+    bucket_of = lambda c: F.floor(c / two_h).cast("long")  # noqa: E731
+    iv_b = iv.select(
+        "event_type", "win_start", "win_end", "n_anchor",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    bucket_of(F.col("ws_epoch")),
+                    bucket_of(F.col("ws_epoch") + two_h - 1),
+                )
+            )
+        ).alias("bucket"),
+    )
+    ev_b = ev.select(
+        "event_id", "event_type", "ts", bucket_of(epoch).alias("bucket")
+    )
+    return (
+        ev_b.join(iv_b, ["event_type", "bucket"])
+        .filter((F.col("ts") >= F.col("win_start")) & (F.col("ts") < F.col("win_end")))
+        .select("event_id", "event_type", "win_start", "n_anchor")
+    )
