@@ -457,3 +457,45 @@ def simhash_md5(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFr
         )
         sig = term if sig is None else sig + term
     return sums.select("doc_id", sig.alias("simhash60"))
+
+
+def simhash_md5_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 10, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup candidate pairs over the PORTABLE 60-bit signatures
+    (simhash_md5): 15-bit bands → band equi-join → exact hamming filter.
+    Same shape as simhash_candidates but every step — signature, bands,
+    xor, popcount — has a DuckDB twin, so the full pipeline
+    (hash → sign-bits → banding → join → verify) is oracle-checkable."""
+    sig = simhash_md5(df, text_col).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash60"), 15 * b)
+                .bitwiseAND(F.lit(0x7FFF))
+                .alias("bk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("s")).select(
+        "doc_id", F.col("s.band").alias("band"), F.col("s.bk").alias("bk")
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    pairs = (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash60").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash60").alias("hb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -5571,3 +5571,58 @@ def q_range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") >= F.col("win_start")) & (F.col("ts") < F.col("win_end")))
         .select("event_id", "event_type", "win_start", "n_anchor")
     )
+
+
+def _simhash_md5_pairs_oracle(bits: int = 60, max_hamming: int = 10, n_bands: int = 4) -> str:
+    s_cols = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(bits)
+    )
+    band_w = bits // n_bands
+    bands = "\nUNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, (simhash60 >> {band_w * b}) & {(1 << band_w) - 1} AS bk FROM sig"
+        for b in range(n_bands)
+    )
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM tok
+    ),
+    s AS (
+        SELECT doc_id,
+               {s_cols}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash60 FROM s),
+    banded AS (
+        {bands}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash60, sb.simhash60)) AS BIGINT) AS hamming
+    FROM pairs
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.simhash60, sb.simhash60)) <= {max_hamming}
+    """
+
+
+@query("simhash_md5_pairs", oracle=_simhash_md5_pairs_oracle())
+def q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pipeline, fully oracle-checked end-to-end: the
+    portable 60-bit signatures band into 15-bit keys, candidates come
+    from the band equi-join (never a cartesian), and the exact hamming
+    filter (bit_count of xor) verifies — every stage reproduced verbatim
+    by the DuckDB oracle. The xxhash64 twin (simhash_pairs) remains the
+    Spark-native fast path with property tests."""
+    return D.simhash_md5_pairs(load_table(spark, sf_dir, "documents"))
