@@ -6,13 +6,18 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Timing protocol: one warm session (JVM+codegen warmup excluded via a
 throwaway action), then each query timed end-to-end including its action
 (count of the result — results are small aggregates; no driver collect of
-big data).
-"""
+big data). Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and
+reports the per-query MEDIAN: this box carries external background load
+with ±40% single-shot swings (NOTES.md), so medians are the smallest
+change that makes round-over-round deltas meaningful. Reps interleave
+(all queries once, then again) so a load spike degrades one reps-column,
+not one query's whole sample."""
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -76,16 +81,23 @@ def main() -> None:
 
     spark.range(64).repartition(32).mapInPandas(_noop, "id long").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        t0 = time.perf_counter()
-        df = queries[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE if n in queries}
+    for rep in range(reps):
+        if rep:
+            # persist() entries are matched by logical plan, so a repeat
+            # rep would silently reuse the previous rep's cached
+            # signature/bucket frames — clear so every rep measures the
+            # same cold-cache work as the single-shot protocol did
+            spark.catalog.clearCache()
+        for name in samples:
+            t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
+            n = df.count()
+            samples[name].append(time.perf_counter() - t0)
+            assert n >= 0
 
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -95,6 +107,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -100,22 +100,33 @@ def clean_sales(df: DataFrame) -> DataFrame:
     return positive_filter(drop_null_rows(df))
 
 
+#: Verbatim per-column negative-value messages from the reference
+#: (scripts/loading.py:67-73); columns outside this map get a generic form.
+NEGATIVE_MESSAGES = {
+    "total_quantity": "Found negative quantities",
+    "total_sale_amount": "Found negative sale amounts",
+}
+
+
 def validate(df: DataFrame, required_columns: Sequence[str], *, non_negative: Sequence[str] = ()) -> DataFrame:
-    """F3: (a) required columns present, (b) non-empty, (c) optional
-    no-negative-values check. Raises ValueError like the reference
-    (scripts/extraction.py:86-93, scripts/loading.py:58-73). Returns df for
-    chaining. The emptiness/negativity checks are actions — call at stage
-    boundaries only, never per-row."""
-    missing = [c for c in required_columns if c not in df.columns]
-    if missing:
-        raise ValueError(f"DataFrame missing required columns: {missing}")
+    """F3: (a) non-empty, (b) required columns present, (c) optional
+    no-negative-values check. Raises ValueError with the reference's
+    VERBATIM messages and check order (empty → missing columns →
+    negatives column-by-column; scripts/extraction.py:86-93,
+    scripts/loading.py:58-73) — pinned against the reference text in
+    tests/test_retail_golden.py. Returns df for chaining. The
+    emptiness/negativity checks are actions — call at stage boundaries
+    only, never per-row. All negative columns are checked in ONE
+    aggregate pass (boolean max per column), unlike the reference's
+    per-column scans."""
     if df.isEmpty():
         raise ValueError("DataFrame is empty")
+    missing = [c for c in required_columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"Missing required columns: {missing}")
     if non_negative:
-        pred = None
+        flags = df.select([F.max(F.col(c) < 0).alias(c) for c in non_negative]).first()
         for c in non_negative:
-            p = F.col(c) < 0
-            pred = p if pred is None else (pred | p)
-        if df.filter(pred).limit(1).count() > 0:
-            raise ValueError(f"Negative values found in columns {list(non_negative)}")
+            if flags[c]:
+                raise ValueError(NEGATIVE_MESSAGES.get(c, f"Found negative values in column '{c}'"))
     return df

@@ -103,8 +103,13 @@ def bucketed_join_tables(
 
     The demo writes managed tables into spark-warehouse; at production
     scale the same two writers target partitioned+bucketed external
-    tables. Table names are namespaced by the caller so different scale
-    factors never collide."""
+    tables.
+
+    DESTRUCTIVE on its own table names: the two managed tables
+    ``{table_prefix}_l`` / ``{table_prefix}_r`` are dropped and their
+    warehouse directories cleared before each write — callers MUST
+    namespace ``table_prefix`` per dataset/scale (two sessions sharing a
+    warehouse and a prefix would clobber each other's layout)."""
     import shutil
     from urllib.parse import urlparse
 
@@ -123,6 +128,7 @@ def bucketed_join_tables(
             .format("parquet")
             .saveAsTable(name)
         )
-    return spark.table(lt).join(
-        spark.table(rt), F.col(left_key) == F.col(right_key)
-    )
+    # qualify each key against ITS table — F.col(name) == F.col(name)
+    # is ambiguous when both sides share the key name
+    ltab, rtab = spark.table(lt), spark.table(rt)
+    return ltab.join(rtab, ltab[left_key] == rtab[right_key])

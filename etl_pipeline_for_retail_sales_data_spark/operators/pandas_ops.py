@@ -32,21 +32,39 @@ ZSCORE_SCHEMA = T.StructType(
 
 
 def zscore_per_user(events: DataFrame) -> DataFrame:
-    """Per-user z-score of event values via applyInPandas (grouped map).
-    Semantically identical to the JVM window formulation — equality is
-    asserted in tests; this exists to pin the grouped-map plumbing, not
-    because windows couldn't do it."""
+    """Per-user z-score of event values via applyInPandas (grouped map) —
+    exists to pin the grouped-map plumbing, not because windows couldn't
+    do it (agreement with the JVM window formulation is asserted in
+    tests).
+
+    ORACLE-EXACT by the integer-variance construction (same trick as
+    value_anomaly_count): values are exact cents, so the per-group sums
+    S = Σx and Q = Σx² are exact integers under ANY accumulation order,
+    and   z = (n·x − S) / sqrt(n · (nQ − S²) / (n − 1))
+    needs only int→double conversion, one multiply, one divide, one sqrt
+    and one divide — each correctly-rounded IEEE, so the double is
+    bit-identical in any engine. Degenerate groups (n < 2 or zero
+    variance) emit z = 0. Output z is round6-ed for the value hash."""
+    import numpy as np
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        std = pdf["value"].std(ddof=1)
-        mean = pdf["value"].mean()
-        z = (pdf["value"] - mean) / std if std and std > 0 else pdf["value"] * 0.0
+        cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        n = len(cents)
+        s = int(cents.sum())
+        q = int((cents * cents).sum())
+        var_num = n * q - s * s  # exact ints throughout
+        if n < 2 or var_num <= 0:
+            z = np.zeros(n, dtype=np.float64)
+        else:
+            num = (n * cents - s).astype(np.float64)
+            var_term = (np.float64(n) * np.float64(var_num)) / np.float64(n - 1)
+            z = num / np.sqrt(var_term)
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
                 "value": pdf["value"],
-                "zscore": z,
+                "zscore": np.floor(z * 1e6 + 0.5) / 1e6,
             }
         )
 

@@ -98,6 +98,7 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors, Arrow hot path. One mapInPandas pass
     over the partitioned corpus scores every (query, row) pair with
@@ -106,6 +107,14 @@ def knn_bruteforce(
     n_corpus x n_queries score matrix. At 100 TB the corpus never moves —
     only the tiny query set (driver-collected, closure-broadcast) and the
     per-batch top-k survivors do.
+
+    The driver collect is BOUNDED: the query scan is limit()'d to
+    ``max_queries`` + 1 rows before collect, so a too-broad
+    ``query_filter`` raises instead of silently pulling the corpus onto
+    the driver — brute force over a huge query set is the wrong tool
+    anyway (use ann_lsh / knn_ivf, or raise the cap deliberately). An
+    empty query set short-circuits to an empty result of the declared
+    schema (no corpus scan).
 
     Float parity with the DuckDB oracle (and the expression twin above):
     products are elementwise-exact, accumulation is np.cumsum — a
@@ -116,7 +125,19 @@ def knn_bruteforce(
     import numpy as np
     import pandas as pd
 
-    q_rows = emb.filter(query_filter).select(id_col, vec_col).collect()
+    q_rows = (
+        emb.filter(query_filter).select(id_col, vec_col).limit(max_queries + 1).collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_bruteforce: query_filter selected more than max_queries="
+            f"{max_queries} rows; broadcast-scoring that many queries would "
+            "bottleneck on the driver. Use ann_lsh/knn_ivf or raise max_queries."
+        )
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, sim double, rnk integer"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (nq, dim)
     q_norm = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])  # sequential fold
@@ -257,21 +278,29 @@ def embedding_neardup_lsh_numpy(
     """Near-dup pairs, Arrow/numpy scoring variant: instead of
     materializing candidate PAIRS and folding a dot per pair (the
     pure-JVM path above), each (table, bucket) group ships its vectors
-    once to a numpy worker that computes the bucket's gram matrix
-    (M @ M.T) and emits only the pairs above threshold. Data transfer is
-    per-vector-per-bucket (not per-pair); the matmul is BLAS. Same
-    candidate semantics as embedding_neardup_lsh; float results differ
-    from the sequential fold only at the ulp level (rows-only path —
-    the oracle'd exact baseline keeps the fold)."""
+    once to a numpy worker that scores all bucket pairs vectorized and
+    emits only the pairs above threshold. Data transfer is
+    per-vector-per-bucket (not per-pair). Same candidate semantics as
+    embedding_neardup_lsh.
+
+    ORACLE-EXACT float discipline (same contract as knn_bruteforce):
+    every dot product — plane sign bits, self-norm, pairwise cosine — is
+    a np.cumsum SEQUENTIAL left-to-right double fold over the dimension
+    axis, bit-identical to DuckDB's list_dot_product and the zip_with/
+    aggregate JVM fold. That forgoes BLAS matmul (whose blocked
+    accumulation differs at the ulp level) for vectorized elementwise
+    products + cumsum — still O(pairs·dim) with full numpy batching, and
+    sign bits / threshold comparisons / round6 grid all match the oracle
+    exactly. Per-bucket pair scoring materializes an O(pairs·dim) float
+    block; buckets are sized by plane count precisely so this stays
+    small (grow planes ~log2(corpus) at scale)."""
     import numpy as np
     import pandas as pd
 
     # One Arrow pass computes ALL tables' sign-bit buckets AND the unit
-    # vector per row: X @ P.T against the stacked plane matrix replaces
-    # n_tables*n_planes interpreted F.aggregate folds per row — the fold
-    # version spent more time bucketing than scoring. Emitting one row
-    # per (vector, table) duplicates the 64-double uv per table, which is
-    # exactly what the (tbl, bucket) shuffle needs anyway.
+    # vector per row. Emitting one row per (vector, table) duplicates the
+    # 64-double uv per table, which is exactly what the (tbl, bucket)
+    # shuffle needs anyway.
     planes = np.array([p for t in tables for p in t], dtype=np.float64)
     n_tables, n_planes = len(tables), len(tables[0])
 
@@ -280,10 +309,15 @@ def embedding_neardup_lsh_numpy(
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            u = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
-            bits = (x @ planes.T) >= 0  # (n, n_tables*n_planes)
+            nrm = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])  # sequential fold
+            u = x / nrm[:, None]
+            # per-plane sequential fold on the RAW vector (matches the
+            # oracle's list_dot_product(v, plane) sign bits exactly)
+            bits = np.stack(
+                [np.cumsum(x * p, axis=1)[:, -1] >= 0 for p in planes], axis=1
+            )  # (n, n_tables*n_planes)
             weights = 1 << np.arange(n_planes - 1, -1, -1)
-            codes = bits.reshape(len(x), n_tables, n_planes) @ weights  # (n, n_tables)
+            codes = bits.reshape(len(x), n_tables, n_planes) @ weights  # exact small ints
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame(
                 {
@@ -307,14 +341,16 @@ def embedding_neardup_lsh_numpy(
         order = np.argsort(ids)
         ids = ids[order]
         m = np.stack(pdf["uv"].to_numpy()[order])
-        g = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = g[iu, ju] >= threshold
+        # pairwise sequential fold: (pairs, dim) elementwise products,
+        # cumsum over dim — bit-identical to list_dot_product per pair
+        g = np.cumsum(m[iu] * m[ju], axis=1)[:, -1]
+        keep = g >= threshold
         return pd.DataFrame(
             {
                 "id_a": ids[iu[keep]],
                 "id_b": ids[ju[keep]],
-                "sim": np.floor(g[iu[keep], ju[keep]] * 1e6 + 0.5) / 1e6,
+                "sim": np.floor(g[keep] * 1e6 + 0.5) / 1e6,
             }
         )
 
@@ -322,7 +358,7 @@ def embedding_neardup_lsh_numpy(
         score_bucket, "id_a long, id_b long, sim double"
     )
     # same pair can surface from several tables with an identical sim
-    # (same vectors → same BLAS result) — one distinct dedups
+    # (same vectors → same sequential fold) — one distinct dedups
     return out.distinct()
 
 

@@ -37,13 +37,26 @@ def build_training_corpus(
     min_quality: float = 0.3,
     langs: tuple[str, ...] = ("en", "de", "fr", "es"),
     neardup_threshold: float = 0.5,
+    neardup_max_df: int | None = 256,
     chunk_tokens: int = 64,
     overlap: int = 16,
 ) -> DataFrame:
     """Return the chunk-level training corpus: one row per kept chunk with
     (doc_id, chunk_id, chunk_text, n_tokens, lang, split). Lazy until the
     caller writes/collects, except the near-dup component stage (iterative
-    by nature)."""
+    by nature).
+
+    ``neardup_max_df`` is ON BY DEFAULT here (unlike the oracle-checked
+    ``ngram_jaccard_pairs`` query, which stays exact): a shingle present
+    in d documents fans out to O(d²) join pairs, and at corpus scale
+    stop-phrase shingles are the dominant skew — one hot shingle can
+    produce more shuffle rows than the rest of the corpus combined.
+    Dropping shingles with document frequency > 256 bounds every
+    per-shingle fan-out at ~64k pairs while losing only
+    non-discriminative evidence (a shingle in >256 docs identifies no
+    near-dup pair on its own); Jaccard becomes a lower bound, so capping
+    can only MISS borderline pairs, never invent them (pinned by
+    test_jaccard_max_df_cap)."""
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. quality + language gate (scan-local; pushdown-friendly)
@@ -63,9 +76,9 @@ def build_training_corpus(
     exact_kept = gated.join(canon, "doc_id")
 
     # 3. near-dup canonical keep (components + centrality on the survivors)
-    pairs = D.ngram_jaccard_pairs(exact_kept, threshold=neardup_threshold).select(
-        "doc_a", "doc_b"
-    ).persist()
+    pairs = D.ngram_jaccard_pairs(
+        exact_kept, threshold=neardup_threshold, max_df=neardup_max_df
+    ).select("doc_a", "doc_b").persist()
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )

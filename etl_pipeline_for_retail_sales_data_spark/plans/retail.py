@@ -43,8 +43,8 @@ def retail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-frame inputs in union_channels / transform_sales tests)."""
     sales = sales_from_lineitem(spark, sf_dir)
     missing = [c for c in SALES_REQUIRED_COLUMNS if c not in sales.columns]
-    if missing:  # schema-only check, no action (F3a)
-        raise ValueError(f"missing required columns: {missing}")
+    if missing:  # schema-only check, no action (F3; reference message text)
+        raise ValueError(f"Missing required columns: {missing}")
     return transform_sales(sales)
 
 

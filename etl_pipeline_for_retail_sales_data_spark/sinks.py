@@ -72,6 +72,44 @@ def merge_parquet(spark, updates: DataFrame, path: str, key_cols: list[str]) -> 
         shutil.rmtree(old)
 
 
+def recover_merge(path: str) -> str:
+    """Crash-window recovery for ``merge_parquet``: call on startup (or
+    when a reader finds ``path`` missing) to roll the swap forward or
+    back deterministically. The swap's only non-atomic window is between
+    the two renames, so the disk can be in exactly four states:
+
+    - ``path`` present → swap completed (or never started): clear any
+      leftover ``._merge_tmp`` / ``._merge_old`` → ``"ok"``.
+    - ``path`` missing, complete ``._merge_tmp`` (Spark's ``_SUCCESS``
+      marker present) → the merge output was fully committed before the
+      crash: promote tmp → ``"rolled_forward"``.
+    - ``path`` missing, incomplete/absent tmp, ``._merge_old`` present →
+      restore the previous table → ``"rolled_back"``.
+    - nothing at all → unrecoverable (never merged): raise.
+
+    Returns the action taken so callers can log it."""
+    tmp, old = path + "._merge_tmp", path + "._merge_old"
+    tmp_complete = os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    if os.path.isdir(path):
+        for leftover in (tmp, old):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+        return "ok"
+    if tmp_complete:
+        os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        return "rolled_forward"
+    if os.path.isdir(old):
+        os.rename(old, path)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        return "rolled_back"
+    raise FileNotFoundError(
+        f"recover_merge: no table, no complete ._merge_tmp, no ._merge_old at {path!r}"
+    )
+
+
 def write_jdbc_replace(df: DataFrame, url: str, table: str, **options) -> None:
     """L2 (reference scripts/loading.py:134-172): observable behavior is
     full replace — truncate + batch insert. mode('overwrite') with

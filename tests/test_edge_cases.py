@@ -59,18 +59,19 @@ def test_single_row_group(spark):
 
 
 def test_hll_estimate_within_tolerance(spark, sf_smoke):
-    # hll_distinct_estimate has no DuckDB oracle (different sketch); pin
-    # its accuracy against the exact count instead: lgConfigK=12 default
-    # gives ~1.6% relative standard error, assert a loose 5%.
+    # The query now carries its own bounded-error contract (exact count
+    # + within-bound booleans, oracle-checked); pin the exact count and
+    # the booleans here against an independent aggregation.
     from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
     from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
 
-    est = {r.l_returnflag: r.hll_parts for r in QUERIES["hll_distinct_estimate"](spark, sf_smoke).collect()}
+    rows = {r.l_returnflag: r for r in QUERIES["hll_distinct_estimate"](spark, sf_smoke).collect()}
     li = load_table(spark, sf_smoke, "lineitem")
     exact = {
         r.l_returnflag: r.n
         for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()
     }
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for flag, n in exact.items():
-        assert abs(est[flag] - n) <= max(2, 0.05 * n), (flag, est[flag], n)
+        assert rows[flag].exact_parts == n
+        assert rows[flag].hll_within_5pct and rows[flag].hpp_within_10pct

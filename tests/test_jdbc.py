@@ -1,0 +1,66 @@
+"""Live JDBC round trip (reference S1 extract + L2 load,
+scripts/extraction.py:98-144 / scripts/loading.py:134-172).
+
+The container ships no PostgreSQL/MySQL server or driver jar, but Spark
+bundles Apache Derby (its Hive-metastore backend), whose EMBEDDED JDBC
+driver needs no server — so the engine's read_jdbc / write_jdbc_replace
+code paths get a real in-process exercise: create-or-replace write with
+truncate semantics, read back, replace again, read again. Anything
+driver-specific beyond the JDBC contract (dialects, upsert SQL) is out of
+scope here and documented in NOTES.md.
+"""
+
+import pytest
+
+from etl_pipeline_for_retail_sales_data_spark import sinks
+from etl_pipeline_for_retail_sales_data_spark.sources.readers import read_jdbc
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture
+def derby_url(tmp_path):
+    try:  # pragma: no cover - depends on bundled jars
+        from py4j.java_gateway import java_import  # noqa: F401
+    except ImportError:
+        pytest.skip("py4j unavailable")
+    return f"jdbc:derby:{tmp_path}/rt_db;create=true"
+
+
+def test_jdbc_write_read_replace_roundtrip(spark, derby_url):
+    df = spark.createDataFrame(
+        [(101, 13, 300.0), (102, 7, 210.0), (103, 2, 40.0)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    sinks.write_jdbc_replace(
+        df, derby_url, "sales_summary", driver=DRIVER
+    )
+    back = read_jdbc(spark, derby_url, "sales_summary", driver=DRIVER)
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (101, 13, 300.0),
+        (102, 7, 210.0),
+        (103, 2, 40.0),
+    ]
+
+    # L3 replace-not-accumulate: second write truncates then loads
+    sinks.write_jdbc_replace(
+        df.limit(1), derby_url, "sales_summary", driver=DRIVER
+    )
+    assert read_jdbc(spark, derby_url, "sales_summary", driver=DRIVER).count() == 1
+
+
+def test_jdbc_predicate_pushdown_into_scan(spark, derby_url):
+    """read_jdbc is a real JDBC relation, so Catalyst pushes filters into
+    the remote query (PushedFilters in the scan) instead of pulling the
+    table and filtering in Spark."""
+    df = spark.createDataFrame(
+        [(i, i * 2, float(i)) for i in range(1, 21)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    sinks.write_jdbc_replace(df, derby_url, "pushdown_t", driver=DRIVER)
+    scan = read_jdbc(spark, derby_url, "pushdown_t", driver=DRIVER).filter(
+        "product_id > 15"
+    )
+    assert scan.count() == 5
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "product_id" in plan.lower()

@@ -111,12 +111,59 @@ def test_validation_rejects_negative(spark):
     bad = spark.createDataFrame(
         [(101, -5, 10.0)], "product_id long, total_quantity long, total_sale_amount double"
     )
-    with pytest.raises(ValueError, match="Negative"):
+    with pytest.raises(ValueError, match="Found negative quantities"):
         validate(
             bad,
             ["product_id", "total_quantity", "total_sale_amount"],
             non_negative=["total_quantity", "total_sale_amount"],
         )
+
+
+@pytest.mark.parametrize(
+    ("rows", "schema", "required", "non_negative", "expected_msg"),
+    [
+        # reference scripts/extraction.py:86-88 / loading.py:58-60
+        ([], "product_id long, total_quantity long, total_sale_amount double",
+         ["product_id"], [], "DataFrame is empty"),
+        # reference scripts/extraction.py:90-93 / loading.py:62-65 —
+        # message includes the Python list repr of the missing columns
+        ([(1, 2, 3.0)], "product_id long, total_quantity long, total_sale_amount double",
+         ["product_id", "sale_date"], [], "Missing required columns: ['sale_date']"),
+        # reference scripts/loading.py:67-69
+        ([(1, -2, 3.0)], "product_id long, total_quantity long, total_sale_amount double",
+         ["product_id"], ["total_quantity", "total_sale_amount"],
+         "Found negative quantities"),
+        # reference scripts/loading.py:71-73
+        ([(1, 2, -3.0)], "product_id long, total_quantity long, total_sale_amount double",
+         ["product_id"], ["total_quantity", "total_sale_amount"],
+         "Found negative sale amounts"),
+    ],
+)
+def test_validation_message_parity_with_reference(
+    spark, rows, schema, required, non_negative, expected_msg
+):
+    """The ValueError TEXTS (not just classes) match the reference
+    verbatim — each expected_msg above is quoted from
+    /root/reference/scripts/extraction.py:86-93 and loading.py:58-73,
+    and the check ORDER matches too (empty before missing columns:
+    both violated here for the empty case → reference raises empty)."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.cleaning import validate
+
+    df = spark.createDataFrame(rows, schema)
+    with pytest.raises(ValueError) as exc:
+        validate(df, required, non_negative=non_negative)
+    assert str(exc.value) == expected_msg
+
+
+def test_validation_empty_precedes_missing_columns(spark):
+    """Reference order: df.empty is checked before missing columns, so an
+    empty frame that is ALSO missing columns reports 'DataFrame is empty'
+    (scripts/loading.py:58-65)."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.cleaning import validate
+
+    empty = spark.createDataFrame([], "product_id long")
+    with pytest.raises(ValueError, match="^DataFrame is empty$"):
+        validate(empty, ["product_id", "total_quantity"])
 
 
 def test_validation_rejects_empty(spark):

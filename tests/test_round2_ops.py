@@ -118,3 +118,16 @@ def test_bucketed_join_tables_no_exchange(spark, sf_smoke):
         assert j2.count() == n1 > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_same_key_name(spark, sf_smoke):
+    """Both sides sharing the join-key NAME must work: the join condition
+    is qualified per table, so F.col ambiguity can't arise."""
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_smoke, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    j = bucketed_join_tables(spark, li, orders, "k", "k", table_prefix="bkt_same")
+    assert j.count() > 0

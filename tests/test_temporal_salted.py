@@ -107,7 +107,10 @@ def test_feature_extraction_deterministic_and_normalized(spark, sf_smoke):
 
 def test_apply_in_pandas_zscore_equals_window(spark, sf_smoke):
     """Grouped-map applyInPandas must agree with the JVM window z-score
-    to float tolerance (same sample-stddev definition)."""
+    to the round6 grid (the grouped map computes the integer-variance
+    exact form and rounds to 1e-6 for oracle parity; values are exact
+    cents, so the two formulations differ only by float accumulation
+    order + the rounding grid)."""
     from pyspark.sql import Window
 
     from etl_pipeline_for_retail_sales_data_spark.operators.pandas_ops import zscore_per_user
@@ -123,7 +126,7 @@ def test_apply_in_pandas_zscore_equals_window(spark, sf_smoke):
     expect = {r.event_id: r.z for r in native.collect()}
     assert set(got) == set(expect)
     for k, v in expect.items():
-        assert abs(got[k] - v) < 1e-9, k
+        assert abs(got[k] - v) < 1e-6, k
 
 
 def test_map_in_arrow_byte_lengths(spark, sf_smoke):
