@@ -148,21 +148,36 @@ def knn_bruteforce(
                 continue
             ids = pdf[id_col].to_numpy()
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
-            xn = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+            xn = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])  # sequential fold
+            # BLAS SCREEN (same pattern as embedding_neardup_lsh_numpy):
+            # one matmul scores all (row, query) pairs approximately; per
+            # query, only rows within 1e-9 of the k-th best BLAS cosine
+            # can possibly make the exact top-k (|blas − seq| ≈ 1e-14 for
+            # cosines in [-1, 1]), so the exact sequential fold — which
+            # alone decides rank and emitted value — runs on ~k rows
+            # instead of the whole batch.
+            cos_b = (x @ q_mat.T) / (xn[:, None] * q_norm[None, :])  # (n, nq)
             out_q, out_n, out_c = [], [], []
             for qi in range(len(q_ids)):
-                # (n, dim) elementwise product, then sequential fold per row
-                dots = np.cumsum(x * q_mat[qi], axis=1)[:, -1]
-                cos = dots / (q_norm[qi] * xn)
                 mask = ids != q_ids[qi]
-                cid, cc = ids[mask], cos[mask]
+                cid, cb = ids[mask], cos_b[mask, qi]
+                if len(cb) > k:
+                    kth = np.partition(cb, len(cb) - k)[len(cb) - k]
+                    cand = cb >= kth - 1e-9
+                else:
+                    cand = np.ones(len(cb), dtype=bool)
+                xs = x[mask][cand]
+                # exact sequential fold on the survivors
+                dots = np.cumsum(xs * q_mat[qi], axis=1)[:, -1]
+                cc = dots / (q_norm[qi] * xn[mask][cand])
+                ccid = cid[cand]
                 # local top-k under the exact global order (cos desc, id
                 # asc) — safe pruning: a dropped row has >= k strictly
                 # better rows in this batch alone, so it can never enter
                 # the global top-k. lexsort keys are last-key-primary.
-                sel = np.lexsort((cid, -cc))[:k]
+                sel = np.lexsort((ccid, -cc))[:k]
                 out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
-                out_n.append(cid[sel])
+                out_n.append(ccid[sel])
                 out_c.append(cc[sel])
             yield pd.DataFrame(
                 {
@@ -284,16 +299,19 @@ def embedding_neardup_lsh_numpy(
     embedding_neardup_lsh.
 
     ORACLE-EXACT float discipline (same contract as knn_bruteforce):
-    every dot product — plane sign bits, self-norm, pairwise cosine — is
-    a np.cumsum SEQUENTIAL left-to-right double fold over the dimension
-    axis, bit-identical to DuckDB's list_dot_product and the zip_with/
-    aggregate JVM fold. That forgoes BLAS matmul (whose blocked
-    accumulation differs at the ulp level) for vectorized elementwise
-    products + cumsum — still O(pairs·dim) with full numpy batching, and
-    sign bits / threshold comparisons / round6 grid all match the oracle
-    exactly. Per-bucket pair scoring materializes an O(pairs·dim) float
-    block; buckets are sized by plane count precisely so this stays
-    small (grow planes ~log2(corpus) at scale)."""
+    everything OBSERVABLE — sign bits, threshold decisions, emitted sims
+    — is decided by a np.cumsum SEQUENTIAL left-to-right double fold,
+    bit-identical to DuckDB's list_dot_product and the zip_with/
+    aggregate JVM fold. BLAS matmul (blocked accumulation, ulp-level
+    divergence) is used only as a SCREEN with a safety margin many
+    orders of magnitude above its error bound (|blas − seq| ≤
+    dim·eps·Σ|products|): pairs/planes that clear the margin get their
+    exact fold recomputed; the rest provably agree in outcome. That
+    keeps BLAS throughput for the O(pairs·dim) scoring while every
+    comparison the oracle can see is made on the exact fold. Per-bucket
+    pair scoring materializes an O(pairs) gram block; buckets are sized
+    by plane count precisely so this stays small (grow planes
+    ~log2(corpus) at scale)."""
     import numpy as np
     import pandas as pd
 
@@ -311,11 +329,15 @@ def embedding_neardup_lsh_numpy(
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             nrm = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])  # sequential fold
             u = x / nrm[:, None]
-            # per-plane sequential fold on the RAW vector (matches the
-            # oracle's list_dot_product(v, plane) sign bits exactly)
-            bits = np.stack(
-                [np.cumsum(x * p, axis=1)[:, -1] >= 0 for p in planes], axis=1
-            )  # (n, n_tables*n_planes)
+            # plane dots via BLAS; any |dot| inside the sign-ambiguity
+            # margin is recomputed with the exact sequential fold so the
+            # sign bit matches the oracle's list_dot_product exactly
+            # (error bound here ~1e-11; margin 1e-6)
+            d = x @ planes.T  # (n, n_tables*n_planes)
+            sus_r, sus_c = np.nonzero(np.abs(d) < 1e-6)
+            for r, c in zip(sus_r, sus_c):
+                d[r, c] = np.cumsum(x[r] * planes[c])[-1]
+            bits = d >= 0
             weights = 1 << np.arange(n_planes - 1, -1, -1)
             codes = bits.reshape(len(x), n_tables, n_planes) @ weights  # exact small ints
             ids = pdf[id_col].to_numpy()
@@ -333,24 +355,31 @@ def embedding_neardup_lsh_numpy(
     )
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+        )
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
-            )
+            return empty
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         m = np.stack(pdf["uv"].to_numpy()[order])
+        # BLAS gram screens the bucket's pairs; unit vectors bound the
+        # blas-vs-sequential divergence at ~dim·eps ≈ 1.4e-14 ≪ 1e-9
+        g = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)
-        # pairwise sequential fold: (pairs, dim) elementwise products,
-        # cumsum over dim — bit-identical to list_dot_product per pair
-        g = np.cumsum(m[iu] * m[ju], axis=1)[:, -1]
-        keep = g >= threshold
+        cand = g[iu, ju] >= threshold - 1e-9
+        ci, cj = iu[cand], ju[cand]
+        if not len(ci):
+            return empty
+        # exact sequential fold decides the filter AND the emitted value
+        exact = np.cumsum(m[ci] * m[cj], axis=1)[:, -1]
+        keep = exact >= threshold
         return pd.DataFrame(
             {
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "sim": np.floor(g[keep] * 1e6 + 0.5) / 1e6,
+                "id_a": ids[ci[keep]],
+                "id_b": ids[cj[keep]],
+                "sim": np.floor(exact[keep] * 1e6 + 0.5) / 1e6,
             }
         )
 

@@ -1624,11 +1624,39 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_sample(decoded, max_frames=4)
 
 
-@query("multimodal_features")
+def _multimodal_features_oracle(dim: int = 16) -> str:
+    buckets = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE bucket = {k}) AS DOUBLE)" for k in range(dim)
+    )
+    return f"""
+    WITH chars AS (
+        SELECT doc_id,
+               ord(substr(text, CAST(i AS INTEGER), 1)) % {dim} AS bucket
+        FROM (SELECT doc_id, text, UNNEST(range(1, length(text) + 1)) AS i
+              FROM documents)
+    ),
+    hist AS (
+        SELECT doc_id, [{buckets}] AS counts
+        FROM chars GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(
+               list_transform(h.counts,
+                              c -> c / GREATEST(CAST(length(d.text) AS DOUBLE), 1.0)),
+               list_transform(range({dim}), x -> 0.0)) AS features
+    FROM documents d LEFT JOIN hist h USING (doc_id)
+    """
+
+
+@query("multimodal_features", oracle=_multimodal_features_oracle())
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (byte-histogram embedding stand-in
-    for CLIP/mel-spectrogram). Rows-only driver check; determinism and
-    norm properties asserted in tests."""
+    for CLIP/mel-spectrogram — real extractors slot into the same
+    mapInPandas shape). ORACLED: payloads are the UTF-8 bytes of
+    pure-ASCII text, so DuckDB reproduces the histogram via per-char
+    codepoints mod dim; each feature is one exact-int division (count /
+    total), bit-deterministic in both engines. Determinism and norm
+    properties additionally asserted in tests."""
     media = MM.attach_binary(load_table(spark, sf_dir, "documents"))
     return MM.extract_features(media)
 
