@@ -185,6 +185,7 @@ def minhash_signatures_arrow(
     schema = "doc_id long, " + ", ".join(f"h{j} string" for j in range(k))
 
     def sign(batches):
+        md5 = hashlib.md5
         for pdf in batches:
             ids, sigs = [], [[] for _ in range(k)]
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
@@ -196,7 +197,10 @@ def minhash_signatures_arrow(
                 }
                 ids.append(doc_id)
                 for j, pj in enumerate(prefixes):
-                    sigs[j].append(min(hashlib.md5(pj + e).hexdigest() for e in enc))
+                    # min over raw 16-byte digests == min over hex strings
+                    # (hex is per-nibble monotone), so one .hex() per
+                    # (doc, j) replaces one hexdigest per shingle
+                    sigs[j].append(min(md5(pj + e).digest() for e in enc).hex())
             out = {"doc_id": ids}
             for j in range(k):
                 out[f"h{j}"] = sigs[j]
