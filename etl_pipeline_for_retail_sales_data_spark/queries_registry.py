@@ -5200,6 +5200,64 @@ def q_training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_ingest_funnel",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 3 AS day, md5(text) AS digest FROM documents
+    ),
+    firsts AS (SELECT digest, MIN(day) AS first_day FROM d GROUP BY digest),
+    firstin AS (
+        SELECT digest, day, MIN(doc_id) AS keeper FROM d GROUP BY digest, day
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hist_dup,
+           CAST(SUM(CASE WHEN day = first_day AND doc_id <> keeper
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dup,
+           CAST(SUM(CASE WHEN day = first_day AND doc_id = keeper
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+    FROM d
+    JOIN firsts USING (digest)
+    JOIN firstin USING (digest, day)
+    GROUP BY day
+    """,
+)
+def q_incremental_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingestion dedup semantics (plans/incremental_corpus
+    .py) as a pure query: documents arrive in simulated daily batches
+    (day = doc_id % 3, ingested in day order) and each doc classifies as
+    historical-dup (an identical text was ingested on an earlier day),
+    within-batch-dup (first day for its digest, but a smaller doc_id in
+    the same day shares it), or accepted (the day's keeper of a
+    first-seen digest). Exactly the funnel the stateful loop reports —
+    the min-day/min-id formulation makes the incremental semantics
+    expressible over a static table, so the whole contract is
+    oracle-checked; the real append-only state transitions are covered
+    by tests/test_incremental_corpus.py. All joins are digest equi-joins
+    — at 100 TB the state side is a compact fingerprint table, never the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("day"),
+        F.md5("text").alias("digest"),
+    )
+    firsts = d.groupBy("digest").agg(F.min("day").alias("first_day"))
+    firstin = d.groupBy("digest", "day").agg(F.min("doc_id").alias("keeper"))
+    j = d.join(firsts, "digest").join(firstin, ["digest", "day"])
+    is_hist = F.col("day") > F.col("first_day")
+    is_within = (F.col("day") == F.col("first_day")) & (F.col("doc_id") != F.col("keeper"))
+    is_acc = (F.col("day") == F.col("first_day")) & (F.col("doc_id") == F.col("keeper"))
+    return j.groupBy("day").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(is_hist.cast("long")).alias("n_hist_dup"),
+        F.sum(is_within.cast("long")).alias("n_within_dup"),
+        F.sum(is_acc.cast("long")).alias("n_accepted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 2 additions: content-defined chunking, forward as-of, bucketed
 # co-located join, agg-based top-k, JSON roundtrip
