@@ -89,6 +89,15 @@ def test_recover_merge_noop_clears_leftovers(spark, tmp_path):
     assert not os.path.isdir(path + "._merge_old")
 
 
+def test_recover_merge_nothing_to_recover_raises(tmp_path):
+    """Fourth disk state: no table, no tmp, no old — unrecoverable, and
+    recovery must say so rather than fabricate an empty table."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="recover_merge"):
+        sinks.recover_merge(str(tmp_path / "never_merged"))
+
+
 def test_parquet_partitioned_roundtrip(spark, sf_smoke, tmp_path):
     out = str(tmp_path / "events_by_type")
     ev = QUERIES["events_hourly"](spark, sf_smoke)
