@@ -45,7 +45,8 @@ def pagerank(
     n = nodes.select(F.col(id_col).alias("id")).distinct().persist()
     n_nodes = n.count()
     if n_nodes == 0:
-        return n.withColumn("rank", F.lit(0.0))
+        # keep the contract schema (id_col, rank) on the empty path too
+        return n.select(F.col("id").alias(id_col), F.lit(0.0).alias("rank"))
 
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))

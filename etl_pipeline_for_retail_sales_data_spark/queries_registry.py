@@ -3168,6 +3168,8 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result then matches the batch left join exactly."""
     out = stream_stream_left_outer(spark, sf_dir)
     max_ts = load_events(spark, sf_dir).agg(F.max("ts").alias("m")).collect()[0]["m"]
+    if max_ts is None:  # empty stream: no click can be past any watermark
+        return out.filter(F.lit(False)).select("user_id", "click_id", "purchase_id")
     cutoff = F.lit(max_ts) - F.expr("INTERVAL 4 HOURS")
     return out.filter(F.col("click_ts") <= cutoff).select(
         "user_id", "click_id", "purchase_id"
