@@ -70,7 +70,10 @@ def doc_shingles_arrow(
     transform/slice lambdas and the global ``.distinct()`` exchange:
     dedup needs no shuffle when it's within-document by construction.
     ``with_size=True`` additionally emits the doc's set size on every row
-    (free here, saves a sizes join downstream)."""
+    (free here, saves a sizes join downstream). Null texts are dropped
+    JVM-side before the kernel (a null document has no shingles — same
+    outcome as the expression form, where size(null) fails the >= n
+    filter)."""
     import re
 
     import pandas as pd
@@ -93,7 +96,7 @@ def doc_shingles_arrow(
             yield pd.DataFrame(out)
 
     schema = "doc_id long, shingle string" + (", n_sh long" if with_size else "")
-    return spread(df).mapInPandas(gen, schema)
+    return spread(df).filter(F.col(text_col).isNotNull()).mapInPandas(gen, schema)
 
 
 def ngram_jaccard_pairs(
@@ -189,6 +192,8 @@ def minhash_signatures_arrow(
         for pdf in batches:
             ids, sigs = [], [[] for _ in range(k)]
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None:  # no content → no signature (JVM twin:
+                    continue  # size(null tokens) fails the >= n filter)
                 toks = pat.findall(text.lower())
                 if len(toks) < n:
                     continue

@@ -43,7 +43,10 @@ DECODED_SCHEMA = T.StructType(
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary payload column + typed metadata.
     (Driver testdata has no real media; UTF-8 bytes of the text stand in
-    as the payload — the schema/plumbing is what's exercised.)"""
+    as the payload — the schema/plumbing is what's exercised.) Rows with
+    a null source column carry no media and are dropped — downstream
+    decoders always see a real payload."""
+    df = df.filter(F.col(text_col).isNotNull())
     payload = F.encode(F.col(text_col), "UTF-8")
     return df.select(
         "doc_id",
@@ -76,6 +79,7 @@ def decode_media(
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]  # defensive: no payload, no decode
             decoded = [decoder(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
@@ -161,6 +165,7 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]  # defensive: no payload, no features
             feats = []
             for payload in pdf["payload"]:
                 counts = [0] * dim

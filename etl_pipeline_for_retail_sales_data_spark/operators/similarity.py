@@ -40,9 +40,11 @@ def round6(c: Column) -> Column:
 def unit_vectors(df: DataFrame, id_col: str, vec_col: str, out_col: str = "uv") -> DataFrame:
     """(id, unit-normalized vector): the norm is computed ONCE per row in a
     prior projection (not inlined per element), so pairwise cosine becomes
-    a single dot product — 3× fewer array folds in pair-heavy scoring."""
+    a single dot product — 3× fewer array folds in pair-heavy scoring.
+    Null vectors are dropped (no embedding → nothing to score)."""
     return (
-        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
         .withColumn("__norm", F.sqrt(dot(F.col("__v"), F.col("__v"))))
         .select(
             F.col(id_col),
@@ -64,7 +66,9 @@ def knn_bruteforce_expr(
     deterministic (cosine desc, id asc). The self-norm folds are hoisted
     out of the pair loop (dot(e,e) once per corpus row, dot(qe,qe) once
     per query — same fold, same value, 3x fewer interpreted HOF folds
-    than inlining cosine per pair)."""
+    than inlining cosine per pair). Null vectors are dropped on both
+    sides (no embedding → nothing to score)."""
+    emb = emb.filter(F.col(vec_col).isNotNull())
     q = (
         emb.filter(query_filter)
         .select(F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qe"))
@@ -121,10 +125,12 @@ def knn_bruteforce(
     SEQUENTIAL left-to-right double fold, bit-identical to DuckDB's
     list_dot_product and to the zip_with+aggregate JVM fold; sqrt and
     divide are correctly-rounded IEEE ops. Ranks therefore match exactly
-    (asserted in tests: arrow == expr, both == oracle)."""
+    (asserted in tests: arrow == expr, both == oracle). Null vectors are
+    dropped on both sides, matching the expression twin."""
     import numpy as np
     import pandas as pd
 
+    emb = emb.filter(F.col(vec_col).isNotNull())
     q_rows = (
         emb.filter(query_filter).select(id_col, vec_col).limit(max_queries + 1).collect()
     )
@@ -231,7 +237,9 @@ def multitable_buckets(
     """(id, table, bucket) rows for every LSH table in ONE corpus pass:
     all tables' sign-bit buckets are computed in a single projection and
     exploded, so candidate generation is one self-equi-join on
-    (table, bucket) instead of a join per table."""
+    (table, bucket) instead of a join per table. Null vectors are
+    dropped (no embedding → no bucket)."""
+    emb = emb.filter(F.col(vec_col).isNotNull())
     e = as_double(F.col(vec_col))
     structs = []
     for t, planes in enumerate(tables):
@@ -324,6 +332,7 @@ def embedding_neardup_lsh_numpy(
 
     def bucket_and_unit(batches):
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # null embedding → no bucket
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

@@ -2308,7 +2308,10 @@ def q_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def n_tokens(texts: pd.Series) -> pd.Series:
-        return texts.str.findall(r"\S+").str.len().astype("int64")
+        # nullable Int64: null text → null count, matching the JVM
+        # regexp_extract_all(NULL) → NULL semantics (plain int64 would
+        # crash the kernel on NaN)
+        return texts.str.findall(r"\S+").str.len().astype("Int64")
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
