@@ -1,0 +1,74 @@
+"""Exactly-once streaming sinks: foreachBatch + the manifest-versioned
+table format (versioned.py).
+
+Structured Streaming guarantees AT-LEAST-ONCE delivery to foreachBatch —
+after a failure the same epoch (micro-batch) can be re-delivered with the
+same ``batch_id``. Exactly-once therefore reduces to an IDEMPOTENT sink:
+record the epoch id transactionally WITH the data, and skip epochs
+already committed. The versioned-table commit is the transaction — the
+epoch id rides in the manifest, and the manifest swap is atomic — so
+either an epoch's data AND its id land together, or neither does. This
+is exactly the Delta `txnAppId`/`txnVersion` pattern on a plain parquet
+directory.
+
+Scale shape: each micro-batch appends immutable files + one manifest;
+no compare-and-swap on data, no read-modify-write of history. Readers
+time-travel the stream's output like any versioned table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import versioned as V
+
+
+def last_committed_epoch(table_dir: str) -> int | None:
+    """Highest epoch id recorded in any retained manifest (None if no
+    epoch-tagged commit exists)."""
+    cur = V.current_version(table_dir)
+    if cur is None:
+        return None
+    epochs = [
+        m.get("epoch_id")
+        for m in (V._read_manifest(table_dir, v) for v in V._versions(table_dir))
+        if m.get("epoch_id") is not None
+    ]
+    return max(epochs) if epochs else None
+
+
+def make_epoch_committer(table_dir: str):
+    """The foreachBatch callback: commit the micro-batch with its epoch
+    id embedded in the manifest — data + epoch land in ONE atomic commit,
+    so a crash can never separate them — and skip any epoch at or below
+    the highest committed one (redelivery after failure). Exposed as a
+    factory so tests can drive redelivery directly."""
+
+    def commit_epoch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_epoch(table_dir)
+        if last is not None and batch_id <= last:
+            return  # epoch already durable: redelivery after failure
+        V.commit(
+            batch_df.sparkSession,
+            batch_df,
+            table_dir,
+            mode="append",
+            extra={"epoch_id": batch_id},
+        )
+
+    return commit_epoch
+
+
+def exactly_once_append(stream_df: DataFrame, table_dir: str, query_name: str) -> StreamingQuery:
+    """Start a streaming query appending each micro-batch to a versioned
+    table exactly once. A re-delivered epoch (same ``batch_id`` after a
+    restart/failure) is detected against the epoch ids in the commit log
+    and skipped — the append is idempotent under at-least-once delivery."""
+    return (
+        stream_df.writeStream.foreachBatch(make_epoch_committer(table_dir))
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -71,12 +71,16 @@ def commit(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
+    extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot. ``mode='append'`` keeps the
     previous snapshot's files and adds new ones; ``'replace'`` starts the
     file list fresh (previous files stay on disk for time travel until
-    vacuumed). Returns the committed version number. Raises
-    ``CommitConflict`` if a concurrent writer claimed the version."""
+    vacuumed). ``extra`` entries are embedded in the manifest ATOMICALLY
+    with the commit (the transactional carrier for e.g. a streaming
+    epoch id — see streaming/sinks.py). Returns the committed version
+    number. Raises ``CommitConflict`` if a concurrent writer claimed the
+    version."""
     if mode not in ("append", "replace"):
         raise ValueError(f"mode must be 'append' or 'replace', got {mode!r}")
     if "://" in table_dir:
@@ -108,6 +112,7 @@ def commit(
         "files": carried + new_files,
         "batch": batch_id,
         "committed_at": time.time(),
+        **(extra or {}),
     }
     tmp = os.path.join(_manifest_dir(table_dir), f".tmp-{batch_id}.json")
     final = os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")

@@ -1,0 +1,61 @@
+"""Exactly-once streaming sink (streaming/sinks.py): foreachBatch into a
+manifest-versioned table with the epoch id embedded in the atomic commit
+— re-delivered epochs are skipped, so at-least-once delivery becomes
+exactly-once output."""
+
+from etl_pipeline_for_retail_sales_data_spark import versioned as V
+from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import (
+    exactly_once_append,
+    last_committed_epoch,
+    make_epoch_committer,
+)
+
+
+def test_stream_appends_to_versioned_table(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "out_table")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], "event_id long, value double").write.parquet(src)
+
+    stream = spark.readStream.schema("event_id long, value double").parquet(src)
+    q = exactly_once_append(stream, table, "eo_smoke")
+    q.awaitTermination(120)
+
+    assert {r.event_id for r in V.read_table(spark, table).collect()} == {1, 2}
+    assert last_committed_epoch(table) == 0
+    # epoch id landed inside the manifest (atomic with the data)
+    assert V._read_manifest(table, V.current_version(table))["epoch_id"] == 0
+
+
+def test_redelivered_epoch_is_skipped(spark, tmp_path):
+    """At-least-once delivery: the same epoch arrives twice (failure
+    between sink success and offset-log write). The second delivery must
+    commit nothing — no new version, no duplicate rows."""
+    table = str(tmp_path / "tbl")
+    committer = make_epoch_committer(table)
+    batch = spark.createDataFrame([(1, 1.0)], "event_id long, value double")
+
+    committer(batch, 0)
+    v_first = V.current_version(table)
+    assert V.read_table(spark, table).count() == 1
+
+    committer(batch, 0)  # redelivery
+    assert V.current_version(table) == v_first
+    assert V.read_table(spark, table).count() == 1
+
+    committer(batch, 1)  # genuinely new epoch appends
+    assert V.current_version(table) == v_first + 1
+    assert V.read_table(spark, table).count() == 2
+    assert last_committed_epoch(table) == 1
+
+
+def test_out_of_order_old_epoch_is_skipped(spark, tmp_path):
+    """Epochs at or below the high-water mark never commit, even if they
+    arrive late — monotone epoch ids are the streaming engine's
+    contract, and the guard enforces it."""
+    table = str(tmp_path / "tbl")
+    committer = make_epoch_committer(table)
+    batch = spark.createDataFrame([(7, 7.0)], "event_id long, value double")
+    committer(batch, 5)
+    committer(batch, 3)  # late, below high-water mark
+    assert V.read_table(spark, table).count() == 1
+    assert last_committed_epoch(table) == 5
