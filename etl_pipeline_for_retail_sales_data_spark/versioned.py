@@ -131,12 +131,17 @@ def commit(
 
 
 def read_table(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a snapshot (latest by default, or any retained ``version`` —
     time travel). The file list is pinned at manifest-read time, so the
     returned DataFrame stays consistent even if writers commit while the
-    query runs."""
+    query runs. ``merge_schema=True`` unions column sets across commits
+    (append-only schema evolution: old files surface nulls for columns
+    they predate — same contract as parquet ``mergeSchema``)."""
     v = current_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version at {table_dir!r}")
@@ -144,7 +149,10 @@ def read_table(
     if not m["files"]:
         return spark.createDataFrame([], "__empty string").limit(0)
     paths = [os.path.join(table_dir, f) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(*paths)
 
 
 def history(table_dir: str) -> list[dict]:

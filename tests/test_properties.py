@@ -204,3 +204,60 @@ def test_locf_matches_python(spark, rows):
             if v is not None:
                 last = v
             assert out[(g, t)] == last, (g, t)
+
+
+def test_knn_screened_blas_survives_near_ties(spark):
+    """Adversarial stress for the screened-BLAS pattern: corpus vectors
+    engineered so many cosines against the query tie within ~1e-12 —
+    squarely inside the screen margin, forcing the exact-fold recompute
+    branch to arbitrate. The Arrow path must equal the pure-JVM
+    expression twin exactly (same ranks, same rounded sims)."""
+    import numpy as np
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    q = rng.normal(size=dim)
+    rows = [(0, [float(x) for x in q])]  # the query itself
+    base = rng.normal(size=dim)
+    for i in range(1, 40):
+        # same direction with ulp-scale perturbations: cosines vs q tie
+        # to ~1e-13; ranking must fall back to the deterministic id order
+        v = base + rng.normal(size=dim) * 1e-13
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr = sorted(
+        map(tuple, SIM.knn_bruteforce_expr(emb, F.col("vec_id") == 0, k=10).collect())
+    )
+    arrow = sorted(
+        map(tuple, SIM.knn_bruteforce(emb, F.col("vec_id") == 0, k=10).collect())
+    )
+    assert expr == arrow
+    assert len(arrow) == 10
+
+
+def test_zscore_integer_formulation_is_exact(spark):
+    """The integer-variance z-score must agree with an arbitrary-precision
+    computation (Fraction-exact mean/variance, float only at the final
+    sqrt/divide) to the round6 grid — the construction's whole claim."""
+    import math
+    from fractions import Fraction
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.pandas_ops import (
+        zscore_per_user,
+    )
+
+    vals = [1.07, 2.53, 9.99, 4.20, 4.20, 0.01, 123.45, 67.89]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    got = {r.event_id: r.zscore for r in zscore_per_user(ev).collect()}
+
+    cents = [round(v * 100) for v in vals]
+    n = len(cents)
+    s, q = sum(cents), sum(c * c for c in cents)
+    for i, c in enumerate(cents):
+        num = Fraction(n * c - s)
+        var = Fraction(n * (n * q - s * s), n - 1)
+        exact = float(num) / math.sqrt(float(var))
+        assert abs(got[i] - exact) <= 1e-6 + 1e-12, i

@@ -77,3 +77,14 @@ def test_vacuum_reclaims_unreferenced_files(spark, table):
 def test_empty_table_raises(spark, table):
     with pytest.raises(FileNotFoundError, match="no committed version"):
         V.read_table(spark, table)
+
+
+def test_schema_evolution_across_commits(spark, table):
+    """Append-only schema evolution: a later commit adds a column; with
+    merge_schema the snapshot unions the schemas and old rows surface
+    nulls for the new column."""
+    V.commit(spark, _df(spark, [(1, "a")]), table)
+    wider = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    V.commit(spark, wider, table, mode="append")
+    rows = {r.k: r.score for r in V.read_table(spark, table, merge_schema=True).collect()}
+    assert rows == {1: None, 2: 9.5}
