@@ -359,3 +359,137 @@ def cdc_chunks(
         F.col("c.n_tokens").alias("n_tokens"),
         F.md5(F.col("c.chunk_text")).alias("digest"),
     )
+
+
+def _token_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined token n-grams (empty when < n tokens)."""
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda s: F.array_join(F.slice(toks, s, n), " "))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition metrics (Rae et al. 2021,
+    "Scaling Language Models", App. A quality filters), token-granular:
+
+    - ``top_bigram_count`` / ``top_bigram_frac``: occurrences of the most
+      frequent word bigram and the fraction of tokens it covers
+      (2*count / n_tokens) — high values flag boilerplate/spam.
+    - ``dup_3gram_frac``: fraction of 3-gram OCCURRENCES that belong to a
+      3-gram appearing >= 2 times within the document — the "fraction of
+      text inside repeated n-grams" filter.
+
+    Distributed shape: one explode of tagged n-grams -> (doc_id, n, gram)
+    hash aggregate -> per-doc merge; never materializes a per-doc map.
+    All counts are exact integers; the two fractions divide once at the
+    end (round6) so the DuckDB oracle matches bit-for-bit."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    base = (
+        df.na.drop(subset=[text_col])
+        .select("doc_id", toks.alias("__toks"))
+        .select("doc_id", F.size("__toks").cast("long").alias("n_tokens"), F.col("__toks"))
+    )
+    tagged = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).alias("n"), _token_ngrams(F.col("__toks"), 2).alias("gs")),
+                F.struct(F.lit(3).alias("n"), _token_ngrams(F.col("__toks"), 3).alias("gs")),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.n").alias("n"), F.explode("e.gs").alias("gram"))
+    counts = tagged.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.max("cnt").alias("mx"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias("dup"),
+    )
+    s2 = per_n.filter(F.col("n") == 2).select("doc_id", F.col("mx").alias("top2"))
+    s3 = per_n.filter(F.col("n") == 3).select(
+        "doc_id", F.col("dup").alias("dup3"), F.col("tot").alias("tot3")
+    )
+    out = base.select("doc_id", "n_tokens").join(s2, "doc_id", "left").join(s3, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("top2"), F.lit(0)).cast("long").alias("top_bigram_count"),
+        round6(
+            2.0 * F.coalesce(F.col("top2"), F.lit(0)) / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("top_bigram_frac"),
+        round6(
+            F.coalesce(F.col("dup3"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("tot3"), F.lit(0)), F.lit(1))
+        ).alias("dup_3gram_frac"),
+    )
+
+
+def crossdoc_ngram_scrub(df: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
+    """Substring-level cross-document dedup (the token-n-gram analog of
+    suffix-array dedup in Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): any n-gram of tokens that appears in
+    >= 2 DISTINCT documents is scrubbed from every document, and the
+    surviving tokens are re-joined in order. Catches boilerplate runs that
+    document-level near-dup (MinHash/SimHash) keeps, because the documents
+    themselves differ.
+
+    Distributed shape (never all-pairs):
+      1. explode (doc_id, start, gram) — one row per n-gram occurrence;
+      2. gram -> count(distinct doc_id) hash aggregate; shared = cnt >= 2
+         (a small frame at corpus scale: only grams that actually repeat);
+      3. equi-join occurrences to shared grams, explode covered positions,
+         distinct — per-doc covered-position set;
+      4. anti-join token positions against covered, re-assemble with an
+         in-group sort (array_sort(collect_list(struct(pos, tok)))).
+    Shuffles are keyed on gram then (doc_id, pos) — both well-spread; the
+    gram join inherits AQE skew splitting for degenerate corpora.
+
+    Output: (doc_id, n_tokens, n_scrubbed, scrubbed_text); docs whose
+    every token is covered stay present with scrubbed_text = ''."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    base = (
+        df.na.drop(subset=[text_col])
+        .select("doc_id", toks.alias("__toks"))
+        .persist()
+    )
+    starts = F.when(
+        F.size("__toks") >= n, F.sequence(F.lit(1), F.size("__toks") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    occ = base.select(
+        "doc_id", F.explode(starts).alias("s"), F.col("__toks")
+    ).select("doc_id", "s", F.array_join(F.slice("__toks", F.col("s"), n), " ").alias("gram"))
+    shared = (
+        occ.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        occ.join(shared, "gram")
+        .select("doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    positions = base.select(
+        "doc_id", F.posexplode("__toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = positions.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda st: st["tok"]
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+    )
+    out = (
+        base.select("doc_id", F.size("__toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_scrubbed"),
+            F.coalesce(F.col("scrubbed_text"), F.lit("")).alias("scrubbed_text"),
+        )
+    )
+    return out

@@ -5907,3 +5907,88 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the DuckDB oracle. The xxhash64 twin (simhash_fast_pairs) remains
     the Spark-native fast path with property tests."""
     return D.simhash_md5_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: intra-doc repetition filters + cross-doc n-gram scrub
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repetition_stats",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM base),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n_tokens - 2 + 2),
+                                   i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM b
+    ), c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    s2 AS (SELECT doc_id, MAX(cnt) AS top2 FROM c2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n_tokens - 3 + 2),
+                                   i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM b
+    ), c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+    s3 AS (SELECT doc_id,
+                  SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup3,
+                  SUM(cnt) AS tot3
+           FROM c3 GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(top2, 0) AS BIGINT) AS top_bigram_count,
+           FLOOR(2.0 * COALESCE(top2, 0) / GREATEST(b.n_tokens, 1) * 1e6 + 0.5) / 1e6
+               AS top_bigram_frac,
+           FLOOR(CAST(COALESCE(dup3, 0) AS DOUBLE) / GREATEST(COALESCE(tot3, 0), 1) * 1e6 + 0.5) / 1e6
+               AS dup_3gram_frac
+    FROM b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (top-bigram coverage +
+    duplicated-3-gram occurrence fraction) — operators/text.repetition_stats.
+    Extension tier: the reference has no string ops (SURVEY.md §2.2)."""
+    return TX.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "crossdoc_ngram_scrub",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM base),
+    occ AS (
+      SELECT doc_id, unnest(range(1, n_tokens - 8 + 2)) AS s, toks
+      FROM b
+    ), occg AS (
+      SELECT doc_id, s, array_to_string(toks[s:s+7], ' ') AS gram FROM occ
+    ), shared AS (
+      SELECT gram FROM occg GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), covered AS (
+      SELECT DISTINCT doc_id, unnest(range(s, s + 8)) AS pos
+      FROM occg JOIN shared USING (gram)
+    ), pos_tok AS (
+      SELECT doc_id, unnest(range(1, n_tokens + 1)) AS pos, toks FROM b
+    ), kept AS (
+      SELECT p.doc_id, p.pos, p.toks[p.pos] AS tok
+      FROM pos_tok p ANTI JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.pos
+    ), rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_scrubbed,
+           COALESCE(scrubbed_text, '') AS scrubbed_text
+    FROM b LEFT JOIN rebuilt USING (doc_id)
+    """,
+)
+def q_crossdoc_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-8-gram scrub (suffix-array-dedup analog,
+    Lee et al. 2022) — operators/text.crossdoc_ngram_scrub. Inverted-index
+    equi-join on gram, no all-pairs."""
+    return TX.crossdoc_ngram_scrub(load_table(spark, sf_dir, "documents"), n=8)

@@ -128,3 +128,21 @@ def test_q6_all_predicates_pushed(spark, sf_smoke):
 def test_q10_take_ordered_top20(spark, sf_smoke):
     txt = plan_of(QUERIES["q10_returned_customers"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in txt, txt
+
+
+def test_crossdoc_scrub_is_equijoin_only(spark, sf_smoke):
+    """crossdoc_ngram_scrub (round 3) must plan shared-gram detection and
+    position anti-join as shuffled/broadcast EQUI-joins — never a
+    cartesian/BNL — and keep an anti join for the kept-position set."""
+    txt = plan_of(QUERIES["crossdoc_ngram_scrub"](spark, sf_smoke))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "LeftAnti" in txt, txt
+
+
+def test_repetition_stats_two_phase_agg(spark, sf_smoke):
+    """repetition_stats gram counting must be a partial->final hash
+    aggregate (map-side combine), not a single-exchange full agg."""
+    txt = plan_of(QUERIES["repetition_stats"](spark, sf_smoke))
+    assert "CartesianProduct" not in txt
+    assert txt.count("HashAggregate") >= 2, txt
