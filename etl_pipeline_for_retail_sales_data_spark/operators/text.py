@@ -493,3 +493,84 @@ def crossdoc_ngram_scrub(df: DataFrame, n: int = 8, text_col: str = "text") -> D
         )
     )
     return out
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    targets: dict[str, int],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample each domain so
+    the kept corpus matches a target mixture EXACTLY (the data-mixing step
+    of LLM corpus builds — DoReMi/Pile-style domain weights, applied as
+    hard caps rather than sampling rates so reruns are reproducible).
+
+    ``targets`` maps domain value -> integer weight (any scale; only the
+    ratios matter). Let S = min_d count_d / w_d. Each domain keeps
+    desired_d = floor(S * w_d) documents — computed as
+    MIN_e (count_e * w_d) div w_e, pure int64 (floor(min) == min(floor)
+    because floor is monotone), so Spark and the SQL oracle agree
+    bit-for-bit. WHICH documents survive is decided by ranking on
+    (md5(id), id) within the domain: a content-independent, seedless,
+    partitioning-independent order.
+
+    Scale notes: the counts and desired frames are O(#domains) and
+    broadcast; the only big-data shuffle is the per-domain rank. With few
+    domains and billions of rows the window is the hot key — at that scale
+    switch to the rate-based hash-Bernoulli form (stratified_sample) and
+    accept +-epsilon mixture error; this operator is the exact-count form.
+
+    Output (one row per domain present in both df and targets):
+    (domain, n_total, n_kept, kept_digest) where kept_digest is md5 of the
+    comma-joined kept ids in id order — a checksum of the SAMPLE ITSELF,
+    not just its size."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(targets.items())], f"{domain_col} string, wt long"
+    )
+    eligible = df.join(F.broadcast(wdf), domain_col)
+    counts = eligible.groupBy(domain_col, "wt").agg(F.count("*").alias("cnt"))
+    d = counts.select(F.col(domain_col).alias("d_dom"), F.col("wt").alias("d_wt"))
+    e = counts.select(F.col("wt").alias("e_wt"), F.col("cnt").alias("e_cnt"))
+    desired = (
+        d.crossJoin(e)
+        .groupBy("d_dom")
+        .agg(F.min(F.expr("e_cnt * d_wt div e_wt")).alias("desired"))
+        .select(F.col("d_dom").alias(domain_col), "desired")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    kept = (
+        eligible.select(domain_col, id_col)
+        .withColumn("rn", rn)
+        .join(F.broadcast(desired), domain_col)
+        .filter(F.col("rn") <= F.col("desired"))
+    )
+    kept_agg = kept.groupBy(domain_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("kept_digest"),
+    )
+    return (
+        counts.select(domain_col, F.col("cnt").cast("long").alias("n_total"))
+        .join(kept_agg, domain_col, "left")
+        .select(
+            domain_col,
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("kept_digest"), F.lit("")).alias("kept_digest"),
+        )
+    )

@@ -5992,3 +5992,53 @@ def q_crossdoc_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lee et al. 2022) — operators/text.crossdoc_ngram_scrub. Inverted-index
     equi-join on gram, no all-pairs."""
     return TX.crossdoc_ngram_scrub(load_table(spark, sf_dir, "documents"), n=8)
+
+
+_MIXTURE_TARGETS = {"en": 30, "de": 20, "fr": 20, "es": 15, "zh": 15}
+_MIXTURE_VALUES = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIXTURE_TARGETS.items()))
+
+
+@query(
+    "domain_mixture_sample",
+    oracle=f"""
+    WITH w(lang, wt) AS (VALUES {_MIXTURE_VALUES}),
+    counts AS (
+      SELECT d.lang, w.wt, COUNT(*) AS cnt
+      FROM documents d JOIN w ON d.lang = w.lang
+      GROUP BY d.lang, w.wt
+    ),
+    desired AS (
+      SELECT d.lang, MIN((e.cnt * d.wt) // e.wt) AS des
+      FROM counts d CROSS JOIN counts e
+      GROUP BY d.lang
+    ),
+    ranked AS (
+      SELECT d.lang, d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN w ON d.lang = w.lang
+    ),
+    kept AS (
+      SELECT r.lang, r.doc_id FROM ranked r JOIN desired USING (lang)
+      WHERE r.rn <= des
+    ),
+    k AS (
+      SELECT lang, COUNT(*) AS n_kept,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS kept_digest
+      FROM kept GROUP BY lang
+    )
+    SELECT c.lang, CAST(c.cnt AS BIGINT) AS n_total,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.kept_digest, '') AS kept_digest
+    FROM counts c LEFT JOIN k USING (lang)
+    """,
+)
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count domain-mixture resampling to a fixed lang mixture
+    (operators/text.domain_mixture_sample): per-domain caps from integer
+    rational math, deterministic md5-rank selection, sample checksummed."""
+    return TX.domain_mixture_sample(
+        load_table(spark, sf_dir, "documents"), _MIXTURE_TARGETS
+    )

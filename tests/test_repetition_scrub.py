@@ -84,3 +84,29 @@ def test_repetition_and_scrub_null_text_dropped(spark):
     )
     assert [r.doc_id for r in repetition_stats(df).collect()] == [0]
     assert [r.doc_id for r in crossdoc_ngram_scrub(df).collect()] == [0]
+
+
+def test_domain_mixture_sample_exact_ratios(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.text import domain_mixture_sample
+
+    rows = [Row(doc_id=i, lang="a") for i in range(10)] + [
+        Row(doc_id=100 + i, lang="b") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r.lang: r for r in domain_mixture_sample(df, {"a": 2, "b": 1}, domain_col="lang").collect()}
+    # S = min(10/2, 3/1) = 3 -> a keeps floor(3*2)=6, b keeps 3 (2:1 mixture)
+    assert out["a"].n_total == 10 and out["a"].n_kept == 6
+    assert out["b"].n_total == 3 and out["b"].n_kept == 3
+    assert out["b"].kept_digest != "" and out["a"].kept_digest != ""
+
+
+def test_domain_mixture_sample_deterministic_and_ignores_unknown_domains(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.text import domain_mixture_sample
+
+    rows = [Row(doc_id=i, lang=["a", "b", "zz"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    t = {"a": 1, "b": 1}
+    r1 = sorted(domain_mixture_sample(df, t).collect())
+    r2 = sorted(domain_mixture_sample(df.repartition(7), t).collect())
+    assert r1 == r2  # partitioning-independent selection
+    assert {r.lang for r in r1} == {"a", "b"}  # zz not in targets -> excluded
