@@ -66,21 +66,65 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _harvest_stats(table_dir: str, rel_files: list[str], cols: list[str]) -> dict:
+    """Per-file min/max for ``cols``, read from parquet FOOTERS (row-group
+    statistics) — O(footer bytes), never a data scan. This is the write-time
+    stats collection of Iceberg/Delta: the manifest ends up knowing each
+    file's value range so readers can skip files wholesale. Only int/float/
+    str/bool stats are recorded (JSON-safe, totally ordered); columns
+    without footer stats are simply absent (readers treat absent as
+    "might match")."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        per: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                name = c.path_in_schema
+                if name not in cols:
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(mn, (int, float, str, bool)):
+                    continue
+                if name in per:
+                    per[name] = [min(per[name][0], mn), max(per[name][1], mx)]
+                else:
+                    per[name] = [mn, mx]
+        if per:
+            out[rel] = per
+    return out
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     extra: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot. ``mode='append'`` keeps the
     previous snapshot's files and adds new ones; ``'replace'`` starts the
     file list fresh (previous files stay on disk for time travel until
     vacuumed). ``extra`` entries are embedded in the manifest ATOMICALLY
     with the commit (the transactional carrier for e.g. a streaming
-    epoch id — see streaming/sinks.py). Returns the committed version
-    number. Raises ``CommitConflict`` if a concurrent writer claimed the
-    version."""
+    epoch id — see streaming/sinks.py). ``stats_cols`` records per-file
+    min/max for those columns in the manifest (footer harvest, no data
+    scan) so ``read_table(..., where=...)`` can prune files. Returns the
+    committed version number. Raises ``CommitConflict`` if a concurrent
+    writer claimed the version."""
     if mode not in ("append", "replace"):
         raise ValueError(f"mode must be 'append' or 'replace', got {mode!r}")
     if "://" in table_dir:
@@ -88,11 +132,14 @@ def commit(
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
 
     base_version = current_version(table_dir)
-    carried = (
-        _read_manifest(table_dir, base_version)["files"]
-        if mode == "append" and base_version is not None
-        else []
-    )
+    carried: list[str] = []
+    carried_stats: dict = {}
+    if mode == "append" and base_version is not None:
+        base = _read_manifest(table_dir, base_version)
+        carried = base["files"]
+        carried_stats = {
+            k: v for k, v in base.get("stats", {}).items() if k in set(carried)
+        }
 
     # 1. land immutable data files under a fresh uuid directory
     batch_id = uuid.uuid4().hex
@@ -114,6 +161,9 @@ def commit(
         "committed_at": time.time(),
         **(extra or {}),
     }
+    new_stats = _harvest_stats(table_dir, new_files, stats_cols) if stats_cols else {}
+    if new_stats or carried_stats:
+        manifest["stats"] = {**carried_stats, **new_stats}
     tmp = os.path.join(_manifest_dir(table_dir), f".tmp-{batch_id}.json")
     final = os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
     with open(tmp, "w") as f:
@@ -130,29 +180,91 @@ def commit(
     return version
 
 
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_may_match(file_stats: dict, col: str, op: str, val) -> bool:
+    """Range check against one file's [min, max]. Absent stats -> True
+    (conservative: never skip a file we can't rule out)."""
+    rng = file_stats.get(col)
+    if rng is None:
+        return True
+    mn, mx = rng
+    if op == "=":
+        return mn <= val <= mx
+    if op == "<":
+        return mn < val
+    if op == "<=":
+        return mn <= val
+    if op == ">":
+        return mx > val
+    return mx >= val  # ">="
+
+
+def prune_files(m: dict, where: tuple | None) -> list[str]:
+    """Manifest file list after data skipping for ``where=(col, op, val)``.
+    Exposed for plan tests: the pruning decision is pure manifest math."""
+    files = m["files"]
+    if where is None:
+        return files
+    col, op, val = where
+    if op not in _PRUNE_OPS:
+        raise ValueError(f"op must be one of {_PRUNE_OPS}, got {op!r}")
+    stats = m.get("stats", {})
+    return [f for f in files if _file_may_match(stats.get(f, {}), col, op, val)]
+
+
 def read_table(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     merge_schema: bool = False,
+    where: tuple | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default, or any retained ``version`` —
     time travel). The file list is pinned at manifest-read time, so the
     returned DataFrame stays consistent even if writers commit while the
     query runs. ``merge_schema=True`` unions column sets across commits
     (append-only schema evolution: old files surface nulls for columns
-    they predate — same contract as parquet ``mergeSchema``)."""
+    they predate — same contract as parquet ``mergeSchema``).
+
+    ``where=(col, op, val)`` with op in {=, <, <=, >, >=} does FILE-LEVEL
+    data skipping against the manifest's per-file min/max (written by
+    ``commit(stats_cols=...)``) BEFORE Spark ever lists the files — at
+    100 TB this is the difference between planning over every file and
+    planning over the handful whose range can match. The same predicate
+    is then applied as a normal row filter, so results are exact whether
+    or not stats exist; files lacking stats are read, not skipped."""
     v = current_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version at {table_dir!r}")
     m = _read_manifest(table_dir, v)
-    if not m["files"]:
-        return spark.createDataFrame([], "__empty string").limit(0)
-    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    files = prune_files(m, where)
+    if not files:
+        if m["files"] and where is not None:
+            # all files skipped: empty result with the TABLE's schema
+            files = m["files"][:1]
+        else:
+            return spark.createDataFrame([], "__empty string").limit(0)
+    paths = [os.path.join(table_dir, f) for f in files]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", True)
-    return reader.parquet(*paths)
+    df = reader.parquet(*paths)
+    if where is not None:
+        from pyspark.sql import functions as F
+
+        col, op, val = where
+        c = F.col(col)
+        pred = {
+            "=": c == val,
+            "<": c < val,
+            "<=": c <= val,
+            ">": c > val,
+            ">=": c >= val,
+        }[op]
+        df = df.filter(pred)
+    return df
 
 
 def history(table_dir: str) -> list[dict]:

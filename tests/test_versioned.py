@@ -88,3 +88,61 @@ def test_schema_evolution_across_commits(spark, table):
     V.commit(spark, wider, table, mode="append")
     rows = {r.k: r.score for r in V.read_table(spark, table, merge_schema=True).collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def _range_df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+
+
+def test_commit_harvests_footer_stats(spark, table):
+    V.commit(spark, _range_df(spark, 0, 100).coalesce(1), table, stats_cols=["k", "v"])
+    m = V._read_manifest(table, 0)
+    assert len(m["files"]) == 1
+    st = m["stats"][m["files"][0]]
+    assert st["k"] == [0, 99]
+    assert st["v"][0] == "0" and st["v"][1] == "99"  # string min/max
+
+
+def test_where_prunes_files_and_stays_exact(spark, table):
+    # 4 range-partitioned files -> disjoint k ranges per file
+    df = _range_df(spark, 0, 1000).repartitionByRange(4, "k")
+    V.commit(spark, df, table, stats_cols=["k"])
+    m = V._read_manifest(table, 0)
+    assert len(m["files"]) == 4
+    pruned = V.prune_files(m, ("k", "=", 17))
+    assert len(pruned) == 1  # exactly one file's range covers 17
+    assert V.prune_files(m, ("k", "<", 1)) != m["files"]
+    # results identical to an unpruned filter
+    got = sorted(r.k for r in V.read_table(spark, table, where=("k", "=", 17)).collect())
+    assert got == [17]
+    lt = V.read_table(spark, table, where=("k", "<", 250)).count()
+    assert lt == 250
+
+
+def test_append_carries_stats_forward(spark, table):
+    V.commit(spark, _range_df(spark, 0, 10).coalesce(1), table, stats_cols=["k"])
+    V.commit(spark, _range_df(spark, 1000, 1010).coalesce(1), table, mode="append", stats_cols=["k"])
+    m = V._read_manifest(table, 1)
+    assert len(m["stats"]) == 2  # both commits' files have stats
+    pruned = V.prune_files(m, ("k", ">=", 1000))
+    assert len(pruned) == 1
+
+
+def test_where_without_stats_reads_everything_but_filters(spark, table):
+    V.commit(spark, _range_df(spark, 0, 100).repartitionByRange(4, "k"), table)  # no stats_cols
+    m = V._read_manifest(table, 0)
+    assert V.prune_files(m, ("k", "=", 5)) == m["files"]  # conservative: no skipping
+    assert [r.k for r in V.read_table(spark, table, where=("k", "=", 5)).collect()] == [5]
+
+
+def test_where_pruning_all_files_yields_empty_with_schema(spark, table):
+    V.commit(spark, _range_df(spark, 0, 100).coalesce(1), table, stats_cols=["k"])
+    out = V.read_table(spark, table, where=("k", ">", 10_000))
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+
+
+def test_where_rejects_unknown_op(spark, table):
+    V.commit(spark, _range_df(spark, 0, 10).coalesce(1), table, stats_cols=["k"])
+    with pytest.raises(ValueError, match="op must be"):
+        V.read_table(spark, table, where=("k", "!=", 3)).collect()
