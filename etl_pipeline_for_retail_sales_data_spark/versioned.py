@@ -267,6 +267,39 @@ def read_table(
     return df
 
 
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    sort_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the current snapshot into ``target_files`` files
+    as a new ``replace`` commit (Delta OPTIMIZE / Iceberg rewrite_data_files).
+    Streaming appends and incremental batches leave a long tail of small
+    files; at cluster scale that is death by file listing and per-file
+    task overhead, and it starves data skipping (every tiny file spans a
+    tiny range, but the planner still has to consider each one).
+
+    ``sort_by`` range-partitions then sorts within files before writing —
+    combined with ``stats_cols`` the rewritten files carry TIGHT,
+    NON-OVERLAPPING min/max ranges, which is what makes
+    ``read_table(where=...)`` pruning effective (pair with
+    operators/layout.zorder_layout for multi-column locality: pass the
+    interleaved key as a column and sort by it).
+
+    Data is unchanged (same rows, new layout); time travel still reaches
+    the pre-compaction snapshot until vacuum. Concurrency: the commit goes
+    through the same os.link claim, so a racing writer surfaces as
+    ``CommitConflict`` — rerun compaction on the new snapshot."""
+    snap = read_table(spark, table_dir)
+    if sort_by:
+        snap = snap.repartitionByRange(target_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        snap = snap.coalesce(target_files)
+    return commit(spark, snap, table_dir, mode="replace", stats_cols=stats_cols)
+
+
 def history(table_dir: str) -> list[dict]:
     """Commit log, oldest first: version, mode, file count, timestamp."""
     return [

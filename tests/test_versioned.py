@@ -146,3 +146,29 @@ def test_where_rejects_unknown_op(spark, table):
     V.commit(spark, _range_df(spark, 0, 10).coalesce(1), table, stats_cols=["k"])
     with pytest.raises(ValueError, match="op must be"):
         V.read_table(spark, table, where=("k", "!=", 3)).collect()
+
+
+def test_compact_rewrites_small_files_preserving_data(spark, table):
+    # 5 append commits of 2 files each -> 10 small files
+    for i in range(5):
+        V.commit(spark, _range_df(spark, i * 10, i * 10 + 10).repartition(2), table, mode="append")
+    before = V._read_manifest(table, V.current_version(table))
+    assert len(before["files"]) == 10
+    v = V.compact(spark, table, target_files=2, sort_by=["k"], stats_cols=["k"])
+    after = V._read_manifest(table, v)
+    assert len(after["files"]) == 2
+    # same rows, new layout
+    got = sorted(r.k for r in V.read_table(spark, table).collect())
+    assert got == list(range(50))
+    # pre-compaction snapshot still reachable (time travel)
+    assert V.read_table(spark, table, version=v - 1).count() == 50
+
+
+def test_compact_sorted_files_have_disjoint_ranges_for_pruning(spark, table):
+    V.commit(spark, _range_df(spark, 0, 1000).repartition(8), table)
+    v = V.compact(spark, table, target_files=4, sort_by=["k"], stats_cols=["k"])
+    m = V._read_manifest(table, v)
+    ranges = sorted(m["stats"][f]["k"] for f in m["files"])
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # range-partitioned + sorted -> non-overlapping
+    assert len(V.prune_files(m, ("k", "=", 500))) == 1
