@@ -114,11 +114,16 @@ def commit(
     mode: str = "append",
     extra: dict | None = None,
     stats_cols: list[str] | None = None,
+    carry_files: list[str] | None = None,
+    carry_stats: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot. ``mode='append'`` keeps the
     previous snapshot's files and adds new ones; ``'replace'`` starts the
     file list fresh (previous files stay on disk for time travel until
-    vacuumed). ``extra`` entries are embedded in the manifest ATOMICALLY
+    vacuumed). ``carry_files``/``carry_stats`` override the carried list
+    explicitly — the partial-rewrite primitive ``merge_into(prune_on=...)``
+    builds on (untouched files survive, touched files are replaced by
+    ``df``'s new files). ``extra`` entries are embedded in the manifest ATOMICALLY
     with the commit (the transactional carrier for e.g. a streaming
     epoch id — see streaming/sinks.py). ``stats_cols`` records per-file
     min/max for those columns in the manifest (footer harvest, no data
@@ -134,7 +139,11 @@ def commit(
     base_version = current_version(table_dir)
     carried: list[str] = []
     carried_stats: dict = {}
-    if mode == "append" and base_version is not None:
+    if carry_files is not None:
+        # partial rewrite (file-pruned MERGE): caller names the survivors
+        carried = list(carry_files)
+        carried_stats = dict(carry_stats or {})
+    elif mode == "append" and base_version is not None:
         base = _read_manifest(table_dir, base_version)
         carried = base["files"]
         carried_stats = {
@@ -298,6 +307,91 @@ def compact(
     else:
         snap = snap.coalesce(target_files)
     return commit(spark, snap, table_dir, mode="replace", stats_cols=stats_cols)
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched: str = "update",
+    stats_cols: list[str] | None = None,
+    prune_on: str | None = None,
+) -> int:
+    """MERGE INTO for versioned tables (Delta MERGE / upsert): rows of the
+    current snapshot whose key matches a source row are replaced by the
+    source row (``when_matched='update'``) or dropped
+    (``when_matched='delete'``); unmatched source rows are inserted
+    (update mode only). Commits the merged result as a ``replace``
+    snapshot — data files stay immutable, concurrency stays the os.link
+    claim, and a ``CommitConflict`` means: reread, re-merge, retry (the
+    merge itself is deterministic, so blind retry is safe).
+
+    Distributed shape: ONE left-anti join of target vs source keys (drop
+    the to-be-replaced rows) + a unionByName for inserts — no window, no
+    driver collect.
+
+    ``prune_on='col'`` enables Delta's FILE-PRUNED copy-on-write: the
+    source's [min, max] on that key column is computed once, and only
+    target files whose manifest range OVERLAPS that envelope are read,
+    anti-joined, and rewritten — every other file is carried into the new
+    manifest untouched, stats included. Non-overlap proves a file holds
+    no matching key, so pruning is conservative-correct; on a 100 TB
+    table a narrow-key merge rewrites a handful of files instead of the
+    whole table. Requires the table to have been committed with
+    ``stats_cols`` covering that column (files without stats are treated
+    as touched).
+
+    ``source`` must contain exactly one row per key (enforced: duplicate
+    source keys make MERGE ambiguous — raises ValueError like Delta)."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    dup = source.groupBy(*key_cols).count().filter("count > 1").limit(1).count()
+    if dup:
+        raise ValueError("source has duplicate keys; MERGE requires one source row per key")
+
+    if prune_on is None:
+        target = read_table(spark, table_dir)
+        keep = target.join(source.select(*key_cols), key_cols, "left_anti")
+        merged = keep.unionByName(source) if when_matched == "update" else keep
+        return commit(spark, merged, table_dir, mode="replace", stats_cols=stats_cols)
+
+    from pyspark.sql import functions as F
+
+    v = current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table_dir!r}")
+    m = _read_manifest(table_dir, v)
+    env = source.agg(
+        F.min(prune_on).alias("lo"), F.max(prune_on).alias("hi")
+    ).first()
+    stats = m.get("stats", {})
+
+    def untouched(f: str) -> bool:
+        if env.lo is None:
+            return True  # empty source matches nothing
+        rng = stats.get(f, {}).get(prune_on)
+        if rng is None:
+            return False  # no stats: must assume the file could match
+        return rng[1] < env.lo or rng[0] > env.hi  # no overlap with envelope
+
+    keep_files = [f for f in m["files"] if untouched(f)]
+    touched = [f for f in m["files"] if f not in set(keep_files)]
+    if touched:
+        t_df = spark.read.parquet(*(os.path.join(table_dir, f) for f in touched))
+        keep_rows = t_df.join(source.select(*key_cols), key_cols, "left_anti")
+    else:
+        keep_rows = read_table(spark, table_dir).limit(0)
+    merged = keep_rows.unionByName(source) if when_matched == "update" else keep_rows
+    return commit(
+        spark,
+        merged,
+        table_dir,
+        mode="replace",
+        stats_cols=stats_cols,
+        carry_files=keep_files,
+        carry_stats={k: s for k, s in stats.items() if k in set(keep_files)},
+    )
 
 
 def history(table_dir: str) -> list[dict]:

@@ -172,3 +172,76 @@ def test_compact_sorted_files_have_disjoint_ranges_for_pruning(spark, table):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # range-partitioned + sorted -> non-overlapping
     assert len(V.prune_files(m, ("k", "=", 500))) == 1
+
+
+def test_merge_into_upserts_and_inserts(spark, table):
+    V.commit(spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    src = _df(spark, [(2, "B2"), (9, "new")])
+    v = V.merge_into(spark, table, src, key_cols=["k"])
+    got = {r.k: r.v for r in V.read_table(spark, table).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    # pre-merge snapshot still readable
+    old = {r.k: r.v for r in V.read_table(spark, table, version=v - 1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_into_delete_mode(spark, table):
+    V.commit(spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    V.merge_into(spark, table, _df(spark, [(2, "x")]), key_cols=["k"], when_matched="delete")
+    assert {r.k for r in V.read_table(spark, table).collect()} == {1, 3}
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, table):
+    V.commit(spark, _df(spark, [(1, "a")]), table)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        V.merge_into(spark, table, _df(spark, [(2, "x"), (2, "y")]), key_cols=["k"])
+
+
+def test_merge_into_deterministic_retry_is_idempotent(spark, table):
+    V.commit(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+    src = _df(spark, [(2, "B"), (5, "e")])
+    V.merge_into(spark, table, src, key_cols=["k"])
+    V.merge_into(spark, table, src, key_cols=["k"])  # blind retry
+    got = {r.k: r.v for r in V.read_table(spark, table).collect()}
+    assert got == {1: "a", 2: "B", 5: "e"}
+
+
+def test_merge_into_pruned_rewrites_only_overlapping_files(spark, table):
+    # 4 sorted files with disjoint k ranges: [0,249] [250,499] [500,749] [750,999]
+    V.commit(spark, _range_df(spark, 0, 1000), table)
+    V.compact(spark, table, target_files=4, sort_by=["k"], stats_cols=["k"])
+    before = V._read_manifest(table, V.current_version(table))
+    src = _range_df(spark, 100, 110).selectExpr("k", "'UPD' AS v")
+    v = V.merge_into(spark, table, src, key_cols=["k"], stats_cols=["k"], prune_on="k")
+    after = V._read_manifest(table, v)
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) == 3  # only the [0,249] file was rewritten
+    # carried files keep their stats
+    for f in carried:
+        assert after["stats"][f]["k"] == before["stats"][f]["k"]
+    got = {r.k: r.v for r in V.read_table(spark, table).collect()}
+    assert len(got) == 1000
+    assert all(got[k] == "UPD" for k in range(100, 110))
+    assert got[99] == "99" and got[110] == "110"
+
+
+def test_merge_into_pruned_inserts_outside_all_ranges(spark, table):
+    V.commit(spark, _range_df(spark, 0, 100), table)
+    V.compact(spark, table, target_files=2, sort_by=["k"], stats_cols=["k"])
+    src = _range_df(spark, 5000, 5003).selectExpr("k", "'NEW' AS v")
+    v = V.merge_into(spark, table, src, key_cols=["k"], stats_cols=["k"], prune_on="k")
+    after = V._read_manifest(table, v)
+    assert V.read_table(spark, table).count() == 103
+    # both original files untouched (no range overlap with [5000,5002])
+    assert len([f for f in after["files"] if f in set(V._read_manifest(table, v - 1)["files"])]) == 2
+
+
+def test_merge_into_pruned_matches_unpruned_result(spark, table):
+    V.commit(spark, _range_df(spark, 0, 500), table)
+    V.compact(spark, table, target_files=4, sort_by=["k"], stats_cols=["k"])
+    src = _range_df(spark, 480, 520).selectExpr("k", "'M' AS v")
+    V.merge_into(spark, table, src, key_cols=["k"], stats_cols=["k"], prune_on="k")
+    pruned = sorted((r.k, r.v) for r in V.read_table(spark, table).collect())
+    V.merge_into(spark, table, src, key_cols=["k"])  # unpruned on top: idempotent merge
+    unpruned = sorted((r.k, r.v) for r in V.read_table(spark, table).collect())
+    assert pruned == unpruned
