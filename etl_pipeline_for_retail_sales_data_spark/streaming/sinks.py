@@ -72,3 +72,62 @@ def exactly_once_append(stream_df: DataFrame, table_dir: str, query_name: str) -
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_epoch_merger(table_dir: str, key_cols: list[str], prune_on: str | None = None):
+    """foreachBatch callback for streaming CDC APPLY: each micro-batch is
+    a set of upserts (latest row per key) merged into the versioned table
+    via ``versioned.merge_into`` — matched keys replaced, new keys
+    inserted — with the epoch id landing in the SAME atomic commit, so
+    redelivered epochs are skipped and the merge is exactly-once. This is
+    the streaming half of a CDC pipeline: a debezium-style change feed
+    becomes a continuously-maintained queryable table with time travel.
+
+    The batch is deduplicated to the last row per key by ``__seq`` if the
+    frame carries that column (change-feed ordering), else merge_into's
+    one-row-per-key check enforces the contract. ``prune_on`` passes
+    through to the file-pruned merge path."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def merge_epoch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_epoch(table_dir)
+        if last is not None and batch_id <= last:
+            return
+        df = batch_df
+        if "__seq" in df.columns:
+            w = Window.partitionBy(*key_cols).orderBy(F.desc("__seq"))
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn", "__seq")
+            )
+        if V.current_version(table_dir) is None:
+            V.commit(df.sparkSession, df, table_dir, mode="append", extra={"epoch_id": batch_id})
+            return
+        V.merge_into(
+            df.sparkSession,
+            table_dir,
+            df,
+            key_cols=key_cols,
+            prune_on=prune_on,
+            extra={"epoch_id": batch_id},
+        )
+
+    return merge_epoch
+
+
+def exactly_once_upsert(
+    stream_df: DataFrame, table_dir: str, query_name: str, key_cols: list[str]
+) -> StreamingQuery:
+    """Start a streaming query MERGING each micro-batch into a versioned
+    table exactly once (streaming upsert / CDC apply). Use ``update``
+    output mode upstream aggregations or a raw change feed; the table
+    always holds the latest row per key."""
+    return (
+        stream_df.writeStream.foreachBatch(make_epoch_merger(table_dir, key_cols))
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -317,6 +317,7 @@ def merge_into(
     when_matched: str = "update",
     stats_cols: list[str] | None = None,
     prune_on: str | None = None,
+    extra: dict | None = None,
 ) -> int:
     """MERGE INTO for versioned tables (Delta MERGE / upsert): rows of the
     current snapshot whose key matches a source row are replaced by the
@@ -354,7 +355,9 @@ def merge_into(
         target = read_table(spark, table_dir)
         keep = target.join(source.select(*key_cols), key_cols, "left_anti")
         merged = keep.unionByName(source) if when_matched == "update" else keep
-        return commit(spark, merged, table_dir, mode="replace", stats_cols=stats_cols)
+        return commit(
+            spark, merged, table_dir, mode="replace", stats_cols=stats_cols, extra=extra
+        )
 
     from pyspark.sql import functions as F
 
@@ -389,6 +392,7 @@ def merge_into(
         table_dir,
         mode="replace",
         stats_cols=stats_cols,
+        extra=extra,
         carry_files=keep_files,
         carry_stats={k: s for k, s in stats.items() if k in set(keep_files)},
     )

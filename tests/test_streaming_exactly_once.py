@@ -59,3 +59,61 @@ def test_out_of_order_old_epoch_is_skipped(spark, tmp_path):
     committer(batch, 3)  # late, below high-water mark
     assert V.read_table(spark, table).count() == 1
     assert last_committed_epoch(table) == 5
+
+
+def test_epoch_merger_upserts_across_batches(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import make_epoch_merger
+
+    table = str(tmp_path / "cdc")
+    merger = make_epoch_merger(table, key_cols=["k"])
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b1 = spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string")
+
+    merger(b0, 0)
+    merger(b1, 1)
+    got = {r.k: r.v for r in V.read_table(spark, table).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
+    assert last_committed_epoch(table) == 1
+    # every epoch commit is atomic with its id
+    assert V._read_manifest(table, V.current_version(table))["epoch_id"] == 1
+
+
+def test_epoch_merger_redelivery_does_not_double_apply(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import make_epoch_merger
+
+    table = str(tmp_path / "cdc")
+    merger = make_epoch_merger(table, key_cols=["k"])
+    merger(spark.createDataFrame([(1, "a")], "k long, v string"), 0)
+    b1 = spark.createDataFrame([(1, "a2")], "k long, v string")
+    merger(b1, 1)
+    v_after = V.current_version(table)
+    merger(b1, 1)  # redelivered epoch: must be a no-op
+    assert V.current_version(table) == v_after
+    assert {r.v for r in V.read_table(spark, table).collect()} == {"a2"}
+
+
+def test_epoch_merger_last_write_per_key_wins_within_batch(spark, tmp_path):
+    """A change feed can carry several updates for one key in one epoch;
+    __seq orders them and only the last survives the merge."""
+    from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import make_epoch_merger
+
+    table = str(tmp_path / "cdc")
+    merger = make_epoch_merger(table, key_cols=["k"])
+    feed = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 20), (2, "only", 5)], "k long, v string, __seq long"
+    )
+    merger(feed, 0)
+    got = {r.k: r.v for r in V.read_table(spark, table).collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_exactly_once_upsert_end_to_end_stream(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import exactly_once_upsert
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "cdc_table")
+    spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string").write.parquet(src)
+    stream = spark.readStream.schema("k long, v string").parquet(src)
+    q = exactly_once_upsert(stream, table, "cdc_smoke", key_cols=["k"])
+    q.awaitTermination(120)
+    assert {r.k: r.v for r in V.read_table(spark, table).collect()} == {1: "x", 2: "y"}
