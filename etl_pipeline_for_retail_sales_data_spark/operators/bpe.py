@@ -1,0 +1,231 @@
+"""Distributed byte-pair-encoding (BPE) vocabulary training + encoding.
+
+The reference pipeline has no tokenizer; this is part of the
+training-data extension tier (token budgeting / packing need a real
+subword tokenizer, not whitespace counts). Algorithm is the published
+BPE subword scheme (Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units") — greedy merges of the
+most frequent adjacent symbol pair.
+
+Scale shape: training never touches raw text after one pass. The corpus
+collapses to the distinct (word, freq) table — at 100 TB of text the
+distinct vocabulary is orders of magnitude smaller than the corpus and
+every merge round runs only on it. Each round is ONE distributed job:
+
+  pair counts  = explode adjacent symbol pairs weighted by word freq
+                 (JVM expression: transform over an index sequence)
+  best pair    = argmax(count desc, pair asc) — a 1-row driver collect
+                 (the only driver data per round, by design)
+  apply merge  = Arrow batch scan rewriting each word's symbol array
+                 (left-to-right non-overlapping, the classic scan);
+                 localCheckpoint keeps the lineage flat across rounds
+                 (same iterative-loop pattern as operators/graph.py
+                 pagerank — plan depth, not data, is the cost).
+
+Encoding broadcasts the learned merge ranks (a few thousand entries)
+and runs one Arrow pass over documents — the standard "merge the
+lowest-rank pair present until none applies" per-word loop, memoized
+per distinct word within each batch.
+
+Determinism: pair ties break lexicographically; word→symbol init is
+character split with a terminal ``</w>`` marker on the last symbol (the
+published formulation), so two runs produce identical merge tables.
+
+Not oracle-SQL-expressible (iterative fixpoint with per-round argmax);
+covered by property tests instead: known-corpus merge sequence,
+token-roundtrip (concat of a word's tokens reproduces the word),
+zero-merge degeneracy to characters, and run-to-run determinism
+(tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import spread
+
+END = "</w>"
+
+
+def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One pass over the corpus → the distinct (word, freq) table BPE
+    trains on. Lowercased whitespace tokenization (matches the repo's
+    other text operators)."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _init_symbols(wf: DataFrame) -> DataFrame:
+    """(word, freq, syms): character symbols with the terminal marker
+    fused onto the last character (``h e l l o</w>``)."""
+    chars = F.filter(F.split(F.col("word"), ""), lambda s: s != "")
+    n = F.size(chars)
+    syms = F.transform(
+        chars,
+        lambda s, i: F.when(i == n - 1, F.concat(s, F.lit(END))).otherwise(s),
+    )
+    return wf.select("word", "freq", syms.alias("syms"))
+
+
+def _pair_counts(symframe: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-pair counts — pure JVM expressions (no
+    Python in the counting hot path). Each word contributes every
+    adjacent (syms[i], syms[i+1]) with weight freq."""
+    idx = F.sequence(F.lit(0), F.size("syms") - 2)
+    pairs = F.transform(
+        idx, lambda i: F.struct(F.element_at("syms", i + 1).alias("a"),
+                                F.element_at("syms", i + 2).alias("b"))
+    )
+    return (
+        symframe.filter(F.size("syms") >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merge_word(syms: list, a: str, b: str) -> list:
+    """Classic left-to-right non-overlapping merge of (a, b) → a+b."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _apply_merge(symframe: DataFrame, a: str, b: str) -> DataFrame:
+    """One Arrow pass rewriting every word's symbol array. The cheap
+    pre-filter (does the array even contain ``a``?) keeps the Python
+    rewrite off words that cannot change — at scale most words are
+    untouched by any given merge."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf["syms"] = [
+                    _merge_word(list(s), a, b) if a in s else list(s)
+                    for s in pdf["syms"]
+                ]
+            yield pdf
+
+    return symframe.mapInPandas(gen, "word string, freq long, syms array<string>")
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the ordered
+    merge list [(a, b), ...] (rank = position). Stops early when the best
+    pair's corpus frequency drops below ``min_freq``."""
+    wf = spread(word_freq(docs, text_col))
+    symframe = _init_symbols(wf).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            _pair_counts(symframe)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_freq:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        nxt = _apply_merge(symframe, a, b).localCheckpoint(eager=True)
+        symframe.unpersist()
+        symframe = nxt
+    symframe.unpersist()
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard BPE encode: repeatedly merge the lowest-rank adjacent
+    pair present until no learned pair applies."""
+    syms = [c for c in word]
+    if not syms:
+        return syms
+    syms[-1] = syms[-1] + END
+    while len(syms) >= 2:
+        ranked = [
+            (ranks[(syms[i], syms[i + 1])], i)
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not ranked:
+            break
+        best_rank = min(r for r, _ in ranked)
+        a, b = None, None
+        for r, i in ranked:
+            if r == best_rank:
+                a, b = syms[i], syms[i + 1]
+                break
+        syms = _merge_word(syms, a, b)
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, token) rows: every BPE token of every word, in document
+    order. The merge table rides into each task via closure (it is a few
+    KB; on a cluster the same list is broadcast with the serialized
+    function). Per-batch memoization of distinct words makes the Python
+    loop run once per distinct word, not once per occurrence."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def gen(batches):
+        for pdf in batches:
+            ids, toks = [], []
+            cache: dict[str, list[str]] = {}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for w in str(text).lower().split():
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, ranks)
+                        cache[w] = enc
+                    ids.extend([did] * len(enc))
+                    toks.extend(enc)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "token": pd.Series(toks, dtype="object")})
+
+    return (
+        spread(docs)
+        .select(id_col, text_col)
+        .mapInPandas(gen, f"{id_col} long, token string")
+    )
+
+
+def bpe_token_stats(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Corpus token distribution under the learned vocabulary:
+    (token, n_occurrences, n_docs), the fertility/budget table a
+    packing pipeline reads."""
+    toks = bpe_encode(docs, merges, text_col)
+    return toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

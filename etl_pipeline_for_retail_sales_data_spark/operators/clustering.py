@@ -87,3 +87,76 @@ def kmeans_inertia(assigned: DataFrame) -> float:
     """Sum of squared distances to the assigned centroid (the quantity
     Lloyd's algorithm monotonically decreases)."""
     return assigned.agg(F.sum("dist").alias("i")).collect()[0]["i"]
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication, the SemDeDup recipe
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): k-means partitions the embedding
+    space, pairwise cosine runs ONLY within each cluster, and one
+    representative survives per near-dup group.
+
+    Why this scales where exact near-dup doesn't: the O(n²) pair scoring
+    is confined to clusters, so the self-join's equi-key is the cluster
+    id — at 100 TB the candidate volume is Σ|cluster|², controlled by k,
+    instead of n². (The LSH twin in operators/similarity.py bounds
+    candidates differently — by hyperplane bucket; k-means buckets adapt
+    to the actual density, the published argument for SemDeDup over LSH.)
+
+    Pipeline (all existing engine operators, no new primitives):
+      kmeans_assign → within-cluster self-join on unit vectors →
+      cosine ≥ threshold edges → connected_components → min-id keeper.
+
+    Returns (vec_id, cluster, component_id, keep): every input row
+    appears exactly once; ``keep`` is false only for rows whose
+    component keeper is another row. Deterministic end-to-end (seeded
+    k-means, min-label components, min-id keeper).
+
+    Not oracle-SQL-expressible (two nested iterative fixpoints —
+    Lloyd's + label propagation); property-tested instead: partition
+    invariants, dropped-row-has-kept-neighbor, determinism
+    (tests/test_semantic_bpe_pq.py).
+    """
+    from .dedup import connected_components
+    from .similarity import dot, unit_vectors
+
+    assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    uv = unit_vectors(emb, id_col, vec_col, out_col="uv")
+    pts = assigned.select("vec_id", "cluster").join(
+        uv.withColumnRenamed(id_col, "vec_id"), "vec_id"
+    ).persist()
+    a = pts.select(
+        F.col("cluster"), F.col("vec_id").alias("ida"), F.col("uv").alias("va")
+    )
+    b = pts.select(
+        F.col("cluster"), F.col("vec_id").alias("idb"), F.col("uv").alias("vb")
+    )
+    edges = (
+        a.join(b, "cluster")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(dot(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("ida").alias("doc_a"), F.col("idb").alias("doc_b"))
+    )
+    comps = connected_components(
+        edges, pts.select(F.col("vec_id").alias("doc_id")), id_col="doc_id"
+    )
+    keeper = comps.groupBy("component_id").agg(F.min("doc_id").alias("keeper_id"))
+    out = (
+        pts.select("vec_id", "cluster")
+        .join(comps.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+        .join(keeper, "component_id")
+        .select(
+            "vec_id",
+            "cluster",
+            "component_id",
+            (F.col("vec_id") == F.col("keeper_id")).alias("keep"),
+        )
+    )
+    return out

@@ -1,4 +1,4 @@
-"""Iterative graph algorithms over edge DataFrames (PageRank).
+"""Graph algorithms over edge DataFrames (PageRank, triangle counting).
 
 Companion to the label-propagation connected components in
 ``operators.dedup`` — both exist because near-duplicate detection at
@@ -99,3 +99,82 @@ def pagerank(
     dangling_ids.unpersist()
     n.unpersist()
     return ranks.select(F.col("id").alias(id_col), "rank")
+
+
+def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge list in canonical form: (u, v) with u < v,
+    self-loops dropped, parallel edges collapsed. Everything downstream
+    (triangles, components) assumes this shape."""
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Degree orientation: direct every canonical edge from the
+    lower-rank endpoint to the higher, where rank orders nodes by
+    (degree asc, id asc). This is the standard compact-forward /
+    node-iterator++ trick (Schank & Wagner 2005; Suri & Vassilvitskii's
+    MapReduce formulation): every node's OUT-degree under this
+    orientation is O(sqrt(m)), so the wedge join below generates
+    O(m^1.5) candidates total regardless of skew — a hub with degree d
+    no longer fans out d^2 wedges. Returns (lo, hi) in rank order."""
+    e = canonical_edges(edges)
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    with_deg = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Every triangle of the undirected graph, exactly once, as
+    (a, b, c) with a < b < c. Plan: wedges from the degree-oriented
+    adjacency (lo→x, lo→y generates each wedge at its lowest-RANK apex
+    only) closed by an equi-join back against the oriented edge list —
+    two shuffles on node keys, no cross join, skew bounded by the
+    orientation (see oriented_edges). Emitted labels are sorted by id
+    so the output is orientation-independent (and matches the plain
+    a<b<c three-way-join oracle formulation)."""
+    oe = oriented_edges(edges).persist()
+    w1 = oe.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
+    w2 = oe.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "apex").filter(F.col("x") < F.col("y"))
+    # each canonical edge appears exactly once in oe → re-keying by id
+    # order is already duplicate-free, matching the wedge's x < y key
+    closer = oe.select(
+        F.least("lo", "hi").alias("x"), F.greatest("lo", "hi").alias("y")
+    )
+    tri = wedges.join(closer, ["x", "y"])
+    ids = F.array_sort(F.array("apex", "x", "y"))
+    return tri.select(
+        ids[0].alias("a"), ids[1].alias("b"), ids[2].alias("c")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(id, n_triangles): per-node triangle participation — the local
+    clustering signal (dense co-occurrence neighborhoods). One extra
+    explode + groupBy over the triangle frame."""
+    t = triangles(edges)
+    member = (
+        t.select(F.col("a").alias("id"))
+        .unionAll(t.select(F.col("b").alias("id")))
+        .unionAll(t.select(F.col("c").alias("id")))
+    )
+    return member.groupBy("id").agg(F.count("*").alias("n_triangles"))

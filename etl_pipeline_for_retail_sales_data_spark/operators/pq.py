@@ -1,0 +1,267 @@
+"""Product-quantization (PQ) approximate nearest neighbor search.
+
+Third ANN family next to the hyperplane-LSH and IVF operators in
+``operators/similarity.py`` — the published PQ scheme (Jégou, Douze &
+Schmid 2011, "Product Quantization for Nearest Neighbor Search"): split
+each D-dim vector into m subvectors, vector-quantize each subspace with
+its own ksub-centroid codebook, and represent every corpus vector by m
+small codes (m bytes at ksub=256; m nibbles at ksub=16). Queries score
+candidates with the asymmetric distance computation (ADC): a per-query
+lookup table of query-subvector ↔ centroid distances, summed over the m
+code positions — no original vectors touched at query time.
+
+Why this is the 100 TB memory story: the corpus's float vectors
+(64 dims × 4 B = 256 B/row) collapse to m codes (8 B/row at m=8) — a
+32× smaller frame to scan, cache, and shuffle; the codebooks are
+KB-sized and broadcast. The int8 scalar quantizer
+(queries_registry.embed_quantize_int8) compresses per-dimension; PQ
+compresses per-subspace with a learned codebook, the standard
+billion-vector regime (FAISS IVFPQ's building block).
+
+Execution shape — everything is one exploded frame + equi-joins:
+  train   one frame (vec_id, sub, subvector); Lloyd rounds assign via
+          broadcast of the (m·ksub)-row codebook and re-average per
+          (sub, code, dim). ALL m subspaces train in the same
+          distributed job — the explode IS the parallelism over
+          subspaces; no per-subspace driver loop.
+  encode  nearest-centroid per (vec_id, sub) → collect codes into an
+          m-array per vector. One broadcast join + one groupBy.
+  search  LUT = queries × codebook (broadcast, (q·m·ksub) rows);
+          candidate scores = codes ⋈ LUT on (sub, code) — an equi-join
+          whose build side is the broadcast LUT — then
+          groupBy(q_id, vec_id).sum → top-k window. The corpus is
+          scanned once, in code form only.
+
+Determinism: seeds are the ksub lowest vec_ids' subvectors; assignment
+and rank ties break on the lowest code / lowest vec_id. Not
+oracle-SQL-expressible (iterative codebook fixpoint); covered by
+property tests: code-range bounds, ADC-vs-exact recall@k against
+knn_bruteforce, compression invariants, determinism
+(tests/test_semantic_bpe_pq.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import spread
+from .similarity import as_double
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _subvectors(
+    emb: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, sub, sv): each vector split into m contiguous blocks.
+    Dim must divide evenly by m (asserted once against the first row —
+    padding policies belong to the caller)."""
+    dims = emb.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).limit(1).collect()
+    if dims:
+        d = dims[0]["d"]
+        if d % m != 0:
+            raise ValueError(f"vector dim {d} not divisible by m={m}")
+        dsub = d // m
+    else:
+        dsub = 0
+    sub_rows = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.alias("sub"),
+            F.slice(as_double(F.col(vec_col)), s * dsub + 1, dsub).alias("sv"),
+        ),
+    )
+    return (
+        spread(emb)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vec_id"), F.explode(sub_rows).alias("p"))
+        .select("vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv"))
+    )
+
+
+def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, sub, code, dist): nearest codebook centroid per
+    subvector; the codebook (m·ksub rows) is broadcast."""
+    scored = subs.join(F.broadcast(codebooks), "sub").select(
+        "vec_id", "sub", "code", _sq_dist(F.col("sv"), F.col("centroid")).alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("dist").asc(), F.col("code").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learn the m per-subspace codebooks with Lloyd's algorithm run on
+    the single exploded (vec_id, sub, sv) frame — every iteration is one
+    broadcast-join assignment + one per-(sub, code, dim) mean, identical
+    in shape to operators/clustering.kmeans_assign but covering all m
+    subspaces at once. Returns (sub, code, centroid)."""
+    subs = _subvectors(emb, m, id_col, vec_col).persist()
+    seeds = (
+        subs.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("sub").orderBy(F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("__rn") <= ksub)
+        .select("sub", (F.col("__rn") - 1).alias("code"), F.col("sv").alias("centroid"))
+    )
+    codebooks = seeds.localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _assign_codes(subs, codebooks)
+        expl = assigned.join(subs, ["vec_id", "sub"]).select(
+            "sub", "code", F.posexplode("sv").alias("dim", "x")
+        )
+        new_cb = (
+            expl.groupBy("sub", "code", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("s"))
+            .select("sub", "code", F.transform("s", lambda t: t["mu"]).alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+        codebooks.unpersist()
+        codebooks = new_cb
+    subs.unpersist()
+    return codebooks
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes): the m-array PQ code of every vector — the
+    compressed corpus representation downstream search scans instead of
+    the float vectors."""
+    subs = _subvectors(emb, m, id_col, vec_col)
+    assigned = _assign_codes(subs, codebooks)
+    return (
+        assigned.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("s"))
+        .select("vec_id", F.transform("s", lambda t: t["code"]).alias("codes"))
+    )
+
+
+def pq_search(
+    emb: DataFrame,
+    query_filter: Column,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: (q_id, neighbor_id, adist, rnk) — approximate squared
+    L2 between each query and every corpus vector, computed entirely
+    from codes + the per-query lookup table. Pass pre-trained
+    ``codebooks``/pre-computed ``codes`` to amortize training across
+    queries (the production shape: train once, encode once, search
+    many)."""
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, m=m, id_col=id_col, vec_col=vec_col)
+
+    q_subs = _subvectors(emb.filter(query_filter), m, id_col, vec_col).withColumnRenamed(
+        "vec_id", "q_id"
+    )
+    lut = q_subs.join(F.broadcast(codebooks), "sub").select(
+        "q_id", "sub", "code", _sq_dist(F.col("sv"), F.col("centroid")).alias("d")
+    )
+    code_rows = codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    scores = (
+        code_rows.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.floor(F.col("adist") * 1e6 + F.lit(0.5)) / 1e6).alias("adist"),
+            "rnk",
+        )
+    )
+
+
+def pq_search_rerank(
+    emb: DataFrame,
+    query_filter: Column,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    k: int = 5,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ candidate generation + exact re-rank (the FAISS IVFPQ+refine
+    shape, and the production answer to raw ADC's recall ceiling —
+    quantization error caps ADC@k around 0.3 on isotropic data, while
+    the ADC top-50 candidate set holds ~0.8 of the true top-5): the
+    corpus is scanned in CODE form only; original vectors are fetched —
+    one equi-join on vec_id, touching k_cand·n_queries rows, not the
+    corpus — for the candidates alone, scored with the exact cosine
+    (same fold as knn_bruteforce_expr, so overlapping pairs carry
+    identical sims), and re-ranked. Returns (q_id, neighbor_id, sim,
+    rnk)."""
+    from .similarity import dot, round6
+
+    cands = pq_search(
+        emb, query_filter, m=m, ksub=ksub, iters=iters, k=n_candidates,
+        id_col=id_col, vec_col=vec_col,
+    ).select("q_id", "neighbor_id")
+    vecs = (
+        spread(emb)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("e"))
+        .withColumn("en", F.sqrt(dot(F.col("e"), F.col("e"))))
+    )
+    q = (
+        emb.filter(query_filter)
+        .select(F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qe"))
+        .withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"))))
+    )
+    scored = (
+        cands.join(vecs, "neighbor_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            (dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", round6(F.col("cos")).alias("sim"), "rnk")
+    )

@@ -1,0 +1,319 @@
+"""Round-3 operators: triangle counting (operators/graph.py), SemDeDup
+(operators/clustering.semantic_dedup), product quantization
+(operators/pq.py), BPE tokenizer (operators/bpe.py)."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_retail_sales_data_spark.operators import graph as G
+from etl_pipeline_for_retail_sales_data_spark.operators.bpe import (
+    END,
+    bpe_encode,
+    bpe_token_stats,
+    bpe_train,
+    word_freq,
+)
+from etl_pipeline_for_retail_sales_data_spark.operators.clustering import (
+    semantic_dedup,
+)
+from etl_pipeline_for_retail_sales_data_spark.operators.pq import (
+    pq_encode,
+    pq_search,
+    pq_search_rerank,
+    pq_train,
+)
+from etl_pipeline_for_retail_sales_data_spark.operators.similarity import (
+    knn_bruteforce_expr,
+)
+
+
+# ---------------------------------------------------------------------------
+# Triangles
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangles_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 and an isolated 6-7
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    e = _edges(spark, k4 + [(4, 5), (6, 7)])
+    tri = sorted(tuple(r) for r in G.triangles(e).collect())
+    assert tri == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_triangles_direction_and_duplicate_invariant(spark):
+    # same triangle expressed with reversed/duplicated/self-loop edges
+    e = _edges(spark, [(1, 2), (2, 1), (3, 2), (1, 3), (1, 3), (2, 2)])
+    tri = [tuple(r) for r in G.triangles(e).collect()]
+    assert tri == [(1, 2, 3)]
+
+
+def test_triangle_counts_per_node(spark):
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    e = _edges(spark, k4 + [(4, 5)])
+    counts = {r["id"]: r["n_triangles"] for r in G.triangle_counts(e).collect()}
+    # each K4 vertex sits in C(3,2)=3 triangles; the pendant in none
+    assert counts == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_empty_and_triangle_free(spark):
+    none = _edges(spark, [(1, 2), (2, 3), (3, 4)])  # path: no triangles
+    assert G.triangles(none).count() == 0
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert G.triangles(empty).count() == 0
+    assert G.triangle_counts(empty).count() == 0
+
+
+def test_oriented_edges_bound_hub_fanout(spark):
+    # star with hub 0 and leaves 1..20, plus one leaf-leaf edge: under
+    # degree orientation the hub receives edges (out-degree 0 or 1), so
+    # wedge generation at the hub is O(1), not O(d^2)
+    star = [(0, i) for i in range(1, 21)] + [(1, 2)]
+    oe = G.oriented_edges(_edges(spark, star))
+    out_deg = oe.groupBy("lo").count().collect()
+    hub = [r["count"] for r in out_deg if r["lo"] == 0]
+    assert hub == []  # the hub is highest-rank: never an edge source
+    assert G.triangles(_edges(spark, star)).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sem_result(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    out = semantic_dedup(emb, k=4, iters=2, threshold=0.9).persist()
+    out.count()
+    return emb, out
+
+
+def test_semantic_dedup_partitions_input(sem_result):
+    emb, out = sem_result
+    n = emb.filter(F.col("embedding").isNotNull()).count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+
+
+def test_semantic_dedup_one_keeper_per_component(sem_result):
+    _, out = sem_result
+    bad = (
+        out.groupBy("component_id")
+        .agg(F.sum(F.col("keep").cast("long")).alias("nk"), F.min("vec_id").alias("mn"))
+        .join(out.filter("keep").select("component_id", F.col("vec_id").alias("kid")),
+              "component_id")
+        .filter((F.col("nk") != 1) | (F.col("kid") != F.col("mn")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_semantic_dedup_dropped_share_component_with_keeper(sem_result):
+    _, out = sem_result
+    dropped = out.filter(~F.col("keep")).select("component_id").distinct()
+    kept = out.filter(F.col("keep")).select("component_id").distinct()
+    assert dropped.join(kept, "component_id", "left_anti").count() == 0
+
+
+def test_semantic_dedup_deterministic(spark, sf_smoke, sem_result):
+    emb, out = sem_result
+    again = semantic_dedup(emb, k=4, iters=2, threshold=0.9)
+    sym_diff = out.exceptAll(again).count() + again.exceptAll(out).count()
+    assert sym_diff == 0
+
+
+def test_semantic_dedup_threshold_one_keeps_everything_distinct(spark):
+    # orthogonal unit vectors: no pair reaches cosine 0.99 → all kept
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, k=2, iters=1, threshold=0.99)
+    assert out.filter("keep").count() == 4
+
+
+def test_semantic_dedup_near_identical_pair_collapses(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, k=1, iters=1, threshold=0.95)
+    kept = sorted(r["vec_id"] for r in out.filter("keep").collect())
+    assert kept == [1, 3]  # 2 deduped into 1's component, min-id keeper
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_parts(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    cb = pq_train(emb, m=8, ksub=16, iters=2).persist()
+    cb.count()
+    codes = pq_encode(emb, cb, m=8).persist()
+    codes.count()
+    return emb, cb, codes
+
+
+def test_pq_codebook_shape(pq_parts):
+    _, cb, _ = pq_parts
+    rows = cb.collect()
+    assert {r["sub"] for r in rows} == set(range(8))
+    for r in rows:
+        assert 0 <= r["code"] < 16
+        assert len(r["centroid"]) == 8  # 64 dims / m=8
+
+
+def test_pq_codes_cover_corpus_with_valid_codes(pq_parts):
+    emb, _, codes = pq_parts
+    assert codes.count() == emb.filter(F.col("embedding").isNotNull()).count()
+    bad = codes.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+
+
+def test_pq_vector_dim_must_divide(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=2, ksub=2, iters=1)
+
+
+def test_pq_search_deterministic(spark, sf_smoke, pq_parts):
+    emb, cb, codes = pq_parts
+    qf = F.col("vec_id") < 5
+    a = pq_search(emb, qf, k=5, codebooks=cb, codes=codes).collect()
+    b = pq_search(emb, qf, k=5, codebooks=cb, codes=codes).collect()
+    assert a == b
+
+
+def test_pq_rerank_recall_beats_floor(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qf = F.col("vec_id") < 10
+    exact = knn_bruteforce_expr(emb, qf, k=5).select(
+        "q_id", F.col("neighbor_id").alias("tn")
+    )
+    approx = pq_search_rerank(emb, qf, m=8, ksub=16, iters=2, k=5, n_candidates=50)
+    hits = approx.join(
+        exact, (approx["q_id"] == exact["q_id"]) & (approx["neighbor_id"] == exact["tn"])
+    ).count()
+    total = exact.count()
+    assert hits / total >= 0.5
+
+
+def test_pq_rerank_sims_match_exact_for_true_hits(spark, sf_smoke):
+    # overlapping (q, neighbor) pairs must carry the identical exact
+    # cosine the brute-force path computes (same fold, same rounding)
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qf = F.col("vec_id") < 5
+    exact = knn_bruteforce_expr(emb, qf, k=5).select(
+        "q_id", F.col("neighbor_id").alias("nid"), F.col("sim").alias("esim")
+    )
+    approx = pq_search_rerank(emb, qf, k=5, n_candidates=50).select(
+        "q_id", F.col("neighbor_id").alias("nid"), "sim"
+    )
+    joined = approx.join(exact, ["q_id", "nid"])
+    assert joined.filter(F.col("sim") != F.col("esim")).count() == 0
+
+
+def test_pq_empty_query_set(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    out = pq_search(emb, F.col("vec_id") < -1, m=8, ksub=4, iters=1, k=3)
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_known_corpus_first_merges(spark):
+    # "aaab" x3: pairs (a,a) count 6, (a,b</w>) count 3 → first merge
+    # (a, a); then (aa, ab</w>)... verify the greedy argmax with ties
+    # broken lexicographically on a hand-checkable corpus
+    docs = _docs(spark, ["aaab aaab", "aaab"])
+    merges = bpe_train(docs, n_merges=3, min_freq=1)
+    assert merges[0] == ("a", "a")
+    # after merging: ['aa','a','b</w>'] per word → pairs (aa,a)=3, (a,b</w>)=3
+    # tie → lexicographic: ('a','b</w>') < ('aa','a')
+    assert merges[1] == ("a", "b" + END)
+
+
+def test_bpe_encode_roundtrips_words(spark):
+    docs = _docs(spark, ["hello world hello", "worldly hell"])
+    merges = bpe_train(docs, n_merges=10, min_freq=1)
+    toks = bpe_encode(docs, merges)
+    # per doc: concatenating tokens (stripping the terminal markers)
+    # reproduces the document's non-whitespace characters in order
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(F.concat_ws("", F.collect_list("token")).alias("glued"))
+        .collect()
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in per_doc:
+        expect = "".join(texts[r["doc_id"]].lower().split())
+        assert r["glued"].replace(END, "") == expect
+
+
+def test_bpe_zero_merges_degenerates_to_characters(spark):
+    docs = _docs(spark, ["abc de"])
+    toks = bpe_encode(docs, [])
+    got = sorted(r["token"] for r in toks.collect())
+    assert got == sorted(["a", "b", "c" + END, "d", "e" + END])
+
+
+def test_bpe_train_deterministic(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(50)
+    m1 = bpe_train(docs, n_merges=15)
+    m2 = bpe_train(docs, n_merges=15)
+    assert m1 == m2
+    assert len(m1) == 15
+
+
+def test_bpe_merges_reduce_token_count(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(50)
+    merges = bpe_train(docs, n_merges=15)
+    n_chars = bpe_encode(docs, []).count()
+    n_bpe = bpe_encode(docs, merges).count()
+    n_words = word_freq(docs).agg(F.sum("freq")).collect()[0][0]
+    assert n_words <= n_bpe < n_chars
+
+
+def test_bpe_token_stats_consistent(spark):
+    docs = _docs(spark, ["x y x", "x z"])
+    stats = {r["token"]: (r["n_occurrences"], r["n_docs"])
+             for r in bpe_token_stats(docs, []).collect()}
+    assert stats["x" + END] == (3, 2)
+    assert stats["y" + END] == (1, 1)
+    assert stats["z" + END] == (1, 1)
+
+
+def test_bpe_empty_and_null_corpus(spark):
+    docs = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    assert bpe_train(docs, n_merges=5) == []
+    assert bpe_encode(docs, [("a", "b")]).count() == 0
+
+
+def test_corpus_has_no_marker_collision(spark, sf_correct):
+    # the </w> stripping convention in bpe_roundtrip_check assumes the
+    # corpus never contains angle brackets — pin that assumption
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    assert docs.filter(F.col("text").contains("<") | F.col("text").contains(">")).count() == 0
