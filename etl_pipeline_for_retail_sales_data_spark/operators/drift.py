@@ -1,0 +1,162 @@
+"""Categorical distribution-drift detection between consecutive periods.
+
+The monitoring layer of a continuously-ingesting pipeline: when a feed's
+category mix shifts (a source goes dark, an upstream enum changes,
+a scraper starts emitting junk), the batch should flag itself before the
+data reaches training. The standard test for "did this period's
+categorical distribution move vs the last one" is Pearson's chi-square
+goodness-of-fit: expected counts from the previous period's proportions
+scaled to the current period's total, X² = Σ (observed − expected)²/expected,
+compared against the χ² critical value at df = k−1.
+
+Scale shape: ONE aggregation over the fact table (period × category
+counts — map-side partials, the only scan), one tiny window/join over
+the period-level frame to pair each period with its predecessor, and
+arithmetic on the paired counts. The fact table is never joined or
+scanned twice; everything after the first agg operates on
+O(periods × categories) rows.
+
+Float-parity choreography (NOTES.md playbook): expected counts and
+per-category terms are computed with the identical expression shape on
+both engines and each term is floored to 1e-6 before the final
+ROUND(SUM, 2) — the repo's standard pattern for oracle-stable float
+aggregates (cf. q6/sales revenue cents discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# critical values for alpha = 0.05 by degrees of freedom (df = k - 1)
+CHISQ_CRIT_95 = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+                 6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307}
+
+
+def chisq_drift(
+    df: DataFrame,
+    period: Column,
+    category: Column,
+    alpha_crit: dict[int, float] | None = None,
+) -> DataFrame:
+    """(period, chisq, df, n_current, drift): chi-square statistic of
+    each period's category distribution against the previous period's,
+    for every period that has a predecessor. Categories with zero
+    previous-period count are excluded from the statistic (expected = 0
+    is undefined; df reflects the categories actually tested)."""
+    crit = alpha_crit or CHISQ_CRIT_95
+    counts = (
+        df.select(period.alias("period"), category.alias("category"))
+        .groupBy("period", "category")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = counts.groupBy("period").agg(F.sum("cnt").alias("total"))
+    # pair each period with its predecessor in period order (a window
+    # over the TINY period frame, not the fact table)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("period")
+    paired_periods = totals.select(
+        "period",
+        "total",
+        F.lag("period").over(w).alias("prev_period"),
+        F.lag("total").over(w).alias("prev_total"),
+    ).filter(F.col("prev_period").isNotNull())
+
+    cur = counts.select("period", "category", F.col("cnt").alias("obs"))
+    prev = counts.select(
+        F.col("period").alias("prev_period"),
+        "category",
+        F.col("cnt").alias("prev_cnt"),
+    )
+    joined = (
+        paired_periods.join(cur, "period")
+        .join(prev, ["prev_period", "category"])  # inner: prev_cnt > 0 only
+    )
+    expected = F.col("prev_cnt").cast("double") * F.col("total") / F.col("prev_total")
+    term = (F.col("obs") - expected) * (F.col("obs") - expected) / expected
+    term6 = F.floor(term * 1e6 + F.lit(0.5)) / 1e6
+    out = joined.groupBy("period").agg(
+        F.round(F.sum(term6), 2).alias("chisq"),
+        (F.count("*") - 1).cast("long").alias("df"),
+        F.sum("obs").cast("long").alias("n_current"),
+    )
+    crit_map = F.create_map(
+        *[x for kv in sorted(crit.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    return out.withColumn(
+        "drift", F.col("chisq") > F.coalesce(crit_map[F.col("df")], F.lit(float("inf")))
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    sample: Column,
+    value: Column,
+    crit_coeff: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the rows where
+    ``sample`` is 'a' and those where it is 'b': the numeric complement
+    to chisq_drift (did the VALUE distribution move, not just the
+    category mix). Returns one row: (n_a, n_b, d_scaled, ks, drift).
+
+    Exact-integer formulation (oracle-stable with no float
+    choreography): the KS statistic D = max|ECDF_a − ECDF_b| evaluated
+    at the pooled distinct values satisfies D·n_a·n_b =
+    max|cum_a·n_b − cum_b·n_a|, an INTEGER — computed exactly on both
+    engines; only the final division and the α = 0.05 threshold
+    comparison (``crit_coeff``·sqrt((n_a+n_b)/(n_a·n_b)), compared via
+    squares so no sqrt is evaluated) touch floats, far from any
+    rounding boundary.
+
+    Scale shape: one scan → per-(value) step counts (groupBy), one
+    global-ordered window over DISTINCT values only (range-partitioned
+    sort of the value domain, not the fact table), one max-agg.
+    """
+    from pyspark.sql import Window
+
+    steps = (
+        df.select(sample.alias("s"), value.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(
+            F.sum((F.col("s") == "a").cast("long")).alias("da"),
+            F.sum((F.col("s") == "b").cast("long")).alias("db"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = steps.select(
+        F.sum("da").over(w).alias("cum_a"), F.sum("db").over(w).alias("cum_b")
+    )
+    totals = steps.agg(F.sum("da").alias("n_a"), F.sum("db").alias("n_b"))
+    agg = (
+        cums.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ).alias("d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.coalesce(F.max("d"), F.lit(0)).alias("d_scaled"))
+    )
+    ks = F.col("d_scaled") / (F.col("n_a") * F.col("n_b"))
+    # D² > c²·(n_a+n_b)·n_a·n_b  ⇔  KS > c·sqrt((n_a+n_b)/(n_a·n_b))
+    thresh = (
+        F.lit(crit_coeff * crit_coeff)
+        * (F.col("n_a") + F.col("n_b")).cast("double")
+        * F.col("n_a")
+        * F.col("n_b")
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_scaled").cast("long").alias("d_scaled"),
+        (F.floor(ks * 1e6 + F.lit(0.5)) / 1e6).alias("ks"),
+        (
+            F.col("d_scaled").cast("double") * F.col("d_scaled").cast("double")
+            > thresh
+        ).alias("drift"),
+    )

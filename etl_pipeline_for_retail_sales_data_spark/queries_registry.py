@@ -6353,3 +6353,203 @@ def q_bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") <= F.col("n_word_chars"))
         ).alias("token_count_bounded"),
     )
+
+
+_QUALITY_ORACLE = """
+    WITH r AS (
+        SELECT 'not_null(l_orderkey)' AS c, 'not_null' AS kind,
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS n
+        UNION ALL
+        SELECT 'not_null(l_shipdate)', 'not_null',
+               (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+        UNION ALL
+        SELECT 'in_range(l_quantity,1,50)', 'in_range',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1 AND 50)
+        UNION ALL
+        SELECT 'in_range(l_discount,0.0,0.1)', 'in_range',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_discount IS NOT NULL AND l_discount NOT BETWEEN 0.0 AND 0.1)
+        UNION ALL
+        SELECT 'non_negative(l_extendedprice)', 'non_negative',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_extendedprice < 0)
+        UNION ALL
+        SELECT 'accepted_values(l_returnflag)', 'accepted_values',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R'))
+        UNION ALL
+        SELECT 'accepted_values(l_linestatus)', 'accepted_values',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F'))
+        UNION ALL
+        SELECT 'satisfies(shipdate_in_window)', 'satisfies',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE NOT (l_shipdate BETWEEN TIMESTAMP '1992-01-01 00:00:00'
+                                          AND TIMESTAMP '1998-12-31 23:59:59'))
+        UNION ALL
+        SELECT 'unique(l_orderkey,l_linenumber)', 'unique',
+               (SELECT COALESCE(SUM(n), 0) FROM (
+                    SELECT COUNT(*) AS n FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+        UNION ALL
+        SELECT 'foreign_key(l_orderkey)', 'foreign_key',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l.l_orderkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'foreign_key(l_partkey)', 'foreign_key',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l.l_partkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+    )
+    SELECT c AS "check", kind, CAST(n AS BIGINT) AS n_violations,
+           n = 0 AS passed
+    FROM r
+"""
+
+
+@query("quality_suite_lineitem", oracle=_QUALITY_ORACLE)
+def q_quality_suite_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over lineitem (operators/quality.py
+    — the Deequ/dbt-tests layer a 100 TB ingestion gate needs): 8
+    row-local constraints fused into ONE scan (single agg, map-side
+    partials), plus one keyed uniqueness job and two broadcast-anti FK
+    probes. The (l_orderkey, l_linenumber) uniqueness check FAILS on
+    this synthetic corpus by design — the suite's job is to report
+    violation counts, and the oracle hash pins the exact count; the
+    other ten constraints genuinely hold. Generalizes the reference's
+    hand-rolled if-raise validation (scripts/extraction.py:86-93,
+    scripts/loading.py:58-73; gate form = quality.assert_checks)."""
+    from .operators import quality as Q
+
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        Q.not_null("l_orderkey"),
+        Q.not_null("l_shipdate"),
+        Q.in_range("l_quantity", 1, 50),
+        Q.in_range("l_discount", 0.0, 0.1),
+        Q.non_negative("l_extendedprice"),
+        Q.accepted_values("l_returnflag", "A", "N", "R"),
+        Q.accepted_values("l_linestatus", "O", "F"),
+        Q.satisfies(
+            "shipdate_in_window",
+            F.col("l_shipdate").between("1992-01-01 00:00:00", "1998-12-31 23:59:59"),
+        ),
+        Q.unique("l_orderkey", "l_linenumber"),
+        Q.foreign_key("l_orderkey", load_table(spark, sf_dir, "orders"), "o_orderkey"),
+        Q.foreign_key("l_partkey", load_table(spark, sf_dir, "part"), "p_partkey"),
+    ]
+    return Q.run_checks(li, checks)
+
+
+@query(
+    "chisq_drift_priority",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+               o_orderpriority AS category, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    totals AS (SELECT period, SUM(cnt) AS total FROM counts GROUP BY period),
+    paired AS (
+        SELECT period, total,
+               LAG(period) OVER (ORDER BY period) AS prev_period,
+               LAG(total) OVER (ORDER BY period) AS prev_total
+        FROM totals
+    ),
+    terms AS (
+        SELECT p.period,
+               c.cnt AS obs,
+               FLOOR((c.cnt - CAST(pc.cnt AS DOUBLE) * p.total / p.prev_total)
+                     * (c.cnt - CAST(pc.cnt AS DOUBLE) * p.total / p.prev_total)
+                     / (CAST(pc.cnt AS DOUBLE) * p.total / p.prev_total)
+                     * 1e6 + 0.5) / 1e6 AS term6
+        FROM paired p
+        JOIN counts c ON c.period = p.period
+        JOIN counts pc ON pc.period = p.prev_period AND pc.category = c.category
+        WHERE p.prev_period IS NOT NULL
+    )
+    SELECT period, ROUND(SUM(term6), 2) AS chisq,
+           CAST(COUNT(*) - 1 AS BIGINT) AS df,
+           CAST(SUM(obs) AS BIGINT) AS n_current,
+           ROUND(SUM(term6), 2) > CASE CAST(COUNT(*) - 1 AS BIGINT)
+               WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+               WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 ELSE 1e308 END AS drift
+    FROM terms GROUP BY period
+    """,
+)
+def q_chisq_drift_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month categorical drift on the order-priority mix
+    (operators/drift.chisq_drift — Pearson goodness-of-fit against the
+    previous month's proportions, the batch-monitoring gate a
+    continuously-ingesting pipeline runs before data reaches
+    consumers). One scan of orders (month × priority counts), then
+    arithmetic on the tiny period frame; per-term 1e-6 floors + final
+    ROUND(,2) keep the float hash-stable across engines."""
+    from .operators.drift import chisq_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    return chisq_drift(
+        orders,
+        F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+        F.col("o_orderpriority"),
+    )
+
+
+@query(
+    "ks_drift_totalprice",
+    oracle="""
+    WITH src AS (
+        SELECT CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN 'a'
+                    ELSE 'b' END AS s,
+               o_totalprice AS v
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+          AND o_totalprice IS NOT NULL
+    ),
+    steps AS (
+        SELECT v,
+               COUNT(*) FILTER (WHERE s = 'a') AS da,
+               COUNT(*) FILTER (WHERE s = 'b') AS db
+        FROM src GROUP BY v
+    ),
+    cums AS (
+        SELECT SUM(da) OVER (ORDER BY v) AS cum_a,
+               SUM(db) OVER (ORDER BY v) AS cum_b
+        FROM steps
+    ),
+    tot AS (SELECT SUM(da) AS n_a, SUM(db) AS n_b FROM steps),
+    agg AS (
+        SELECT n_a, n_b,
+               COALESCE(MAX(ABS(cum_a * n_b - cum_b * n_a)), 0) AS d
+        FROM cums, tot GROUP BY n_a, n_b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(d AS BIGINT) AS d_scaled,
+           FLOOR(CAST(d AS DOUBLE) / (n_a * n_b) * 1e6 + 0.5) / 1e6 AS ks,
+           CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+               > 1.358 * 1.358 * (n_a + n_b) * CAST(n_a AS DOUBLE) * n_b AS drift
+    FROM agg
+    """,
+)
+def q_ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test on the order-value
+    distribution, 1997 vs 1998 (operators/drift.ks_drift — the numeric
+    complement to chisq_drift_priority). The statistic is computed in
+    EXACT integer arithmetic (D·n_a·n_b = max|cum_a·n_b − cum_b·n_a|
+    over pooled distinct values) so the oracle hash needs no float
+    choreography; the α = 0.05 decision compares squared integers
+    against the asymptotic threshold, evaluating no sqrt."""
+    from .operators.drift import ks_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    return ks_drift(
+        orders.filter(yr.isin(1997, 1998)),
+        F.when(yr == 1997, "a").otherwise("b"),
+        F.col("o_totalprice"),
+    )

@@ -1,0 +1,130 @@
+"""Chi-square distribution drift (operators/drift.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_retail_sales_data_spark.operators.drift import chisq_drift
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "p int, cat string")
+
+
+def _result(spark, rows):
+    out = chisq_drift(_df(spark, rows), F.col("p"), F.col("cat"))
+    return {r["period"]: r for r in out.collect()}
+
+
+def test_identical_distribution_zero_chisq(spark):
+    rows = [(1, c) for c in "aabb"] + [(2, c) for c in "aabb"]
+    res = _result(spark, rows)
+    assert res[2]["chisq"] == 0.0
+    assert res[2]["df"] == 1
+    assert not res[2]["drift"]
+
+
+def test_known_statistic_hand_computed(spark):
+    # prev: a=2, b=2 (total 4); cur: a=6, b=2 (total 8)
+    # expected: a=4, b=4 → X² = (6-4)²/4 + (2-4)²/4 = 1 + 1 = 2
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "b")] + \
+           [(2, "a")] * 6 + [(2, "b")] * 2
+    res = _result(spark, rows)
+    assert res[2]["chisq"] == pytest.approx(2.0)
+    assert res[2]["n_current"] == 8
+    assert not res[2]["drift"]  # crit(df=1) = 3.841
+
+
+def test_strong_shift_flags_drift(spark):
+    # prev: a=50, b=50; cur: a=95, b=5 → X² = (95-50)²/50 + (5-50)²/50 = 81
+    rows = [(1, "a")] * 50 + [(1, "b")] * 50 + [(2, "a")] * 95 + [(2, "b")] * 5
+    res = _result(spark, rows)
+    assert res[2]["chisq"] == pytest.approx(81.0)
+    assert res[2]["drift"]
+
+
+def test_category_absent_in_previous_period_excluded(spark):
+    # 'c' appears only in period 2: no expected count → excluded, df
+    # computed from the categories actually tested
+    rows = [(1, "a")] * 4 + [(1, "b")] * 4 + \
+           [(2, "a")] * 4 + [(2, "b")] * 4 + [(2, "c")] * 2
+    res = _result(spark, rows)
+    assert res[2]["df"] == 1  # only a, b tested
+    assert res[2]["n_current"] == 8  # c's rows not counted in the test
+
+
+def test_chain_of_periods_each_vs_predecessor(spark):
+    rows = [(1, "a")] * 4 + [(2, "a")] * 4 + [(3, "a")] * 4
+    res = _result(spark, rows)
+    assert set(res) == {2, 3}  # period 1 has no predecessor
+    assert res[2]["chisq"] == 0.0 and res[3]["chisq"] == 0.0
+
+
+def test_single_period_empty_result(spark):
+    assert not _result(spark, [(1, "a"), (1, "b")])
+
+
+# ---------------------------------------------------------------------------
+# KS two-sample drift
+# ---------------------------------------------------------------------------
+
+from etl_pipeline_for_retail_sales_data_spark.operators.drift import ks_drift  # noqa: E402
+
+
+def _ks(spark, a_vals, b_vals):
+    rows = [("a", float(v)) for v in a_vals] + [("b", float(v)) for v in b_vals]
+    df = spark.createDataFrame(rows, "s string, v double")
+    return ks_drift(df, F.col("s"), F.col("v")).collect()[0]
+
+
+def test_ks_identical_samples_zero(spark):
+    r = _ks(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+    assert r["d_scaled"] == 0 and r["ks"] == 0.0 and not r["drift"]
+
+
+def test_ks_known_statistic(spark):
+    # a = {1,2}, b = {3,4}: ECDFs fully separated → D = 1 → d_scaled = n_a*n_b
+    r = _ks(spark, [1, 2], [3, 4])
+    assert r["d_scaled"] == 4 and r["ks"] == 1.0
+    # D=1 with n=m=2: D² = 16 > 1.844·4·2·2 = 29.5? No → not significant
+    assert not r["drift"]
+
+
+def test_ks_hand_computed_partial_overlap(spark):
+    # a = {1,3}, b = {2,4}: at v=1 |1·2−0·2|=2; v=2 |1·2−1·2|=0;
+    # v=3 |2·2−1·2|=2; v=4 0 → D_scaled = 2, KS = 0.5
+    r = _ks(spark, [1, 3], [2, 4])
+    assert r["d_scaled"] == 2 and r["ks"] == 0.5
+
+
+def test_ks_large_separation_flags_drift(spark):
+    r = _ks(spark, range(100), range(200, 300))
+    assert r["ks"] == 1.0 and r["drift"]
+
+
+def test_ks_shifted_large_sample_drifts_small_does_not(spark):
+    small = _ks(spark, [1, 2, 3, 4, 5], [2, 3, 4, 5, 6])
+    assert not small["drift"]
+    big = _ks(spark, range(1000), [v + 200 for v in range(1000)])
+    assert big["drift"]
+
+
+def test_ks_ties_handled_at_distinct_values(spark):
+    # heavy ties: a = 6×{1}, b = 3×{1} + 3×{2} → at v=1: |6·6−3·6|=18
+    r = _ks(spark, [1] * 6, [1, 1, 1, 2, 2, 2])
+    assert r["n_a"] == 6 and r["n_b"] == 6
+    assert r["d_scaled"] == 18 and r["ks"] == 0.5
+
+
+def test_ks_matches_scipy_when_available(spark):
+    try:
+        from scipy.stats import ks_2samp
+    except ImportError:
+        pytest.skip("scipy not in container")
+    import random
+
+    rng = random.Random(7)
+    a = [rng.gauss(0, 1) for _ in range(80)]
+    b = [rng.gauss(0.5, 1.2) for _ in range(60)]
+    r = _ks(spark, a, b)
+    expect = ks_2samp(a, b).statistic
+    assert r["ks"] == pytest.approx(expect, abs=2e-6)
