@@ -6449,7 +6449,7 @@ def q_quality_suite_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chisq_drift_priority",
     oracle="""
     WITH counts AS (
-        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS period,
                o_orderpriority AS category, COUNT(*) AS cnt
         FROM orders GROUP BY 1, 2
     ),
@@ -6494,7 +6494,7 @@ def q_chisq_drift_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return chisq_drift(
         orders,
-        F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+        F.date_trunc("month", F.col("o_orderdate")),
         F.col("o_orderpriority"),
     )
 
@@ -6552,4 +6552,406 @@ def q_ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(yr.isin(1997, 1998)),
         F.when(yr == 1997, "a").otherwise("b"),
         F.col("o_totalprice"),
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur, nxt, COUNT(*) AS n_pairs
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, CAST(n_pairs AS BIGINT) AS n_pairs,
+           FLOOR(CAST(n_pairs AS DOUBLE)
+                 / SUM(n_pairs) OVER (PARTITION BY cur) * 1e6 + 0.5) / 1e6
+               AS p_next
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams:
+    P(next event type | current), the sequence-mining backbone behind
+    next-action prediction and funnel diagnostics. One window pass per
+    user (shuffle keyed on user_id, the same partitioning sessionization
+    uses) then a groupBy on the 25-cell pair space; the probability
+    normalization is a window over the TINY pair frame, not the events
+    table. Deterministic order inside a user: (ts, event_id)."""
+    ev = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n_pairs"))
+    wtot = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        (
+            F.floor(
+                F.col("n_pairs") / F.sum("n_pairs").over(wtot) * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("p_next"),
+    )
+
+
+@query(
+    "revenue_trend_per_brand",
+    oracle="""
+    WITH monthly AS (
+        SELECT p_brand,
+               (EXTRACT(year FROM l_shipdate) - 1992) * 12
+                   + EXTRACT(month FROM l_shipdate) - 1 AS x,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                        AS BIGINT)) AS y
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT p_brand,
+               COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM monthly GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_months,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx) * 1e4 + 0.5) / 1e4 AS slope_cents,
+           FLOOR(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / (n * sxx - sx * sx) * 1e2 + 0.5) / 1e2 AS intercept_cents
+    FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def q_revenue_trend_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue trend: ordinary-least-squares slope of monthly
+    revenue over a month index, computed from EXACT integer moment sums
+    (n, Σx, Σy, Σxy, Σx² — revenue in cents, month as ordinal), the
+    closed-form normal equation with floats touched only in the final
+    division. Trend fitting over groups is one scan + two cheap
+    aggregations — no iterative solver, no driver loop; the same moment
+    sums are mergeable partials, so the fit is incrementally updatable
+    (cf. incremental_rollup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    x = (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
+    monthly = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", x.alias("x"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("y")
+        )
+    )
+    s = monthly.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / det
+    intercept = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ).cast("double") / det
+    return s.filter((F.col("n") >= 2) & (det != 0)).select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_months"),
+        (F.floor(slope * 1e4 + F.lit(0.5)) / 1e4).alias("slope_cents"),
+        (F.floor(intercept * 1e2 + F.lit(0.5)) / 1e2).alias("intercept_cents"),
+    )
+
+
+@query(
+    "ab_test_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT SUM(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN variant = 0 AND converted = 0 THEN 1 ELSE 0 END) AS b,
+               SUM(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS c,
+               SUM(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END) AS d
+        FROM u
+    )
+    SELECT CAST(a AS BIGINT) AS conv_control, CAST(b AS BIGINT) AS nonconv_control,
+           CAST(c AS BIGINT) AS conv_treat, CAST(d AS BIGINT) AS nonconv_treat,
+           FLOOR(CAST(a AS DOUBLE) / (a + b) * 1e6 + 0.5) / 1e6 AS rate_control,
+           FLOOR(CAST(c AS DOUBLE) / (c + d) * 1e6 + 0.5) / 1e6 AS rate_treat,
+           CAST(a + b + c + d AS DOUBLE) * (a * d - b * c) * (a * d - b * c)
+               > 3.841 * CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+               AS significant
+    FROM c
+    """,
+)
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance on purchase conversion (variant =
+    user_id parity — a deterministic hash split, the standard assignment
+    scheme): the 2×2 chi-square N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    compared against the α = 0.05 critical value by CROSS-MULTIPLYING —
+    every quantity up to the final comparison is an exact integer, so
+    the verdict is bit-stable on both engines (same trick as
+    ks_drift's squared-threshold comparison). One scan → per-user
+    conversion flags → four counters."""
+    ev = load_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    cell = lambda v, conv: F.sum(  # noqa: E731
+        ((F.col("variant") == v) & (F.col("converted") == conv)).cast("long")
+    )
+    c = u.agg(
+        cell(0, 1).alias("a"), cell(0, 0).alias("b"),
+        cell(1, 1).alias("c"), cell(1, 0).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    diff = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    denom = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    return c.select(
+        F.col("a").cast("long").alias("conv_control"),
+        F.col("b").cast("long").alias("nonconv_control"),
+        F.col("c").cast("long").alias("conv_treat"),
+        F.col("d").cast("long").alias("nonconv_treat"),
+        (F.floor(F.col("a") / (F.col("a") + F.col("b")) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "rate_control"
+        ),
+        (F.floor(F.col("c") / (F.col("c") + F.col("d")) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "rate_treat"
+        ),
+        (n.cast("double") * diff * diff > F.lit(3.841) * denom).alias("significant"),
+    )
+
+
+@query(
+    "top_session_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ) AS rn
+        FROM s
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM r WHERE rn <= 5
+        GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 10
+    """,
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the 10 most common session-opening
+    paths (first 5 event types per 30-min session, '>'-joined) — the
+    navigational-pattern query behind UX funnels and bot detection.
+    Composition of existing engine operators: sessionize (lag + cumsum
+    per user, ONE shuffle on user_id reused by every window here) →
+    row_number prefix trim → sort_array(collect_list(struct)) for a
+    deterministic in-session order → top-k with a total order
+    (count desc, path asc)."""
+    ev = load_events(spark, sf_dir)
+    sess = sessionize(ev, "user_id", "ts", 1800, tiebreak_col="event_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    prefix = sess.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    paths = prefix.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "ewma_monthly_revenue",
+    oracle="""
+    WITH monthly AS (
+        SELECT (EXTRACT(year FROM l_shipdate) - 1992) * 12
+                   + EXTRACT(month FROM l_shipdate) - 1 AS x,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                        AS BIGINT)) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT x, y,
+               SUM(CAST(y AS DOUBLE) * power(2.0, x)) OVER (
+                   ORDER BY x ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               MIN(x) OVER () AS x0,
+               FIRST_VALUE(CAST(y AS DOUBLE)) OVER (ORDER BY x) AS y0
+        FROM monthly
+    )
+    SELECT CAST(x AS BIGINT) AS month_index,
+           FLOOR(y / 100.0 * 100 + 0.5) / 100 AS revenue,
+           FLOOR((cum + y0 * power(2.0, x0)) / power(2.0, x + 1)
+                 / 100 * 100 + 0.5) / 100 AS ewma
+    FROM c
+    """,
+)
+def q_ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue with
+    α = 1/2 — the smoothing recursion s_t = (y_t + s_{t-1})/2 made
+    ORACLE-EXACT without any sequential UDF: with α = 1/2 every weight
+    is a power of two, so the recursion has the closed form
+    s_t = (Σ_{i≤t} y_i·2^{x_i} + y_0·2^{x_0}) / 2^{x_t+1} — ONE ordered
+    cumulative sum of exactly-representable products (multiplying a
+    double by 2^k is lossless; both engines stream the cumsum in the
+    same x order → identical rounding). The closed form is pinned
+    against the naive Python recursion in tests; floats are never
+    summed in an engine-chosen order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    x = (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
+    monthly = li.groupBy(x.alias("x")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+            ).cast("long")
+        ).alias("y")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = monthly.select(
+        "x",
+        "y",
+        F.sum(F.col("y").cast("double") * F.pow(F.lit(2.0), F.col("x"))).over(w).alias(
+            "cum"
+        ),
+        F.min("x").over(wall).alias("x0"),
+        F.first(F.col("y").cast("double")).over(Window.orderBy("x")).alias("y0"),
+    )
+    # s_t = (Σ_{i<=t} y_i·2^{x_i} + y_0·2^{x_0}) / 2^{x_t+1}  — equals the
+    # recursion s_0 = y_0, s_t = (y_t + s_{t-1})/2 (pinned against the
+    # naive Python recursion in tests/test_drift.py)
+    ewma = (F.col("cum") + F.col("y0") * F.pow(F.lit(2.0), F.col("x0"))) / F.pow(
+        F.lit(2.0), F.col("x") + 1
+    )
+    return c.select(
+        F.col("x").cast("long").alias("month_index"),
+        (F.floor(F.col("y") / 100.0 * 100 + F.lit(0.5)) / 100).alias("revenue"),
+        (F.floor(ewma / 100 * 100 + F.lit(0.5)) / 100).alias("ewma"),
+    )
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH monthly AS (
+        SELECT (EXTRACT(year FROM l_shipdate) - 1992) * 12
+                   + EXTRACT(month FROM l_shipdate) - 1 AS x,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                        AS BIGINT)) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    bt AS (
+        SELECT cur.x, cur.y, prev.y AS f,
+               FLOOR(ABS(cur.y - prev.y) / CAST(cur.y AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS ape6
+        FROM monthly cur JOIN monthly prev ON prev.x = cur.x - 12
+        WHERE cur.y > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_backtests,
+           ROUND(SUM(ape6) / COUNT(*), 4) AS mape,
+           FLOOR(CAST(SUM(y) - SUM(f) AS DOUBLE) / SUM(y) * 1e6 + 0.5) / 1e6
+               AS bias
+    FROM bt
+    """,
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (forecast month m =
+    actual of m−12, the standard baseline every fancier model must
+    beat): MAPE and aggregate bias over every month with a
+    year-earlier observation. Float discipline: revenue is exact cents,
+    each absolute-percentage-error term is floored to 1e-6 before the
+    mean, bias is a single division of exact integer sums — the
+    repo's standard oracle-stable choreography. The lag-12 pairing is
+    an equi-join on the month index (robust to gaps, unlike LAG(12))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
+    monthly = li.groupBy(x.alias("x")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+            ).cast("long")
+        ).alias("y")
+    )
+    cur = monthly.select("x", "y")
+    prev = monthly.select((F.col("x") + 12).alias("x"), F.col("y").alias("f"))
+    bt = (
+        cur.join(prev, "x")
+        .filter(F.col("y") > 0)
+        .withColumn(
+            "ape6",
+            F.floor(
+                F.abs(F.col("y") - F.col("f")) / F.col("y").cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+    )
+    return bt.agg(
+        F.count("*").cast("long").alias("n_backtests"),
+        F.round(F.sum("ape6") / F.count("*"), 4).alias("mape"),
+        (
+            F.floor(
+                (F.sum("y") - F.sum("f")).cast("double") / F.sum("y") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("bias"),
     )

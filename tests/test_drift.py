@@ -128,3 +128,19 @@ def test_ks_matches_scipy_when_available(spark):
     r = _ks(spark, a, b)
     expect = ks_2samp(a, b).statistic
     assert r["ks"] == pytest.approx(expect, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# EWMA closed form (registry query) vs naive recursion
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_closed_form_equals_naive_recursion(spark, sf_smoke):
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    out = QUERIES["ewma_monthly_revenue"](spark, sf_smoke).orderBy("month_index").collect()
+    assert len(out) > 10
+    s = None
+    for r in out:
+        s = r["revenue"] if s is None else (r["revenue"] + s) / 2
+        assert r["ewma"] == pytest.approx(s, abs=0.011)  # both rounded to cents
