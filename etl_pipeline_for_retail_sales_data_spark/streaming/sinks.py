@@ -131,3 +131,86 @@ def exactly_once_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_audited_epoch_committer(table_dir: str, checks: list, quarantine_dir: str):
+    """Streaming write-audit-publish with a dead-letter table: each
+    micro-batch is STAGED (invisible), AUDITED against the declarative
+    quality suite (operators/quality.py, reading the staged bytes back),
+    then PUBLISHED to the main table — or, on a failing audit, committed
+    to the QUARANTINE table with its report instead, so the stream keeps
+    running and no bad batch ever reaches readers (the streaming form of
+    versioned.write_audit_publish; quarantine-not-crash is the standard
+    posture for continuous ingestion — a poison batch must not wedge the
+    pipeline). Exactly-once holds across BOTH outcomes: the epoch id
+    lands atomically in whichever table received the batch, and
+    redelivery consults the max epoch across the two — a replayed
+    quarantined epoch is skipped, not re-audited."""
+    from ..operators.quality import run_checks
+
+    def commit_epoch(batch_df: DataFrame, batch_id: int) -> None:
+        epochs = [
+            e
+            for e in (
+                last_committed_epoch(table_dir),
+                last_committed_epoch(quarantine_dir),
+            )
+            if e is not None
+        ]
+        if epochs and batch_id <= max(epochs):
+            return  # epoch already durable somewhere: redelivery
+        spark = batch_df.sparkSession
+        staged_id, files = V.stage(batch_df, table_dir)
+        report = run_checks(
+            V.read_staged(spark, table_dir, staged_id), checks
+        ).collect()
+        audit = [
+            {
+                "check": r["check"],
+                "kind": r["kind"],
+                "n_violations": r["n_violations"],
+                "passed": r["passed"],
+            }
+            for r in report
+        ]
+        if any(not r["passed"] for r in report):
+            V.commit(
+                spark,
+                V.read_staged(spark, table_dir, staged_id),
+                quarantine_dir,
+                mode="append",
+                extra={"epoch_id": batch_id, "audit": audit},
+            )
+            V.discard_staged(table_dir, staged_id)
+        else:
+            V.publish_staged(
+                table_dir,
+                staged_id,
+                files,
+                mode="append",
+                extra={"epoch_id": batch_id, "audit": audit},
+            )
+
+    return commit_epoch
+
+
+def exactly_once_audited_append(
+    stream_df: DataFrame,
+    table_dir: str,
+    query_name: str,
+    checks: list,
+    quarantine_dir: str,
+) -> StreamingQuery:
+    """Start a streaming query appending each micro-batch through the
+    audit gate: clean batches land in ``table_dir``, failing batches in
+    ``quarantine_dir`` (both versioned, both epoch-tagged, both
+    exactly-once under redelivery)."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            make_audited_epoch_committer(table_dir, checks, quarantine_dir)
+        )
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -130,12 +130,69 @@ def commit(
     scan) so ``read_table(..., where=...)`` can prune files. Returns the
     committed version number. Raises ``CommitConflict`` if a concurrent
     writer claimed the version."""
-    if mode not in ("append", "replace"):
-        raise ValueError(f"mode must be 'append' or 'replace', got {mode!r}")
+    batch_id, new_files = stage(df, table_dir)
+    return publish_staged(
+        table_dir,
+        batch_id,
+        new_files,
+        mode=mode,
+        extra=extra,
+        stats_cols=stats_cols,
+        carry_files=carry_files,
+        carry_stats=carry_stats,
+    )
+
+
+def stage(df: DataFrame, table_dir: str) -> tuple[str, list[str]]:
+    """WRITE step of write-audit-publish: land ``df`` as immutable data
+    files under a fresh batch directory WITHOUT publishing a manifest —
+    invisible to every reader until ``publish_staged``. Returns
+    (batch_id, relative file list). A staged batch that is never
+    published is an orphan ``vacuum`` reclaims (same crash story as a
+    writer dying mid-commit)."""
     if "://" in table_dir:
         raise ValueError("versioned tables are local-filesystem scoped (see module doc)")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    batch_id = uuid.uuid4().hex
+    data_dir = os.path.join(table_dir, "data", batch_id)
+    df.write.mode("error").parquet(data_dir)
+    new_files = sorted(
+        os.path.join("data", batch_id, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    return batch_id, new_files
 
+
+def read_staged(spark: SparkSession, table_dir: str, batch_id: str) -> DataFrame:
+    """Read a staged (unpublished) batch back from its on-disk files —
+    the AUDIT step inspects exactly the bytes a publish would expose,
+    not the in-memory frame that produced them."""
+    return spark.read.parquet(os.path.join(table_dir, "data", batch_id))
+
+
+def discard_staged(table_dir: str, batch_id: str) -> None:
+    """Drop a staged batch that failed its audit."""
+    import shutil
+
+    shutil.rmtree(os.path.join(table_dir, "data", batch_id), ignore_errors=True)
+
+
+def publish_staged(
+    table_dir: str,
+    batch_id: str,
+    new_files: list[str],
+    mode: str = "append",
+    extra: dict | None = None,
+    stats_cols: list[str] | None = None,
+    carry_files: list[str] | None = None,
+    carry_stats: dict | None = None,
+) -> int:
+    """PUBLISH step: atomically claim the next version for an
+    already-staged batch (see ``commit`` for the carry/stats/conflict
+    semantics — ``commit`` is exactly ``stage`` + this)."""
+    if mode not in ("append", "replace"):
+        raise ValueError(f"mode must be 'append' or 'replace', got {mode!r}")
     base_version = current_version(table_dir)
     carried: list[str] = []
     carried_stats: dict = {}
@@ -150,17 +207,7 @@ def commit(
             k: v for k, v in base.get("stats", {}).items() if k in set(carried)
         }
 
-    # 1. land immutable data files under a fresh uuid directory
-    batch_id = uuid.uuid4().hex
-    data_dir = os.path.join(table_dir, "data", batch_id)
-    df.write.mode("error").parquet(data_dir)
-    new_files = sorted(
-        os.path.join("data", batch_id, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    )
-
-    # 2. atomically claim the next version: link fails iff it exists
+    # atomically claim the next version: link fails iff it exists
     version = (base_version if base_version is not None else -1) + 1
     manifest = {
         "version": version,
@@ -433,3 +480,61 @@ def vacuum(table_dir: str, keep_last: int = 2) -> int:
                     os.remove(os.path.join(bdir, f))
                 os.rmdir(bdir)
     return deleted
+
+
+class AuditFailed(RuntimeError):
+    """The staged batch failed its data-quality audit; nothing was
+    published. ``.report`` holds the full check report rows."""
+
+    def __init__(self, msg: str, report: list):
+        super().__init__(msg)
+        self.report = report
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    checks: list,
+    mode: str = "append",
+    extra: dict | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """The write-audit-publish (WAP) gate — the Iceberg-popularized
+    pattern for 100 TB ingestion: LAND the batch's files invisibly
+    (``stage``), AUDIT the actual persisted bytes with the declarative
+    quality suite (operators/quality.py — reading the staged parquet
+    back catches what the in-memory frame can't: schema coercions,
+    precision loss, a torn write), and only then PUBLISH the manifest
+    atomically. A failing audit discards the staged files and raises
+    ``AuditFailed`` with the full report; readers never observe the bad
+    batch — the table's latest version is untouched. On success the
+    audit report is embedded in the manifest (``"audit"`` key), so every
+    snapshot carries the proof it was checked — committed ATOMICALLY
+    with the data it vouches for."""
+    from .operators.quality import run_checks
+
+    batch_id, files = stage(df, table_dir)
+    try:
+        report_rows = run_checks(read_staged(spark, table_dir, batch_id), checks).collect()
+    except Exception:
+        discard_staged(table_dir, batch_id)
+        raise
+    failed = [r for r in report_rows if not r["passed"]]
+    audit = [
+        {"check": r["check"], "kind": r["kind"],
+         "n_violations": r["n_violations"], "passed": r["passed"]}
+        for r in report_rows
+    ]
+    if failed:
+        discard_staged(table_dir, batch_id)
+        detail = "; ".join(f"{r['check']}: {r['n_violations']} violations" for r in failed)
+        raise AuditFailed(f"audit failed, batch not published: {detail}", audit)
+    return publish_staged(
+        table_dir,
+        batch_id,
+        files,
+        mode=mode,
+        extra={**(extra or {}), "audit": audit},
+        stats_cols=stats_cols,
+    )

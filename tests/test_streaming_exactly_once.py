@@ -117,3 +117,73 @@ def test_exactly_once_upsert_end_to_end_stream(spark, tmp_path):
     q = exactly_once_upsert(stream, table, "cdc_smoke", key_cols=["k"])
     q.awaitTermination(120)
     assert {r.k: r.v for r in V.read_table(spark, table).collect()} == {1: "x", 2: "y"}
+
+
+# ---------------------------------------------------------------------------
+# Audited streaming append (streaming WAP + quarantine)
+# ---------------------------------------------------------------------------
+
+from etl_pipeline_for_retail_sales_data_spark.operators import quality as Q
+from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import (
+    exactly_once_audited_append,
+    make_audited_epoch_committer,
+)
+
+def _checks():
+    # built lazily: Column construction needs an active SparkContext
+    return [Q.not_null("event_id"), Q.non_negative("value")]
+
+
+def test_audited_stream_routes_clean_and_dirty_batches(spark, tmp_path):
+    table, quar = str(tmp_path / "tbl"), str(tmp_path / "quar")
+    committer = make_audited_epoch_committer(table, _checks(), quar)
+    clean = spark.createDataFrame([(1, 1.0), (2, 2.0)], "event_id long, value double")
+    dirty = spark.createDataFrame([(3, -7.0), (None, 4.0)], "event_id long, value double")
+
+    committer(clean, 0)
+    committer(dirty, 1)
+    committer(spark.createDataFrame([(5, 5.0)], "event_id long, value double"), 2)
+
+    main_ids = {r.event_id for r in V.read_table(spark, table).collect()}
+    assert main_ids == {1, 2, 5}  # dirty batch never visible in main
+    quar_rows = V.read_table(spark, quar).collect()
+    assert {r.event_id for r in quar_rows} == {3, None}
+    qm = V._read_manifest(quar, V.current_version(quar))
+    assert qm["epoch_id"] == 1
+    failed = {a["check"] for a in qm["audit"] if not a["passed"]}
+    assert failed == {"not_null(event_id)", "non_negative(value)"}
+
+
+def test_audited_stream_redelivery_skipped_for_both_outcomes(spark, tmp_path):
+    table, quar = str(tmp_path / "tbl"), str(tmp_path / "quar")
+    committer = make_audited_epoch_committer(table, _checks(), quar)
+    clean = spark.createDataFrame([(1, 1.0)], "event_id long, value double")
+    dirty = spark.createDataFrame([(2, -1.0)], "event_id long, value double")
+
+    committer(clean, 0)
+    committer(dirty, 1)
+    # redeliver both epochs (failure replay): neither may double-apply
+    committer(clean, 0)
+    committer(dirty, 1)
+
+    assert V.read_table(spark, table).count() == 1
+    assert V.read_table(spark, quar).count() == 1
+    # no stray staged batches left behind in the main table dir
+    import os
+
+    assert len(os.listdir(os.path.join(table, "data"))) == 1
+
+
+def test_audited_stream_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table, quar = str(tmp_path / "tbl"), str(tmp_path / "quar")
+    spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "event_id long, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("event_id long, value double").parquet(src)
+    q = exactly_once_audited_append(stream, table, "wap_smoke", _checks(), quar)
+    q.awaitTermination(120)
+    assert V.read_table(spark, table).count() == 2
+    assert V.current_version(quar) is None  # nothing quarantined
+    m = V._read_manifest(table, V.current_version(table))
+    assert all(a["passed"] for a in m["audit"]) and m["epoch_id"] == 0

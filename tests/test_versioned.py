@@ -245,3 +245,67 @@ def test_merge_into_pruned_matches_unpruned_result(spark, table):
     V.merge_into(spark, table, src, key_cols=["k"])  # unpruned on top: idempotent merge
     unpruned = sorted((r.k, r.v) for r in V.read_table(spark, table).collect())
     assert pruned == unpruned
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (WAP)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_pipeline_for_retail_sales_data_spark.operators import quality as Q  # noqa: E402
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id long, amount double")
+
+
+def test_wap_publishes_clean_batch_with_audit_in_manifest(spark, table):
+    v = V.write_audit_publish(
+        spark, _batch(spark, [(1, 5.0), (2, 6.0)]), table,
+        [Q.not_null("id"), Q.non_negative("amount"), Q.unique("id")],
+    )
+    assert v == 0
+    assert V.read_table(spark, table).count() == 2
+    m = V._read_manifest(table, v)
+    assert {a["check"] for a in m["audit"]} == {
+        "not_null(id)", "non_negative(amount)", "unique(id)"
+    }
+    assert all(a["passed"] for a in m["audit"])
+
+
+def test_wap_failing_audit_publishes_nothing_and_reports(spark, table):
+    V.write_audit_publish(spark, _batch(spark, [(1, 5.0)]), table, [Q.not_null("id")])
+    with pytest.raises(V.AuditFailed, match=r"non_negative\(amount\): 1 violations") as ei:
+        V.write_audit_publish(
+            spark, _batch(spark, [(2, -9.0), (None, 1.0)]), table,
+            [Q.not_null("id"), Q.non_negative("amount")],
+        )
+    # table still at the clean version; staged files discarded
+    assert V.current_version(table) == 0
+    assert V.read_table(spark, table).count() == 1
+    data_dirs = os.listdir(os.path.join(table, "data"))
+    assert len(data_dirs) == 1  # only the published batch remains
+    bad = {r["check"]: r for r in map(dict, (dict(x) for x in ei.value.report))}
+    assert not bad["non_negative(amount)"]["passed"]
+    assert bad["not_null(id)"]["n_violations"] == 1
+
+
+def test_wap_audits_persisted_bytes_not_input_frame(spark, table):
+    # the audit reads the staged parquet back: a float written as float32
+    # column via schema coercion would surface here. Use a simple marker:
+    # the staged read must see exactly the rows that will be published.
+    df = _batch(spark, [(1, 1.0), (2, 2.0), (3, 3.0)])
+    v = V.write_audit_publish(
+        spark, df, table, [Q.satisfies("exactly_3_rows_seen", F.lit(True))]
+    )
+    assert V.read_table(spark, table, version=v).count() == 3
+
+
+def test_wap_append_accumulates_versions(spark, table):
+    checks = [Q.not_null("id")]
+    V.write_audit_publish(spark, _batch(spark, [(1, 1.0)]), table, checks)
+    V.write_audit_publish(spark, _batch(spark, [(2, 2.0)]), table, checks)
+    assert V.current_version(table) == 1
+    assert V.read_table(spark, table).count() == 2
+    assert V.read_table(spark, table, version=0).count() == 1
