@@ -102,6 +102,54 @@ def unique(*cols: str) -> Check:
     return Check(f"unique({','.join(cols)})", "unique", None, tuple(cols))
 
 
+@dataclass(frozen=True)
+class MetricCheck:
+    """Dataset-level metric constraint: ``violated`` is a boolean
+    AGGREGATE expression (true ⇒ the dataset fails the check). Fused
+    into the same single pass as the row-local checks — a metric check
+    reports 0 or 1 violations."""
+
+    name: str
+    kind: str
+    violated: Column
+
+
+def completeness_at_least(col: str, ratio: float) -> MetricCheck:
+    """At least ``ratio`` of rows have a non-null value (Deequ's
+    completeness): tolerant counterpart of not_null for feeds where some
+    missingness is expected but a collapse signals breakage."""
+    c = F.sum(F.col(col).isNotNull().cast("long"))
+    return MetricCheck(
+        f"completeness_at_least({col},{ratio})",
+        "completeness",
+        c < F.lit(ratio) * F.count(F.lit(1)),
+    )
+
+
+def mean_in_range(col: str, lo: float, hi: float) -> MetricCheck:
+    m = F.avg(F.col(col))
+    return MetricCheck(
+        f"mean_in_range({col},{lo},{hi})", "mean_in_range", ~m.between(lo, hi)
+    )
+
+
+def distinct_count_between(col: str, lo: int, hi: int) -> MetricCheck:
+    d = F.countDistinct(F.col(col))
+    return MetricCheck(
+        f"distinct_count_between({col},{lo},{hi})",
+        "distinct_count",
+        ~d.between(lo, hi),
+    )
+
+
+def row_count_at_least(n: int) -> MetricCheck:
+    """The reference's empty-extract guard, generalized
+    (scripts/extraction.py:86-93 raises on an empty frame)."""
+    return MetricCheck(
+        f"row_count_at_least({n})", "row_count", F.count(F.lit(1)) < F.lit(n)
+    )
+
+
 def foreign_key(col: str, parent: DataFrame, parent_col: str) -> Check:
     return Check(
         f"foreign_key({col})", "foreign_key", None, (col,), parent, parent_col
@@ -111,27 +159,36 @@ def foreign_key(col: str, parent: DataFrame, parent_col: str) -> Check:
 _REPORT_SCHEMA = "check string, kind string, n_violations long, passed boolean"
 
 
-def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+def run_checks(df: DataFrame, checks: list[Check | MetricCheck]) -> DataFrame:
     """Evaluate the suite; returns (check, kind, n_violations, passed),
-    one row per check. Row-local checks share ONE aggregation pass;
-    each unique/foreign_key check adds exactly one keyed job."""
+    one row per check. Row-local AND metric checks share ONE aggregation
+    pass; each unique/foreign_key check adds exactly one keyed job."""
     spark = df.sparkSession
-    row_local = [c for c in checks if c.violates is not None]
+    row_local = [c for c in checks if isinstance(c, Check) and c.violates is not None]
+    metric = [c for c in checks if isinstance(c, MetricCheck)]
     reports: list[DataFrame] = []
 
-    if row_local:
+    if row_local or metric:
         aggs = [
             F.sum(c.violates.cast("long")).alias(f"v{i}")
             for i, c in enumerate(row_local)
+        ] + [
+            c.violated.cast("long").alias(f"m{i}") for i, c in enumerate(metric)
         ]
         one = df.agg(*aggs)
         # melt the 1-row aggregate into report rows (stack is JVM-side)
         pairs = ", ".join(
-            f"'{c.name.replace(chr(39), chr(39)*2)}', '{c.kind}', coalesce(v{i}, 0L)"
-            for i, c in enumerate(row_local)
+            [
+                f"'{c.name.replace(chr(39), chr(39)*2)}', '{c.kind}', coalesce(v{i}, 0L)"
+                for i, c in enumerate(row_local)
+            ]
+            + [
+                f"'{c.name.replace(chr(39), chr(39)*2)}', '{c.kind}', coalesce(m{i}, 0L)"
+                for i, c in enumerate(metric)
+            ]
         )
         melted = one.selectExpr(
-            f"stack({len(row_local)}, {pairs}) as (check, kind, n_violations)"
+            f"stack({len(row_local) + len(metric)}, {pairs}) as (check, kind, n_violations)"
         )
         reports.append(melted)
 

@@ -6955,3 +6955,59 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("bias"),
     )
+
+
+@query(
+    "quality_metrics_orders",
+    oracle="""
+    WITH r AS (
+        SELECT 'row_count_at_least(100)' AS c, 'row_count' AS kind,
+               CASE WHEN COUNT(*) < 100 THEN 1 ELSE 0 END AS n
+        FROM orders
+        UNION ALL
+        SELECT 'completeness_at_least(o_totalprice,0.99)', 'completeness',
+               CASE WHEN SUM(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END)
+                         < 0.99 * COUNT(*) THEN 1 ELSE 0 END
+        FROM orders
+        UNION ALL
+        SELECT 'mean_in_range(o_totalprice,1000.0,1000000.0)', 'mean_in_range',
+               CASE WHEN AVG(o_totalprice) NOT BETWEEN 1000.0 AND 1000000.0
+                    THEN 1 ELSE 0 END
+        FROM orders
+        UNION ALL
+        SELECT 'distinct_count_between(o_orderstatus,1,5)', 'distinct_count',
+               CASE WHEN COUNT(DISTINCT o_orderstatus) NOT BETWEEN 1 AND 5
+                    THEN 1 ELSE 0 END
+        FROM orders
+        UNION ALL
+        SELECT 'mean_in_range(o_totalprice,0.0,100.0)', 'mean_in_range',
+               CASE WHEN AVG(o_totalprice) NOT BETWEEN 0.0 AND 100.0
+                    THEN 1 ELSE 0 END
+        FROM orders
+    )
+    SELECT c AS "check", kind, CAST(n AS BIGINT) AS n_violations, n = 0 AS passed
+    FROM r
+    """,
+)
+def q_quality_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level metric constraints (the Deequ metrics tier next to
+    quality_suite_lineitem's row-local tier): row-count floor (the
+    reference's empty-extract guard generalized), completeness ratio,
+    mean bands, distinct-cardinality band — ALL fused into the same
+    single aggregation pass as row-local checks (one scan, five report
+    rows). The second mean band (0..100) intentionally FAILS on this
+    data — a metric check failure reports 1 violation, and the oracle
+    pins it."""
+    from .operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    return Q.run_checks(
+        orders,
+        [
+            Q.row_count_at_least(100),
+            Q.completeness_at_least("o_totalprice", 0.99),
+            Q.mean_in_range("o_totalprice", 1000.0, 1000000.0),
+            Q.distinct_count_between("o_orderstatus", 1, 5),
+            Q.mean_in_range("o_totalprice", 0.0, 100.0),
+        ],
+    )

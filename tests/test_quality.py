@@ -117,3 +117,52 @@ def test_check_name_quote_escaping(spark):
     out = Q.run_checks(df, [Q.satisfies("it's positive", F.col("id") > 0)]).collect()
     assert out[0]["check"] == "satisfies(it's positive)"
     assert out[0]["passed"]
+
+
+# ---------------------------------------------------------------------------
+# Metric checks (dataset-level)
+# ---------------------------------------------------------------------------
+
+
+def test_metric_checks_pass_and_fail(messy):
+    rep = _report(
+        messy,
+        [
+            Q.row_count_at_least(3),
+            Q.row_count_at_least(100),
+            Q.completeness_at_least("amount", 0.5),
+            Q.completeness_at_least("amount", 0.99),  # 4/5 non-null -> fail
+            Q.mean_in_range("amount", -100.0, 100.0),
+            Q.distinct_count_between("status", 1, 2),
+        ],
+    )
+    assert rep["row_count_at_least(3)"] == (0, True)
+    assert rep["row_count_at_least(100)"] == (1, False)
+    assert rep["completeness_at_least(amount,0.5)"] == (0, True)
+    assert rep["completeness_at_least(amount,0.99)"] == (1, False)
+    assert rep["mean_in_range(amount,-100.0,100.0)"] == (0, True)
+    assert rep["distinct_count_between(status,1,2)"] == (0, True)
+
+
+def test_metric_and_row_local_share_one_scan(messy):
+    rep_df = Q.run_checks(
+        messy,
+        [Q.not_null("id"), Q.mean_in_range("amount", -100.0, 100.0),
+         Q.row_count_at_least(1)],
+    )
+    plan = rep_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") == 1
+    assert rep_df.count() == 3
+
+
+def test_metric_checks_on_empty_table(spark):
+    empty = spark.createDataFrame([], "id long, amount double")
+    rep = _report(
+        empty,
+        [Q.row_count_at_least(1), Q.mean_in_range("amount", 0.0, 1.0),
+         Q.completeness_at_least("amount", 0.9)],
+    )
+    assert rep["row_count_at_least(1)"] == (1, False)  # empty fails the floor
+    # no rows -> no evidence of a bad mean/completeness: pass
+    assert rep["mean_in_range(amount,0.0,1.0)"] == (0, True)
+    assert rep["completeness_at_least(amount,0.9)"] == (0, True)
