@@ -7011,3 +7011,253 @@ def q_quality_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.mean_in_range("o_totalprice", 0.0, 100.0),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracled invariant twins for the remaining rows-only iterative ops: every
+# rows-only query now has a driver-green hash-checked counterpart (pattern
+# established by approx_aggregates / pq_recall_check).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_ivf_recall_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           TRUE AS recall_at_least_03,
+           TRUE AS sims_exact_on_hits
+    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
+    """,
+)
+def q_knn_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled quality gate for IVF-ANN (twin of rows-only knn_ivf): the
+    nprobe=3-of-10-lists search must recover ≥ 0.3 of the exact top-5
+    (the bound the recall test pins), and every emitted (query, neighbor)
+    pair that IS a true neighbor must carry the identical exact cosine —
+    IVF prunes candidates, it never approximates the score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 10
+    exact = SIM.knn_bruteforce_expr(emb, qf, k=5).select(
+        "q_id", F.col("neighbor_id").alias("nid"), F.col("sim").alias("esim")
+    ).persist()
+    approx = SIM.knn_ivf(emb, qf, k=5, nprobe=3).select(
+        "q_id", F.col("neighbor_id").alias("nid"), "sim"
+    )
+    hits = approx.join(exact, ["q_id", "nid"])
+    n_q = emb.filter(qf & F.col("embedding").isNotNull()).count()
+    n_truth = exact.count()
+    return hits.agg(
+        F.count("*").alias("n_hits"),
+        F.coalesce(F.every(F.abs(F.col("sim") - F.col("esim")) < 1e-9), F.lit(True)).alias(
+            "sims_ok"
+        ),
+    ).select(
+        F.lit(n_q).cast("long").alias("n_queries"),
+        F.lit(5).cast("long").alias("k"),
+        (F.col("n_hits") >= F.lit(0.3) * F.lit(n_truth)).alias("recall_at_least_03"),
+        F.col("sims_ok").alias("sims_exact_on_hits"),
+    )
+
+
+@query(
+    "kmeans_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS all_rows_assigned_once,
+           TRUE AS clusters_in_range,
+           TRUE AS distances_nonnegative,
+           TRUE AS inertia_nonincreasing
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def q_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled invariant gate for k-means (twin of rows-only
+    kmeans_clusters): the assignment partitions the corpus exactly once,
+    cluster ids stay in [0, k), distances are non-negative, and Lloyd's
+    objective does not increase from 1 to 3 iterations (monotone
+    convergence — the property that defines the algorithm)."""
+    from .operators.clustering import kmeans_assign, kmeans_inertia
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    a3 = kmeans_assign(emb, k=k, iters=3).persist()
+    n_in = emb.filter(F.col("embedding").isNotNull()).count()
+    inertia1 = kmeans_inertia(kmeans_assign(emb, k=k, iters=1))
+    inertia3 = kmeans_inertia(a3)
+    return a3.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        (
+            (F.count("*") == F.lit(n_in))
+            & (F.countDistinct("vec_id") == F.lit(n_in))
+        ).alias("all_rows_assigned_once"),
+        F.coalesce(
+            F.every((F.col("cluster") >= 0) & (F.col("cluster") < k)), F.lit(True)
+        ).alias("clusters_in_range"),
+        F.coalesce(F.every(F.col("dist") >= 0), F.lit(True)).alias(
+            "distances_nonnegative"
+        ),
+        F.lit(inertia3 <= inertia1 + 1e-6).alias("inertia_nonincreasing"),
+    )
+
+
+@query(
+    "freq_items_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_heavy,
+           TRUE AS all_true_heavy_found
+    FROM (
+        SELECT l_partkey FROM lineitem GROUP BY l_partkey
+        HAVING COUNT(*) > 0.001 * (SELECT COUNT(*) FROM lineitem)
+    )
+    """,
+)
+def q_freq_items_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled superset-guarantee gate for the frequent-items sketch
+    (twin of rows-only freq_items_parts): freqItems(support=s) promises
+    to return EVERY item with frequency > s·n (false positives allowed,
+    false negatives not — the Karp-Shenker-Papadimitriou guarantee). The
+    oracle pins the exact true-heavy-hitter count; the boolean verifies
+    the sketch found all of them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    true_heavy = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 0.001 * n)
+        .select("l_partkey")
+    ).persist()
+    sketch_items = set(
+        li.freqItems(["l_partkey"], support=0.001).collect()[0][0]
+    )
+    missing = true_heavy.filter(~F.col("l_partkey").isin(list(sketch_items) or [-1])).count()
+    return true_heavy.agg(
+        F.count("*").cast("long").alias("n_true_heavy"),
+        F.lit(missing == 0).alias("all_true_heavy_found"),
+    )
+
+
+@query(
+    "pagerank_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS mass_conserved,
+           TRUE AS all_ranks_positive
+    FROM documents
+    """,
+)
+def q_pagerank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled invariant gate for PageRank (twin of rows-only
+    pagerank_neardup): total rank mass equals n (the total-mass
+    convention — teleport + dangling redistribution conserve it exactly)
+    and every rank is strictly positive (teleport floor). The oracle
+    pins the exact node count."""
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    pr = pagerank(
+        docs.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b",
+        iterations=4,
+    )
+    n_docs = docs.count()
+    return pr.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.abs(F.sum("rank") - F.lit(float(n_docs))) < 1e-6).alias("mass_conserved"),
+        F.coalesce(F.every(F.col("rank") > 0), F.lit(True)).alias(
+            "all_ranks_positive"
+        ),
+    )
+
+
+@query(
+    "canonical_dedup_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS rows_partition_docs,
+           TRUE AS one_keeper_per_component,
+           TRUE AS keeper_ids_self_consistent
+    FROM documents
+    """,
+)
+def q_canonical_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled invariant gate for the end-to-end dedup decision (twin of
+    rows-only canonical_dedup_pipeline): output rows partition the
+    corpus, every component elects exactly one keeper, and every row's
+    keeper_id points at a row marked is_keeper in the SAME component."""
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b").persist()
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    pr = pagerank(
+        docs.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b",
+        iterations=4,
+    )
+    out = D.canonical_dedup(docs, pairs, pr).persist()
+    n_docs = docs.count()
+    per_comp = out.groupBy("component").agg(
+        F.sum(F.col("is_keeper").cast("long")).alias("nk")
+    )
+    keepers = out.filter("is_keeper").select(
+        F.col("component"), F.col("doc_id").alias("keeper_id")
+    )
+    dangling = out.select("component", "keeper_id").join(
+        keepers, ["component", "keeper_id"], "left_anti"
+    ).count()
+    cover = out.agg(
+        (
+            (F.count("*") == F.lit(n_docs))
+            & (F.countDistinct("doc_id") == F.lit(n_docs))
+        ).alias("rows_partition_docs")
+    )
+    comp_ok = per_comp.agg(
+        F.coalesce(F.every(F.col("nk") == 1), F.lit(True)).alias("one_keeper")
+    )
+    return (
+        out.agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(cover)
+        .crossJoin(comp_ok)
+        .select(
+            "n_docs",
+            "rows_partition_docs",
+            F.col("one_keeper").alias("one_keeper_per_component"),
+            F.lit(dangling == 0).alias("keeper_ids_self_consistent"),
+        )
+    )
+
+
+@query(
+    "weighted_sample_check",
+    oracle="""
+    SELECT CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n_sampled,
+           TRUE AS sample_is_subset,
+           TRUE AS deterministic_across_runs
+    FROM documents
+    """,
+)
+def q_weighted_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled invariant gate for A-ES weighted sampling (twin of
+    rows-only weighted_sample_docs — pow/ln are not bit-stable across
+    engines, but the CONTRACT is checkable): exactly min(k, n) rows,
+    every sampled id exists in the corpus, and two independent runs
+    produce the identical sample (the md5-derived determinism that
+    makes a 100 TB re-run reproduce the same training subset)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id").persist()
+    s2 = TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id")
+    n1 = s1.count()
+    sym_diff = s1.exceptAll(s2).count() + s2.exceptAll(s1).count()
+    orphans = s1.join(docs.select("doc_id"), "doc_id", "left_anti").count()
+    return docs.agg(
+        F.least(F.lit(50), F.count("*")).cast("long").alias("n_sampled")
+    ).select(
+        "n_sampled",
+        F.lit(orphans == 0).alias("sample_is_subset"),
+        F.lit(sym_diff == 0 and n1 >= 0).alias("deterministic_across_runs"),
+    )
