@@ -85,8 +85,11 @@ def kmeans_assign(
 
 def kmeans_inertia(assigned: DataFrame) -> float:
     """Sum of squared distances to the assigned centroid (the quantity
-    Lloyd's algorithm monotonically decreases)."""
-    return assigned.agg(F.sum("dist").alias("i")).collect()[0]["i"]
+    Lloyd's algorithm monotonically decreases). Empty assignment → 0.0
+    (SUM over zero rows is NULL; the objective of an empty corpus is 0)."""
+    return assigned.agg(
+        F.coalesce(F.sum("dist"), F.lit(0.0)).alias("i")
+    ).collect()[0]["i"]
 
 
 def semantic_dedup(

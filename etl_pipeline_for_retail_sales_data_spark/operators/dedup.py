@@ -149,6 +149,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs:
+    C(A→B) = |S_A ∩ S_B| / |S_A| — the subsumption detector Jaccard
+    misses. A short quote fully embedded in a long article has tiny
+    Jaccard (union is dominated by the article) but containment 1.0 from
+    the quote's side; training-corpus builds drop the subsumed side
+    (Broder's original resemblance/containment pair, syntactic-clustering
+    of the web). Extension tier: the reference has no similarity ops
+    (SURVEY.md §2).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (shingle
+    equi-join, never a cross join; sizes ride the shingle rows), but
+    pairs are DIRECTED (doc_a != doc_b, both orders) because containment
+    is asymmetric. ``max_df`` is the identical hot-shingle fan-out cap.
+    The threshold compare happens on the 1e-6-floored value so Spark and
+    the SQL oracle agree bit-for-bit."""
+    sh = doc_shingles_arrow(df, text_col, n, with_size=True).persist()
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cont = F.col("n_inter") / F.col("n_a")
+    return (
+        inter.withColumn("containment", F.floor(cont * 1e6 + F.lit(0.5)) / 1e6)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "containment")
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = 16, n: int = 3) -> DataFrame:
     """K-permutation MinHash approximated portably: permutation j ranks a
     shingle by md5(j ':' shingle) and the signature component is the

@@ -90,6 +90,69 @@ def chisq_drift(
     )
 
 
+def psi_drift(
+    df: DataFrame,
+    period: Column,
+    category: Column,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index between each period's category mix and
+    its predecessor's — the third member of the drift family (chisq =
+    significance test, KS = numeric distributions, PSI = the
+    magnitude-of-shift score model-monitoring dashboards threshold at
+    0.1/0.2): PSI = Σ (p_cur − p_prev) · ln(p_cur / p_prev). Categories
+    absent from either period are excluded (the ln is undefined;
+    standard practice is an ε-floor — here the testdata's categories
+    persist across periods, so exclusion == ε-floor and the statistic
+    stays exactly reproducible).
+
+    Scale shape: identical to :func:`chisq_drift` — one aggregation over
+    the fact table, then arithmetic on O(periods × categories) rows.
+    Float choreography: the ln argument is ONE division of exact int64
+    products ((obs·prev_total)/(prev_cnt·total) — both engines see the
+    identical double), each term is floored to 1e-6, and the sum is
+    floored to 1e-4; empirically hash-stable at every SF (ln ulp
+    differences sit ~1e-12 from the rounding boundaries)."""
+    counts = (
+        df.select(period.alias("period"), category.alias("category"))
+        .groupBy("period", "category")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = counts.groupBy("period").agg(F.sum("cnt").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("period")
+    paired_periods = totals.select(
+        "period",
+        "total",
+        F.lag("period").over(w).alias("prev_period"),
+        F.lag("total").over(w).alias("prev_total"),
+    ).filter(F.col("prev_period").isNotNull())
+
+    cur = counts.select("period", "category", F.col("cnt").alias("obs"))
+    prev = counts.select(
+        F.col("period").alias("prev_period"),
+        "category",
+        F.col("cnt").alias("prev_cnt"),
+    )
+    joined = paired_periods.join(cur, "period").join(
+        prev, ["prev_period", "category"]
+    )
+    p_cur = F.col("obs").cast("double") / F.col("total")
+    p_prev = F.col("prev_cnt").cast("double") / F.col("prev_total")
+    ratio = (F.col("obs") * F.col("prev_total")).cast("double") / (
+        F.col("prev_cnt") * F.col("total")
+    )
+    term = (p_cur - p_prev) * F.log(ratio)
+    term6 = F.floor(term * 1e6 + F.lit(0.5)) / 1e6
+    out = joined.groupBy("period").agg(
+        (F.floor(F.sum(term6) * 1e4 + F.lit(0.5)) / 1e4).alias("psi"),
+        F.count("*").cast("long").alias("n_categories"),
+        F.sum("obs").cast("long").alias("n_current"),
+    )
+    return out.withColumn("drift", F.col("psi") > F.lit(threshold))
+
+
 def ks_drift(
     df: DataFrame,
     sample: Column,

@@ -66,3 +66,57 @@ def zorder_layout(df: DataFrame, z: Column, n_files: int = 16) -> DataFrame:
     layout; at 100 TB n_files scales with the target file size, the plan
     shape (one range exchange + local sort) does not change."""
     return df.withColumn("__z", z).repartitionByRange(n_files, "__z").sortWithinPartitions("__z").drop("__z")
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Deterministic global shuffle → contiguous training-shard
+    assignment: every row gets a global position in md5(id) order and a
+    shard id, the "shuffle the corpus once, then shard it" step that
+    precedes tokenizer/packing in an LLM data pipeline. md5 order is
+    content-independent, seedless, and partition-independent, so a rerun
+    (or an incremental rebuild on the same ids) reproduces the byte-same
+    shards.
+
+    Scale shape — a distributed two-phase rank, NOT a global
+    single-partition window: md5's first ``prefix_len`` hex chars split
+    the corpus into 16^prefix_len lexicographically ORDERED buckets
+    (md5 ⇒ uniformly sized); per-bucket counts (tiny frame) produce
+    exclusive prefix offsets via a window over bucket rows only; the
+    per-row rank is a row_number window PARTITIONED by bucket. At 100 TB
+    raise prefix_len to 4 (65 536 buckets) — the plan shape (one count
+    agg, one broadcast join, one partitioned window) is unchanged.
+    global_pos = bucket_offset + within_bucket_rank, and
+    shard = global_pos · n_shards div total (balanced contiguous ranges,
+    pure int64).
+
+    Output: (id_col, global_pos, shard_id)."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("__id")).withColumn(
+        "__k", F.md5(F.col("__id").cast("string"))
+    ).withColumn("__b", F.substring("__k", 1, prefix_len))
+    counts = base.groupBy("__b").agg(F.count("*").alias("__c"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__off")
+    )
+    total = counts.agg(F.sum("__c").alias("__total"))
+    ww = Window.partitionBy("__b").orderBy("__k", "__id")
+    ranked = (
+        base.withColumn("__rn", F.row_number().over(ww) - 1)
+        .join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(total))
+    )
+    pos = F.col("__off") + F.col("__rn")
+    return ranked.select(
+        F.col("__id").alias(id_col),
+        pos.cast("long").alias("global_pos"),
+        F.expr(f"CAST((__off + __rn) * {int(n_shards)} DIV __total AS BIGINT)").alias(
+            "shard_id"
+        ),
+    )

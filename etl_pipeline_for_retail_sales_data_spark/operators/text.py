@@ -574,3 +574,117 @@ def domain_mixture_sample(
             F.coalesce(F.col("kept_digest"), F.lit("")).alias("kept_digest"),
         )
     )
+
+
+def token_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document lexical-diversity quality gate: Simpson repeat
+    concentration (Σc²/N², exact rational — the probability two random
+    token draws coincide) and unigram Shannon entropy (nats). Low-entropy
+    / high-concentration documents are boilerplate, keyword spam, or
+    decode garbage — a standard pre-training corpus filter alongside the
+    Gopher repetition rules (operators/text.repetition_stats).
+
+    Scale shape: one explode → ONE (doc_id, token) hash aggregate → one
+    per-doc aggregate; all shuffles keyed on doc_id (well spread). The
+    ``low_diversity`` verdict uses ONLY exact int64 arithmetic
+    (2·Σc² > N² ⟺ Simpson > 0.5) so the flag can never float-drift.
+    Entropy follows the drift-family ln choreography: ln of small exact
+    ints per term (floored 1e-6), final floor 1e-4 — empirically
+    hash-stable across engines at every SF.
+
+    Output: (doc_id, n_tokens, n_distinct, simpson, entropy,
+    low_diversity); tokenless docs keep a row with zeros/false."""
+    base = (
+        df.na.drop(subset=[text_col])
+        .select(
+            "doc_id",
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0).alias(
+                "__toks"
+            ),
+        )
+    )
+    counts = (
+        base.select("doc_id", F.explode("__toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    term6 = F.floor(F.col("c") * F.log(F.col("c")) * 1e6 + F.lit(0.5)) / 1e6
+    st = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("nd"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum(term6).alias("slog"),
+    )
+    simpson = F.floor(F.col("ss").cast("double") / (F.col("n") * F.col("n")) * 1e6 + F.lit(0.5)) / 1e6
+    entropy = (
+        F.floor((F.log(F.col("n")) - F.col("slog") / F.col("n")) * 1e4 + F.lit(0.5))
+        / 1e4
+    )
+    return (
+        base.select("doc_id")
+        .join(st, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_distinct"),
+            F.coalesce(simpson, F.lit(0.0)).alias("simpson"),
+            F.coalesce(entropy, F.lit(0.0)).alias("entropy"),
+            F.coalesce(
+                F.lit(2) * F.col("ss") > F.col("n") * F.col("n"), F.lit(False)
+            ).alias("low_diversity"),
+        )
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level Zipf rank-frequency fit: OLS slope of ln(freq) on
+    ln(rank) over the vocabulary (natural text ⇒ slope ≈ −1; a corpus
+    whose slope collapses toward 0 is synthetic/templated, one that
+    steepens is boilerplate-dominated — a cheap whole-corpus health
+    metric next to the per-doc gates).
+
+    Scale shape: one (token → count) hash aggregate over the corpus,
+    then a rank window over the DISTINCT vocabulary only (range-
+    partitioned sort of vocab rows — millions of rows at web scale, not
+    the corpus), then one scalar aggregate of the moment sums. Slope and
+    intercept come from the closed-form OLS on 1e-6-floored ln terms,
+    final values floored 1e-4 (drift-family ln choreography).
+
+    Output: one row (n_terms, n_tokens, zipf_slope, zipf_intercept);
+    vocabularies with < 2 terms yield null slope/intercept."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.na.drop(subset=[text_col])
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = counts.select("c", F.row_number().over(w).alias("r"))
+    x = F.floor(F.log(F.col("r")) * 1e6 + F.lit(0.5)) / 1e6
+    y = F.floor(F.log(F.col("c")) * 1e6 + F.lit(0.5)) / 1e6
+    terms = ranked.select(x.alias("x"), y.alias("y"), "c")
+    m = terms.agg(
+        F.count("*").alias("k"),
+        F.sum("c").alias("n_tok"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        den, F.lit(0.0)
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return m.select(
+        F.col("k").cast("long").alias("n_terms"),
+        F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        (F.floor(slope * 1e4 + F.lit(0.5)) / 1e4).alias("zipf_slope"),
+        (F.floor(intercept * 1e4 + F.lit(0.5)) / 1e4).alias("zipf_intercept"),
+    )

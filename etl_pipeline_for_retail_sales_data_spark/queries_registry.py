@@ -7261,3 +7261,197 @@ def q_weighted_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(orphans == 0).alias("sample_is_subset"),
         F.lit(sym_diff == 0 and n1 >= 0).alias("deterministic_across_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 continuation: containment dedup, diversity gates, Zipf fit,
+# shard assignment, PSI drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "containment_pairs",
+    oracle=r"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(len(toks) - 2),
+                      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingle
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+              FROM documents WHERE text IS NOT NULL)
+        WHERE len(toks) >= 3
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_sh AS BIGINT) AS n_a,
+           FLOOR(CAST(n_inter AS DOUBLE) / n_sh * 1e6 + 0.5) / 1e6 AS containment
+    FROM pairs JOIN sz ON sz.doc_id = pairs.doc_a
+    WHERE FLOOR(CAST(n_inter AS DOUBLE) / n_sh * 1e6 + 0.5) / 1e6 >= 0.6
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |S_A ∩ S_B| / |S_A| ≥ 0.6 — the
+    subsumed-document detector (short doc embedded in a long one has low
+    Jaccard but high containment). operators/dedup.containment_pairs:
+    same inverted-index equi-join shape as the Jaccard path, directed
+    pairs because containment is asymmetric."""
+    return D.containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@query(
+    "token_diversity",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cnts AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+        GROUP BY doc_id, tok
+    ),
+    st AS (
+        SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, SUM(c * c) AS ss,
+               SUM(FLOOR(c * ln(c) * 1e6 + 0.5) / 1e6) AS slog
+        FROM cnts GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(nd, 0) AS BIGINT) AS n_distinct,
+           COALESCE(FLOOR(CAST(ss AS DOUBLE) / (n * n) * 1e6 + 0.5) / 1e6, 0.0)
+               AS simpson,
+           COALESCE(FLOOR((ln(n) - slog / n) * 1e4 + 0.5) / 1e4, 0.0) AS entropy,
+           COALESCE(2 * ss > n * n, FALSE) AS low_diversity
+    FROM base b LEFT JOIN st USING (doc_id)
+    """,
+)
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical diversity (Simpson concentration + unigram
+    entropy) — operators/text.token_diversity. The low_diversity verdict
+    is pure int64 (2·Σc² > N²), immune to float drift; entropy follows
+    the drift-family ln choreography (per-term 1e-6 floors, final
+    1e-4)."""
+    return TX.token_diversity(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "zipf_law_fit",
+    oracle=r"""
+    WITH cnts AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r FROM cnts
+    ),
+    terms AS (
+        SELECT FLOOR(ln(r) * 1e6 + 0.5) / 1e6 AS x,
+               FLOOR(ln(c) * 1e6 + 0.5) / 1e6 AS y, c
+        FROM ranked
+    ),
+    m AS (
+        SELECT COUNT(*) AS k, SUM(c) AS n_tok, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS n_terms,
+           CAST(COALESCE(n_tok, 0) AS BIGINT) AS n_tokens,
+           FLOOR((k * sxy - sx * sy) / NULLIF(k * sxx - sx * sx, 0.0) * 1e4 + 0.5)
+               / 1e4 AS zipf_slope,
+           FLOOR((sy - (k * sxy - sx * sy) / NULLIF(k * sxx - sx * sx, 0.0) * sx)
+                 / k * 1e4 + 0.5) / 1e4 AS zipf_intercept
+    FROM m
+    """,
+)
+def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf rank-frequency OLS fit (slope ≈ −1 for natural text) —
+    operators/text.zipf_fit. One vocab aggregate + a window over the
+    DISTINCT vocabulary only; closed-form OLS on floored ln terms."""
+    return TX.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "shard_assignment",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS global_pos
+        FROM k
+    ),
+    t AS (SELECT COUNT(*) AS total FROM k)
+    SELECT doc_id, CAST(global_pos AS BIGINT) AS global_pos,
+           CAST(global_pos * 8 // total AS BIGINT) AS shard_id
+    FROM r, t
+    """,
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle → 8 contiguous training
+    shards — operators/layout.shard_assignment. The Spark plan is a
+    distributed two-phase rank (256 md5-prefix buckets, per-bucket
+    windows + tiny offset frame), never a single-partition global
+    window; the oracle replays the same order with one window."""
+    from .operators.layout import shard_assignment
+
+    return shard_assignment(load_table(spark, sf_dir, "documents"), n_shards=8)
+
+
+@query(
+    "psi_drift_priority",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS period,
+               o_orderpriority AS category, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    totals AS (SELECT period, SUM(cnt) AS total FROM counts GROUP BY period),
+    paired AS (
+        SELECT period, total,
+               LAG(period) OVER (ORDER BY period) AS prev_period,
+               LAG(total) OVER (ORDER BY period) AS prev_total
+        FROM totals
+    ),
+    terms AS (
+        SELECT p.period,
+               c.cnt AS obs,
+               FLOOR((CAST(c.cnt AS DOUBLE) / p.total
+                      - CAST(pc.cnt AS DOUBLE) / p.prev_total)
+                     * ln(CAST(c.cnt * p.prev_total AS DOUBLE)
+                          / (pc.cnt * p.total))
+                     * 1e6 + 0.5) / 1e6 AS term6
+        FROM paired p
+        JOIN counts c ON c.period = p.period
+        JOIN counts pc ON pc.period = p.prev_period AND pc.category = c.category
+        WHERE p.prev_period IS NOT NULL
+    )
+    SELECT period,
+           FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4 AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_categories,
+           CAST(SUM(obs) AS BIGINT) AS n_current,
+           FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4 > 0.2 AS drift
+    FROM terms GROUP BY period
+    """,
+)
+def q_psi_drift_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month Population Stability Index on the order-priority
+    mix — operators/drift.psi_drift, the magnitude-of-shift member of
+    the drift family (chisq = significance, KS = numeric, PSI =
+    thresholded effect size). Same one-scan shape as chisq_drift."""
+    from .operators.drift import psi_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    return psi_drift(
+        orders,
+        F.date_trunc("month", F.col("o_orderdate")),
+        F.col("o_orderpriority"),
+    )

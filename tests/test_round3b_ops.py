@@ -1,0 +1,190 @@
+"""Round-3 continuation operators: containment dedup, lexical diversity,
+Zipf fit, deterministic shard assignment, PSI drift. Semantic tests on
+hand-built frames (the registry oracle tests cover cross-engine parity)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_retail_sales_data_spark.operators.dedup import containment_pairs
+from etl_pipeline_for_retail_sales_data_spark.operators.drift import psi_drift
+from etl_pipeline_for_retail_sales_data_spark.operators.layout import shard_assignment
+from etl_pipeline_for_retail_sales_data_spark.operators.text import (
+    token_diversity,
+    zipf_fit,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_flags_subsumed_doc_jaccard_misses(spark):
+    """A short quote embedded verbatim in a long article: containment from
+    the quote's side is 1.0 (every quote shingle appears in the article)
+    while Jaccard is far below any dedup threshold — the case this
+    operator exists for."""
+    quote = "alpha beta gamma delta epsilon"
+    article = (
+        "intro words before the quote alpha beta gamma delta epsilon "
+        "then a long unrelated tail one two three four five six seven "
+        "eight nine ten eleven twelve thirteen fourteen fifteen"
+    )
+    out = containment_pairs(
+        _docs(spark, [(1, quote), (2, article)]), threshold=0.9
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].containment == 1.0
+    # the article is NOT contained in the quote
+    assert (2, 1) not in pairs
+
+
+def test_containment_is_directed_and_thresholded(spark):
+    a = "one two three four five six seven eight nine ten"
+    b = "one two three four five six seven eight nine ten extra tail words here"
+    out = containment_pairs(_docs(spark, [(1, a), (2, b)]), threshold=0.5).collect()
+    d = {(r.doc_a, r.doc_b): r.containment for r in out}
+    assert d[(1, 2)] == 1.0  # all 8 shingles of a appear in b
+    assert 0.5 <= d[(2, 1)] < 1.0  # b has extra shingles
+
+
+# ---------------------------------------------------------------------------
+# token_diversity
+# ---------------------------------------------------------------------------
+
+
+def test_token_diversity_degenerate_and_uniform(spark):
+    out = {
+        r.doc_id: r
+        for r in token_diversity(
+            _docs(spark, [(1, "a a a a"), (2, "a b c d"), (3, None)])
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_distinct) == (4, 1)
+    assert r1.simpson == 1.0 and r1.entropy == 0.0 and r1.low_diversity
+    r2 = out[2]
+    assert (r2.n_tokens, r2.n_distinct) == (4, 4)
+    assert r2.simpson == 0.25 and not r2.low_diversity
+    assert abs(r2.entropy - math.log(4)) < 1e-3
+    assert 3 not in out  # null text dropped at the boundary
+
+
+def test_token_diversity_flag_is_exact_integer_decision(spark):
+    # 3 of one token + 2 distinct: ss = 9+1+1 = 11, n^2 = 25 -> 2*11 < 25
+    # 4 of one token + 1 distinct: ss = 16+1 = 17, n^2 = 25 -> 2*17 > 25
+    out = {
+        r.doc_id: r.low_diversity
+        for r in token_diversity(
+            _docs(spark, [(1, "x x x y z"), (2, "x x x x y")])
+        ).collect()
+    }
+    assert out == {1: False, 2: True}
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_matches_closed_form_ols(spark):
+    """Pin the Spark result against a plain-Python OLS on the identical
+    floored ln terms (semantic reference, not just cross-engine echo)."""
+    # vocabulary with frequencies 8,4,2,1 -> ranks 1..4
+    text_rows = [(1, " ".join(["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2 + ["w4"]))]
+    row = zipf_fit(_docs(spark, text_rows)).collect()[0]
+    f6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    xs = [f6(math.log(r)) for r in (1, 2, 3, 4)]
+    ys = [f6(math.log(c)) for c in (8, 4, 2, 1)]
+    k = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert row.n_terms == 4 and row.n_tokens == 15
+    assert row.zipf_slope == math.floor(slope * 1e4 + 0.5) / 1e4
+    assert row.zipf_slope < -0.9  # geometric frequencies are steeper than Zipf
+
+
+def test_zipf_fit_single_term_vocab_yields_null_slope(spark):
+    row = zipf_fit(_docs(spark, [(1, "solo solo solo")])).collect()[0]
+    assert row.n_terms == 1 and row.n_tokens == 3
+    assert row.zipf_slope is None and row.zipf_intercept is None
+
+
+# ---------------------------------------------------------------------------
+# shard_assignment
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assignment_is_a_balanced_contiguous_permutation(spark):
+    n, k = 103, 8
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = shard_assignment(df, n_shards=k).collect()
+    assert sorted(r.global_pos for r in out) == list(range(n))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r.global_pos)
+    assert set(by_shard) == set(range(k))
+    # contiguous: every shard owns an unbroken global_pos range
+    ranges = sorted((min(v), max(v), len(v)) for v in by_shard.values())
+    for lo, hi, cnt in ranges:
+        assert hi - lo + 1 == cnt
+    # balanced: floor(pos*k/n) sizes differ by at most 1
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] - sizes[0] <= 1
+
+
+def test_shard_assignment_deterministic_and_insertion_stable_order(spark):
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: (r.global_pos, r.shard_id) for r in shard_assignment(df).collect()}
+    b = {
+        r.doc_id: (r.global_pos, r.shard_id)
+        for r in shard_assignment(df.repartition(7)).collect()
+    }
+    assert a == b  # partitioning-independent
+    # md5 order: relative order of surviving ids is stable under subsets
+    sub = shard_assignment(df.filter(F.col("doc_id") < 25)).collect()
+    full_order = [i for i, _ in sorted(a.items(), key=lambda kv: kv[1][0]) if i < 25]
+    sub_order = [r.doc_id for r in sorted(sub, key=lambda r: r.global_pos)]
+    assert full_order == sub_order
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+
+def _periods(spark, rows):
+    return spark.createDataFrame(rows, "p int, cat string")
+
+
+def test_psi_zero_on_identical_mix_and_flags_large_shift(spark):
+    stable = [(1, c) for c in ["a"] * 50 + ["b"] * 50] + [
+        (2, c) for c in ["a"] * 50 + ["b"] * 50
+    ]
+    out = psi_drift(_periods(spark, stable), F.col("p"), F.col("cat")).collect()
+    assert len(out) == 1
+    assert out[0].psi == 0.0 and not out[0].drift
+
+    shifted = [(1, c) for c in ["a"] * 90 + ["b"] * 10] + [
+        (2, c) for c in ["a"] * 10 + ["b"] * 90
+    ]
+    row = psi_drift(_periods(spark, shifted), F.col("p"), F.col("cat")).collect()[0]
+    # textbook PSI for 0.9/0.1 -> 0.1/0.9: 2 * 0.8 * ln(9) ~ 3.515
+    assert abs(row.psi - 2 * 0.8 * math.log(9)) < 1e-3
+    assert row.drift and row.n_categories == 2
+
+
+def test_psi_moderate_shift_below_threshold(spark):
+    mild = [(1, c) for c in ["a"] * 52 + ["b"] * 48] + [
+        (2, c) for c in ["a"] * 48 + ["b"] * 52
+    ]
+    row = psi_drift(_periods(spark, mild), F.col("p"), F.col("cat")).collect()[0]
+    assert 0.0 < row.psi < 0.2 and not row.drift
