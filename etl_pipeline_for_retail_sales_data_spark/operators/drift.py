@@ -46,10 +46,14 @@ def chisq_drift(
     previous-period count are excluded from the statistic (expected = 0
     is undefined; df reflects the categories actually tested)."""
     crit = alpha_crit or CHISQ_CRIT_95
+    # persisted: three plan branches (totals, current, previous) consume
+    # this tiny periods×categories frame — without it each branch replays
+    # the fact-table scan + aggregate, three scans instead of one
     counts = (
         df.select(period.alias("period"), category.alias("category"))
         .groupBy("period", "category")
         .agg(F.count("*").alias("cnt"))
+        .persist()
     )
     totals = counts.groupBy("period").agg(F.sum("cnt").alias("total"))
     # pair each period with its predecessor in period order (a window
@@ -113,10 +117,12 @@ def psi_drift(
     identical double), each term is floored to 1e-6, and the sum is
     floored to 1e-4; empirically hash-stable at every SF (ln ulp
     differences sit ~1e-12 from the rounding boundaries)."""
+    # persisted for the same three-consumer reason as chisq_drift
     counts = (
         df.select(period.alias("period"), category.alias("category"))
         .groupBy("period", "category")
         .agg(F.count("*").alias("cnt"))
+        .persist()
     )
     totals = counts.groupBy("period").agg(F.sum("cnt").alias("total"))
     from pyspark.sql import Window

@@ -116,6 +116,19 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """The composite quality score as a scan-local Column expression —
+    callers gating a corpus should ``withColumn`` this, never join a
+    quality frame back onto the corpus (a row-local score costs zero
+    shuffles; a join costs one plus a second scan)."""
+    c = F.col(text_col)
+    toks = token_count(c).cast("double")
+    stop_ratio = stopword_count(c) / F.greatest(toks, F.lit(1.0))
+    punct_ratio = punct_count(c) / F.greatest(F.length(c).cast("double"), F.lit(1.0))
+    length_signal = F.least(toks, F.lit(100.0)) / 100.0
+    return round6(stop_ratio * 0.4 + length_signal * 0.3 + (1 - punct_ratio) * 0.3)
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0,1]: stopword signal + length signal +
     punctuation cleanliness. Pure rational arithmetic (no exp/log) so the
@@ -124,13 +137,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = token_count(c).cast("double")
     stop_ratio = stopword_count(c) / F.greatest(toks, F.lit(1.0))
     punct_ratio = punct_count(c) / F.greatest(F.length(c).cast("double"), F.lit(1.0))
-    length_signal = F.least(toks, F.lit(100.0)) / 100.0
-    score = stop_ratio * 0.4 + length_signal * 0.3 + (1 - punct_ratio) * 0.3
     return df.select(
         "doc_id",
         round6(stop_ratio).alias("stop_ratio"),
         round6(punct_ratio).alias("punct_ratio"),
-        round6(score).alias("quality"),
+        quality_expr(text_col).alias("quality"),
     )
 
 
@@ -171,15 +182,20 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", top_k: int = 5) -> Da
     in the last ulp and flip a rank (functions.cents rationale). Extension
     tier: the reference has no string functions at all (SURVEY.md §2.2).
 
-    Scale shape: one explode → two hash aggregations (tf keyed by
-    (doc, term), df keyed by term) → equi-join on term → per-doc top-k via
-    ROW_NUMBER window. No cross join; N arrives as a broadcast scalar.
+    Scale shape: ONE explode → ONE (doc, term) hash aggregate (the
+    posting-list frame, persisted — it is the corpus's aggregated
+    inverted index and every downstream statistic derives from it:
+    df(term) is just its per-term row count, so the corpus is never
+    re-exploded) → equi-join on term → per-doc top-k via ROW_NUMBER
+    window. No cross join; N arrives as a broadcast scalar from a
+    metadata-only count scan.
     """
     from pyspark.sql import Window
 
     tok = doc_terms(df, text_col)
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dft = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df_docs"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    # one row per (doc, term) ⇒ per-term row count IS count_distinct(doc)
+    dft = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     n = df.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dft, "term")
@@ -217,20 +233,24 @@ def bm25_rank(
     time IN THE LITERAL ORDER of ``query_terms`` via conditional
     aggregation — never a float SUM over an engine-ordered group.
 
-    Scale shape: the token stream is filtered to the query terms BEFORE
-    any shuffle (the inverted-index discipline: work is O(postings of the
-    query), not O(corpus)); df/avgdl are broadcast scalars; one hash agg
-    keyed by doc pivots the ≤len(query_terms) rows per doc.
+    Scale shape: ONE corpus explode feeds ONE persisted (doc, term)
+    aggregate — the posting-list frame — and everything else derives
+    from it without touching the corpus again: dl(doc) is its per-doc tf
+    sum, df(term) its per-term row count, the query postings a filter on
+    it (the inverted-index discipline: post-cache work is O(postings of
+    the query), not O(corpus)); df/avgdl are broadcast scalars; one hash
+    agg keyed by doc pivots the ≤len(query_terms) rows per doc.
     """
     tok = doc_terms(df, text_col)
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    postings = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # corpus scalars: N and avgdl (exact integer sum / exact count)
     scalars = df.agg(F.count("*").alias("n_docs")).crossJoin(
         dl.agg((F.sum("dl") / F.count("*")).alias("avgdl"))
     )
-    qtok = tok.filter(F.col("term").isin(query_terms))
-    tf = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dft = qtok.groupBy("term").agg(F.count_distinct("doc_id").alias("df_docs"))
+    tf = postings.filter(F.col("term").isin(query_terms))
+    # one row per (doc, term) ⇒ per-term row count IS count_distinct(doc)
+    dft = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     base = (
         tf.join(F.broadcast(dft), "term")
         .join(dl, "doc_id")
@@ -385,10 +405,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     All counts are exact integers; the two fractions divide once at the
     end (round6) so the DuckDB oracle matches bit-for-bit."""
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    # persisted: consumed by the n-gram explode AND the final id/n_tokens
+    # join — without it the corpus is re-scanned and re-tokenized twice
     base = (
         df.na.drop(subset=[text_col])
         .select("doc_id", toks.alias("__toks"))
         .select("doc_id", F.size("__toks").cast("long").alias("n_tokens"), F.col("__toks"))
+        .persist()
     )
     tagged = base.select(
         "doc_id",
@@ -400,11 +423,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("e"),
     ).select("doc_id", F.col("e.n").alias("n"), F.explode("e.gs").alias("gram"))
     counts = tagged.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    # persisted: s2 and s3 are two filter branches of this doc-level frame
+    # — without it the explode + two-level aggregate execute TWICE
     per_n = counts.groupBy("doc_id", "n").agg(
         F.max("cnt").alias("mx"),
         F.sum("cnt").alias("tot"),
         F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias("dup"),
-    )
+    ).persist()
     s2 = per_n.filter(F.col("n") == 2).select("doc_id", F.col("mx").alias("top2"))
     s3 = per_n.filter(F.col("n") == 3).select(
         "doc_id", F.col("dup").alias("dup3"), F.col("tot").alias("tot3")
@@ -532,7 +557,14 @@ def domain_mixture_sample(
         [(k, int(v)) for k, v in sorted(targets.items())], f"{domain_col} string, wt long"
     )
     eligible = df.join(F.broadcast(wdf), domain_col)
-    counts = eligible.groupBy(domain_col, "wt").agg(F.count("*").alias("cnt"))
+    # persisted: this O(#domains) frame feeds the desired-cap computation
+    # AND the final n_total join — uncached, each consumer replays the
+    # corpus-wide count scan (the corpus itself is deliberately NOT
+    # cached: the rank pass re-reads 3 pruned columns, cheaper at scale
+    # than materializing a corpus-sized cache)
+    counts = (
+        eligible.groupBy(domain_col, "wt").agg(F.count("*").alias("cnt")).persist()
+    )
     d = counts.select(F.col(domain_col).alias("d_dom"), F.col("wt").alias("d_wt"))
     e = counts.select(F.col("wt").alias("e_wt"), F.col("cnt").alias("e_cnt"))
     desired = (
@@ -594,6 +626,8 @@ def token_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: (doc_id, n_tokens, n_distinct, simpson, entropy,
     low_diversity); tokenless docs keep a row with zeros/false."""
+    # persisted: consumed by the token explode AND the final id join —
+    # without it the corpus is scanned and tokenized twice
     base = (
         df.na.drop(subset=[text_col])
         .select(
@@ -602,6 +636,7 @@ def token_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
                 "__toks"
             ),
         )
+        .persist()
     )
     counts = (
         base.select("doc_id", F.explode("__toks").alias("tok"))

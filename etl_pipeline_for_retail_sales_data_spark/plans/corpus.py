@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators.graph import pagerank
-from ..operators.text import chunk_documents, quality_score
+from ..operators.text import chunk_documents, quality_expr
 from ..sources.readers import load_table
 
 
@@ -59,12 +59,12 @@ def build_training_corpus(
     test_jaccard_max_df_cap)."""
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1. quality + language gate (scan-local; pushdown-friendly)
-    q = quality_score(docs).select("doc_id", "quality")
-    gated = (
-        docs.join(q, "doc_id")
-        .filter((F.col("quality") >= min_quality) & F.col("lang").isin(*langs))
-        .drop("quality")
+    # 1. quality + language gate — quality is a scan-local EXPRESSION
+    #    (operators.text.quality_expr), so the gate is a plain filter on
+    #    the one corpus scan; joining a quality frame back would cost a
+    #    shuffle plus a second scan for nothing
+    gated = docs.filter(
+        (quality_expr("text") >= min_quality) & F.col("lang").isin(*langs)
     )
 
     # 2. exact dedup: keep min doc_id per identical text
@@ -73,7 +73,10 @@ def build_training_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact_kept = gated.join(canon, "doc_id")
+    # persisted: the deduped working set feeds the shingle join, the
+    # pagerank vertex list, the keeper decision, and the chunker — each
+    # would otherwise replay the gate + dedup from the raw scan
+    exact_kept = gated.join(canon, "doc_id").persist()
 
     # 3. near-dup canonical keep (components + centrality on the survivors)
     pairs = D.ngram_jaccard_pairs(
@@ -86,9 +89,10 @@ def build_training_corpus(
         exact_kept.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4
     )
     decision = D.canonical_dedup(exact_kept, pairs, pr)
+    # persisted: consumed by the chunker and the final lang join
     kept = exact_kept.join(
         decision.filter(F.col("is_keeper")).select("doc_id"), "doc_id"
-    )
+    ).persist()
 
     # 4. chunk into overlapping token windows
     chunks = chunk_documents(kept, chunk_tokens=chunk_tokens, overlap=overlap)

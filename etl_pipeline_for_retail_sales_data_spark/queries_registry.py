@@ -1884,17 +1884,21 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MIN event time strictly after the previous stage, per user.
     Per-stage aggregates stay small (one row per user), so the stage
     joins broadcast; the events table is scanned once per stage with the
-    event_type filter pushed down."""
+    event_type filter pushed down. v and c are persisted — each feeds
+    both the next stage and the final join, and without the cache every
+    consumer replays its pushed-filter scan of the fact table (6 scans
+    instead of 3)."""
     ev = load_events(spark, sf_dir)
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("t_view")
-    )
+    ).persist()
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(F.broadcast(v.select("user_id", "t_view")), "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .persist()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2324,18 +2328,20 @@ def q_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _hourly_grid(ev: DataFrame):
-    """Dense (hour x event_type) grid over the events time range —
-    shared by the gap-fill and LOCF queries (both sides bounded by the
-    time range, not data volume)."""
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+def _hourly_grid(hourly: DataFrame):
+    """Dense (hour x event_type) grid, derived from the PERSISTED hourly
+    aggregate (columns hour, event_type) shared by the gap-fill and LOCF
+    queries: min/max(hour) over the groupBy'd frame equals
+    date_trunc(hour, min/max(ts)) over raw events (date_trunc is
+    monotone) and every event_type with >= 1 row survives aggregation —
+    so the fact table is scanned ONCE per query, not three times (bounds
+    + distinct types + counts). Both grid sides stay bounded by the time
+    range, not data volume."""
+    bounds = hourly.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
     hours = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
     )
-    return hours.crossJoin(ev.select("event_type").distinct())
+    return hours.crossJoin(hourly.select("event_type").distinct())
 
 
 @query(
@@ -2363,10 +2369,10 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     range, not the data volume), left-joined against the hourly aggregate
     with zero-fill. Missing hours appear with n_events = 0."""
     ev = load_events(spark, sf_dir)
-    grid = _hourly_grid(ev)
     counts = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv")).persist()
+    grid = _hourly_grid(counts)
     return grid.join(counts, ["hour", "event_type"], "left").select(
         "hour",
         "event_type",
@@ -2413,10 +2419,10 @@ def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.windows import locf as _locf
 
     ev = load_events(spark, sf_dir)
-    grid = _hourly_grid(ev)
     counts = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-    ).agg((F.floor(F.max("value") * 1e6 + F.lit(0.5)) / 1e6).alias("tv"))
+    ).agg((F.floor(F.max("value") * 1e6 + F.lit(0.5)) / 1e6).alias("tv")).persist()
+    grid = _hourly_grid(counts)
     sparse = grid.join(counts, ["hour", "event_type"], "left")
     return _locf(sparse, ["event_type"], ["hour"], "tv", "tv_filled").select(
         "hour", "event_type", "tv", "tv_filled"
@@ -4282,7 +4288,9 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cells = cm_sketch_cells(li, "l_partkey", depth=4, width=256)
     exact = li.groupBy("l_partkey").agg(F.count("*").alias("exact_n"))
-    probes = exact.orderBy(F.desc("exact_n"), "l_partkey").limit(20)
+    # persisted: 20 rows consumed by the estimate AND the final join —
+    # uncached, each replays the exact-count aggregate over the fact table
+    probes = exact.orderBy(F.desc("exact_n"), "l_partkey").limit(20).persist()
     est = cm_estimate(cells, probes, "l_partkey", depth=4, width=256)
     return probes.join(est, "l_partkey").select("l_partkey", "exact_n", "est_n")
 
@@ -5244,11 +5252,13 @@ def q_incremental_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB the state side is a compact fingerprint table, never the
     corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    # persisted: three consumers (firsts, firstin, the classify join) —
+    # uncached, each re-scans the corpus and re-hashes every text
     d = docs.select(
         "doc_id",
         (F.col("doc_id") % 3).alias("day"),
         F.md5("text").alias("digest"),
-    )
+    ).persist()
     firsts = d.groupBy("digest").agg(F.min("day").alias("first_day"))
     firstin = d.groupBy("digest", "day").agg(F.min("doc_id").alias("keeper"))
     j = d.join(firsts, "digest").join(firstin, ["digest", "day"])

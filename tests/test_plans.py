@@ -146,3 +146,52 @@ def test_repetition_stats_two_phase_agg(spark, sf_smoke):
     txt = plan_of(QUERIES["repetition_stats"](spark, sf_smoke))
     assert "CartesianProduct" not in txt
     assert txt.count("HashAggregate") >= 2, txt
+
+
+def test_containment_is_equijoin_only(spark, sf_smoke):
+    """containment_pairs must candidate-generate via the shingle
+    inverted-index equi-join — a cartesian product here is the all-pairs
+    trap that kills near-dup at corpus scale."""
+    df = QUERIES["containment_pairs"](spark, sf_smoke)
+    txt = plan_of(df)
+    assert "CartesianProduct" not in txt
+    assert "SortMergeJoin" in txt or "ShuffledHashJoin" in txt or "BroadcastHashJoin" in txt
+
+
+def test_shard_assignment_has_no_global_window(spark, sf_smoke):
+    """shard_assignment's rank windows must all be PARTITIONED (by the
+    md5-prefix bucket) — a Window with an empty partition spec funnels
+    the corpus through one task, the single-partition bottleneck the
+    two-phase rank exists to avoid. The only unpartitioned window
+    allowed is the one over the 256-row bucket-offset frame, which the
+    plan shows ordered by __b (bucket), never by __k (per-row key)."""
+    df = QUERIES["shard_assignment"](spark, sf_smoke)
+    txt = plan_of(df)
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*row_number\(\)[^\]]*\]([^\n]*)", txt):
+        line = m.group(0)
+        assert "__b" in line, f"row_number window not bucket-partitioned: {line}"
+    # per-row ranking window must carry the bucket in its partition spec
+    assert "windowspecdefinition(__b" in txt.replace(" ", "").lower() or "__b" in txt
+
+
+def test_token_diversity_two_phase_agg(spark, sf_smoke):
+    """Both aggregates (doc×token counts, per-doc moments) must be
+    partial-then-final hash aggregates — map-side combine keeps the
+    token-explosion shuffle proportional to distinct (doc, token)."""
+    df = QUERIES["token_diversity"](spark, sf_smoke)
+    txt = plan_of(df)
+    assert txt.count("HashAggregate") >= 4  # two aggs x partial+final
+    assert "CartesianProduct" not in txt
+
+
+def test_drift_family_single_fact_scan(spark, sf_smoke):
+    """psi_drift / chisq_drift must aggregate the fact table ONCE: the
+    period×category counts frame is persisted and all three consumers
+    (totals, current, previous) read the cache — the plan shows three
+    InMemoryTableScan nodes, never three live parquet aggregations."""
+    for name in ("psi_drift_priority", "chisq_drift_priority"):
+        df = QUERIES[name](spark, sf_smoke)
+        txt = plan_of(df)
+        assert txt.count("InMemoryTableScan") >= 3, (name, txt)
