@@ -229,3 +229,68 @@ def ks_drift(
             > thresh
         ).alias("drift"),
     )
+
+
+def embedding_drift(
+    emb: DataFrame,
+    group: Column,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Embedding-space drift between two cohorts (``group`` = boolean
+    cohort-A membership): squared distance between the cohort mean
+    vectors — the linear-kernel MMD², the standard cheap detector for
+    "did the representation distribution move" (new encoder version,
+    upstream content shift) that categorical drift tests cannot see.
+
+    Exactness choreography: each float32 component is affinely quantized
+    to an integer (floor(x·scale + 0.5) — double-widened, deterministic),
+    so per-dimension cohort sums are EXACT int64 and the per-dim mean
+    difference ((sa·nb − sb·na)/(na·nb)) is one exact-integer division;
+    terms are floored at 1e-6, the final sum at 1e-4 (drift-family
+    pattern). Values are in quantized units (scale² × original). The
+    int64 cross-products cap n_a·|q|·n_b ≈ 2^63 — beyond ~1e8 rows per
+    cohort switch scale down or use the double mean form (documented
+    trade).
+
+    Scale shape: one corpus scan → posexplode → ONE (dim)-keyed hash
+    aggregate with conditional partials (dim count is the vector width —
+    a tiny, perfectly spread key space) → scalar fold. Returns one row:
+    (n_a, n_b, n_dims, mmd2_q, top_dim, top_term, drift)."""
+    rows = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(group.alias("g"), F.posexplode(vec_col).alias("pos", "x"))
+        .select(
+            "g",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("x").cast("double") * scale + F.lit(0.5)).alias("q"),
+        )
+    )
+    per_dim = rows.groupBy("dim").agg(
+        F.sum(F.when(F.col("g"), F.col("q")).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(~F.col("g"), F.col("q")).otherwise(F.lit(0))).alias("sb"),
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("g"), 1).otherwise(0)).alias("nb"),
+    )
+    diff = (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast("double") / (
+        F.col("na") * F.col("nb")
+    )
+    term6 = F.floor(diff * diff * 1e6 + F.lit(0.5)) / 1e6
+    terms = per_dim.select("dim", "na", "nb", term6.alias("term6"))
+    out = terms.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_dims"),
+        (F.floor(F.sum("term6") * 1e4 + F.lit(0.5)) / 1e4).alias("mmd2_q"),
+        F.max(F.struct(F.col("term6"), (-F.col("dim")).alias("nd"))).alias("__top"),
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_dims",
+        "mmd2_q",
+        (-F.col("__top.nd")).cast("long").alias("top_dim"),
+        F.col("__top.term6").alias("top_term"),
+        (F.col("mmd2_q") > F.lit(threshold)).alias("drift"),
+    )

@@ -7465,3 +7465,176 @@ def q_psi_drift_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("o_orderdate")),
         F.col("o_orderpriority"),
     )
+
+
+@query(
+    "observed_pipeline_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_input_rows,
+           CAST(SUM(CASE WHEN l_quantity > 0 AND l_extendedprice > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_quantity,
+           CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT) AS n_null_qty
+    FROM lineitem
+    """,
+)
+def q_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's Observation API as the pipeline-metrics hook: metrics
+    accumulate ON the rows the query actually processes, during the SAME
+    action — zero extra scans, the production alternative to a separate
+    profiling query (the reference logs row counts around every task,
+    scripts/extraction.py:140-141 / transformation.py:171 — this is that
+    logging done engine-side). Only exact-integer metrics (counts, int64
+    sums) so the observed values are order-independent and the DuckDB
+    oracle pins them bit-for-bit."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("pipeline_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input_rows"),
+        F.sum(
+            ((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)).cast("long")
+        ).alias("n_kept_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_quantity"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("n_null_qty"),
+    )
+    # the action that drives the scan IS the consumer's aggregate; the
+    # observation piggybacks on it (df.observe adds a CollectMetrics node)
+    observed.filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    ).groupBy("l_partkey").agg(F.count("*")).count()
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                row["n_input_rows"],
+                row["n_kept_rows"],
+                row["total_quantity"],
+                row["n_null_qty"],
+            )
+        ],
+        "n_input_rows long, n_kept_rows long, total_quantity long, n_null_qty long",
+    )
+
+
+@query(
+    "decontaminated_counts",
+    oracle=r"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(len(toks) - 2),
+                      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingle
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+              FROM documents WHERE text IS NOT NULL)
+        WHERE len(toks) >= 3
+    ),
+    b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+    contaminated AS (
+        SELECT doc_id FROM (SELECT doc_id, shingle FROM sh WHERE doc_id >= 50)
+        JOIN b USING (shingle)
+        GROUP BY doc_id HAVING COUNT(*) >= 5
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM contaminated))
+                AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+                AS BIGINT) AS n_kept
+    FROM documents
+    WHERE doc_id >= 50
+    GROUP BY lang
+    """,
+)
+def q_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination APPLIED (the removal step on top of
+    contamination_check's detection): training docs sharing >= 5 distinct
+    3-gram shingles with any held-out doc (doc_id < 50) are dropped via
+    one LEFT ANTI join on the flagged-id frame; per-language
+    kept/dropped accounting. The eval-side shingle set broadcasts; the
+    corpus is scanned once for shingles and once for the final counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs)
+    bench = sh.filter(F.col("doc_id") < 50).select("shingle")
+    flagged = (
+        sh.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(bench.distinct()), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 5)
+        .select("doc_id")
+        .persist()
+    )
+    train = docs.filter(F.col("doc_id") >= 50)
+    kept = train.join(flagged, "doc_id", "left_anti")
+    dropped = train.join(flagged, "doc_id", "left_semi")
+    k = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    d = dropped.groupBy("lang").agg(F.count("*").alias("n_dropped"))
+    return (
+        train.groupBy("lang")
+        .agg(F.count("*").alias("n_train_docs"))
+        .join(d, "lang", "left")
+        .join(k, "lang", "left")
+        .select(
+            "lang",
+            "n_train_docs",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "embedding_mmd_drift",
+    oracle="""
+    WITH r AS (
+        SELECT (label < 5) AS g,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               embedding
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    q AS (
+        SELECT g, dim,
+               FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000 + 0.5) AS q
+        FROM r
+    ),
+    per_dim AS (
+        SELECT dim,
+               SUM(CASE WHEN g THEN q ELSE 0 END) AS sa,
+               SUM(CASE WHEN NOT g THEN q ELSE 0 END) AS sb,
+               SUM(CASE WHEN g THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS nb
+        FROM q GROUP BY dim
+    ),
+    t AS (
+        SELECT dim, na, nb,
+               FLOOR(POWER(CAST(sa * nb - sb * na AS DOUBLE) / (na * nb), 2)
+                     * 1e6 + 0.5) / 1e6 AS term6
+        FROM per_dim
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4 AS mmd2_q,
+           CAST(MIN(CASE WHEN (term6, -dim) = (SELECT MAX((term6, -dim)) FROM t)
+                         THEN dim END) AS BIGINT) AS top_dim,
+           MAX(term6) AS top_term,
+           FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4 > 1.0 AS drift
+    FROM t
+    """,
+)
+def q_embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between label cohorts (label < 5 vs >= 5):
+    linear-kernel MMD² on int-quantized vectors —
+    operators/drift.embedding_drift, the representation-distribution
+    member of the drift family (categorical tests can't see an encoder
+    shift). Exact int64 per-dimension cohort sums; one posexplode + one
+    dim-keyed aggregate."""
+    from .operators.drift import embedding_drift
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    return embedding_drift(emb, F.col("label") < 5)

@@ -195,3 +195,14 @@ def test_drift_family_single_fact_scan(spark, sf_smoke):
         df = QUERIES[name](spark, sf_smoke)
         txt = plan_of(df)
         assert txt.count("InMemoryTableScan") >= 3, (name, txt)
+
+
+def test_embedding_mmd_single_scan_one_agg(spark, sf_smoke):
+    """embedding_mmd_drift: one embeddings scan, posexplode, one dim-keyed
+    partial+final aggregate — no joins, no cartesian, no window over the
+    exploded rows."""
+    df = QUERIES["embedding_mmd_drift"](spark, sf_smoke)
+    txt = plan_of(df)
+    assert txt.count("Scan parquet") == 1, txt
+    assert "CartesianProduct" not in txt
+    assert "Generate posexplode" in txt or "Generate" in txt

@@ -188,3 +188,35 @@ def test_psi_moderate_shift_below_threshold(spark):
     ]
     row = psi_drift(_periods(spark, mild), F.col("p"), F.col("cat")).collect()[0]
     assert 0.0 < row.psi < 0.2 and not row.drift
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, grp boolean")
+
+
+def test_embedding_mmd_zero_on_identical_cohorts(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.drift import embedding_drift
+
+    rows = [(i, [0.5, -0.25, 1.0], i % 2 == 0) for i in range(20)]
+    out = embedding_drift(_vecs(spark, rows), F.col("grp")).collect()[0]
+    assert (out.n_a, out.n_b, out.n_dims) == (10, 10, 3)
+    assert out.mmd2_q == 0.0 and not out.drift
+
+
+def test_embedding_mmd_flags_planted_shift_and_names_the_dim(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.drift import embedding_drift
+
+    # cohort B shifted by +2.0 in dimension 2 only: per-dim quantized mean
+    # diff = 2000, term = 4e6 in quantized units
+    rows = [(i, [0.1, 0.1, 0.1], True) for i in range(10)] + [
+        (100 + i, [0.1, 2.1, 0.1], False) for i in range(10)
+    ]
+    out = embedding_drift(_vecs(spark, rows), F.col("grp")).collect()[0]
+    assert out.drift and out.top_dim == 2
+    assert abs(out.top_term - 4_000_000.0) < 1.0
+    assert abs(out.mmd2_q - 4_000_000.0) < 1.0
