@@ -555,3 +555,77 @@ def simhash_md5_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(anchor, positive, negative, slot) triplets for contrastive /
+    embedding training: positives come from the near-dup ``pairs`` frame
+    (doc_a, doc_b), negatives are drawn deterministically from the whole
+    corpus — for slot j of anchor a, the document sitting at md5-order
+    position hash(a:j) mod n. Selection is seedless and reproducible
+    (same triplets on every rerun/partitioning — the property a 100 TB
+    training-set build needs), and the draw is an EQUI-JOIN on position,
+    never a cross join: candidate volume is exactly |pairs|·k rows.
+
+    Accidental collisions (the drawn negative IS the anchor, its
+    positive, or any known near-dup of the anchor) are dropped — with
+    near-dup sets vanishingly small relative to the corpus, the expected
+    loss is |pairs|·k·O(dups/n), so slots stay ~full; the remaining
+    slots are exact, not probabilistic.
+
+    Composition: positions come from the same md5 global order as
+    operators/layout.shard_assignment (there computed as a two-phase
+    bucketed rank; the semantics are ROW_NUMBER over (md5(id), id))."""
+    from .layout import shard_assignment
+
+    # persisted: consumed by the scalar count and the position equi-join
+    positions = shard_assignment(df, n_shards=1, id_col=id_col).select(
+        F.col(id_col).alias("negative"), "global_pos"
+    ).persist()
+    n = positions.agg(F.count("*").alias("__n"))
+    slots = pairs.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
+    ).select(
+        "*", F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("slot")
+    )
+    target = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("slot").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("__n")
+    )
+    drawn = (
+        slots.crossJoin(F.broadcast(n))
+        .withColumn("target_pos", target)
+        .join(positions, F.col("target_pos") == F.col("global_pos"))
+        .select("anchor", "positive", "negative", "slot")
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("negative")
+    ).union(
+        pairs.select(F.col("doc_b").alias("anchor"), F.col("doc_a").alias("negative"))
+    )
+    return (
+        drawn.filter(
+            (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive"))
+        )
+        .join(sym, ["anchor", "negative"], "left_anti")
+    )

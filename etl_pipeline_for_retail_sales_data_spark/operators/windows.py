@@ -130,3 +130,46 @@ def scd2_history(
         F.lead("effective_from_us").over(wv).isNull().alias("is_current"),
         "n_events",
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: Sequence,
+    rank_col: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """0-based global rank under ``order_cols`` (must end in a unique
+    tiebreak so the order is total), computed WITHOUT a single-partition
+    window: range-partition on the order key, rank locally inside each
+    sorted partition, then add per-partition offsets from a tiny
+    (num_partitions)-row prefix-sum. This is the general form of
+    operators/layout.shard_assignment's two-phase rank (there the
+    buckets come from md5 prefixes; here from range boundaries, so ANY
+    sortable key works — quality scores, timestamps, sizes).
+
+    Range boundaries come from Spark's sampled RangePartitioner; the
+    OUTPUT is boundary-independent (offsets absorb whatever split the
+    sampler picked — only the total order defines the rank), so results
+    are deterministic even though the partitioning is sampled. Scale: one
+    range exchange + local sorts + one broadcast of the offset frame."""
+    cols = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    # persisted — load-bearing for CORRECTNESS, not just cost: the offset
+    # frame and the final join must see the SAME partition boundaries;
+    # uncached, each branch would re-run the sampled range exchange
+    # independently, and a boundary difference between runs would pair
+    # local ranks with offsets from a different partitioning
+    local = ranged.withColumn("__lr", F.row_number().over(w) - 1).persist()
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__c"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__c").over(wo), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__lr")).cast("long"))
+        .drop("__pid", "__lr", "__off")
+    )

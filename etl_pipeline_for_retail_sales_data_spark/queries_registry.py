@@ -7494,10 +7494,17 @@ def q_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_input_rows"),
-        F.sum(
-            ((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)).cast("long")
+        F.coalesce(
+            F.sum(
+                ((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
         ).alias("n_kept_rows"),
-        F.sum(F.col("l_quantity").cast("long")).alias("total_quantity"),
+        F.coalesce(F.sum(F.col("l_quantity").cast("long")), F.lit(0)).alias(
+            "total_quantity"
+        ),
         F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("n_null_qty"),
     )
     # the action that drives the scan IS the consumer's aggregate; the
@@ -7505,14 +7512,21 @@ def q_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed.filter(
         (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
     ).groupBy("l_partkey").agg(F.count("*")).count()
-    row = obs.get
+    try:
+        row = obs.get
+    except Exception:
+        # an EMPTY source lets PropagateEmptyRelation optimize the whole
+        # plan (and the CollectMetrics node) away — no metrics row ever
+        # materializes and obs.get trips a Spark-side assertion; zero
+        # rows processed ⇒ all metrics are zero
+        row = {}
     return spark.createDataFrame(
         [
             (
-                row["n_input_rows"],
-                row["n_kept_rows"],
-                row["total_quantity"],
-                row["n_null_qty"],
+                row.get("n_input_rows", 0),
+                row.get("n_kept_rows", 0),
+                row.get("total_quantity", 0),
+                row.get("n_null_qty", 0),
             )
         ],
         "n_input_rows long, n_kept_rows long, total_quantity long, n_null_qty long",
@@ -7638,3 +7652,118 @@ def q_embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").isNotNull()
     )
     return embedding_drift(emb, F.col("label") < 5)
+
+
+@query(
+    "contrastive_triplets",
+    oracle=rf"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e6 + 0.5) / 1e6 >= 0.5
+    ),
+    pos AS (
+        SELECT doc_id AS negative,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   AS global_pos
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS total FROM documents),
+    slots AS (
+        SELECT doc_a AS anchor, doc_b AS positive, s.slot
+        FROM pairs CROSS JOIN (VALUES (0), (1)) s(slot)
+    ),
+    drawn AS (
+        SELECT anchor, positive, negative, CAST(slot AS BIGINT) AS slot
+        FROM slots, n
+        JOIN pos ON pos.global_pos =
+            CAST(('0x' || substring(md5(CAST(anchor AS VARCHAR) || ':' ||
+                                        CAST(slot AS VARCHAR)), 1, 12)) AS BIGINT)
+            % total
+    ),
+    sym AS (
+        SELECT doc_a AS anchor, doc_b AS negative FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    )
+    SELECT anchor, positive, negative, slot
+    FROM drawn d
+    WHERE negative <> anchor AND negative <> positive
+      AND NOT EXISTS (SELECT 1 FROM sym
+                      WHERE sym.anchor = d.anchor AND sym.negative = d.negative)
+    """,
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive /
+    embedding models — operators/dedup.contrastive_triplets. Positives =
+    exact-Jaccard near-dup pairs; negatives drawn deterministically via
+    an md5-position EQUI-join against the corpus (same global order as
+    shard_assignment), with anchor/positive/known-dup collisions
+    excluded. No cross join over the corpus at any stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b").persist()
+    out = D.contrastive_triplets(docs, pairs, k=2)
+    return out.select("anchor", "positive", "negative", F.col("slot").cast("long").alias("slot"))
+
+
+@query(
+    "curriculum_order",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+               len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS stops,
+               len(regexp_extract_all(text, '[[:punct:]]')) AS puncts,
+               CAST(length(text) AS DOUBLE) AS chars
+        FROM documents WHERE text IS NOT NULL
+    ),
+    q AS (
+        SELECT doc_id,
+               FLOOR(((stops / GREATEST(toks, 1.0)) * 0.4
+                      + (LEAST(toks, 100.0) / 100.0) * 0.3
+                      + (1 - (puncts / GREATEST(chars, 1.0))) * 0.3) * 1e6 + 0.5)
+                   / 1e6 AS quality
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, quality,
+               ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) - 1 AS rank
+        FROM q
+    ),
+    n AS (SELECT COUNT(*) AS total FROM q)
+    SELECT doc_id, quality, CAST(rank AS BIGINT) AS rank,
+           CAST(rank * 10 // total AS BIGINT) AS decile
+    FROM r, n
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document globally ranked by quality
+    (best first, doc_id tiebreak) with its training decile — the
+    easy-to-hard schedule a curriculum dataloader consumes. The rank is
+    operators/windows.distributed_rank: range-partition + local rank +
+    offset merge, NEVER a single-partition global window; the oracle
+    replays the identical total order with one window."""
+    from .operators.text import quality_expr
+    from .operators.windows import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents").na.drop(subset=["text"])
+    qdf = docs.select("doc_id", quality_expr("text").alias("quality"))
+    ranked = distributed_rank(
+        qdf, [F.col("quality").desc(), F.col("doc_id")], rank_col="rank"
+    )
+    tot = qdf.agg(F.count("*").alias("__n"))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "quality",
+        "rank",
+        F.expr("CAST(rank * 10 DIV __n AS BIGINT)").alias("decile"),
+    )

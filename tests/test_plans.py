@@ -206,3 +206,15 @@ def test_embedding_mmd_single_scan_one_agg(spark, sf_smoke):
     assert txt.count("Scan parquet") == 1, txt
     assert "CartesianProduct" not in txt
     assert "Generate posexplode" in txt or "Generate" in txt
+
+
+def test_curriculum_order_windows_are_partitioned(spark, sf_smoke):
+    """distributed_rank must never plan a Window with an empty partition
+    spec over corpus rows — the per-row rank window is keyed by the range
+    partition id; only the tiny offset frame uses an ordered window."""
+    df = QUERIES["curriculum_order"](spark, sf_smoke)
+    txt = plan_of(df)
+    import re
+
+    for m in re.finditer(r"Window \[[^\n]*row_number\(\)[^\n]*", txt):
+        assert "__pid" in m.group(0), m.group(0)

@@ -220,3 +220,73 @@ def test_embedding_mmd_flags_planted_shift_and_names_the_dim(spark):
     assert out.drift and out.top_dim == 2
     assert abs(out.top_term - 4_000_000.0) < 1.0
     assert abs(out.mmd2_q - 4_000_000.0) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# contrastive_triplets
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_triplets_invariants(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.dedup import (
+        contrastive_triplets,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, f"unique tokens number {i} alpha beta gamma {i}") for i in range(30)],
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    out = contrastive_triplets(docs, pairs, k=3).collect()
+    dup = {(1, 2), (2, 1), (3, 4), (4, 3)}
+    for r in out:
+        assert r.negative != r.anchor and r.negative != r.positive
+        assert (r.anchor, r.negative) not in dup
+        assert 0 <= r.slot < 3
+    # near-full slots: 2 anchors x 3 slots, collisions are the only loss
+    assert len(out) >= 4
+    # deterministic across reruns and partitionings
+    again = contrastive_triplets(docs.repartition(5), pairs, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# distributed_rank
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_rank_equals_global_order(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.windows import (
+        distributed_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(500)], "id long, v long"
+    )
+    out = distributed_rank(
+        df, [F.col("v"), F.col("id")], rank_col="r", num_partitions=8
+    ).collect()
+    expected = {
+        row_id: r
+        for r, (row_id, _) in enumerate(
+            sorted(((x.id, x.v) for x in out), key=lambda t: (t[1], t[0]))
+        )
+    }
+    got = {x.id: x.r for x in out}
+    assert got == expected
+    assert sorted(x.r for x in out) == list(range(500))
+
+
+def test_distributed_rank_descending_and_few_rows(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.windows import (
+        distributed_rank,
+    )
+
+    df = spark.createDataFrame([(1, 5.0), (2, 9.0), (3, 5.0)], "id long, q double")
+    out = {
+        x.id: x.r
+        for x in distributed_rank(
+            df, [F.col("q").desc(), F.col("id")], rank_col="r", num_partitions=16
+        ).collect()
+    }
+    assert out == {2: 0, 1: 1, 3: 2}
