@@ -173,3 +173,39 @@ def distributed_rank(
         .withColumn(rank_col, (F.col("__off") + F.col("__lr")).cast("long"))
         .drop("__pid", "__lr", "__off")
     )
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    pos_col: str,
+    weight_col: str,
+    out_col: str = "prefix",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``weight_col`` in ``pos_col`` order, where
+    pos is a dense unique 0..n-1 index (e.g. layout.shard_assignment's
+    global_pos): the distributed scan primitive behind concat-and-chunk
+    sequence packing. Two phases, no single-partition window: per-bucket
+    totals (pos div bucket_size — a tiny frame) prefix-summed into bucket
+    offsets, plus a within-bucket running sum windowed BY BUCKET.
+
+    The input projection is persisted: the bucket-totals branch and the
+    final join must both consume it, and the whole point is one pass over
+    the weights."""
+    t = df.withColumn("__b", F.expr(f"{pos_col} div {bucket_size}")).persist()
+    bsums = t.groupBy("__b").agg(F.sum(weight_col).alias("__s"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bsums.select(
+        "__b", F.coalesce(F.sum("__s").over(wo), F.lit(0)).alias("__off")
+    )
+    ww = (
+        Window.partitionBy("__b")
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.withColumn("__local", F.coalesce(F.sum(weight_col).over(ww), F.lit(0)))
+        .join(F.broadcast(offs), "__b")
+        .withColumn(out_col, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__b", "__local", "__off")
+    )

@@ -7767,3 +7767,96 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.expr("CAST(rank * 10 DIV __n AS BIGINT)").alias("decile"),
     )
+
+
+@query(
+    "hll_mergeable_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS merged_within_5pct
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count incremental view maintenance via MERGEABLE HLL
+    sketches: per-DAY sketches (the stored partial state — what a
+    standing rollup persists per new partition) are UNIONED into monthly
+    distinct-customer estimates with hll_union_agg, history never
+    rescanned at sketch level. COUNT(DISTINCT) is not algebraic, so the
+    incremental_rollup partial-state trick cannot apply — sketch union
+    is the 100 TB answer. Oracled contract = the bounded-error
+    assertion (exact monthly distincts + a TRUE within-5% flag for the
+    merged estimate), same pattern as hll_distinct_estimate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    monthly_est = daily.groupBy(
+        F.date_trunc("month", F.col("day")).alias("month")
+    ).agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est"))
+    exact = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.countDistinct("o_custkey").alias("exact_customers"))
+    return exact.join(monthly_est, "month").select(
+        "month",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.05
+        ).alias("merged_within_5pct"),
+    )
+
+
+@query(
+    "packed_sequences",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    nz AS (SELECT * FROM tok WHERE n > 0),
+    ord AS (
+        SELECT doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start
+        FROM nz
+    ),
+    spans AS (
+        SELECT doc_id, n, start,
+               UNNEST(range(start // 128, (start + n - 1) // 128 + 1)) AS seq_id
+        FROM ord
+    ),
+    per AS (
+        SELECT seq_id,
+               SUM(LEAST(start + n, (seq_id + 1) * 128)
+                   - GREATEST(start, seq_id * 128)) AS n_tokens,
+               COUNT(*) AS n_docs,
+               arg_min(doc_id, start) AS first_doc,
+               arg_max(doc_id, start) AS last_doc
+        FROM spans GROUP BY seq_id
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(seq_id % 8 AS BIGINT) AS shard_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           first_doc, last_doc
+    FROM per
+    """,
+)
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (plans/pretokenize.py): the
+    corpus streams head-to-tail in md5 order into exact 128-token
+    training sequences (documents may straddle boundaries), round-robin
+    sharded. Spark side = shard_assignment order + bucketed_prefix_sum
+    offsets + one span explode; the oracle replays the identical
+    arithmetic with one window. The BPE-budgeted variant is the same
+    plan with subword counts (build_packed_shards(num_merges>0))."""
+    from .plans.pretokenize import build_packed_shards
+
+    return build_packed_shards(spark, sf_dir, seq_len=128, n_shards=8)

@@ -290,3 +290,55 @@ def test_distributed_rank_descending_and_few_rows(spark):
         ).collect()
     }
     assert out == {2: 0, 1: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# pretokenize plan (packed sequences)
+# ---------------------------------------------------------------------------
+
+
+def test_packed_sequences_conserve_tokens_and_fill_exactly(spark):
+    from etl_pipeline_for_retail_sales_data_spark.plans.pretokenize import (
+        packed_sequences,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(5 + i % 9))) for i in range(40)],
+    )
+    L, K = 32, 4
+    out = packed_sequences(docs, seq_len=L, n_shards=K).collect()
+    total_tokens = sum(5 + i % 9 for i in range(40))
+    # conservation: every token lands in exactly one sequence
+    assert sum(r.n_tokens for r in out) == total_tokens
+    # exact fill: all sequences full except the last
+    seqs = sorted(out, key=lambda r: r.seq_id)
+    assert [r.seq_id for r in seqs] == list(range(len(seqs)))
+    for r in seqs[:-1]:
+        assert r.n_tokens == L, r
+    assert 0 < seqs[-1].n_tokens <= L
+    # round-robin shards
+    for r in seqs:
+        assert r.shard_id == r.seq_id % K
+
+
+def test_packed_sequences_bpe_mode_runs_and_conserves(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.plans.pretokenize import (
+        packed_sequences,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, "lower flower flow low " * (1 + i % 3)) for i in range(12)],
+    )
+    merges = bpe_train(docs, n_merges=10)
+    assert merges  # the repeated corpus yields real merges
+    n_bpe = bpe_encode(docs, merges).count()
+    out = packed_sequences(docs, seq_len=16, n_shards=2, merges=merges).collect()
+    assert sum(r.n_tokens for r in out) == n_bpe
+    for r in sorted(out, key=lambda x: x.seq_id)[:-1]:
+        assert r.n_tokens == 16
