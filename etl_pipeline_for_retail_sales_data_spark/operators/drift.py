@@ -294,3 +294,45 @@ def embedding_drift(
         F.col("__top.term6").alias("top_term"),
         (F.col("mmd2_q") > F.lit(threshold)).alias("drift"),
     )
+
+
+def psi_two_sample(ref: DataFrame, cur: DataFrame, category: Column) -> DataFrame:
+    """PSI between a reference sample's category mix and a current
+    sample's — the two-frame form of :func:`psi_drift` (there periods
+    pair with their predecessor inside ONE frame; here the caller holds
+    the two populations, e.g. a published table vs an incoming
+    micro-batch). Categories absent from either side are excluded (same
+    rationale as psi_drift). Returns one row:
+    (psi, n_categories, n_ref, n_cur); an empty intersection (e.g. an
+    empty reference) yields psi = 0.0 — no evidence of drift.
+
+    Same scale shape and ln-floor choreography as the one-frame form:
+    each side collapses to its category counts first, everything after
+    runs on O(categories) rows."""
+    a = (
+        ref.select(category.alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("ref_cnt"))
+    )
+    b = (
+        cur.select(category.alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("cur_cnt"))
+    )
+    at = a.agg(F.sum("ref_cnt").alias("ref_total"))
+    bt = b.agg(F.sum("cur_cnt").alias("cur_total"))
+    j = a.join(b, "category").crossJoin(F.broadcast(at)).crossJoin(F.broadcast(bt))
+    p_cur = F.col("cur_cnt").cast("double") / F.col("cur_total")
+    p_ref = F.col("ref_cnt").cast("double") / F.col("ref_total")
+    ratio = (F.col("cur_cnt") * F.col("ref_total")).cast("double") / (
+        F.col("ref_cnt") * F.col("cur_total")
+    )
+    term6 = F.floor((p_cur - p_ref) * F.log(ratio) * 1e6 + F.lit(0.5)) / 1e6
+    return j.agg(
+        F.coalesce(
+            F.floor(F.sum(term6) * 1e4 + F.lit(0.5)) / 1e4, F.lit(0.0)
+        ).alias("psi"),
+        F.count("*").cast("long").alias("n_categories"),
+        F.coalesce(F.max("ref_total"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.max("cur_total"), F.lit(0)).cast("long").alias("n_cur"),
+    )

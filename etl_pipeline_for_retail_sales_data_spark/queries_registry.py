@@ -7860,3 +7860,44 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.pretokenize import build_packed_shards
 
     return build_packed_shards(spark, sf_dir, seq_len=128, n_shards=8)
+
+
+@query(
+    "psi_two_sample_years",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderpriority AS category, COUNT(*) AS ref_cnt
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY 1
+    ),
+    b AS (
+        SELECT o_orderpriority AS category, COUNT(*) AS cur_cnt
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998 GROUP BY 1
+    ),
+    at AS (SELECT SUM(ref_cnt) AS ref_total FROM a),
+    bt AS (SELECT SUM(cur_cnt) AS cur_total FROM b),
+    j AS (
+        SELECT FLOOR((CAST(cur_cnt AS DOUBLE) / cur_total
+                      - CAST(ref_cnt AS DOUBLE) / ref_total)
+                     * ln(CAST(cur_cnt * ref_total AS DOUBLE)
+                          / (ref_cnt * cur_total)) * 1e6 + 0.5) / 1e6 AS term6,
+               ref_total, cur_total
+        FROM a JOIN b USING (category), at, bt
+    )
+    SELECT COALESCE(FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4, 0.0) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_categories,
+           CAST(COALESCE(MAX(ref_total), 0) AS BIGINT) AS n_ref,
+           CAST(COALESCE(MAX(cur_total), 0) AS BIGINT) AS n_cur
+    FROM j
+    """,
+)
+def q_psi_two_sample_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample PSI between the 1997 and 1998 order-priority mixes —
+    operators/drift.psi_two_sample, the exact statistic the streaming
+    drift gate (streaming/sinks.make_drift_gated_committer) computes per
+    micro-batch against the published table."""
+    from .operators.drift import psi_two_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.year("o_orderdate") == 1997)
+    cur = o.filter(F.year("o_orderdate") == 1998)
+    return psi_two_sample(ref, cur, F.col("o_orderpriority"))

@@ -214,3 +214,105 @@ def exactly_once_audited_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_drift_gated_committer(
+    table_dir: str,
+    category_col: str,
+    quarantine_dir: str,
+    threshold: float = 0.2,
+):
+    """Streaming drift gate: each micro-batch's category mix is compared
+    (two-sample PSI, operators/drift.psi_two_sample) against the
+    ALREADY-PUBLISHED table before it may join it — the continuous form
+    of the drift monitors, wired into ingestion so a source that goes
+    off-distribution (scraper junk, upstream enum change, a feed
+    flipping language) lands in the quarantine table with its PSI report
+    instead of polluting the training corpus. First batch (no reference
+    distribution yet) publishes unconditionally and BECOMES the
+    reference; the reference then grows with every accepted batch, so
+    the gate tracks legitimate slow mix evolution while rejecting jumps.
+
+    Same stage→decide→publish/quarantine shape and epoch exactly-once
+    contract as make_audited_epoch_committer (redelivered epochs consult
+    the max epoch across both tables)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import psi_two_sample
+
+    def commit_epoch(batch_df: DataFrame, batch_id: int) -> None:
+        epochs = [
+            e
+            for e in (
+                last_committed_epoch(table_dir),
+                last_committed_epoch(quarantine_dir),
+            )
+            if e is not None
+        ]
+        if epochs and batch_id <= max(epochs):
+            return  # epoch already durable somewhere: redelivery
+        spark = batch_df.sparkSession
+        staged_id, files = V.stage(batch_df, table_dir)
+        staged = V.read_staged(spark, table_dir, staged_id)
+        if V.current_version(table_dir) is None:
+            V.publish_staged(
+                table_dir,
+                staged_id,
+                files,
+                mode="append",
+                extra={"epoch_id": batch_id, "drift": {"bootstrap": True}},
+            )
+            return
+        ref = V.read_table(spark, table_dir)
+        row = psi_two_sample(ref, staged, F.col(category_col)).collect()[0]
+        report = {
+            "psi": row["psi"],
+            "n_categories": row["n_categories"],
+            "n_ref": row["n_ref"],
+            "n_cur": row["n_cur"],
+            "threshold": threshold,
+            "drifted": bool(row["psi"] > threshold),
+        }
+        if row["psi"] > threshold:
+            V.commit(
+                spark,
+                staged,
+                quarantine_dir,
+                mode="append",
+                extra={"epoch_id": batch_id, "drift": report},
+            )
+            V.discard_staged(table_dir, staged_id)
+        else:
+            V.publish_staged(
+                table_dir,
+                staged_id,
+                files,
+                mode="append",
+                extra={"epoch_id": batch_id, "drift": report},
+            )
+
+    return commit_epoch
+
+
+def exactly_once_drift_gated_append(
+    stream_df: DataFrame,
+    table_dir: str,
+    query_name: str,
+    category_col: str,
+    quarantine_dir: str,
+    threshold: float = 0.2,
+) -> StreamingQuery:
+    """Start a streaming query appending micro-batches through the PSI
+    drift gate: in-distribution batches land in ``table_dir``, drifted
+    batches in ``quarantine_dir`` (both versioned, epoch-exactly-once)."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            make_drift_gated_committer(
+                table_dir, category_col, quarantine_dir, threshold
+            )
+        )
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

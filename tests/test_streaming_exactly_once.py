@@ -187,3 +187,70 @@ def test_audited_stream_end_to_end(spark, tmp_path):
     assert V.current_version(quar) is None  # nothing quarantined
     m = V._read_manifest(table, V.current_version(table))
     assert all(a["passed"] for a in m["audit"]) and m["epoch_id"] == 0
+
+
+# ---------------------------------------------------------------------------
+# PSI drift gate (make_drift_gated_committer)
+# ---------------------------------------------------------------------------
+
+
+def _mix(spark, n_a, n_b, start=0):
+    rows = [(start + i, "a") for i in range(n_a)] + [
+        (start + 1000 + i, "b") for i in range(n_b)
+    ]
+    return spark.createDataFrame(rows, "event_id long, cat string")
+
+
+def test_drift_gate_bootstrap_then_stable_then_jump(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import (
+        make_drift_gated_committer,
+    )
+
+    table, quar = str(tmp_path / "tbl"), str(tmp_path / "quar")
+    committer = make_drift_gated_committer(table, "cat", quar, threshold=0.2)
+
+    committer(_mix(spark, 50, 50), 0)  # bootstrap: no reference yet
+    committer(_mix(spark, 48, 52, start=200), 1)  # same mix: publishes
+    committer(_mix(spark, 95, 5, start=400), 2)  # jumped mix: quarantined
+    committer(_mix(spark, 52, 48, start=600), 3)  # back in range: publishes
+
+    main = V.read_table(spark, table)
+    assert main.count() == 300  # batches 0, 1, 3
+    assert V.read_table(spark, quar).count() == 100  # batch 2
+
+    m = V._read_manifest(table, V.current_version(table))
+    assert m["epoch_id"] == 3 and m["drift"]["drifted"] is False
+    qm = V._read_manifest(quar, V.current_version(quar))
+    assert qm["epoch_id"] == 2 and qm["drift"]["drifted"] is True
+    assert qm["drift"]["psi"] > 0.2 and qm["drift"]["n_ref"] == 200
+
+
+def test_drift_gate_exactly_once_across_both_outcomes(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import (
+        make_drift_gated_committer,
+    )
+
+    table, quar = str(tmp_path / "tbl"), str(tmp_path / "quar")
+    committer = make_drift_gated_committer(table, "cat", quar, threshold=0.2)
+    committer(_mix(spark, 50, 50), 0)
+    committer(_mix(spark, 5, 95, start=300), 1)  # drifted -> quarantine
+    # redeliver both
+    committer(_mix(spark, 50, 50), 0)
+    committer(_mix(spark, 5, 95, start=300), 1)
+    assert V.read_table(spark, table).count() == 100
+    assert V.read_table(spark, quar).count() == 100
+    import os
+
+    assert len(os.listdir(os.path.join(table, "data"))) == 1
+
+
+def test_psi_two_sample_empty_reference_is_zero(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.drift import (
+        psi_two_sample,
+    )
+    from pyspark.sql import functions as F
+
+    ref = spark.createDataFrame([], "cat string")
+    cur = spark.createDataFrame([("a",), ("b",)], "cat string")
+    row = psi_two_sample(ref, cur, F.col("cat")).collect()[0]
+    assert row.psi == 0.0 and row.n_categories == 0
