@@ -7901,3 +7901,103 @@ def q_psi_two_sample_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = o.filter(F.year("o_orderdate") == 1997)
     cur = o.filter(F.year("o_orderdate") == 1998)
     return psi_two_sample(ref, cur, F.col("o_orderpriority"))
+
+
+@query(
+    "corpus_datacard",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id, lang, md5(text) AS digest,
+               CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok,
+               CAST(FLOOR(((len(regexp_extract_all(lower(text), '{_STOP_PAT}'))
+                            / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0)) * 0.4
+                           + (LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 100.0) / 100.0) * 0.3
+                           + (1 - (len(regexp_extract_all(text, '[[:punct:]]'))
+                                   / GREATEST(CAST(length(text) AS DOUBLE), 1.0))) * 0.3)
+                          * 1e6 + 0.5) AS BIGINT) AS q6
+        FROM documents WHERE text IS NOT NULL
+    ),
+    lc AS (SELECT lang, COUNT(*) AS c FROM base GROUP BY lang),
+    top AS (SELECT lang, c FROM lc ORDER BY c DESC, lang ASC LIMIT 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_docs,
+           (SELECT CAST(SUM(n_tok) AS BIGINT) FROM base) AS total_tokens,
+           (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM base) AS n_langs,
+           (SELECT CAST(COUNT(DISTINCT digest) AS BIGINT) FROM base) AS n_unique_texts,
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) FROM base)
+               AS n_exact_dup_docs,
+           (SELECT FLOOR(CAST(SUM(q6) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 FROM base)
+               AS mean_quality,
+           (SELECT FLOOR(CAST(SUM(CASE WHEN q6 >= 300000 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*) * 1e6 + 0.5) / 1e6 FROM base) AS pct_quality_ge_03,
+           (SELECT lang FROM top) AS top_lang,
+           (SELECT FLOOR(CAST(c AS DOUBLE) / (SELECT COUNT(*) FROM base) * 1e6 + 0.5)
+                   / 1e6 FROM top) AS top_lang_share
+    """,
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the document corpus — the summary block a
+    dataset release ships: size, token budget, language spread, exact-dup
+    rate, quality profile, dominant language. All statistics are exact
+    integers or single-division floors (per-doc quality is floored to an
+    int64 BEFORE summing, so the mean is order-free). One narrow per-doc
+    projection (persisted) feeds both the corpus-level aggregate and the
+    language histogram."""
+    from .operators.text import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents").na.drop(subset=["text"])
+    q6 = F.floor(quality_expr("text") * 1e6 + F.lit(0.5)).cast("long")
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TX.TOKEN_RE), 0)
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("digest"),
+        n_tok.alias("n_tok"),
+        q6.alias("q6"),
+    ).persist()
+    summary = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("digest").cast("long").alias("n_unique_texts"),
+        (F.count("*") - F.countDistinct("digest"))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+        (F.floor(F.sum("q6").cast("double") / F.count("*") + F.lit(0.5)) / 1e6).alias(
+            "mean_quality"
+        ),
+        (
+            F.floor(
+                F.sum((F.col("q6") >= 300000).cast("long")).cast("double")
+                / F.count("*")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("pct_quality_ge_03"),
+    )
+    top = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("lang"))
+        .limit(1)
+        .select(
+            F.col("lang").alias("top_lang"),
+            F.col("c").alias("__top_c"),
+        )
+    )
+    return (
+        summary.crossJoin(F.broadcast(top))
+        .select(
+            "*",
+            (
+                F.floor(
+                    F.col("__top_c").cast("double") / F.col("n_docs") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("top_lang_share"),
+        )
+        .drop("__top_c")
+    )

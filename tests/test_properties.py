@@ -261,3 +261,71 @@ def test_zscore_integer_formulation_is_exact(spark):
         var = Fraction(n * (n * q - s * s), n - 1)
         exact = float(num) / math.sqrt(float(var))
         assert abs(got[i] - exact) <= 1e-6 + 1e-12, i
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # id pool (dups dropped)
+            st.integers(min_value=0, max_value=50),  # weight
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=7),  # bucket size
+)
+def test_bucketed_prefix_sum_matches_python_scan(spark, rows, bucket):
+    """Two-phase distributed prefix sum == a straight-Python running sum
+    over the same dense position order, for any weights and bucket size."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.windows import (
+        bucketed_prefix_sum,
+    )
+
+    data = [(pos, w) for pos, (_, w) in enumerate(sorted(rows))]
+    df = spark.createDataFrame(data, "pos long, w long")
+    out = {
+        r.pos: r.prefix
+        for r in bucketed_prefix_sum(
+            df, "pos", "w", out_col="prefix", bucket_size=bucket
+        ).collect()
+    }
+    acc, expected = 0, {}
+    for pos, w in data:
+        expected[pos] = acc
+        acc += w
+    assert out == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100_000),  # unique id
+            st.integers(min_value=-50, max_value=50),  # sort value (ties likely)
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_distributed_rank_matches_python_sort(spark, rows, nparts):
+    """Range-partitioned two-phase rank == enumerate(sorted(...)) for any
+    values (including heavy ties broken by id) and partition count."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.windows import (
+        distributed_rank,
+    )
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = {
+        r.id: r.rank
+        for r in distributed_rank(
+            df, [F.col("v"), F.col("id")], rank_col="rank", num_partitions=nparts
+        ).collect()
+    }
+    expected = {
+        i: r for r, (v, i) in enumerate(sorted((v, i) for i, v in rows))
+    }
+    assert out == expected
