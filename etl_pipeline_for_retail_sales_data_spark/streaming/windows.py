@@ -64,12 +64,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the schema from a footer-only batch read so the stream tracks whatever
     physical ts type the driver generated (see readers.normalize_event_ts)."""
     configure_session(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file source accepts a DIRECTORY (the normal parquet layout) but
+    # not a bare file ("basePath must be a directory"); the driver's
+    # testdata is a single file, so pick per layout: stream the directory
+    # directly, or glob-pin the one file inside its parent
+    import os
+
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_event_ts(stream)
 
 

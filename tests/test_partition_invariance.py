@@ -1,0 +1,78 @@
+"""Partitioning-invariance sweep: every ORACLED query must produce the
+IDENTICAL result when the input tables are physically re-laid-out
+(different file count, different row order within and across files).
+
+This is the within-engine face of the float-parity contract: the DuckDB
+oracles already pin Spark against a different ENGINE's accumulation
+order; this sweep pins Spark against ITSELF under a different partition
+layout — the thing that actually changes between a laptop run and a
+1000-executor run. Any query whose result depends on task count, row
+arrival order, or file boundaries (an unfloored float sum, a first()
+without order, a rank without a total tiebreak) fails here.
+
+Rows-only queries are excluded by design: several are iterative float
+loops (k-means/PQ centroid means) whose ulps legitimately move with
+accumulation order — their contracts are the oracled invariant twins.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+# file_audit REPORTS the physical file layout (per-file row counts and
+# key ranges via _metadata) — layout-dependence is its purpose, not a bug
+ORACLED = sorted(set(entry_mod.oracle_sql()) - {"file_audit"})
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    rows = []
+    for r in df.select(*cols).collect():
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                v = round(v, 9)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(repr(v))
+        rows.append("|".join(vals))
+    rows.sort()
+    return rows
+
+
+@pytest.fixture(scope="module")
+def reshuffled_sf(spark, sf_smoke, tmp_path_factory):
+    """The same rows in a hostile layout: 7 files per table, rows dealt
+    round-robin so every file mixes the key space."""
+    out = str(tmp_path_factory.mktemp("reshuffled_sf"))
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_smoke}/{t}.parquet")
+        df.repartition(7).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+def test_every_oracled_query_is_partition_invariant(spark, sf_smoke, reshuffled_sf):
+    failures = []
+    for name in ORACLED:
+        fn = QUERIES[name]
+        try:
+            a = _norm(fn(spark, sf_smoke))
+            b = _norm(fn(spark, reshuffled_sf))
+        except Exception as e:  # noqa: BLE001 - report all at once
+            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:120]}")
+            continue
+        if a != b:
+            diff = next(
+                (f"  base={x!r}\n  resh={y!r}" for x, y in zip(a, b) if x != y),
+                f"  row counts {len(a)} vs {len(b)}",
+            )
+            failures.append(f"{name}: result changed under re-partitioning:\n{diff}")
+    assert not failures, (
+        f"{len(failures)} queries not partition-invariant:\n" + "\n".join(failures)
+    )
