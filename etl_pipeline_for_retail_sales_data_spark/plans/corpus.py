@@ -121,3 +121,55 @@ def write_training_corpus(corpus: DataFrame, out_dir: str) -> None:
         .partitionBy("split")
         .parquet(out_dir)
     )
+
+
+def release_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str,
+    extra_checks: list | None = None,
+    **corpus_kwargs,
+) -> int:
+    """Publish the training corpus as a VERSIONED RELEASE: the funnel's
+    chunk output goes through the write-audit-publish gate (quality
+    constraints audited on the PERSISTED bytes) and lands as one atomic
+    snapshot whose manifest carries both the audit report and the
+    release datacard — a training run pins a version number and gets the
+    exact bytes plus the statistics that vouch for them; a bad build
+    raises AuditFailed and readers keep seeing the previous release.
+
+    mode='replace': each release is a full rebuild (the funnel is not
+    incremental — plans/incremental_corpus.py is the incremental path);
+    earlier releases stay readable via time travel until vacuumed.
+
+    Returns the published version number."""
+    from .. import versioned as V
+    from ..operators import quality as Q
+
+    corpus = build_training_corpus(spark, sf_dir, **corpus_kwargs).persist()
+    chunk_tokens = corpus_kwargs.get("chunk_tokens", 64)
+    card_row = corpus.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train_chunks"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val_chunks"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test_chunks"),
+    ).collect()[0]
+    datacard = {k: int(card_row[k] or 0) for k in card_row.asDict()}
+    checks = [
+        Q.not_null("doc_id"),
+        Q.not_null("chunk_text"),
+        Q.in_range("n_tokens", 1, chunk_tokens),
+        Q.accepted_values("split", "train", "val", "test"),
+        Q.unique("doc_id", "chunk_id"),
+    ] + list(extra_checks or [])
+    return V.write_audit_publish(
+        spark,
+        corpus,
+        table_dir,
+        checks,
+        mode="replace",
+        extra={"datacard": datacard},
+    )

@@ -58,3 +58,48 @@ def test_write_is_idempotent_and_partitioned(spark, sf_smoke, corpus, tmp_path):
     assert again.count() == first
     import os
     assert any(d.startswith("split=") for d in os.listdir(out))
+
+
+# ---------------------------------------------------------------------------
+# release_corpus: versioned, audited, datacard-carrying releases
+# ---------------------------------------------------------------------------
+
+
+def test_release_corpus_publishes_with_datacard_and_audit(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark import versioned as V
+    from etl_pipeline_for_retail_sales_data_spark.plans.corpus import release_corpus
+
+    table = str(tmp_path / "corpus_release")
+    v1 = release_corpus(spark, "/root/testdata/sf0.001", table)
+    m = V._read_manifest(table, v1)
+    card = m["datacard"]
+    rows = V.read_table(spark, table)
+    assert card["n_chunks"] == rows.count() > 0
+    assert card["n_docs"] == rows.select("doc_id").distinct().count()
+    assert card["n_train_chunks"] + card["n_val_chunks"] + card["n_test_chunks"] == card["n_chunks"]
+    assert all(a["passed"] for a in m["audit"])
+
+    # a second release replaces the snapshot; the first stays time-travelable
+    v2 = release_corpus(spark, "/root/testdata/sf0.001", table)
+    assert v2 == v1 + 1
+    assert V.read_table(spark, table, version=v1).count() == card["n_chunks"]
+    assert V.read_table(spark, table).count() == card["n_chunks"]  # deterministic rebuild
+
+
+def test_release_corpus_failing_audit_leaves_previous_release(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark import versioned as V
+    from etl_pipeline_for_retail_sales_data_spark.operators import quality as Q
+    from etl_pipeline_for_retail_sales_data_spark.plans.corpus import release_corpus
+
+    table = str(tmp_path / "corpus_release")
+    v1 = release_corpus(spark, "/root/testdata/sf0.001", table)
+    n1 = V.read_table(spark, table).count()
+    with pytest.raises(V.AuditFailed):
+        release_corpus(
+            spark,
+            "/root/testdata/sf0.001",
+            table,
+            extra_checks=[Q.satisfies("impossible", F.col("n_tokens") > 10_000)],
+        )
+    assert V.current_version(table) == v1
+    assert V.read_table(spark, table).count() == n1
