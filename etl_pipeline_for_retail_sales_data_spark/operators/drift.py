@@ -279,10 +279,15 @@ def embedding_drift(
     term6 = F.floor(diff * diff * 1e6 + F.lit(0.5)) / 1e6
     terms = per_dim.select("dim", "na", "nb", term6.alias("term6"))
     out = terms.agg(
-        F.max("na").cast("long").alias("n_a"),
-        F.max("nb").cast("long").alias("n_b"),
+        F.coalesce(F.max("na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.max("nb"), F.lit(0)).cast("long").alias("n_b"),
         F.count("*").cast("long").alias("n_dims"),
-        (F.floor(F.sum("term6") * 1e4 + F.lit(0.5)) / 1e4).alias("mmd2_q"),
+        # an empty cohort makes every per-dim division NULL (no comparison
+        # is possible) — degrade to 0.0/false rather than NULL flags; the
+        # n_a/n_b zeros make the degeneracy visible to the consumer
+        F.coalesce(
+            F.floor(F.sum("term6") * 1e4 + F.lit(0.5)) / 1e4, F.lit(0.0)
+        ).alias("mmd2_q"),
         F.max(F.struct(F.col("term6"), (-F.col("dim")).alias("nd"))).alias("__top"),
     )
     return out.select(
@@ -291,8 +296,67 @@ def embedding_drift(
         "n_dims",
         "mmd2_q",
         (-F.col("__top.nd")).cast("long").alias("top_dim"),
-        F.col("__top.term6").alias("top_term"),
+        F.coalesce(F.col("__top.term6"), F.lit(0.0)).alias("top_term"),
         (F.col("mmd2_q") > F.lit(threshold)).alias("drift"),
+    )
+
+
+def psi_from_counts(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
+    """Two-sample PSI on PRE-AGGREGATED category counts —
+    (category, ref_cnt) vs (category, cur_cnt). This is the form the
+    streaming drift gate uses so the reference mix can be carried
+    incrementally (O(categories) state in the table manifest) instead of
+    re-aggregating the whole published table per micro-batch.
+
+    PSI itself runs on the category INTERSECTION (the ln is undefined
+    one-sided — psi_drift rationale), but one-sided mass is NOT silently
+    ignored: ``cur_unmatched_frac`` / ``ref_unmatched_frac`` report the
+    exact fraction of each population in categories absent from the
+    other. A batch whose categories are disjoint from the reference has
+    psi = 0.0 over an empty intersection but cur_unmatched_frac = 1.0 —
+    the maximal possible shift, which an ε-floored PSI would send to
+    infinity; gates must threshold BOTH numbers. Totals come from the
+    pre-join frames, so they are correct even when the intersection is
+    empty. Returns one row: (psi, n_categories, n_ref, n_cur,
+    cur_unmatched_frac, ref_unmatched_frac)."""
+    a = ref_counts.select("category", F.col("ref_cnt"))
+    b = cur_counts.select("category", F.col("cur_cnt"))
+    at = a.agg(F.coalesce(F.sum("ref_cnt"), F.lit(0)).alias("ref_total"))
+    bt = b.agg(F.coalesce(F.sum("cur_cnt"), F.lit(0)).alias("cur_total"))
+    j = a.join(b, "category").crossJoin(F.broadcast(at)).crossJoin(F.broadcast(bt))
+    p_cur = F.col("cur_cnt").cast("double") / F.col("cur_total")
+    p_ref = F.col("ref_cnt").cast("double") / F.col("ref_total")
+    ratio = (F.col("cur_cnt") * F.col("ref_total")).cast("double") / (
+        F.col("ref_cnt") * F.col("cur_total")
+    )
+    term6 = F.floor((p_cur - p_ref) * F.log(ratio) * 1e6 + F.lit(0.5)) / 1e6
+    inter = j.agg(
+        F.coalesce(
+            F.floor(F.sum(term6) * 1e4 + F.lit(0.5)) / 1e4, F.lit(0.0)
+        ).alias("psi"),
+        F.count("*").cast("long").alias("n_categories"),
+        F.coalesce(F.sum("ref_cnt"), F.lit(0)).alias("matched_ref"),
+        F.coalesce(F.sum("cur_cnt"), F.lit(0)).alias("matched_cur"),
+    )
+    frac = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.floor(num.cast("double") / F.col(den) * 1e6 + F.lit(0.5)) / 1e6,
+    ).otherwise(F.lit(0.0))
+    return (
+        inter.crossJoin(F.broadcast(at))
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "psi",
+            "n_categories",
+            F.col("ref_total").cast("long").alias("n_ref"),
+            F.col("cur_total").cast("long").alias("n_cur"),
+            frac(F.col("cur_total") - F.col("matched_cur"), "cur_total").alias(
+                "cur_unmatched_frac"
+            ),
+            frac(F.col("ref_total") - F.col("matched_ref"), "ref_total").alias(
+                "ref_unmatched_frac"
+            ),
+        )
     )
 
 
@@ -301,14 +365,10 @@ def psi_two_sample(ref: DataFrame, cur: DataFrame, category: Column) -> DataFram
     sample's — the two-frame form of :func:`psi_drift` (there periods
     pair with their predecessor inside ONE frame; here the caller holds
     the two populations, e.g. a published table vs an incoming
-    micro-batch). Categories absent from either side are excluded (same
-    rationale as psi_drift). Returns one row:
-    (psi, n_categories, n_ref, n_cur); an empty intersection (e.g. an
-    empty reference) yields psi = 0.0 — no evidence of drift.
-
-    Same scale shape and ln-floor choreography as the one-frame form:
-    each side collapses to its category counts first, everything after
-    runs on O(categories) rows."""
+    micro-batch). Each side collapses to its category counts first
+    (everything after runs on O(categories) rows), then
+    :func:`psi_from_counts` — see there for the intersection/unmatched
+    semantics and output columns."""
     a = (
         ref.select(category.alias("category"))
         .groupBy("category")
@@ -319,20 +379,4 @@ def psi_two_sample(ref: DataFrame, cur: DataFrame, category: Column) -> DataFram
         .groupBy("category")
         .agg(F.count("*").alias("cur_cnt"))
     )
-    at = a.agg(F.sum("ref_cnt").alias("ref_total"))
-    bt = b.agg(F.sum("cur_cnt").alias("cur_total"))
-    j = a.join(b, "category").crossJoin(F.broadcast(at)).crossJoin(F.broadcast(bt))
-    p_cur = F.col("cur_cnt").cast("double") / F.col("cur_total")
-    p_ref = F.col("ref_cnt").cast("double") / F.col("ref_total")
-    ratio = (F.col("cur_cnt") * F.col("ref_total")).cast("double") / (
-        F.col("ref_cnt") * F.col("cur_total")
-    )
-    term6 = F.floor((p_cur - p_ref) * F.log(ratio) * 1e6 + F.lit(0.5)) / 1e6
-    return j.agg(
-        F.coalesce(
-            F.floor(F.sum(term6) * 1e4 + F.lit(0.5)) / 1e4, F.lit(0.0)
-        ).alias("psi"),
-        F.count("*").cast("long").alias("n_categories"),
-        F.coalesce(F.max("ref_total"), F.lit(0)).cast("long").alias("n_ref"),
-        F.coalesce(F.max("cur_total"), F.lit(0)).cast("long").alias("n_cur"),
-    )
+    return psi_from_counts(a, b)

@@ -233,22 +233,29 @@ def bm25_rank(
     time IN THE LITERAL ORDER of ``query_terms`` via conditional
     aggregation — never a float SUM over an engine-ordered group.
 
-    Scale shape: ONE corpus explode feeds ONE persisted (doc, term)
-    aggregate — the posting-list frame — and everything else derives
-    from it without touching the corpus again: dl(doc) is its per-doc tf
-    sum, df(term) its per-term row count, the query postings a filter on
-    it (the inverted-index discipline: post-cache work is O(postings of
-    the query), not O(corpus)); df/avgdl are broadcast scalars; one hash
-    agg keyed by doc pivots the ≤len(query_terms) rows per doc.
+    Scale shape — the inverted-index discipline with exactly two corpus
+    passes, both collapsing to SMALL persisted frames: (1) doc lengths —
+    one doc-keyed aggregate (O(docs) rows, persisted because it feeds
+    both the avgdl scalar and the per-doc join; shuffle keyed by doc,
+    never by (doc, term)); (2) query postings — the token stream is
+    filtered to the query terms BEFORE any shuffle, so the tf aggregate
+    and everything downstream is O(postings of the query), not
+    O(corpus). df(term) is the per-term row count of the already-unique
+    (doc, term) tf frame; df/avgdl are broadcast scalars; one hash agg
+    keyed by doc pivots the ≤len(query_terms) rows per doc.
     """
     tok = doc_terms(df, text_col)
-    postings = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).persist()
     # corpus scalars: N and avgdl (exact integer sum / exact count)
     scalars = df.agg(F.count("*").alias("n_docs")).crossJoin(
         dl.agg((F.sum("dl") / F.count("*")).alias("avgdl"))
     )
-    tf = postings.filter(F.col("term").isin(query_terms))
+    tf = (
+        tok.filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
     # one row per (doc, term) ⇒ per-term row count IS count_distinct(doc)
     dft = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     base = (

@@ -143,11 +143,18 @@ def release_corpus(
     earlier releases stay readable via time travel until vacuumed.
 
     Returns the published version number."""
+    import inspect
+
     from .. import versioned as V
     from ..operators import quality as Q
 
     corpus = build_training_corpus(spark, sf_dir, **corpus_kwargs).persist()
-    chunk_tokens = corpus_kwargs.get("chunk_tokens", 64)
+    # audit bound tracks build_training_corpus's own default — one source
+    # of truth for the chunk size
+    chunk_tokens = corpus_kwargs.get(
+        "chunk_tokens",
+        inspect.signature(build_training_corpus).parameters["chunk_tokens"].default,
+    )
     card_row = corpus.agg(
         F.count("*").alias("n_chunks"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -165,11 +172,16 @@ def release_corpus(
         Q.accepted_values("split", "train", "val", "test"),
         Q.unique("doc_id", "chunk_id"),
     ] + list(extra_checks or [])
-    return V.write_audit_publish(
-        spark,
-        corpus,
-        table_dir,
-        checks,
-        mode="replace",
-        extra={"datacard": datacard},
-    )
+    try:
+        return V.write_audit_publish(
+            spark,
+            corpus,
+            table_dir,
+            checks,
+            mode="replace",
+            extra={"datacard": datacard},
+        )
+    finally:
+        # the release is durable (or rejected); drop the call-local cache
+        # rather than leaving a corpus-sized entry for the JVM's lifetime
+        corpus.unpersist()

@@ -7873,21 +7873,36 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority AS category, COUNT(*) AS cur_cnt
         FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998 GROUP BY 1
     ),
-    at AS (SELECT SUM(ref_cnt) AS ref_total FROM a),
-    bt AS (SELECT SUM(cur_cnt) AS cur_total FROM b),
+    at AS (SELECT COALESCE(SUM(ref_cnt), 0) AS ref_total FROM a),
+    bt AS (SELECT COALESCE(SUM(cur_cnt), 0) AS cur_total FROM b),
     j AS (
         SELECT FLOOR((CAST(cur_cnt AS DOUBLE) / cur_total
                       - CAST(ref_cnt AS DOUBLE) / ref_total)
                      * ln(CAST(cur_cnt * ref_total AS DOUBLE)
                           / (ref_cnt * cur_total)) * 1e6 + 0.5) / 1e6 AS term6,
-               ref_total, cur_total
+               ref_cnt, cur_cnt
         FROM a JOIN b USING (category), at, bt
+    ),
+    i AS (
+        SELECT COALESCE(FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4, 0.0) AS psi,
+               COUNT(*) AS n_categories,
+               COALESCE(SUM(ref_cnt), 0) AS matched_ref,
+               COALESCE(SUM(cur_cnt), 0) AS matched_cur
+        FROM j
     )
-    SELECT COALESCE(FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4, 0.0) AS psi,
-           CAST(COUNT(*) AS BIGINT) AS n_categories,
-           CAST(COALESCE(MAX(ref_total), 0) AS BIGINT) AS n_ref,
-           CAST(COALESCE(MAX(cur_total), 0) AS BIGINT) AS n_cur
-    FROM j
+    SELECT psi,
+           CAST(n_categories AS BIGINT) AS n_categories,
+           CAST(ref_total AS BIGINT) AS n_ref,
+           CAST(cur_total AS BIGINT) AS n_cur,
+           CASE WHEN cur_total > 0
+                THEN FLOOR(CAST(cur_total - matched_cur AS DOUBLE) / cur_total
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS cur_unmatched_frac,
+           CASE WHEN ref_total > 0
+                THEN FLOOR(CAST(ref_total - matched_ref AS DOUBLE) / ref_total
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS ref_unmatched_frac
+    FROM i, at, bt
     """,
 )
 def q_psi_two_sample_years(spark: SparkSession, sf_dir: str) -> DataFrame:

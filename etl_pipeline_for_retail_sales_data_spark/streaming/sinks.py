@@ -221,9 +221,10 @@ def make_drift_gated_committer(
     category_col: str,
     quarantine_dir: str,
     threshold: float = 0.2,
+    max_unmatched: float = 0.1,
 ):
     """Streaming drift gate: each micro-batch's category mix is compared
-    (two-sample PSI, operators/drift.psi_two_sample) against the
+    (two-sample PSI, operators/drift.psi_from_counts) against the
     ALREADY-PUBLISHED table before it may join it — the continuous form
     of the drift monitors, wired into ingestion so a source that goes
     off-distribution (scraper junk, upstream enum change, a feed
@@ -233,12 +234,28 @@ def make_drift_gated_committer(
     reference; the reference then grows with every accepted batch, so
     the gate tracks legitimate slow mix evolution while rejecting jumps.
 
+    Two rejection triggers, both required: ``psi > threshold`` (shift
+    WITHIN the shared categories) and ``cur_unmatched_frac >
+    max_unmatched`` (mass in categories the reference has never seen —
+    a fully-disjoint batch has psi 0.0 over an empty intersection, and
+    an ε-floored PSI would send it to infinity; thresholding the
+    unmatched fraction is the bounded form of the same signal).
+
+    The reference mix is carried INCREMENTALLY in the table manifest
+    (``"mix"``: category → count, updated atomically with each publish)
+    — O(categories) state, so gating a batch costs one aggregate over
+    the BATCH, never a rescan of the published table (the repo's
+    incremental-rollup doctrine; categories must be strings, and null
+    categories are ignored for mix purposes). Tables whose latest
+    manifest predates the gate fall back to one full-table aggregate to
+    rebuild the mix.
+
     Same stage→decide→publish/quarantine shape and epoch exactly-once
     contract as make_audited_epoch_committer (redelivered epochs consult
     the max epoch across both tables)."""
     from pyspark.sql import functions as F
 
-    from ..operators.drift import psi_two_sample
+    from ..operators.drift import psi_from_counts
 
     def commit_epoch(batch_df: DataFrame, batch_id: int) -> None:
         epochs = [
@@ -254,26 +271,61 @@ def make_drift_gated_committer(
         spark = batch_df.sparkSession
         staged_id, files = V.stage(batch_df, table_dir)
         staged = V.read_staged(spark, table_dir, staged_id)
-        if V.current_version(table_dir) is None:
+        cur_mix = {
+            r["category"]: r["cur_cnt"]
+            for r in staged.filter(F.col(category_col).isNotNull())
+            .groupBy(F.col(category_col).alias("category"))
+            .agg(F.count("*").alias("cur_cnt"))
+            .collect()
+        }
+        version = V.current_version(table_dir)
+        if version is None:
             V.publish_staged(
                 table_dir,
                 staged_id,
                 files,
                 mode="append",
-                extra={"epoch_id": batch_id, "drift": {"bootstrap": True}},
+                extra={
+                    "epoch_id": batch_id,
+                    "drift": {"bootstrap": True},
+                    "mix": cur_mix,
+                },
             )
             return
-        ref = V.read_table(spark, table_dir)
-        row = psi_two_sample(ref, staged, F.col(category_col)).collect()[0]
+        ref_mix = V._read_manifest(table_dir, version).get("mix")
+        if ref_mix is None:  # table predates the gate: rebuild mix once
+            ref_mix = {
+                r["category"]: r["ref_cnt"]
+                for r in V.read_table(spark, table_dir)
+                .filter(F.col(category_col).isNotNull())
+                .groupBy(F.col(category_col).alias("category"))
+                .agg(F.count("*").alias("ref_cnt"))
+                .collect()
+            }
+        ref_counts = spark.createDataFrame(
+            list(sorted(ref_mix.items())) or [(None, None)],
+            "category string, ref_cnt long",
+        ).filter(F.col("category").isNotNull())
+        cur_counts = spark.createDataFrame(
+            list(sorted(cur_mix.items())) or [(None, None)],
+            "category string, cur_cnt long",
+        ).filter(F.col("category").isNotNull())
+        row = psi_from_counts(ref_counts, cur_counts).collect()[0]
+        drifted = bool(
+            row["psi"] > threshold or row["cur_unmatched_frac"] > max_unmatched
+        )
         report = {
             "psi": row["psi"],
             "n_categories": row["n_categories"],
             "n_ref": row["n_ref"],
             "n_cur": row["n_cur"],
+            "cur_unmatched_frac": row["cur_unmatched_frac"],
+            "ref_unmatched_frac": row["ref_unmatched_frac"],
             "threshold": threshold,
-            "drifted": bool(row["psi"] > threshold),
+            "max_unmatched": max_unmatched,
+            "drifted": drifted,
         }
-        if row["psi"] > threshold:
+        if drifted:
             V.commit(
                 spark,
                 staged,
@@ -283,12 +335,15 @@ def make_drift_gated_committer(
             )
             V.discard_staged(table_dir, staged_id)
         else:
+            merged = dict(ref_mix)
+            for k, v in cur_mix.items():
+                merged[k] = merged.get(k, 0) + v
             V.publish_staged(
                 table_dir,
                 staged_id,
                 files,
                 mode="append",
-                extra={"epoch_id": batch_id, "drift": report},
+                extra={"epoch_id": batch_id, "drift": report, "mix": merged},
             )
 
     return commit_epoch
@@ -301,6 +356,7 @@ def exactly_once_drift_gated_append(
     category_col: str,
     quarantine_dir: str,
     threshold: float = 0.2,
+    max_unmatched: float = 0.1,
 ) -> StreamingQuery:
     """Start a streaming query appending micro-batches through the PSI
     drift gate: in-distribution batches land in ``table_dir``, drifted
@@ -308,7 +364,7 @@ def exactly_once_drift_gated_append(
     return (
         stream_df.writeStream.foreachBatch(
             make_drift_gated_committer(
-                table_dir, category_col, quarantine_dir, threshold
+                table_dir, category_col, quarantine_dir, threshold, max_unmatched
             )
         )
         .queryName(query_name)

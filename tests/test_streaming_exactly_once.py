@@ -244,7 +244,7 @@ def test_drift_gate_exactly_once_across_both_outcomes(spark, tmp_path):
     assert len(os.listdir(os.path.join(table, "data"))) == 1
 
 
-def test_psi_two_sample_empty_reference_is_zero(spark):
+def test_psi_two_sample_empty_reference_reports_unmatched_mass(spark):
     from etl_pipeline_for_retail_sales_data_spark.operators.drift import (
         psi_two_sample,
     )
@@ -253,4 +253,47 @@ def test_psi_two_sample_empty_reference_is_zero(spark):
     ref = spark.createDataFrame([], "cat string")
     cur = spark.createDataFrame([("a",), ("b",)], "cat string")
     row = psi_two_sample(ref, cur, F.col("cat")).collect()[0]
+    # psi is 0 over the empty intersection, but the shift is fully visible
+    # in the unmatched fraction and the real totals
     assert row.psi == 0.0 and row.n_categories == 0
+    assert row.n_ref == 0 and row.n_cur == 2
+    assert row.cur_unmatched_frac == 1.0 and row.ref_unmatched_frac == 0.0
+
+
+def test_drift_gate_quarantines_disjoint_category_batch(spark, tmp_path):
+    """The blind spot the unmatched-mass threshold exists for: a batch
+    whose categories the reference has NEVER seen has psi 0.0 over an
+    empty intersection — it must still be quarantined."""
+    from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import (
+        make_drift_gated_committer,
+    )
+
+    table, quar = str(tmp_path / "tbl"), str(tmp_path / "quar")
+    committer = make_drift_gated_committer(table, "cat", quar, threshold=0.2)
+    committer(_mix(spark, 50, 50), 0)  # reference: categories {a, b}
+    foreign = spark.createDataFrame(
+        [(900 + i, "zz") for i in range(40)], "event_id long, cat string"
+    )
+    committer(foreign, 1)
+    assert V.read_table(spark, table).count() == 100
+    assert V.read_table(spark, quar).count() == 40
+    qm = V._read_manifest(quar, V.current_version(quar))
+    assert qm["drift"]["drifted"] is True
+    assert qm["drift"]["psi"] == 0.0
+    assert qm["drift"]["cur_unmatched_frac"] == 1.0
+    assert qm["drift"]["n_ref"] == 100 and qm["drift"]["n_cur"] == 40
+
+
+def test_drift_gate_reference_mix_is_carried_in_manifest(spark, tmp_path):
+    """Gating must not rescan the published table: the reference mix
+    rides the manifest and merges on every publish."""
+    from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import (
+        make_drift_gated_committer,
+    )
+
+    table, quar = str(tmp_path / "tbl"), str(tmp_path / "quar")
+    committer = make_drift_gated_committer(table, "cat", quar, threshold=0.2)
+    committer(_mix(spark, 50, 50), 0)
+    committer(_mix(spark, 48, 52, start=200), 1)
+    m = V._read_manifest(table, V.current_version(table))
+    assert m["mix"] == {"a": 98, "b": 102}
