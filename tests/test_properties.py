@@ -329,3 +329,76 @@ def test_distributed_rank_matches_python_sort(spark, rows, nparts):
         i: r for r, (v, i) in enumerate(sorted((v, i) for i, v in rows))
     }
     assert out == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=1, max_value=500),  # ref count
+            st.integers(min_value=0, max_value=500),  # cur count (0 = absent)
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_psi_from_counts_matches_python_formula(spark, rows):
+    """Two-sample PSI == the straight-Python Σ(Δp)·ln(p-ratio) over the
+    category intersection, with the same floor choreography, plus exact
+    unmatched-mass accounting."""
+    import math
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.drift import (
+        psi_from_counts,
+    )
+
+    ref = spark.createDataFrame(
+        [(c, r) for c, r, _ in rows], "category string, ref_cnt long"
+    )
+    cur = spark.createDataFrame(
+        [(c, u) for c, _, u in rows if u > 0], "category string, cur_cnt long"
+    )
+    out = psi_from_counts(ref, cur).collect()[0]
+
+    ref_total = sum(r for _, r, _ in rows)
+    cur_total = sum(u for _, _, u in rows)
+    f6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    terms = [
+        f6(
+            (u / cur_total - r / ref_total)
+            * math.log((u * ref_total) / (r * cur_total))
+        )
+        for _, r, u in rows
+        if u > 0
+    ]
+    expected_psi = math.floor(sum(terms) * 1e4 + 0.5) / 1e4 if terms else 0.0
+    assert out.n_ref == ref_total and out.n_cur == cur_total
+    assert abs(out.psi - expected_psi) < 1e-9
+    assert out.ref_unmatched_frac == f6(
+        sum(r for _, r, u in rows if u == 0) / ref_total
+    )
+    assert out.cur_unmatched_frac == 0.0  # cur categories are a subset of ref
+
+
+@SLOW
+@given(st.integers(min_value=4, max_value=12), st.integers(min_value=3, max_value=10))
+def test_containment_of_prefix_doc_is_always_one(spark, n_extra, prefix_words):
+    """Structural property: a document that is a verbatim prefix of a
+    longer one has containment exactly 1.0 from the short side."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    words = [f"tok{i}" for i in range(prefix_words + n_extra)]
+    short = " ".join(words[:prefix_words])
+    long = " ".join(words)
+    out = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(
+            spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string"),
+            threshold=0.99,
+        ).collect()
+    }
+    assert out.get((1, 2)) == 1.0
