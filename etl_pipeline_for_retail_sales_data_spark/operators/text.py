@@ -575,7 +575,9 @@ def domain_mixture_sample(
     d = counts.select(F.col(domain_col).alias("d_dom"), F.col("wt").alias("d_wt"))
     e = counts.select(F.col("wt").alias("e_wt"), F.col("cnt").alias("e_cnt"))
     desired = (
-        d.crossJoin(e)
+        # O(#domains²) pairs — broadcast hint so the tiny cross plans as
+        # a broadcast loop, not a CartesianProduct exchange
+        d.crossJoin(F.broadcast(e))
         .groupBy("d_dom")
         .agg(F.min(F.expr("e_cnt * d_wt div e_wt")).alias("desired"))
         .select(F.col("d_dom").alias(domain_col), "desired")
