@@ -80,9 +80,13 @@ def chisq_drift(
     )
     expected = F.col("prev_cnt").cast("double") * F.col("total") / F.col("prev_total")
     term = (F.col("obs") - expected) * (F.col("obs") - expected) / expected
-    term6 = F.floor(term * 1e6 + F.lit(0.5)) / 1e6
+    # per-term floor to INTEGER micro-units; the sum is then exact int64
+    # and the final rounding divides ONCE — a float sum of 1e-6 multiples
+    # lands exactly on the rounding boundary whenever the micro-unit total
+    # is ≡ 5000 (mod 10000), and accumulation order would decide the digit
+    term_u = F.floor(term * 1e6 + F.lit(0.5)).cast("long")
     out = joined.groupBy("period").agg(
-        F.round(F.sum(term6), 2).alias("chisq"),
+        (F.floor(F.sum(term_u).cast("double") / 1e4 + F.lit(0.5)) / 100).alias("chisq"),
         (F.count("*") - 1).cast("long").alias("df"),
         F.sum("obs").cast("long").alias("n_current"),
     )
@@ -150,9 +154,10 @@ def psi_drift(
         F.col("prev_cnt") * F.col("total")
     )
     term = (p_cur - p_prev) * F.log(ratio)
-    term6 = F.floor(term * 1e6 + F.lit(0.5)) / 1e6
+    # exact int64 micro-unit sum (see chisq_drift comment): order-free
+    term_u = F.floor(term * 1e6 + F.lit(0.5)).cast("long")
     out = joined.groupBy("period").agg(
-        (F.floor(F.sum(term6) * 1e4 + F.lit(0.5)) / 1e4).alias("psi"),
+        (F.floor(F.sum(term_u).cast("double") / 100 + F.lit(0.5)) / 1e4).alias("psi"),
         F.count("*").cast("long").alias("n_categories"),
         F.sum("obs").cast("long").alias("n_current"),
     )
@@ -276,8 +281,9 @@ def embedding_drift(
     diff = (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast("double") / (
         F.col("na") * F.col("nb")
     )
-    term6 = F.floor(diff * diff * 1e6 + F.lit(0.5)) / 1e6
-    terms = per_dim.select("dim", "na", "nb", term6.alias("term6"))
+    # per-dim terms as exact int64 micro-units (order-free final sum)
+    term_u = F.floor(diff * diff * 1e6 + F.lit(0.5)).cast("long")
+    terms = per_dim.select("dim", "na", "nb", term_u.alias("term_u"))
     out = terms.agg(
         F.coalesce(F.max("na"), F.lit(0)).cast("long").alias("n_a"),
         F.coalesce(F.max("nb"), F.lit(0)).cast("long").alias("n_b"),
@@ -286,9 +292,10 @@ def embedding_drift(
         # is possible) — degrade to 0.0/false rather than NULL flags; the
         # n_a/n_b zeros make the degeneracy visible to the consumer
         F.coalesce(
-            F.floor(F.sum("term6") * 1e4 + F.lit(0.5)) / 1e4, F.lit(0.0)
+            F.floor(F.sum("term_u").cast("double") / 100 + F.lit(0.5)) / 1e4,
+            F.lit(0.0),
         ).alias("mmd2_q"),
-        F.max(F.struct(F.col("term6"), (-F.col("dim")).alias("nd"))).alias("__top"),
+        F.max(F.struct(F.col("term_u"), (-F.col("dim")).alias("nd"))).alias("__top"),
     )
     return out.select(
         "n_a",
@@ -296,7 +303,9 @@ def embedding_drift(
         "n_dims",
         "mmd2_q",
         (-F.col("__top.nd")).cast("long").alias("top_dim"),
-        F.coalesce(F.col("__top.term6"), F.lit(0.0)).alias("top_term"),
+        (F.coalesce(F.col("__top.term_u"), F.lit(0)).cast("double") / 1e6).alias(
+            "top_term"
+        ),
         (F.col("mmd2_q") > F.lit(threshold)).alias("drift"),
     )
 
@@ -329,10 +338,12 @@ def psi_from_counts(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
     ratio = (F.col("cur_cnt") * F.col("ref_total")).cast("double") / (
         F.col("ref_cnt") * F.col("cur_total")
     )
-    term6 = F.floor((p_cur - p_ref) * F.log(ratio) * 1e6 + F.lit(0.5)) / 1e6
+    # exact int64 micro-unit sum (see chisq_drift comment): order-free
+    term_u = F.floor((p_cur - p_ref) * F.log(ratio) * 1e6 + F.lit(0.5)).cast("long")
     inter = j.agg(
         F.coalesce(
-            F.floor(F.sum(term6) * 1e4 + F.lit(0.5)) / 1e4, F.lit(0.0)
+            F.floor(F.sum(term_u).cast("double") / 100 + F.lit(0.5)) / 1e4,
+            F.lit(0.0),
         ).alias("psi"),
         F.count("*").cast("long").alias("n_categories"),
         F.coalesce(F.sum("ref_cnt"), F.lit(0)).alias("matched_ref"),

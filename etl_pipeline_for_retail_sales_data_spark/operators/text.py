@@ -652,16 +652,23 @@ def token_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
-    term6 = F.floor(F.col("c") * F.log(F.col("c")) * 1e6 + F.lit(0.5)) / 1e6
+    # entropy terms as exact int64 micro-units: the per-doc sum is then
+    # order-free (a float sum of 1e-6 multiples can land on the final
+    # rounding boundary and let accumulation order pick the digit)
+    term_u = F.floor(F.col("c") * F.log(F.col("c")) * 1e6 + F.lit(0.5)).cast("long")
     st = counts.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
         F.count("*").alias("nd"),
         F.sum(F.col("c") * F.col("c")).alias("ss"),
-        F.sum(term6).alias("slog"),
+        F.sum(term_u).alias("slog_u"),
     )
     simpson = F.floor(F.col("ss").cast("double") / (F.col("n") * F.col("n")) * 1e6 + F.lit(0.5)) / 1e6
     entropy = (
-        F.floor((F.log(F.col("n")) - F.col("slog") / F.col("n")) * 1e4 + F.lit(0.5))
+        F.floor(
+            (F.log(F.col("n")) - (F.col("slog_u").cast("double") / 1e6) / F.col("n"))
+            * 1e4
+            + F.lit(0.5)
+        )
         / 1e4
     )
     return (

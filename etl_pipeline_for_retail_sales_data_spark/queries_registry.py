@@ -6473,19 +6473,21 @@ def q_quality_suite_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
         SELECT p.period,
                c.cnt AS obs,
-               FLOOR((c.cnt - CAST(pc.cnt AS DOUBLE) * p.total / p.prev_total)
+               CAST(FLOOR((c.cnt - CAST(pc.cnt AS DOUBLE) * p.total / p.prev_total)
                      * (c.cnt - CAST(pc.cnt AS DOUBLE) * p.total / p.prev_total)
                      / (CAST(pc.cnt AS DOUBLE) * p.total / p.prev_total)
-                     * 1e6 + 0.5) / 1e6 AS term6
+                     * 1e6 + 0.5) AS BIGINT) AS term_u
         FROM paired p
         JOIN counts c ON c.period = p.period
         JOIN counts pc ON pc.period = p.prev_period AND pc.category = c.category
         WHERE p.prev_period IS NOT NULL
     )
-    SELECT period, ROUND(SUM(term6), 2) AS chisq,
+    SELECT period,
+           FLOOR(CAST(SUM(term_u) AS DOUBLE) / 1e4 + 0.5) / 100 AS chisq,
            CAST(COUNT(*) - 1 AS BIGINT) AS df,
            CAST(SUM(obs) AS BIGINT) AS n_current,
-           ROUND(SUM(term6), 2) > CASE CAST(COUNT(*) - 1 AS BIGINT)
+           FLOOR(CAST(SUM(term_u) AS DOUBLE) / 1e4 + 0.5) / 100
+               > CASE CAST(COUNT(*) - 1 AS BIGINT)
                WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
                WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 ELSE 1e308 END AS drift
     FROM terms GROUP BY period
@@ -7328,7 +7330,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     st AS (
         SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, SUM(c * c) AS ss,
-               SUM(FLOOR(c * ln(c) * 1e6 + 0.5) / 1e6) AS slog
+               SUM(CAST(FLOOR(c * ln(c) * 1e6 + 0.5) AS BIGINT)) AS slog_u
         FROM cnts GROUP BY doc_id
     )
     SELECT b.doc_id,
@@ -7336,7 +7338,8 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(nd, 0) AS BIGINT) AS n_distinct,
            COALESCE(FLOOR(CAST(ss AS DOUBLE) / (n * n) * 1e6 + 0.5) / 1e6, 0.0)
                AS simpson,
-           COALESCE(FLOOR((ln(n) - slog / n) * 1e4 + 0.5) / 1e4, 0.0) AS entropy,
+           COALESCE(FLOOR((ln(n) - (CAST(slog_u AS DOUBLE) / 1e6) / n) * 1e4 + 0.5) / 1e4,
+                    0.0) AS entropy,
            COALESCE(2 * ss > n * n, FALSE) AS low_diversity
     FROM base b LEFT JOIN st USING (doc_id)
     """,
@@ -7434,21 +7437,21 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
         SELECT p.period,
                c.cnt AS obs,
-               FLOOR((CAST(c.cnt AS DOUBLE) / p.total
+               CAST(FLOOR((CAST(c.cnt AS DOUBLE) / p.total
                       - CAST(pc.cnt AS DOUBLE) / p.prev_total)
                      * ln(CAST(c.cnt * p.prev_total AS DOUBLE)
                           / (pc.cnt * p.total))
-                     * 1e6 + 0.5) / 1e6 AS term6
+                     * 1e6 + 0.5) AS BIGINT) AS term_u
         FROM paired p
         JOIN counts c ON c.period = p.period
         JOIN counts pc ON pc.period = p.prev_period AND pc.category = c.category
         WHERE p.prev_period IS NOT NULL
     )
     SELECT period,
-           FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4 AS psi,
+           FLOOR(CAST(SUM(term_u) AS DOUBLE) / 100 + 0.5) / 1e4 AS psi,
            CAST(COUNT(*) AS BIGINT) AS n_categories,
            CAST(SUM(obs) AS BIGINT) AS n_current,
-           FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4 > 0.2 AS drift
+           FLOOR(CAST(SUM(term_u) AS DOUBLE) / 100 + 0.5) / 1e4 > 0.2 AS drift
     FROM terms GROUP BY period
     """,
 )
@@ -7624,18 +7627,18 @@ def q_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (
         SELECT dim, na, nb,
-               FLOOR(POWER(CAST(sa * nb - sb * na AS DOUBLE) / (na * nb), 2)
-                     * 1e6 + 0.5) / 1e6 AS term6
+               CAST(FLOOR(POWER(CAST(sa * nb - sb * na AS DOUBLE) / (na * nb), 2)
+                     * 1e6 + 0.5) AS BIGINT) AS term_u
         FROM per_dim
     )
     SELECT CAST(MAX(na) AS BIGINT) AS n_a,
            CAST(MAX(nb) AS BIGINT) AS n_b,
            CAST(COUNT(*) AS BIGINT) AS n_dims,
-           FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4 AS mmd2_q,
-           CAST(MIN(CASE WHEN (term6, -dim) = (SELECT MAX((term6, -dim)) FROM t)
+           FLOOR(CAST(SUM(term_u) AS DOUBLE) / 100 + 0.5) / 1e4 AS mmd2_q,
+           CAST(MIN(CASE WHEN (term_u, -dim) = (SELECT MAX((term_u, -dim)) FROM t)
                          THEN dim END) AS BIGINT) AS top_dim,
-           MAX(term6) AS top_term,
-           FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4 > 1.0 AS drift
+           CAST(MAX(term_u) AS DOUBLE) / 1e6 AS top_term,
+           FLOOR(CAST(SUM(term_u) AS DOUBLE) / 100 + 0.5) / 1e4 > 1.0 AS drift
     FROM t
     """,
 )
@@ -7876,15 +7879,16 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     at AS (SELECT COALESCE(SUM(ref_cnt), 0) AS ref_total FROM a),
     bt AS (SELECT COALESCE(SUM(cur_cnt), 0) AS cur_total FROM b),
     j AS (
-        SELECT FLOOR((CAST(cur_cnt AS DOUBLE) / cur_total
+        SELECT CAST(FLOOR((CAST(cur_cnt AS DOUBLE) / cur_total
                       - CAST(ref_cnt AS DOUBLE) / ref_total)
                      * ln(CAST(cur_cnt * ref_total AS DOUBLE)
-                          / (ref_cnt * cur_total)) * 1e6 + 0.5) / 1e6 AS term6,
+                          / (ref_cnt * cur_total)) * 1e6 + 0.5) AS BIGINT) AS term_u,
                ref_cnt, cur_cnt
         FROM a JOIN b USING (category), at, bt
     ),
     i AS (
-        SELECT COALESCE(FLOOR(SUM(term6) * 1e4 + 0.5) / 1e4, 0.0) AS psi,
+        SELECT COALESCE(FLOOR(CAST(SUM(term_u) AS DOUBLE) / 100 + 0.5) / 1e4, 0.0)
+                   AS psi,
                COUNT(*) AS n_categories,
                COALESCE(SUM(ref_cnt), 0) AS matched_ref,
                COALESCE(SUM(cur_cnt), 0) AS matched_cur
