@@ -1,0 +1,216 @@
+"""Data-selection operators for training-corpus curation.
+
+Extension tier (the reference — a pandas retail ETL,
+/root/reference/scripts/transformation.py — has no text surface): the two
+standard count-based selection methods large-scale LM data pipelines run
+before training, re-expressed as Spark aggregates:
+
+- :func:`bigram_lm_perplexity` — CCNet-style perplexity filtering (Wenzek
+  et al. 2020) with a countable twin: an add-one-smoothed bigram LM
+  trained on the corpus itself; a document's mean negative log-likelihood
+  under that model flags statistically-unusual documents (the CCNet
+  "tail" bucket). KenLM's 5-gram probabilities are float-opaque; the
+  bigram form keeps every model parameter an exact integer count so the
+  whole filter is engine-portable and oracle-checkable.
+- :func:`dsir_importance` — Data Selection via Importance Resampling
+  (Xie et al. 2023): hashed unigram bag features; a document's importance
+  log-weight is the sum over its token occurrences of
+  ln(p_target(bucket) / p_raw(bucket)) with add-one smoothing; selection
+  keeps the top of the corpus by weight (percentile cut, boundary ties
+  kept — top-k with equal weights is arbitrary, >= is the deterministic
+  resolution).
+
+Scale shape (both): ONE corpus tokenize/shingle pass feeds a hash
+aggregate whose result IS the model — O(vocab) rows for the bigram LM,
+O(hash buckets) rows for DSIR — orders of magnitude smaller than the
+corpus. Documents join to the model by token equi-join (the DSIR bucket
+table is broadcast; the bigram table is a shuffle equi-join on the word
+pair) and reduce per document. No cross joins, no driver collects, no
+per-row Python.
+
+Float choreography: each ln() term is computed from ONE division of
+exact-int64 products (both engines see the identical double), floored to
+1e-6 micro-units, and cast to int64 — the per-document sum is then an
+exact integer sum (order-free across partitions), and a single final
+division rounds the score (the drift.py pattern). The int64 products
+bound corpus size at ~3e9 tokens per (count+smoothing) factor before
+overflow; beyond that, cast the factors to double first (exact below
+2^53) — noted here because 100 TB corpora exceed it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import doc_shingles
+from .sketches import cm_bucket
+from .text import doc_terms
+
+
+def _round4_of_micro_sum(sum_u: Column, denom: Column) -> Column:
+    """floor(sum_u/denom / 100 + .5) / 1e4 — one double division of exact
+    int64s, one rounding: identical across engines."""
+    return F.floor(sum_u.cast("double") / denom / 100 + F.lit(0.5)) / 1e4
+
+
+def bigram_lm_perplexity(
+    df: DataFrame, text_col: str = "text", tail_quantile: float = 0.9
+) -> DataFrame:
+    """Per-document mean NLL under an add-one-smoothed bigram LM trained
+    on the corpus itself; ``flagged`` marks the high-perplexity TAIL —
+    documents whose score strictly exceeds the corpus's
+    ``tail_quantile`` disc-percentile (CCNet buckets by perplexity
+    percentile, not an absolute cut: absolute NLL shifts with corpus
+    size and vocabulary, a percentile doesn't).
+
+    Model: p(w2|w1) = (n(w1 w2) + 1) / (n(w1 ·) + V), V = corpus bigram
+    second-word vocabulary. Every parameter is an integer count from one
+    shingling pass; the per-occurrence NLL term ln((n1+V)/(n12+1)) is
+    summed per document in exact 1e-6 micro-units, and the cut point is
+    percentile_disc over the rounded per-doc scores — an actual data
+    value, so the strict > comparison is engine-exact. Documents with
+    fewer than 2 tokens have no bigrams: they surface with n_bigrams=0,
+    nll=0.0, flagged=false (a length gate is a different filter's job).
+    """
+    bi_occ = (
+        doc_shingles(df, n=2, distinct=False, text_col=text_col)
+        .select(
+            "doc_id",
+            F.split(F.col("shingle"), " ", 2).alias("parts"),
+        )
+        .select(
+            "doc_id",
+            F.col("parts")[0].alias("w1"),
+            F.col("parts")[1].alias("w2"),
+        )
+    )
+    # the LM: O(distinct bigrams) rows — this frame is the model, reused
+    # by the marginal, the vocab scalar, and the scoring join
+    big = bi_occ.groupBy("w1", "w2").agg(F.count("*").alias("n12")).persist()
+    uni = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    vocab = big.agg(F.count_distinct("w2").alias("v"))
+
+    scored = (
+        bi_occ.join(big, ["w1", "w2"])  # self-trained ⇒ every bigram hits
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    # one exact-int64 ratio, one ln, micro-unit floor (module docstring)
+    nll = F.log((F.col("n1") + F.col("v")).cast("double") / (F.col("n12") + 1))
+    term_u = F.floor(nll * 1e6 + F.lit(0.5)).cast("long")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum(term_u).alias("sum_u")
+    )
+    base = df.select("doc_id")
+    nll4 = F.coalesce(
+        _round4_of_micro_sum(F.col("sum_u"), F.col("n_bigrams")), F.lit(0.0)
+    )
+    # small O(docs) frame feeds BOTH the percentile cut and the output —
+    # persist so the model join doesn't replay (NOTES.md scan-replay audit)
+    out = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        nll4.alias("nll"),
+    ).persist()
+    cut = out.agg(
+        F.expr(
+            f"percentile_disc({tail_quantile}) WITHIN GROUP (ORDER BY nll)"
+        ).alias("cut")
+    )
+    return out.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "n_bigrams",
+        "nll",
+        (F.col("nll") > F.col("cut")).alias("flagged"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    buckets: int = 1024,
+    seed: int = 7,
+    keep_quantile: float = 0.75,
+) -> DataFrame:
+    """DSIR importance log-weight per document against a target subset of
+    the same corpus (``target_filter`` selects the target rows, e.g. a
+    trusted language or a quality flag); ``keep`` marks documents at or
+    above the corpus's ``keep_quantile`` disc-percentile of log-weight —
+    DSIR selects the top-k by weight; a percentile cut with
+    boundary-ties-kept is the deterministic, engine-exact form of that
+    top-k (absolute weights carry a smoothing-induced offset that shifts
+    with corpus size, so a fixed 0.0 cut is meaningless).
+
+    Features are hashed unigrams: md5(token) mod ``buckets`` — the
+    engine-portable hash used by dataset_split/count-min. Bucket weights
+    w_b = ln((n_target_b + 1)·(n_raw + B) / ((n_raw_b + 1)·(n_target + B)))
+    form a ``buckets``-row table (broadcast to the scoring join); a
+    document's log-weight is Σ_occurrences w_bucket(token) in exact
+    micro-units. Weights for buckets unseen in the target exist too
+    (add-one), so every token occurrence scores.
+    """
+    toks = doc_terms(df, text_col).withColumn(
+        "bucket", cm_bucket(F.col("term"), seed, buckets)
+    )
+    toks = toks.persist()  # feeds raw counts, target counts, and scoring
+    raw = toks.groupBy("bucket").agg(F.count("*").alias("n_raw_b"))
+    target_ids = df.filter(target_filter).select("doc_id")
+    tgt = (
+        toks.join(F.broadcast(target_ids), "doc_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_tgt_b"))
+    )
+    # bucket table: B rows; totals ride along as window-free aggregates
+    table = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            "n_raw_b",
+            F.coalesce(F.col("n_tgt_b"), F.lit(0)).alias("n_tgt_b"),
+        )
+        .crossJoin(
+            F.broadcast(
+                toks.join(F.broadcast(target_ids), "doc_id")
+                .agg(F.count("*").alias("n_tgt"))
+                .crossJoin(toks.agg(F.count("*").alias("n_raw")))
+            )
+        )
+    )
+    b = F.lit(buckets)
+    ratio = ((F.col("n_tgt_b") + 1) * (F.col("n_raw") + b)).cast("double") / (
+        (F.col("n_raw_b") + 1) * (F.col("n_tgt") + b)
+    )
+    w_u = F.floor(F.log(ratio) * 1e6 + F.lit(0.5)).cast("long")
+    weights = table.select("bucket", w_u.alias("w_u"))
+
+    per_doc = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w_u").alias("sum_u"))
+    )
+    logw = F.coalesce(
+        F.floor(F.col("sum_u").cast("double") / 100 + F.lit(0.5)) / 1e4, F.lit(0.0)
+    )
+    base = df.select("doc_id")
+    out = (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            logw.alias("log_weight"),
+        )
+        .persist()  # feeds both the percentile cut and the output
+    )
+    cut = out.agg(
+        F.expr(
+            f"percentile_disc({keep_quantile}) WITHIN GROUP (ORDER BY log_weight)"
+        ).alias("cut")
+    )
+    return out.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+        (F.col("log_weight") >= F.col("cut")).alias("keep"),
+    )

@@ -8020,3 +8020,114 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__top_c")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data selection: LM-perplexity filtering + DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+from .operators import selection as SEL  # noqa: E402
+from .operators.sketches import cm_bucket_sql  # noqa: E402
+
+_DSIR_BUCKET = cm_bucket_sql("term", seed=7, width=1024)
+
+
+@query(
+    "lm_perplexity_filter",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(len(toks) - 1), i -> toks[i + 1])) AS w1,
+               UNNEST(list_transform(range(len(toks) - 1), i -> toks[i + 2])) AS w2
+        FROM toks WHERE len(toks) >= 2
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS n12 FROM bi GROUP BY w1, w2),
+    uni AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM big),
+    terms AS (
+        SELECT b.doc_id,
+               CAST(FLOOR(ln(CAST(u.n1 + v.v AS DOUBLE) / (g.n12 + 1))
+                          * 1e6 + 0.5) AS BIGINT) AS term_u
+        FROM bi b JOIN big g ON g.w1 = b.w1 AND g.w2 = b.w2
+        JOIN uni u ON u.w1 = b.w1, v
+    ),
+    pd AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(term_u) AS BIGINT) AS sum_u
+        FROM terms GROUP BY doc_id
+    ),
+    scoredocs AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               COALESCE(FLOOR(CAST(sum_u AS DOUBLE) / n_bigrams / 100 + 0.5) / 1e4,
+                        0.0) AS nll
+        FROM documents d LEFT JOIN pd USING (doc_id)
+    ),
+    cut AS (SELECT quantile_disc(nll, 0.9) AS cut FROM scoredocs)
+    SELECT doc_id, n_bigrams, nll, nll > cut AS flagged
+    FROM scoredocs, cut
+    """,
+)
+def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity gate with a countable model: per-doc mean
+    NLL under the corpus's own add-one bigram LM; the tail (score above
+    threshold) is flagged for drop/bucketing. One shingle pass trains the
+    model (O(distinct bigrams) rows, persisted); scoring is an equi-join
+    back onto the same pass — see operators/selection.py."""
+    return SEL.bigram_lm_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dsir_selection",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(regexp_extract_all(lower(text), '\S+')) AS term
+        FROM documents
+    ),
+    bt AS (SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM tok),
+    raw AS (SELECT bucket, COUNT(*) AS n_raw_b FROM bt GROUP BY bucket),
+    tgtids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    tgt AS (
+        SELECT bucket, COUNT(*) AS n_tgt_b
+        FROM bt JOIN tgtids USING (doc_id) GROUP BY bucket
+    ),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM bt JOIN tgtids USING (doc_id)) AS n_tgt,
+               (SELECT COUNT(*) FROM bt) AS n_raw
+    ),
+    w AS (
+        SELECT r.bucket,
+               CAST(FLOOR(ln(CAST((COALESCE(t.n_tgt_b, 0) + 1)
+                                  * (tot.n_raw + 1024) AS DOUBLE)
+                             / ((r.n_raw_b + 1) * (tot.n_tgt + 1024)))
+                          * 1e6 + 0.5) AS BIGINT) AS w_u
+        FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket, tot
+    ),
+    pd AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w_u) AS BIGINT) AS sum_u
+        FROM bt JOIN w USING (bucket) GROUP BY doc_id
+    ),
+    scoredocs AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+               COALESCE(FLOOR(CAST(sum_u AS DOUBLE) / 100 + 0.5) / 1e4, 0.0)
+                   AS log_weight
+        FROM documents d LEFT JOIN pd USING (doc_id)
+    ),
+    cut AS (SELECT quantile_disc(log_weight, 0.75) AS cut FROM scoredocs)
+    SELECT doc_id, n_tokens, log_weight, log_weight >= cut AS keep
+    FROM scoredocs, cut
+    """,
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    importance log-weight of every doc against the English subset as the
+    target distribution; keep = more target-like than the raw pool. The
+    1024-bucket weight table is the whole model (broadcast) — see
+    operators/selection.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SEL.dsir_importance(docs, F.col("lang") == "en")

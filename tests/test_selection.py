@@ -1,0 +1,85 @@
+"""Semantic tests for operators/selection.py (LM-perplexity gate + DSIR).
+
+The registry oracles prove cross-engine agreement; these pin the
+SEMANTICS on hand-built corpora where the right answer is known
+(NOTES.md: an oracle match can't catch a formula that's wrong the same
+way on both engines).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_retail_sales_data_spark.operators.selection import (
+    bigram_lm_perplexity,
+    dsir_importance,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 8 docs of a repetitive "common" phrase, one doc of unique gibberish
+    rows = [(i, "the cat sat on the mat " * 4, "en") for i in range(8)]
+    rows.append((8, "zq xv qj vz jx qx zj vq xq jv", "xx"))
+    rows.append((9, "a", "en"))  # single token: no bigrams
+    return _docs(spark, rows)
+
+
+def test_perplexity_tail_is_the_unusual_doc(corpus):
+    out = bigram_lm_perplexity(corpus, tail_quantile=0.8).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # gibberish doc has strictly the highest NLL and is flagged
+    assert by_id[8]["nll"] == max(r["nll"] for r in out if r["n_bigrams"] > 0)
+    assert by_id[8]["flagged"]
+    # the repeated-phrase docs are the low-perplexity head
+    assert not any(by_id[i]["flagged"] for i in range(8))
+    # no-bigram doc degrades to zeros, unflagged
+    assert by_id[9]["n_bigrams"] == 0 and by_id[9]["nll"] == 0.0
+    assert not by_id[9]["flagged"]
+
+
+def test_perplexity_common_phrase_scores_below_rare(spark):
+    # doc 0..3 share a phrase; doc 4 shares no bigram with anyone else,
+    # so every one of its bigrams has count 1 -> max smoothing penalty
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(4)]
+    rows.append((4, "omega psi chi phi", "en"))
+    out = {r["doc_id"]: r["nll"] for r in bigram_lm_perplexity(_docs(spark, rows)).collect()}
+    assert out[4] > out[0]
+    assert len({out[i] for i in range(4)}) == 1  # identical docs, identical score
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # target = lang 'tg'; its vocabulary is disjoint from the rest
+    rows = [(i, "tea leaf brew steep pot", "tg") for i in range(5)]
+    rows += [(10 + i, "iron coal forge anvil smelt", "xx") for i in range(5)]
+    # a raw-pool doc written in target vocabulary must outrank raw-vocab docs
+    rows.append((99, "tea leaf brew steep pot", "xx"))
+    out = dsir_importance(
+        _docs(spark, rows), F.col("lang") == "tg", keep_quantile=0.5
+    ).collect()
+    w = {r["doc_id"]: r["log_weight"] for r in out}
+    keep = {r["doc_id"]: r["keep"] for r in out}
+    assert w[99] > w[10]
+    assert w[99] == w[0]  # same text => same weight regardless of label
+    assert keep[99] and not keep[10]
+
+
+def test_dsir_empty_target_degrades(spark):
+    rows = [(i, "one two three", "en") for i in range(3)]
+    out = dsir_importance(_docs(spark, rows), F.col("lang") == "zz").collect()
+    # no target docs: weights all equal (pure smoothing) => every doc
+    # ties at the cut and boundary-inclusive keep retains all; no crash
+    assert len(out) == 3
+    assert len({r["log_weight"] for r in out}) == 1
+    assert all(r["keep"] for r in out)
+
+
+def test_selection_handles_null_text(spark):
+    rows = [(0, "solid text here", "en"), (1, None, "en")]
+    ppl = {r["doc_id"]: r for r in bigram_lm_perplexity(_docs(spark, rows)).collect()}
+    dsr = {r["doc_id"]: r for r in dsir_importance(_docs(spark, rows), F.lit(True)).collect()}
+    assert ppl[1]["n_bigrams"] == 0 and not ppl[1]["flagged"]
+    assert dsr[1]["n_tokens"] == 0
