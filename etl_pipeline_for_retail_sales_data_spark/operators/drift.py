@@ -391,3 +391,83 @@ def psi_two_sample(ref: DataFrame, cur: DataFrame, category: Column) -> DataFram
         .agg(F.count("*").alias("cur_cnt"))
     )
     return psi_from_counts(a, b)
+
+
+def cusum_changepoint(
+    df: DataFrame, time: Column, value_cents: Column
+) -> DataFrame:
+    """CUSUM changepoint detection over a keyed time series — the fifth
+    member of the drift family (chisq/PSI = category mix, KS = numeric
+    distribution, MMD = embeddings; CUSUM localizes WHEN a level shift
+    happened): the changepoint estimate is argmax_t |Σ_{i<=t}(x_i − x̄)|,
+    the classic cumulative-sum statistic.
+
+    Exact-integer form: with per-period cents totals x_i, n periods and
+    grand total S, CUSUM_t·n = n·(prefix_t) − t·S — every term int64, so
+    the argmax and the tie-breaks are exact; the reported statistic
+    divides once at the end (the drift.py choreography). Scale shape:
+    one aggregation to O(periods) rows, one window cumsum ordered by
+    period, one broadcast of the (n, S) scalar pair — the window runs on
+    the aggregated frame, not the fact table, so the single-partition
+    window is bounded by the period count (repartition by a coarser key
+    and merge if periods themselves are huge).
+
+    Output: one row — (changepoint, n_periods, cusum_scaled, direction)
+    where direction is 'up' if the post-changepoint mean exceeds the
+    pre-changepoint mean (sign of the CUSUM extremum: a negative
+    extremum means the prefix ran BELOW the overall mean, i.e. the
+    series stepped up after it).
+    """
+    from pyspark.sql import Window
+
+    per = (
+        df.select(time.alias("t"), value_cents.alias("c"))
+        .groupBy("t")
+        .agg(F.sum("c").alias("x"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per.select(
+        "t",
+        F.sum("x").over(w).alias("prefix"),
+        F.row_number().over(Window.orderBy("t")).alias("i"),
+    )
+    tot = per.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    scored = pre.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n",
+        (F.col("n") * F.col("prefix") - F.col("i") * F.col("s")).alias("cu_n"),
+    )
+    # argmax |cu_n| with deterministic tie-break on earliest period
+    top = scored.select(
+        "n",
+        F.abs(F.col("cu_n")).alias("a"),
+        F.col("cu_n").alias("cu"),
+        "t",
+    )
+    best = top.agg(
+        F.max(
+            F.struct(
+                F.col("a"),
+                (F.lit(-1) * F.unix_date(F.col("t").cast("date"))).alias("nt"),
+                F.col("cu"),
+            )
+        ).alias("b"),
+        F.max("n").alias("n_periods"),
+    )
+    return best.select(
+        F.date_from_unix_date((-F.col("b.nt")).cast("int")).cast("timestamp").alias(
+            "changepoint"
+        ),
+        F.col("n_periods").cast("long").alias("n_periods"),
+        # |CUSUM| in display units rounded to 2dp: a/n is cents, so
+        # floor(a/n + 0.5)/100 is round(cents)/100 in one step
+        (
+            F.floor(F.col("b.a").cast("double") / F.col("n_periods") + F.lit(0.5))
+            / 100
+        ).alias("cusum_scaled"),
+        F.when(F.col("b.cu") < 0, F.lit("up")).otherwise(F.lit("down")).alias(
+            "direction"
+        ),
+    )

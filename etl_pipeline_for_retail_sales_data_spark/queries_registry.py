@@ -8131,3 +8131,114 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/selection.py."""
     docs = load_table(spark, sf_dir, "documents")
     return SEL.dsir_importance(docs, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Record linkage, CUSUM changepoint, target encoding
+# ---------------------------------------------------------------------------
+
+from .operators.drift import cusum_changepoint  # noqa: E402
+from .operators.features import target_encode_loo  # noqa: E402
+from .operators.linkage import blocked_name_pairs  # noqa: E402
+
+
+@query(
+    "record_linkage_parts",
+    oracle="""
+    WITH names AS (
+        SELECT p_name AS name, COUNT(*) AS n,
+               split_part(p_name, ' ', 2) AS blk
+        FROM part GROUP BY p_name
+    )
+    SELECT a.blk,
+           a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+    FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    """,
+)
+def q_record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on part names: block on the head noun (second
+    token), score same-block pairs with levenshtein, keep dist <= 4 —
+    the blocking-equi-join + exact-match two-stage shape
+    (operators/linkage.py). The join runs on the 64-name vocabulary
+    frame, not the 2000-row table."""
+    p = load_table(spark, sf_dir, "part")
+    return blocked_name_pairs(
+        p, "p_name", F.split_part(F.col("name"), F.lit(" "), F.lit(2)), max_dist=4
+    )
+
+
+@query(
+    "cusum_revenue_changepoint",
+    oracle="""
+    WITH per AS (
+        SELECT CAST(o_orderdate AS DATE) AS t,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    pre AS (
+        SELECT t,
+               CAST(SUM(x) OVER (ORDER BY t) AS BIGINT) AS prefix,
+               CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM per
+    ),
+    sc AS (SELECT t, n, n * prefix - i * s AS cu_n FROM pre, tot)
+    SELECT CAST(t AS TIMESTAMP) AS changepoint,
+           n AS n_periods,
+           FLOOR(CAST(abs(cu_n) AS DOUBLE) / n + 0.5) / 100 AS cusum_scaled,
+           CASE WHEN cu_n < 0 THEN 'up' ELSE 'down' END AS direction
+    FROM sc ORDER BY abs(cu_n) DESC, t LIMIT 1
+    """,
+)
+def q_cusum_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over daily revenue: argmax_t |Σ_{i<=t}(x_i − x̄)|
+    in exact int64 (CUSUM_t·n = n·prefix_t − t·S), locating WHEN the
+    revenue level shifted — the drift family's localization member
+    (operators/drift.py:cusum_changepoint)."""
+    o = load_table(spark, sf_dir, "orders")
+    return cusum_changepoint(
+        o,
+        F.col("o_orderdate").cast("date"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+    )
+
+
+@query(
+    "target_encoding_priority",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey, o_orderpriority AS cat,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+        FROM orders
+    ),
+    e AS (
+        SELECT cat, CAST(SUM(x) AS BIGINT) AS sg, COUNT(*) AS ng
+        FROM b GROUP BY cat
+    ),
+    t AS (SELECT CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n FROM b)
+    SELECT o_orderkey, cat AS category,
+           FLOOR((CASE WHEN ng > 1 THEN CAST(sg - x AS DOUBLE) / (ng - 1)
+                       WHEN n > 1 THEN CAST(s - x AS DOUBLE) / (n - 1)
+                  END) / 100 * 1e6 + 0.5) / 1e6 AS encoded,
+           ng > 1 AS from_category
+    FROM b JOIN e USING (cat), t
+    """,
+)
+def q_target_encoding_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority by order value —
+    leakage-safe mean encoding with exact-cents internals and a global
+    fallback for singleton categories (operators/features.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return target_encode_loo(
+        o,
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+        keys=["o_orderkey"],
+    )

@@ -1,0 +1,112 @@
+"""Semantic tests for blocked_name_pairs, cusum_changepoint, and
+target_encode_loo — hand-built inputs where the right answer is known
+(oracle matches prove cross-engine agreement only)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_retail_sales_data_spark.operators.drift import cusum_changepoint
+from etl_pipeline_for_retail_sales_data_spark.operators.features import target_encode_loo
+from etl_pipeline_for_retail_sales_data_spark.operators.linkage import blocked_name_pairs
+
+
+def test_linkage_finds_near_names_within_block(spark):
+    rows = [
+        (1, "acme corp"), (2, "acme corp"), (3, "acmee corp"),  # dist 1
+        (4, "zenith corp"),                                      # dist 4+ from acme
+        (5, "acme ltd"),                                         # other block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    blk = F.split_part(F.col("name"), F.lit(" "), F.lit(2))
+    out = blocked_name_pairs(df, "name", blk, max_dist=2).collect()
+    pairs = {(r["name_a"], r["name_b"]): r for r in out}
+    assert ("acme corp", "acmee corp") in pairs
+    r = pairs[("acme corp", "acmee corp")]
+    assert r["dist"] == 1 and r["n_a"] == 2 and r["n_b"] == 1
+    # zenith is in the corp block but beyond max_dist; ltd-block has one name
+    assert len(pairs) == 1
+
+
+def test_linkage_max_block_drops_hot_blocks(spark):
+    rows = [(i, f"name{i} hub") for i in range(10)] + [(100, "a x"), (101, "b x")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    blk = F.split_part(F.col("name"), F.lit(" "), F.lit(2))
+    capped = blocked_name_pairs(df, "name", blk, max_dist=9, max_block=5).collect()
+    # the 10-name "hub" block is dropped; the 2-name "x" block survives
+    assert {r["blk"] for r in capped} == {"x"}
+
+
+def test_cusum_locates_planted_level_shift(spark):
+    # 20 days at 100.00, then 20 days at 500.00: CUSUM extremum at the
+    # last low day, and the series steps UP after it
+    rows = []
+    d0 = datetime.date(2024, 1, 1)
+    for i in range(40):
+        v = 100.0 if i < 20 else 500.0
+        rows.append((d0 + datetime.timedelta(days=i), v))
+    df = spark.createDataFrame(rows, "d date, v double")
+    out = cusum_changepoint(
+        df, F.col("d"), F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    ).collect()[0]
+    assert out["changepoint"] == datetime.datetime(2024, 1, 20)
+    assert out["direction"] == "up"
+    assert out["n_periods"] == 40
+    # |CUSUM| at the extremum: 20 days * |100 - 300| = 4000.00
+    assert out["cusum_scaled"] == pytest.approx(4000.0)
+
+
+def test_cusum_downward_shift(spark):
+    rows = []
+    d0 = datetime.date(2024, 1, 1)
+    for i in range(10):
+        v = 900.0 if i < 5 else 100.0
+        rows.append((d0 + datetime.timedelta(days=i), v))
+    df = spark.createDataFrame(rows, "d date, v double")
+    out = cusum_changepoint(
+        df, F.col("d"), F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    ).collect()[0]
+    assert out["direction"] == "down"
+    assert out["changepoint"] == datetime.datetime(2024, 1, 5)
+
+
+def test_target_encode_loo_hand_values(spark):
+    # category A: targets 1.00, 2.00, 3.00 -> LOO for the 1.00 row = 2.50
+    # category B singleton: falls back to global LOO = (1+2+3)/4... minus own
+    rows = [(1, "A", 1.0), (2, "A", 2.0), (3, "A", 3.0), (4, "B", 9.0)]
+    df = spark.createDataFrame(rows, "k long, cat string, v double")
+    out = {
+        r["k"]: r
+        for r in target_encode_loo(
+            df,
+            F.col("cat"),
+            F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long"),
+            keys=["k"],
+        ).collect()
+    }
+    assert out[1]["encoded"] == pytest.approx(2.5)
+    assert out[2]["encoded"] == pytest.approx(2.0)
+    assert out[3]["encoded"] == pytest.approx(1.5)
+    assert out[1]["from_category"]
+    # singleton B: global LOO = (100+200+300+900-900)/(4-1) cents = 2.0
+    assert not out[4]["from_category"]
+    assert out[4]["encoded"] == pytest.approx(2.0)
+
+
+def test_target_encode_no_self_leakage(spark):
+    # two rows per category with different targets: each row's encoding
+    # equals the OTHER row's value exactly
+    rows = [(1, "A", 10.0), (2, "A", 30.0)]
+    df = spark.createDataFrame(rows, "k long, cat string, v double")
+    out = {
+        r["k"]: r["encoded"]
+        for r in target_encode_loo(
+            df,
+            F.col("cat"),
+            F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long"),
+            keys=["k"],
+        ).collect()
+    }
+    assert out[1] == pytest.approx(30.0)
+    assert out[2] == pytest.approx(10.0)
