@@ -214,3 +214,56 @@ def dsir_importance(
         "log_weight",
         (F.col("log_weight") >= F.col("cut")).alias("keep"),
     )
+
+
+def domain_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture up/down-sampling with FRACTIONAL weights
+    (the DoReMi-style mixture knob ``domain_mixture_sample`` can't turn:
+    that one only caps domains DOWN; training mixes routinely need
+    weight 2.5 — every doc appears twice, half appear a third time).
+
+    Each row of domain d is replicated floor(w_d) times, plus one extra
+    copy iff md5('up:' || id) mod 1e6 < frac(w_d)·1e6 — the same pure-
+    function-of-the-row hash-Bernoulli gate as stratified_sample, so the
+    realized mix is reproducible across engines, partitionings, and
+    reruns, and weights < 1 degrade to plain deterministic downsampling.
+    Domains missing from ``weights`` default to 1.0 (pass-through).
+
+    Shape: one projection + one explode of sequence(1, n_copies) — no
+    shuffle, no RNG state; output carries ``copy`` (1-based replica
+    index) so downstream shuffling/sharding can spread replicas.
+    """
+    base_w = F.lit(1)
+    frac_w = F.lit(0)
+    for dom, w in weights.items():
+        base_w = F.when(F.col(domain_col) == dom, int(w)).otherwise(base_w)
+        frac_w = F.when(
+            F.col(domain_col) == dom, int(round((w - int(w)) * 1_000_000))
+        ).otherwise(frac_w)
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("up:"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    n_copies = (base_w + F.when(gate < frac_w, 1).otherwise(0)).cast("long")
+    return (
+        df.select(id_col, domain_col, n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            domain_col,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("copy"),
+        )
+    )

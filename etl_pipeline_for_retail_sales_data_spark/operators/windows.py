@@ -209,3 +209,51 @@ def bucketed_prefix_sum(
         .withColumn(out_col, (F.col("__off") + F.col("__local")).cast("long"))
         .drop("__b", "__local", "__off")
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user: str,
+    order_cols: list[str],
+    is_conversion: Column,
+    is_touch: Column,
+    channel: Column,
+    value_cents: Column,
+) -> DataFrame:
+    """First-/last-touch marketing attribution: every conversion event is
+    credited to the FIRST and the most recent (LAST) preceding touch
+    event of the same user; conversions with no preceding touch land in
+    the 'none' channel. Output is the (first_touch, last_touch) credit
+    matrix: n_conversions + attributed revenue (exact cents → units).
+
+    Shape: ONE window pass per user ordered by ``order_cols`` (pass a
+    unique tiebreak, e.g. [ts, event_id]) — the preceding-touch lookups
+    are first/last IGNORE NULLS over ROWS UNBOUNDED PRECEDING..1
+    PRECEDING, so there is no self-join of events to events (the naive
+    formulation) and the shuffle is the one partitioning by user. The
+    credit matrix is O(channels²) rows.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ch = F.when(is_touch, channel)
+    tagged = df.select(
+        F.col(user).alias("u"),
+        is_conversion.alias("conv"),
+        value_cents.alias("cents"),
+        F.first(touch_ch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch_ch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    conv = tagged.filter(F.col("conv")).select(
+        F.coalesce(F.col("first_touch"), F.lit("none")).alias("first_touch"),
+        F.coalesce(F.col("last_touch"), F.lit("none")).alias("last_touch"),
+        "cents",
+    )
+    return conv.groupBy("first_touch", "last_touch").agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        (F.sum("cents").cast("double") / 100).alias("attributed_revenue"),
+    )

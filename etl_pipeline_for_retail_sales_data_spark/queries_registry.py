@@ -8242,3 +8242,86 @@ def q_target_encoding_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
         keys=["o_orderkey"],
     )
+
+
+from .operators.windows import touch_attribution  # noqa: E402
+
+_UPSAMPLE_WEIGHTS = {"en": 2.5, "de": 0.5, "fr": 1.0, "es": 3.0, "zh": 2.0}
+
+
+def _upsample_oracle() -> str:
+    base = " ".join(
+        f"WHEN '{d}' THEN {int(w)}" for d, w in _UPSAMPLE_WEIGHTS.items()
+    )
+    frac = " ".join(
+        f"WHEN '{d}' THEN {int(round((w - int(w)) * 1_000_000))}"
+        for d, w in _UPSAMPLE_WEIGHTS.items()
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CASE lang {base} ELSE 1 END
+               + CASE WHEN CAST(('0x' || substring(
+                            md5('up:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 1000000
+                          < CASE lang {frac} ELSE 0 END
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           UNNEST(generate_series(1, CAST(n_copies AS BIGINT))) AS copy
+    FROM d WHERE n_copies > 0
+    """
+
+
+@query("domain_upsample", oracle=_upsample_oracle())
+def q_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional mixture upsampling (weight 2.5 = every
+    doc twice, hash-chosen half a third time) — the upward mixture knob
+    domain_mixture_sample's caps can't express; hash-Bernoulli extra
+    copy keeps the realized mix reproducible across engines and reruns
+    (operators/selection.py:domain_upsample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SEL.domain_upsample(docs, _UPSAMPLE_WEIGHTS)
+
+
+@query(
+    "touch_attribution_events",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type = 'purchase' AS conv,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               first_value(CASE WHEN event_type IN ('view', 'click')
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS first_touch,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch
+        FROM events
+    )
+    SELECT COALESCE(first_touch, 'none') AS first_touch,
+           COALESCE(last_touch, 'none') AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS attributed_revenue
+    FROM tagged WHERE conv
+    GROUP BY 1, 2
+    """,
+)
+def q_touch_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution of purchase revenue to the user's
+    preceding view/click touches — one window pass per user, no
+    event-to-event self-join (operators/windows.py:touch_attribution)."""
+    ev = load_events(spark, sf_dir)
+    return touch_attribution(
+        ev,
+        user="user_id",
+        order_cols=["ts", "event_id"],
+        is_conversion=F.col("event_type") == "purchase",
+        is_touch=F.col("event_type").isin("view", "click"),
+        channel=F.col("event_type"),
+        value_cents=F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+    )

@@ -538,3 +538,63 @@ def write_audit_publish(
         extra={**(extra or {}), "audit": audit},
         stats_cols=stats_cols,
     )
+
+
+def purge_keys(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    prune_on: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Right-to-be-forgotten purge (GDPR/takedown): remove every row
+    matching ``keys`` from the CURRENT snapshot AND from history — a
+    plain MERGE-delete is not a purge on a versioned table, because time
+    travel would happily resurrect the deleted rows from any older
+    manifest, and the immutable data files still hold the bytes.
+
+    Three steps, each already-atomic:
+    1. MERGE-delete the keys into a new snapshot (file-pruned via
+       ``prune_on`` when the table carries stats — on a 100 TB table
+       only files whose [min,max] envelope overlaps the key range are
+       rewritten).
+    2. ``vacuum(keep_last=1)``: drop every older manifest and every
+       data file only they referenced — the purged rows' physical bytes
+       are deleted, not merely unreferenced.
+    3. VERIFY on the persisted bytes: re-read the surviving snapshot
+       from disk and assert zero matching keys remain (trust the scan,
+       not the plan).
+
+    Returns {"version", "n_purged", "files_deleted", "n_remaining"}.
+    Concurrency: step 1 carries the usual ``CommitConflict`` retry
+    contract; steps 2-3 are idempotent. History loss is the POINT —
+    callers needing an audit trail should record the purge request ids
+    (not the data) in the new manifest via a follow-up commit's
+    ``extra``.
+    """
+    before = read_table(spark, table_dir).count()
+    src = keys.select(*key_cols).dropDuplicates(key_cols)
+    version = merge_into(
+        spark,
+        table_dir,
+        src,
+        key_cols,
+        when_matched="delete",
+        prune_on=prune_on,
+        stats_cols=stats_cols,
+    )
+    files_deleted = vacuum(table_dir, keep_last=1)
+    remaining = read_table(spark, table_dir)
+    leak = remaining.join(src, key_cols, "inner").limit(1).count()
+    if leak:
+        raise RuntimeError(
+            f"purge verification failed: matching keys remain in {table_dir!r}"
+        )
+    n_remaining = remaining.count()
+    return {
+        "version": version,
+        "n_purged": before - n_remaining,
+        "files_deleted": files_deleted,
+        "n_remaining": n_remaining,
+    }

@@ -110,3 +110,57 @@ def test_target_encode_no_self_leakage(spark):
     }
     assert out[1] == pytest.approx(30.0)
     assert out[2] == pytest.approx(10.0)
+
+
+def test_touch_attribution_credits_correct_channels(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.windows import (
+        touch_attribution,
+    )
+
+    # u1: view -> click -> purchase(10): first=view last=click
+    # u2: purchase(5) with no preceding touch: none/none
+    # u3: click -> purchase(2) -> view -> purchase(3): click/click then view/view
+    rows = [
+        (1, 1, "view", 0.0), (2, 1, "click", 0.0), (3, 1, "purchase", 10.0),
+        (4, 2, "purchase", 5.0),
+        (5, 3, "click", 0.0), (6, 3, "purchase", 2.0),
+        (7, 3, "view", 0.0), (8, 3, "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, value double")
+    df = df.withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = touch_attribution(
+        df,
+        user="user_id",
+        order_cols=["ts", "event_id"],
+        is_conversion=F.col("event_type") == "purchase",
+        is_touch=F.col("event_type").isin("view", "click"),
+        channel=F.col("event_type"),
+        value_cents=F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+    ).collect()
+    m = {(r["first_touch"], r["last_touch"]): r for r in out}
+    assert m[("view", "click")]["attributed_revenue"] == pytest.approx(10.0)
+    assert m[("none", "none")]["n_conversions"] == 1
+    assert m[("click", "click")]["attributed_revenue"] == pytest.approx(2.0)
+    # u3's second purchase: first touch is still the click, last is the view
+    assert m[("click", "view")]["attributed_revenue"] == pytest.approx(3.0)
+    assert len(m) == 4
+
+
+def test_domain_upsample_copy_counts(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.selection import (
+        domain_upsample,
+    )
+
+    rows = [(i, "x", "hi") for i in range(200)] + [(1000 + i, "y", "lo") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = domain_upsample(df, {"hi": 2.5, "lo": 0.5}, domain_col="text")
+    per = {r["text"]: r["n"] for r in out.groupBy("text").agg(F.count("*").alias("n")).collect()}
+    # hi: 2x base + ~half get a 3rd copy; lo: ~half survive once
+    assert 400 <= per["hi"] <= 600 and abs(per["hi"] - 500) < 60
+    assert abs(per["lo"] - 100) < 40
+    # deterministic: second run identical
+    per2 = {r["text"]: r["n"] for r in domain_upsample(df, {"hi": 2.5, "lo": 0.5}, domain_col="text").groupBy("text").agg(F.count("*").alias("n")).collect()}
+    assert per == per2
+    # copy indices are dense 1..n_copies per doc
+    c = out.filter(F.col("doc_id") == 0).select("copy").collect()
+    assert sorted(r["copy"] for r in c) == list(range(1, len(c) + 1))

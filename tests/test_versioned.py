@@ -309,3 +309,34 @@ def test_wap_append_accumulates_versions(spark, table):
     assert V.current_version(table) == 1
     assert V.read_table(spark, table).count() == 2
     assert V.read_table(spark, table, version=0).count() == 1
+
+
+def test_purge_keys_removes_rows_history_and_bytes(spark, table):
+    V.commit(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+    V.commit(spark, _df(spark, [(3, "c"), (4, "d")]), table, mode="append")
+    keys = spark.createDataFrame([(2,), (3,)], "k long")
+    rep = V.purge_keys(spark, table, keys, ["k"])
+    assert rep["n_purged"] == 2 and rep["n_remaining"] == 2
+    # current snapshot clean
+    left = {r["k"] for r in V.read_table(spark, table).collect()}
+    assert left == {1, 4}
+    # history truncated: time travel to any pre-purge version is gone
+    assert len(V.history(table)) == 1
+    # the PHYSICAL bytes are gone: scan every parquet left on disk
+    raw = spark.read.parquet(os.path.join(table, "data", "*"))
+    assert {r["k"] for r in raw.collect()} == {1, 4}
+
+
+def test_purge_keys_unmatched_keys_are_noop(spark, table):
+    V.commit(spark, _df(spark, [(1, "a")]), table)
+    rep = V.purge_keys(spark, table, spark.createDataFrame([(9,)], "k long"), ["k"])
+    assert rep["n_purged"] == 0 and rep["n_remaining"] == 1
+
+
+def test_purge_keys_pruned_path(spark, table):
+    V.commit(spark, _df(spark, [(i, "x") for i in range(10)]), table,
+             stats_cols=["k"])
+    keys = spark.createDataFrame([(0,), (1,)], "k long")
+    rep = V.purge_keys(spark, table, keys, ["k"], prune_on="k", stats_cols=["k"])
+    assert rep["n_purged"] == 2
+    assert {r["k"] for r in V.read_table(spark, table).collect()} == set(range(2, 10))
