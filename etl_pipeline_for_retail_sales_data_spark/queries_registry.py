@@ -8325,3 +8325,142 @@ def q_touch_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         channel=F.col("event_type"),
         value_cents=F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit + conversion-latency percentiles
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, inlined as repr'd literals so both engines
+# parse the IDENTICAL doubles (the ann_lsh seeded-hyperplane trick)
+_BENFORD_P = [
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514",
+]
+
+
+def _benford_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in zip(range(1, 10), _BENFORD_P)
+    )
+    return f"""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, COUNT(*) AS cnt FROM digits GROUP BY d),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM obs),
+    terms AS (
+        SELECT o.d, o.cnt, t.n,
+               CASE o.d {cases} END AS p,
+               CAST(FLOOR(POWER(o.cnt - t.n * (CASE o.d {cases} END), 2)
+                          / (t.n * (CASE o.d {cases} END)) * 1e6 + 0.5)
+                    AS BIGINT) AS term_u
+        FROM obs o, tot t
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_values,
+           CAST(COUNT(*) AS BIGINT) AS n_digits,
+           FLOOR(CAST(SUM(term_u) AS DOUBLE) / 1e4 + 0.5) / 100 AS chisq,
+           FLOOR(CAST(SUM(term_u) AS DOUBLE) / 1e4 + 0.5) / 100 > 20.09
+               AS deviates
+    FROM terms
+    """
+
+
+@query("benford_price_audit", oracle=_benford_oracle())
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic-accounting data-quality check: chi-square of the observed
+    first-significant-digit mix against log10(1+1/d), flagged at the
+    α=.01 critical value for 8 df (20.09). First digit comes from the
+    exact cents integer (string head — no float log10 on the data
+    path); expected probabilities are repr'd literals both engines
+    parse identically; per-digit terms floor to 1e-6 micro-units so the
+    9-term sum is order-free. One scan, one 9-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("cnt"))
+    tot = obs.agg(F.sum("cnt").alias("n"))
+    p = F.lit(None).cast("double")
+    for d, lit in zip(range(1, 10), _BENFORD_P):
+        p = F.when(F.col("d") == d, float(lit)).otherwise(p)
+    terms = obs.crossJoin(F.broadcast(tot)).select(
+        "cnt",
+        "n",
+        F.floor(
+            F.pow(F.col("cnt") - F.col("n") * p, 2) / (F.col("n") * p) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("term_u"),
+    )
+    chisq = F.floor(F.sum("term_u").cast("double") / 1e4 + F.lit(0.5)) / 100
+    return terms.agg(
+        F.max("n").cast("long").alias("n_values"),
+        F.count("*").cast("long").alias("n_digits"),
+        chisq.alias("chisq"),
+        (chisq > F.lit(20.09)).alias("deviates"),
+    )
+
+
+@query(
+    "conversion_latency",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   AS first_view
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id,
+               MIN(epoch_us(e.ts)) - f.first_view AS latency_us
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase' AND f.first_view IS NOT NULL
+              AND epoch_us(e.ts) > f.first_view
+        GROUP BY e.user_id, f.first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(latency_us, 0.25) AS BIGINT) AS p25_us,
+           CAST(quantile_disc(latency_us, 0.50) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(latency_us, 0.90) AS BIGINT) AS p90_us
+    FROM conv
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, microseconds from first
+    view to first subsequent purchase; disc-percentiles over converted
+    users (actual data values — engine-exact). Two keyed aggregations,
+    one broadcast-size join on user — no window over the event stream,
+    no self-join of events to events."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("pus"))
+        .join(firsts.filter(F.col("first_view").isNotNull()), "user_id")
+        .filter(F.col("pus") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg((F.min("pus") - F.col("first_view")).alias("latency_us"))
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.expr(
+            "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY latency_us) AS BIGINT)"
+        ).alias("p25_us"),
+        F.expr(
+            "CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY latency_us) AS BIGINT)"
+        ).alias("p50_us"),
+        F.expr(
+            "CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY latency_us) AS BIGINT)"
+        ).alias("p90_us"),
+    )

@@ -164,3 +164,56 @@ def test_domain_upsample_copy_counts(spark):
     # copy indices are dense 1..n_copies per doc
     c = out.filter(F.col("doc_id") == 0).select("copy").collect()
     assert sorted(r["copy"] for r in c) == list(range(1, len(c) + 1))
+
+
+def test_benford_conforming_sample_passes(spark):
+    """A geometric (log-uniform) series follows Benford; a constant-digit
+    series does not. Run the registry query's logic via the oracle twin
+    on hand-built frames to pin the statistic's semantics."""
+    import math
+
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    # build a parquet orders table in a temp sf_dir with log-uniform prices
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    n = 9000
+    vals = [(10 ** (3 + (i * 2.0 / n)),) for i in range(n)]  # log-uniform 1e3..1e5
+    spark.createDataFrame(vals, "o_totalprice double").write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    out = QUERIES["benford_price_audit"](spark, d).collect()[0]
+    assert not out["deviates"], f"log-uniform sample flagged: chisq={out['chisq']}"
+
+    d2 = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(5000.0 + i,) for i in range(3000)], "o_totalprice double"
+    ).write.mode("overwrite").parquet(os.path.join(d2, "orders.parquet"))
+    out2 = QUERIES["benford_price_audit"](spark, d2).collect()[0]
+    assert out2["deviates"] and out2["chisq"] > out["chisq"]
+
+
+def test_conversion_latency_hand_values(spark):
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+    import datetime, os, tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # u1: view@0, purchase@10, purchase@5? (before view excluded)
+        (1, s(0), 1, "view", 0.0, "{}"),
+        (2, s(10), 1, "purchase", 1.0, "{}"),
+        (3, s(999), 1, "purchase", 1.0, "{}"),  # later purchase ignored (min)
+        # u2: purchase BEFORE any view: not converted
+        (4, s(5), 2, "purchase", 1.0, "{}"),
+        (5, s(9), 2, "view", 0.0, "{}"),
+        # u3: view only: not converted
+        (6, s(1), 3, "view", 0.0, "{}"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["conversion_latency"](spark, d).collect()[0]
+    assert out["n_converted"] == 1
+    assert out["p50_us"] == 10_000_000
