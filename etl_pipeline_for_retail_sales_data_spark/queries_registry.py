@@ -8438,7 +8438,10 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     view to first subsequent purchase; disc-percentiles over converted
     users (actual data values — engine-exact). Two keyed aggregations,
     one broadcast-size join on user — no window over the event stream,
-    no self-join of events to events."""
+    no self-join of events to events. The final percentile aggregate
+    reduces O(converted users) rows to one partition — at 100 TB swap
+    percentile_disc for approx_percentile (the equidepth_histogram
+    trade, same one-line change)."""
     ev = load_events(spark, sf_dir)
     us = F.unix_micros(F.col("ts"))
     firsts = ev.groupBy("user_id").agg(
