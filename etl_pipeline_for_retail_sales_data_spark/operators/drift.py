@@ -471,3 +471,88 @@ def cusum_changepoint(
             "direction"
         ),
     )
+
+
+def psi_binned(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_cents: Column,
+    n_bins: int = 10,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Numeric PSI over quantile bins — the industry-standard
+    model-monitoring score for a CONTINUOUS feature (the categorical PSI
+    needs categories; KS gives a yes/no test; this gives the
+    thresholdable magnitude): bin edges are the reference sample's
+    deciles (disc-percentiles — actual int64 cents values, engine-exact),
+    both samples are histogrammed against those same edges, and
+    PSI = Σ_bins (p_cur − p_b_ref) · ln(p_cur / p_ref) with add-one
+    count smoothing so empty current bins stay finite (the ε-floor in
+    its countable form).
+
+    Duplicate edges (heavy ties) merge bins naturally — the bin index is
+    Σ_i [x > e_i], so collapsed deciles produce fewer, wider bins on
+    BOTH sides consistently. Float choreography: each probability is one
+    division of exact int64s, the ln argument is one exact-int64-product
+    ratio, terms floor to 1e-6 micro-units (order-free sum; drift.py
+    pattern).
+
+    Scale shape: one percentile aggregate over the reference (swap
+    percentile_disc for approx_percentile at 100 TB — one line), the
+    9-edge row broadcast onto both scans, two O(n_bins) histograms, and
+    arithmetic on ≤ n_bins rows.
+    """
+    r = ref.select(value_cents.alias("c"))
+    c = cur.select(value_cents.alias("c"))
+    edge_cols = [
+        F.expr(
+            f"CAST(percentile_disc({i / n_bins}) WITHIN GROUP (ORDER BY c)"
+            " AS BIGINT)"
+        ).alias(f"e{i}")
+        for i in range(1, n_bins)
+    ]
+    edges = r.agg(*edge_cols)
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        x = df.crossJoin(F.broadcast(edges))
+        b = F.lit(0)
+        for i in range(1, n_bins):
+            b = b + (F.col("c") > F.col(f"e{i}")).cast("int")
+        return x.select(b.cast("long").alias("bin")).groupBy("bin").agg(
+            F.count("*").alias(out)
+        )
+
+    rb = hist(r, "ref_cnt")
+    cb = hist(c, "cur_cnt")
+    j = (
+        rb.join(cb, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("ref_cnt"), F.lit(0)).alias("ref_cnt"),
+            F.coalesce(F.col("cur_cnt"), F.lit(0)).alias("cur_cnt"),
+        )
+        .crossJoin(
+            F.broadcast(
+                r.agg(F.count("*").alias("n_ref")).crossJoin(
+                    c.agg(F.count("*").alias("n_cur"))
+                )
+            )
+        )
+    )
+    b = F.lit(n_bins)
+    p_cur = (F.col("cur_cnt") + 1).cast("double") / (F.col("n_cur") + b)
+    p_ref = (F.col("ref_cnt") + 1).cast("double") / (F.col("n_ref") + b)
+    ratio = ((F.col("cur_cnt") + 1) * (F.col("n_ref") + b)).cast("double") / (
+        (F.col("ref_cnt") + 1) * (F.col("n_cur") + b)
+    )
+    term_u = F.floor((p_cur - p_ref) * F.log(ratio) * 1e6 + F.lit(0.5)).cast("long")
+    psi = F.coalesce(
+        F.floor(F.sum("term_u").cast("double") / 100 + F.lit(0.5)) / 1e4, F.lit(0.0)
+    )
+    return j.select("bin", "n_ref", "n_cur", term_u.alias("term_u")).agg(
+        psi.alias("psi"),
+        F.count("*").cast("long").alias("n_bins_used"),
+        F.coalesce(F.max("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.max("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        (psi > F.lit(threshold)).alias("drift"),
+    )

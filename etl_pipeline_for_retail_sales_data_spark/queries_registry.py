@@ -8467,3 +8467,73 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY latency_us) AS BIGINT)"
         ).alias("p90_us"),
     )
+
+
+from .operators.drift import psi_binned  # noqa: E402
+
+
+def _psi_binned_oracle() -> str:
+    edges = ", ".join(
+        f"CAST(quantile_disc(c, {i / 10}) AS BIGINT) AS e{i}"
+        for i in range(1, 10)
+    )
+    bin_expr = " + ".join(f"CAST(c > e{i} AS INT)" for i in range(1, 10))
+    return f"""
+    WITH r AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    ),
+    cr AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+    ),
+    edges AS (SELECT {edges} FROM r),
+    rb AS (
+        SELECT CAST({bin_expr} AS BIGINT) AS bin, COUNT(*) AS ref_cnt
+        FROM r, edges GROUP BY 1
+    ),
+    cb AS (
+        SELECT CAST({bin_expr} AS BIGINT) AS bin, COUNT(*) AS cur_cnt
+        FROM cr, edges GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM r) AS n_ref,
+               (SELECT COUNT(*) FROM cr) AS n_cur
+    ),
+    j AS (
+        SELECT COALESCE(rb.bin, cb.bin) AS bin,
+               COALESCE(ref_cnt, 0) AS ref_cnt,
+               COALESCE(cur_cnt, 0) AS cur_cnt, n_ref, n_cur
+        FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin, tot
+    ),
+    terms AS (
+        SELECT n_ref, n_cur,
+               CAST(FLOOR((CAST(cur_cnt + 1 AS DOUBLE) / (n_cur + 10)
+                           - CAST(ref_cnt + 1 AS DOUBLE) / (n_ref + 10))
+                          * ln(CAST((cur_cnt + 1) * (n_ref + 10) AS DOUBLE)
+                               / ((ref_cnt + 1) * (n_cur + 10)))
+                          * 1e6 + 0.5) AS BIGINT) AS term_u
+        FROM j
+    )
+    SELECT COALESCE(FLOOR(CAST(SUM(term_u) AS DOUBLE) / 100 + 0.5) / 1e4, 0.0)
+               AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           CAST(COALESCE(MAX(n_ref), 0) AS BIGINT) AS n_ref,
+           CAST(COALESCE(MAX(n_cur), 0) AS BIGINT) AS n_cur,
+           COALESCE(FLOOR(CAST(SUM(term_u) AS DOUBLE) / 100 + 0.5) / 1e4, 0.0)
+               > 0.2 AS drift
+    FROM terms
+    """
+
+
+@query("psi_binned_totalprice", oracle=_psi_binned_oracle())
+def q_psi_binned_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric PSI over reference-decile bins: 1997 order totals as the
+    reference histogram, 1998 as current — the thresholdable magnitude
+    score for continuous-feature drift (KS answers yes/no; this is what
+    dashboards alert on). Edges are exact int64 cents disc-percentiles
+    broadcast onto both scans (operators/drift.py:psi_binned)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    yr = F.year("o_orderdate")
+    return psi_binned(o.filter(yr == 1997), o.filter(yr == 1998), cents)

@@ -144,3 +144,27 @@ def test_ewma_closed_form_equals_naive_recursion(spark, sf_smoke):
     for r in out:
         s = r["revenue"] if s is None else (r["revenue"] + s) / 2
         assert r["ewma"] == pytest.approx(s, abs=0.011)  # both rounded to cents
+
+
+def test_psi_binned_detects_planted_shift(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.drift import psi_binned
+    from pyspark.sql import functions as F
+
+    ref = spark.createDataFrame([(i % 1000,) for i in range(5000)], "c long")
+    same = spark.createDataFrame([((i * 7) % 1000,) for i in range(5000)], "c long")
+    shifted = spark.createDataFrame([(500 + i % 1000,) for i in range(5000)], "c long")
+    ok = psi_binned(ref, same, F.col("c")).collect()[0]
+    bad = psi_binned(ref, shifted, F.col("c")).collect()[0]
+    assert not ok["drift"] and ok["psi"] < 0.05
+    assert bad["drift"] and bad["psi"] > ok["psi"]
+    assert ok["n_bins_used"] == 10 and ok["n_ref"] == 5000
+
+
+def test_psi_binned_empty_current_degrades(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.drift import psi_binned
+    from pyspark.sql import functions as F
+
+    ref = spark.createDataFrame([(i,) for i in range(100)], "c long")
+    cur = ref.filter(F.col("c") < 0)
+    out = psi_binned(ref, cur, F.col("c")).collect()[0]
+    assert out["n_cur"] == 0 and out["psi"] is not None
