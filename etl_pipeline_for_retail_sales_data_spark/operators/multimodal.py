@@ -176,3 +176,97 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return media.mapInPandas(feat_batches, FEATURES_SCHEMA)
+
+
+def perceptual_hash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+    max_band: int | None = None,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate candidates over media payloads —
+    the image-dedup member of the dedup family (LAION-style pipelines
+    pHash every image and drop hamming-close pairs; SimHash does the
+    same for text). The hash is an aHash over the payload's byte
+    histogram: bit_k = [count_k · dim > total_bytes] (bucket above the
+    mean), giving a ``dim``-bit signature; banding splits it into
+    ``bands`` nibble keys and same-band candidates verify with
+    bit_count(xor) <= max_hamming — the SimHash banding shape
+    (operators/dedup.py), integer-exact end to end.
+
+    Payloads here are the UTF-8 bytes of ASCII text (the container has
+    no codecs — multimodal.py module note), so the histogram is computed
+    JVM-side from characters; a real deployment swaps the histogram
+    source for decoded-image features and keeps everything downstream.
+
+    Scale shape: signature is a per-row expression (no shuffle); the
+    only shuffle is the band equi-join on (band, key) over the
+    signatures frame, exactly like simhash_candidates. A mean-threshold
+    aHash has LOW entropy on content-uniform corpora (every byte
+    histogram looks alike), which makes band keys hot and the join
+    quadratic — ``max_band`` drops bands holding more than that many
+    signatures before the join (the max_df/max_block skew lever; on
+    corpora where everything is a near-dup of everything, pairwise
+    listing is the wrong question anyway).
+    """
+    buckets = F.expr(
+        f"transform(sequence(1, length({text_col})),"
+        f" i -> ascii(substr({text_col}, i, 1)) % {dim})"
+    )
+    n = F.length(text_col)
+    sig = F.lit(0).cast("long")
+    for k in range(dim):
+        cnt_k = F.size(F.filter(buckets, lambda b: b == F.lit(k)))
+        sig = sig + F.when(cnt_k * dim > n, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    sigs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select("doc_id", sig.alias("phash"))
+        .persist()  # feeds one exploded side per band; tiny (doc_id, long)
+    )
+    width = dim // bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.key")
+    if max_band is not None:
+        keep = banded.groupBy("band", "key").agg(F.count("*").alias("bn"))
+        banded = banded.join(
+            F.broadcast(keep.filter(F.col("bn") <= max_band).select("band", "key")),
+            ["band", "key"],
+        )
+    a = banded.select(
+        "band", "key", F.col("doc_id").alias("id_a"), F.col("phash").alias("h_a")
+    )
+    b = banded.select(
+        "band", "key", F.col("doc_id").alias("id_b"), F.col("phash").alias("h_b")
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()  # a pair can collide in several bands
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -8537,3 +8537,61 @@ def q_psi_binned_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     yr = F.year("o_orderdate")
     return psi_binned(o.filter(yr == 1997), o.filter(yr == 1998), cents)
+
+
+from .operators.multimodal import perceptual_hash_pairs  # noqa: E402
+
+
+def _phash_oracle(dim: int = 16, bands: int = 4, cap: int = 16) -> str:
+    width = dim // bands
+    mask = (1 << width) - 1
+    bits = " + ".join(
+        f"CASE WHEN cnt{k} * {dim} > n THEN {1 << k} ELSE 0 END"
+        for k in range(dim)
+    )
+    cnts = ", ".join(
+        f"COUNT(*) FILTER (WHERE bucket = {k}) AS cnt{k}" for k in range(dim)
+    )
+    return f"""
+    WITH chars AS (
+        SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) % {dim} AS bucket
+        FROM (SELECT doc_id, text, UNNEST(range(1, length(text) + 1)) AS i
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    hist AS (SELECT doc_id, {cnts} FROM chars GROUP BY doc_id),
+    sigs AS (
+        SELECT h.doc_id, CAST({bits} AS BIGINT) AS phash
+        FROM hist h
+        JOIN (SELECT doc_id, length(text) AS n FROM documents) l USING (doc_id)
+    ),
+    banded AS (
+        SELECT doc_id, phash, b.band,
+               (phash >> (b.band * {width})) & {mask} AS key
+        FROM sigs, (SELECT UNNEST(range(0, {bands})) AS band) b
+    ),
+    keep AS (
+        SELECT band, key FROM banded GROUP BY band, key
+        HAVING COUNT(*) <= {cap}
+    ),
+    kb AS (SELECT banded.* FROM banded JOIN keep USING (band, key)),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.phash AS h_a, b.phash AS h_b
+        FROM kb a JOIN kb b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 2
+    """
+
+
+@query("phash_candidates", oracle=_phash_oracle())
+def q_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup candidates over media payloads (LAION-
+    style image dedup; aHash over the payload byte histogram, SimHash
+    banding + hamming verify). max_band=16 drops degenerate hot bands —
+    on this content-uniform corpus most byte histograms look alike, so
+    the cap is what keeps the candidate join non-quadratic
+    (operators/multimodal.py:perceptual_hash_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return perceptual_hash_pairs(docs, max_band=16)

@@ -217,3 +217,34 @@ def test_conversion_latency_hand_values(spark):
     out = QUERIES["conversion_latency"](spark, d).collect()[0]
     assert out["n_converted"] == 1
     assert out["p50_us"] == 10_000_000
+
+
+def test_phash_identical_payloads_collide_at_zero(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.multimodal import (
+        perceptual_hash_pairs,
+    )
+
+    rows = [
+        (1, "aaaabbbbccccdddd" * 4),
+        (2, "aaaabbbbccccdddd" * 4),   # identical -> hamming 0
+        (3, "zzzzyyyyxxxxwwww" * 4),   # different char mass
+        (4, None),                      # null payload dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perceptual_hash_pairs(df).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs.get((1, 2)) == 0
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_phash_max_band_bounds_fanout(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.multimodal import (
+        perceptual_hash_pairs,
+    )
+
+    # 50 identical docs: uncapped lists all C(50,2) pairs; cap 10 kills
+    # the hot bands entirely
+    rows = [(i, "same payload bytes everywhere") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert perceptual_hash_pairs(df).count() == 50 * 49 // 2
+    assert perceptual_hash_pairs(df, max_band=10).count() == 0
