@@ -248,3 +248,55 @@ def test_phash_max_band_bounds_fanout(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert perceptual_hash_pairs(df).count() == 50 * 49 // 2
     assert perceptual_hash_pairs(df, max_band=10).count() == 0
+
+
+def test_cusum_shift_invariance(spark):
+    """Adding a constant to every period's value leaves deviations from
+    the mean — hence the statistic, location, and direction — unchanged."""
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows = [(d0 + datetime.timedelta(days=i), float(v)) for i, v in enumerate(vals)]
+    rows_shifted = [(d, v + 1000.0) for d, v in rows]
+    mk = lambda r: spark.createDataFrame(r, "d date, v double")  # noqa: E731
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    a = cusum_changepoint(mk(rows), F.col("d"), cents).collect()[0]
+    b = cusum_changepoint(mk(rows_shifted), F.col("d"), cents).collect()[0]
+    assert a["changepoint"] == b["changepoint"]
+    assert a["cusum_scaled"] == b["cusum_scaled"]
+    assert a["direction"] == b["direction"]
+
+
+def test_target_encode_reconstruction(spark):
+    """Every row's encoding equals the independently recomputed
+    (Σ_g − x_i)/(n_g − 1) on randomized data — pins the formula against
+    a plain-Python reference, not just the hand-picked cases."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, f"C{i % 5}", rng.randrange(1, 10_000) / 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, cat string, v double")
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    enc = target_encode_loo(df, F.col("cat"), cents, keys=["k"]).collect()
+    vals = {r[0]: int(round(r[2] * 100)) for r in rows}  # k -> cents
+    by_cat = {}
+    for k, c, _ in rows:
+        by_cat.setdefault(c, []).append(vals[k])
+    for r in enc:
+        c = r["category"]
+        sg, ng = sum(by_cat[c]), len(by_cat[c])
+        expect = round((sg - vals[r["k"]]) / (ng - 1) / 100, 6)
+        assert abs(r["encoded"] - expect) < 1e-6, (r, expect)
+
+
+def test_linkage_symmetric_under_input_order(spark):
+    """Pair list is a pure function of the name SET — row order and
+    duplication of records must not change the pairs, only the counts."""
+    rows = [(i, n) for i, n in enumerate(["ab x", "ac x", "ad x"])]
+    df1 = spark.createDataFrame(rows, "id long, name string")
+    df2 = spark.createDataFrame(rows[::-1] + rows, "id long, name string")
+    blk = F.split_part(F.col("name"), F.lit(" "), F.lit(2))
+    p1 = {(r["name_a"], r["name_b"], r["dist"]) for r in blocked_name_pairs(df1, "name", blk).collect()}
+    p2 = {(r["name_a"], r["name_b"], r["dist"]) for r in blocked_name_pairs(df2, "name", blk).collect()}
+    assert p1 == p2 and len(p1) == 3
