@@ -8595,3 +8595,61 @@ def q_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py:perceptual_hash_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return perceptual_hash_pairs(docs, max_band=16)
+
+
+@query(
+    "sql_scripting_threshold",
+    oracle="""
+    WITH brand_rev AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ),
+    thresholds AS (
+        SELECT UNNEST([100000000000, 10000000000, 1000000000, 100000000,
+                       10000000, 1000000, 100000, 10000, 1000, 100, 10, 1,
+                       0]) AS t
+    ),
+    pick AS (
+        SELECT CAST(MAX(t) AS BIGINT) AS t FROM thresholds
+        WHERE (SELECT COUNT(*) FROM brand_rev WHERE rev_cents > t) >= 5
+    )
+    SELECT brand, rev_cents, pick.t AS threshold_cents
+    FROM brand_rev, pick WHERE rev_cents > pick.t
+    """,
+)
+def q_sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting front door (Spark 4 BEGIN/DECLARE/WHILE): an
+    adaptive-threshold search — start at $1e9 in cents and divide by 10
+    until at least 5 brands clear the bar — expressed as an imperative
+    script the engine executes server-side. The oracle replays the fixed
+    point declaratively (largest power-of-10 threshold with >= 5
+    qualifying brands — equivalent because the count is monotone in the
+    threshold). Exact integer cents throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    view = "brand_rev_scripting"
+    rev.createOrReplaceTempView(view)
+    return spark.sql(f"""
+    BEGIN
+      DECLARE t BIGINT DEFAULT 100000000000;
+      WHILE (SELECT COUNT(*) FROM {view} WHERE rev_cents > t) < 5 AND t > 0 DO
+        SET t = CAST(t / 10 AS BIGINT);
+      END WHILE;
+      SELECT brand, rev_cents, t AS threshold_cents
+      FROM {view} WHERE rev_cents > t;
+    END
+    """)
