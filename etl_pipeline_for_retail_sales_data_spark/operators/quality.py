@@ -245,3 +245,45 @@ def assert_checks(df: DataFrame, checks: list[Check]) -> None:
     if failed:
         detail = "; ".join(f"{r['check']}: {r['n_violations']} violations" for r in failed)
         raise ValueError(f"Data quality checks failed: {detail}")
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity compliance report over quasi-identifier
+    combinations — the privacy-side member of the governance family
+    (the quality suite checks values; this checks RE-IDENTIFIABILITY):
+    a row is k-anonymous iff its quasi-identifier combination is shared
+    by >= k rows, and l-diverse iff that group carries >= l distinct
+    sensitive values (Sweeney 2002; Machanavajjhala 2007). Groups
+    failing either bound are the ones a release must generalize or
+    suppress.
+
+    Output: one row per QI combination — group size, distinct sensitive
+    count, and the two compliance booleans. ONE hash aggregate over the
+    table (count + count_distinct in the same pass); O(QI combinations)
+    output. At 100 TB the QI-combination frame is the thing to bound —
+    high-cardinality quasi-identifiers (e.g. exact timestamps) must be
+    generalized BEFORE this check or every group has size 1 by
+    construction (that result is the finding, not a failure mode).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.count_distinct(F.col(sensitive_col)).cast("long").alias(
+                "n_sensitive_values"
+            ),
+        )
+        .select(
+            *quasi_cols,
+            "group_size",
+            "n_sensitive_values",
+            (F.col("group_size") >= k).alias("k_anonymous"),
+            (F.col("n_sensitive_values") >= l_div).alias("l_diverse"),
+        )
+    )

@@ -8653,3 +8653,27 @@ def q_sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {view} WHERE rev_cents > t;
     END
     """)
+
+
+from .operators.quality import k_anonymity  # noqa: E402
+
+
+@query(
+    "k_anonymity_customers",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive_values,
+           COUNT(*) >= 5 AS k_anonymous,
+           COUNT(DISTINCT c_acctbal) >= 2 AS l_diverse
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity report over (nation, market segment)
+    quasi-identifiers with account balance as the sensitive attribute —
+    one hash aggregate, O(QI combinations) output
+    (operators/quality.py:k_anonymity)."""
+    c = load_table(spark, sf_dir, "customer")
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment"], "c_acctbal")

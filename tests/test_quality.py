@@ -166,3 +166,19 @@ def test_metric_checks_on_empty_table(spark):
     # no rows -> no evidence of a bad mean/completeness: pass
     assert rep["mean_in_range(amount,0.0,1.0)"] == (0, True)
     assert rep["completeness_at_least(amount,0.9)"] == (0, True)
+
+
+def test_k_anonymity_flags_small_and_uniform_groups(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.quality import k_anonymity
+    rows = (
+        [(i, "A", "X", 100.0 + i) for i in range(6)]      # big, diverse
+        + [(10 + i, "B", "X", 50.0) for i in range(5)]    # big, UNIFORM sensitive
+        + [(20, "C", "Y", 70.0), (21, "C", "Y", 71.0)]    # small, diverse
+    )
+    df = spark.createDataFrame(rows, "id long, qi1 string, qi2 string, s double")
+    out = {(r["qi1"], r["qi2"]): r for r in k_anonymity(df, ["qi1", "qi2"], "s").collect()}
+    a, b, c = out[("A", "X")], out[("B", "X")], out[("C", "Y")]
+    assert a["k_anonymous"] and a["l_diverse"]
+    assert b["k_anonymous"] and not b["l_diverse"]   # all share one balance
+    assert not c["k_anonymous"] and c["l_diverse"]   # only 2 rows in group
+    assert a["group_size"] == 6 and a["n_sensitive_values"] == 6
