@@ -436,30 +436,27 @@ def cusum_changepoint(
     )
     scored = pre.crossJoin(F.broadcast(tot)).select(
         "t",
+        "i",
         "n",
         (F.col("n") * F.col("prefix") - F.col("i") * F.col("s")).alias("cu_n"),
     )
-    # argmax |cu_n| with deterministic tie-break on earliest period
+    # argmax |cu_n|, tie-break on EARLIEST period via the (unique) rank i
+    # — works for any orderable period type, no date round-trip; the
+    # trailing t/cu fields just ride along (never reached: (a, -i) is
+    # unique because i is)
     top = scored.select(
         "n",
         F.abs(F.col("cu_n")).alias("a"),
+        (-F.col("i")).alias("ni"),
+        F.col("t"),
         F.col("cu_n").alias("cu"),
-        "t",
     )
     best = top.agg(
-        F.max(
-            F.struct(
-                F.col("a"),
-                (F.lit(-1) * F.unix_date(F.col("t").cast("date"))).alias("nt"),
-                F.col("cu"),
-            )
-        ).alias("b"),
+        F.max(F.struct("a", "ni", "t", "cu")).alias("b"),
         F.max("n").alias("n_periods"),
     )
     return best.select(
-        F.date_from_unix_date((-F.col("b.nt")).cast("int")).cast("timestamp").alias(
-            "changepoint"
-        ),
+        F.col("b.t").alias("changepoint"),
         F.col("n_periods").cast("long").alias("n_periods"),
         # |CUSUM| in display units rounded to 2dp: a/n is cents, so
         # floor(a/n + 0.5)/100 is round(cents)/100 in one step
@@ -491,8 +488,11 @@ def psi_binned(
     its countable form).
 
     Duplicate edges (heavy ties) merge bins naturally — the bin index is
-    Σ_i [x > e_i], so collapsed deciles produce fewer, wider bins on
-    BOTH sides consistently. Float choreography: each probability is one
+    Σ_i [x > e_i], so collapsed deciles leave some indices unreachable;
+    the sum still runs over the FULL fixed ``n_bins`` domain (a bin
+    empty in both samples contributes its smoothing term, which is
+    nonzero whenever the sample sizes differ — dropping it would bias
+    PSI low exactly when edges collapse). Float choreography: each probability is one
     division of exact int64s, the ln argument is one exact-int64-product
     ratio, terms floor to 1e-6 micro-units (order-free sum; drift.py
     pattern).
@@ -524,8 +524,12 @@ def psi_binned(
 
     rb = hist(r, "ref_cnt")
     cb = hist(c, "cur_cnt")
+    domain = edges.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("b")
+    ).select(F.col("b").cast("long").alias("bin"))
     j = (
-        rb.join(cb, "bin", "full_outer")
+        domain.join(rb, "bin", "left")
+        .join(cb, "bin", "left")
         .select(
             "bin",
             F.coalesce(F.col("ref_cnt"), F.lit(0)).alias("ref_cnt"),

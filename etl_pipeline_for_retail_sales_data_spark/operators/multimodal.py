@@ -222,8 +222,12 @@ def perceptual_hash_pairs(
         sig = sig + F.when(cnt_k * dim > n, F.lit(1 << k).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
+    # length > 0: sequence(1, 0) is DESCENDING in Spark ([1, 0]), which
+    # would hand an empty payload two phantom bucket-0 bytes and a
+    # spurious bit 0; the oracle's range(1, length+1) is empty for
+    # length 0, so empty payloads are excluded on both sides
     sigs = (
-        df.filter(F.col(text_col).isNotNull())
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
         .select("doc_id", sig.alias("phash"))
         .persist()  # feeds one exploded side per band; tiny (doc_id, long)
     )

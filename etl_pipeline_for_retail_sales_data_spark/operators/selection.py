@@ -162,7 +162,9 @@ def dsir_importance(
         .groupBy("bucket")
         .agg(F.count("*").alias("n_tgt_b"))
     )
-    # bucket table: B rows; totals ride along as window-free aggregates
+    # bucket table: B rows. Totals are SUMS of the per-bucket counts
+    # already computed above — reducing the B-row frames, not re-scanning
+    # the corpus-sized token frame a third and fourth time
     table = (
         raw.join(tgt, "bucket", "left")
         .select(
@@ -172,9 +174,10 @@ def dsir_importance(
         )
         .crossJoin(
             F.broadcast(
-                toks.join(F.broadcast(target_ids), "doc_id")
-                .agg(F.count("*").alias("n_tgt"))
-                .crossJoin(toks.agg(F.count("*").alias("n_raw")))
+                tgt.agg(F.coalesce(F.sum("n_tgt_b"), F.lit(0)).alias("n_tgt"))
+                .crossJoin(
+                    raw.agg(F.coalesce(F.sum("n_raw_b"), F.lit(0)).alias("n_raw"))
+                )
             )
         )
     )

@@ -8203,11 +8203,13 @@ def q_cusum_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue level shifted — the drift family's localization member
     (operators/drift.py:cusum_changepoint)."""
     o = load_table(spark, sf_dir, "orders")
-    return cusum_changepoint(
+    out = cusum_changepoint(
         o,
         F.col("o_orderdate").cast("date"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
     )
+    # date -> timestamp at the contract edge (driver-hash type parity)
+    return out.withColumn("changepoint", F.col("changepoint").cast("timestamp"))
 
 
 @query(
@@ -8500,11 +8502,14 @@ def _psi_binned_oracle() -> str:
         SELECT (SELECT COUNT(*) FROM r) AS n_ref,
                (SELECT COUNT(*) FROM cr) AS n_cur
     ),
+    domain AS (SELECT UNNEST(range(0, 10)) AS bin),
     j AS (
-        SELECT COALESCE(rb.bin, cb.bin) AS bin,
+        SELECT d.bin,
                COALESCE(ref_cnt, 0) AS ref_cnt,
                COALESCE(cur_cnt, 0) AS cur_cnt, n_ref, n_cur
-        FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin, tot
+        FROM domain d
+        LEFT JOIN rb ON rb.bin = d.bin
+        LEFT JOIN cb ON cb.bin = d.bin, tot
     ),
     terms AS (
         SELECT n_ref, n_cur,
@@ -8613,7 +8618,9 @@ def q_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                        0]) AS t
     ),
     pick AS (
-        SELECT CAST(MAX(t) AS BIGINT) AS t FROM thresholds
+        -- COALESCE 0: when no threshold qualifies the script's loop
+        -- exits at t = 0 and returns every brand with positive revenue
+        SELECT CAST(COALESCE(MAX(t), 0) AS BIGINT) AS t FROM thresholds
         WHERE (SELECT COUNT(*) FROM brand_rev WHERE rev_cents > t) >= 5
     )
     SELECT brand, rev_cents, pick.t AS threshold_cents

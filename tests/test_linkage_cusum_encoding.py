@@ -50,7 +50,7 @@ def test_cusum_locates_planted_level_shift(spark):
     out = cusum_changepoint(
         df, F.col("d"), F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
     ).collect()[0]
-    assert out["changepoint"] == datetime.datetime(2024, 1, 20)
+    assert out["changepoint"] == datetime.date(2024, 1, 20)
     assert out["direction"] == "up"
     assert out["n_periods"] == 40
     # |CUSUM| at the extremum: 20 days * |100 - 300| = 4000.00
@@ -68,7 +68,7 @@ def test_cusum_downward_shift(spark):
         df, F.col("d"), F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
     ).collect()[0]
     assert out["direction"] == "down"
-    assert out["changepoint"] == datetime.datetime(2024, 1, 5)
+    assert out["changepoint"] == datetime.date(2024, 1, 5)
 
 
 def test_target_encode_loo_hand_values(spark):
@@ -300,3 +300,16 @@ def test_linkage_symmetric_under_input_order(spark):
     p1 = {(r["name_a"], r["name_b"], r["dist"]) for r in blocked_name_pairs(df1, "name", blk).collect()}
     p2 = {(r["name_a"], r["name_b"], r["dist"]) for r in blocked_name_pairs(df2, "name", blk).collect()}
     assert p1 == p2 and len(p1) == 3
+
+
+def test_phash_empty_payloads_excluded(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.multimodal import (
+        perceptual_hash_pairs,
+    )
+
+    rows = [(1, ""), (2, ""), (3, "real content here"), (4, "real content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in perceptual_hash_pairs(df).collect()}
+    # empty payloads must not pair with anything (sequence(1,0) is
+    # descending in Spark and would otherwise fabricate a signature)
+    assert pairs == {(3, 4)}
