@@ -8684,3 +8684,110 @@ def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/quality.py:k_anonymity)."""
     c = load_table(spark, sf_dir, "customer")
     return k_anonymity(c, ["c_nationkey", "c_mktsegment"], "c_acctbal")
+
+
+@query(
+    "padding_efficiency",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               LEAST(CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT),
+                     128) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cuts AS (
+        SELECT CAST(quantile_disc(n, 0.25) AS BIGINT) AS c1,
+               CAST(quantile_disc(n, 0.50) AS BIGINT) AS c2,
+               CAST(quantile_disc(n, 0.75) AS BIGINT) AS c3
+        FROM toks
+    ),
+    bucketed AS (
+        SELECT n,
+               CASE WHEN n <= c1 THEN 0 WHEN n <= c2 THEN 1
+                    WHEN n <= c3 THEN 2 ELSE 3 END AS bucket
+        FROM toks, cuts
+    ),
+    bstat AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MAX(n) AS BIGINT) AS bmax, CAST(SUM(n) AS BIGINT) AS bsum
+        FROM bucketed GROUP BY bucket
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(SUM(bsum) AS BIGINT) AS total_tokens,
+           CAST(SUM(cnt) * 128 - SUM(bsum) AS BIGINT) AS waste_naive,
+           CAST(SUM(cnt * bmax) - SUM(bsum) AS BIGINT) AS waste_bucketed,
+           CAST(CAST(SUM(bsum) AS BIGINT) / 128
+                + CASE WHEN CAST(SUM(bsum) AS BIGINT) % 128 > 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_packed_sequences,
+           FLOOR(CAST(SUM(cnt) * 128 - SUM(bsum) AS DOUBLE)
+                 / (SUM(cnt) * 128) * 1e6 + 0.5) / 1e6 AS waste_naive_frac,
+           FLOOR(CAST(SUM(cnt * bmax) - SUM(bsum) AS DOUBLE)
+                 / (SUM(cnt) * 128) * 1e6 + 0.5) / 1e6 AS waste_bucketed_frac
+    FROM bstat
+    """,
+)
+def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch padding economics in one row: with max_seq_len 128,
+    how many pad tokens does naive per-doc padding burn, how much does
+    quartile length-BUCKETING recover (batch to the bucket max — the
+    standard inference/training batching trick), and how many sequences
+    would token-exact PACKING (plans/pretokenize.py) emit instead. All
+    exact integers off ONE token-count scan + disc-percentile cut
+    points; lengths clip at the 128 budget (a longer doc pads nothing —
+    it truncates or chunks, a different operator's job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import TOKEN_RE
+
+    max_len = 128
+    n = F.least(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0))
+        .cast("long"),
+        F.lit(max_len).cast("long"),
+    )
+    toks = docs.filter(F.col("text").isNotNull()).select(n.alias("n"))
+    cuts = toks.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY n) AS BIGINT)"
+            ).alias(c)
+            for q, c in [(0.25, "c1"), (0.5, "c2"), (0.75, "c3")]
+        ]
+    )
+    bucketed = toks.crossJoin(F.broadcast(cuts)).select(
+        "n",
+        F.when(F.col("n") <= F.col("c1"), 0)
+        .when(F.col("n") <= F.col("c2"), 1)
+        .when(F.col("n") <= F.col("c3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+    )
+    bstat = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("cnt"),
+        F.max("n").alias("bmax"),
+        F.sum("n").alias("bsum"),
+    )
+    total = F.sum("bsum").cast("long")
+    n_docs = F.sum("cnt").cast("long")
+    waste_naive = (F.sum("cnt") * max_len - F.sum("bsum")).cast("long")
+    waste_bucketed = (F.sum(F.col("cnt") * F.col("bmax")) - F.sum("bsum")).cast(
+        "long"
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return bstat.agg(
+        n_docs.alias("n_docs"),
+        total.alias("total_tokens"),
+        waste_naive.alias("waste_naive"),
+        waste_bucketed.alias("waste_bucketed"),
+        (
+            total / max_len
+            + F.when((total % max_len) > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_packed_sequences"),
+        r6(waste_naive.cast("double") / (n_docs * max_len)).alias(
+            "waste_naive_frac"
+        ),
+        r6(waste_bucketed.cast("double") / (n_docs * max_len)).alias(
+            "waste_bucketed_frac"
+        ),
+    )

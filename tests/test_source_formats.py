@@ -306,3 +306,21 @@ def test_stream_writer_replayed_batch_is_idempotent(tmp_path):
     meta = json.load(open(os.path.join(out, "_batch-7")))
     assert meta["rows"] == 2
     assert not [n for n in os.listdir(out) if n.startswith("_tmp-")]
+
+
+def test_avro_roundtrip_or_documented_absence(spark, tmp_path):
+    """Avro needs the spark-avro package jar, which this container does
+    not ship (NOTES.md environment limits). If a future environment adds
+    it, this test starts exercising the round trip instead of skipping —
+    the gap stays visible in the suite either way (the JDBC/Derby
+    pattern)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    path = str(tmp_path / "avro_rt")
+    try:
+        df.write.format("avro").save(path)
+    except Exception as e:
+        pytest.skip(f"spark-avro not available in this container: {type(e).__name__}")
+    back = spark.read.format("avro").load(path)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
