@@ -168,3 +168,45 @@ def test_psi_binned_empty_current_degrades(spark):
     cur = ref.filter(F.col("c") < 0)
     out = psi_binned(ref, cur, F.col("c")).collect()[0]
     assert out["n_cur"] == 0 and out["psi"] is not None
+
+
+def test_psi_binned_matches_python_reference(spark):
+    """Pin the binned-PSI formula against an independent plain-Python
+    implementation on randomized integer data (an oracle MATCH only
+    proves both engines run the same formula — NOTES.md lesson)."""
+    import math
+    import random
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.drift import psi_binned
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    ref_vals = [rng.randrange(0, 500) for _ in range(800)]
+    cur_vals = [rng.randrange(100, 900) for _ in range(600)]
+
+    def py_psi(ref, cur, n_bins=10):
+        srt = sorted(ref)
+        # percentile_disc: smallest value with cume_dist >= q
+        edges = [srt[math.ceil(i / n_bins * len(srt)) - 1] for i in range(1, n_bins)]
+        def bin_of(x):
+            return sum(x > e for e in edges)
+        rb = [0] * n_bins
+        cb = [0] * n_bins
+        for x in ref:
+            rb[bin_of(x)] += 1
+        for x in cur:
+            cb[bin_of(x)] += 1
+        nr, nc = len(ref), len(cur)
+        total_u = 0
+        for b in range(n_bins):
+            p_cur = (cb[b] + 1) / (nc + n_bins)
+            p_ref = (rb[b] + 1) / (nr + n_bins)
+            ratio = ((cb[b] + 1) * (nr + n_bins)) / ((rb[b] + 1) * (nc + n_bins))
+            total_u += math.floor((p_cur - p_ref) * math.log(ratio) * 1e6 + 0.5)
+        return math.floor(total_u / 100 + 0.5) / 1e4
+
+    ref_df = spark.createDataFrame([(v,) for v in ref_vals], "c long")
+    cur_df = spark.createDataFrame([(v,) for v in cur_vals], "c long")
+    out = psi_binned(ref_df, cur_df, F.col("c")).collect()[0]
+    assert out["psi"] == pytest.approx(py_psi(ref_vals, cur_vals), abs=1e-9)
+    assert out["n_ref"] == 800 and out["n_cur"] == 600
