@@ -8791,3 +8791,83 @@ def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "waste_bucketed_frac"
         ),
     )
+
+
+@query(
+    "corr_matrix_exact",
+    oracle="""
+    WITH u AS (
+        SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+               CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS d
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
+               CAST(SUM(d) AS DOUBLE) AS sd,
+               CAST(SUM(q * q) AS DOUBLE) AS sqq,
+               CAST(SUM(p * p) AS DOUBLE) AS spp,
+               CAST(SUM(d * d) AS DOUBLE) AS sdd,
+               CAST(SUM(q * p) AS DOUBLE) AS sqp,
+               CAST(SUM(q * d) AS DOUBLE) AS sqd,
+               CAST(SUM(p * d) AS DOUBLE) AS spd
+        FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           FLOOR((n * sqp - sq * sp)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp))
+                 * 1e6 + 0.5) / 1e6 AS corr_qty_price,
+           FLOOR((n * sqd - sq * sd)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd))
+                 * 1e6 + 0.5) / 1e6 AS corr_qty_disc,
+           FLOOR((n * spd - sp * sd)
+                 / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd))
+                 * 1e6 + 0.5) / 1e6 AS corr_price_disc
+    FROM m
+    """,
+)
+def q_corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise correlation matrix from EXACT integer moment sums —
+    the mergeable-partials twin of stats_corr_cov (whose single-pass
+    co-moment recurrence is accumulation-order-sensitive and cannot merge
+    partial states across a 1000-executor tree without ulp drift):
+    quantities/cents/basis-points are exact int64 per row, products sum
+    in 128-bit (Spark decimal(38,0) partials == DuckDB HUGEINT — int64
+    Σx² overflows past ~600k rows of 1e7-cent values), and the Pearson
+    formula runs ONCE on the final scalars (IEEE sqrt is correctly
+    rounded, so both engines see identical doubles). One scan, one
+    aggregate row, partials merge associatively at any tree depth."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    p = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    d = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    dec = "decimal(38,0)"
+    u = li.select(q.alias("q"), p.alias("p"), d.alias("d"))
+    m = u.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("q").cast(dec)).cast("double").alias("sq"),
+        F.sum(F.col("p").cast(dec)).cast("double").alias("sp"),
+        F.sum(F.col("d").cast(dec)).cast("double").alias("sd"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).cast("double").alias("sqq"),
+        F.sum((F.col("p") * F.col("p")).cast(dec)).cast("double").alias("spp"),
+        F.sum((F.col("d") * F.col("d")).cast(dec)).cast("double").alias("sdd"),
+        F.sum((F.col("q") * F.col("p")).cast(dec)).cast("double").alias("sqp"),
+        F.sum((F.col("q") * F.col("d")).cast(dec)).cast("double").alias("sqd"),
+        F.sum((F.col("p") * F.col("d")).cast(dec)).cast("double").alias("spd"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)
+        den = F.sqrt(F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)) * F.sqrt(
+            F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)
+        )
+        return r6(num / den)
+
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )

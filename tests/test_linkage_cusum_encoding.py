@@ -313,3 +313,21 @@ def test_phash_empty_payloads_excluded(spark):
     # empty payloads must not pair with anything (sequence(1,0) is
     # descending in Spark and would otherwise fabricate a signature)
     assert pairs == {(3, 4)}
+
+
+def test_corr_matrix_exact_known_correlations(spark, tmp_path):
+    import os
+
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    # qty i, price = 2*i (corr +1), discount = -3*i (corr -1)
+    rows = [(float(i), i * 2.0 / 100, -3.0 * i / 10000) for i in range(1, 101)]
+    d = str(tmp_path / "sfx")
+    spark.createDataFrame(
+        rows, "l_quantity double, l_extendedprice double, l_discount double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    out = QUERIES["corr_matrix_exact"](spark, d).collect()[0]
+    assert out["corr_qty_price"] == 1.0
+    assert out["corr_qty_disc"] == -1.0
+    assert out["corr_price_disc"] == -1.0
+    assert out["n_rows"] == 100
