@@ -96,3 +96,44 @@ def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFra
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+    **options,
+) -> DataFrame:
+    """PARALLEL JDBC scan — the scale path of reference S1: Spark issues
+    ``num_partitions`` concurrent range queries
+    (``partition_column BETWEEN …``) instead of one serial cursor, so a
+    big source table streams in at N× the single-connection rate and
+    lands already split into N partitions for downstream parallelism.
+
+    The bounds only steer the range split — rows OUTSIDE
+    [lower_bound, upper_bound] are still read (first/last stride is
+    unbounded per the JDBC source contract), so a stale bounds estimate
+    skews partition sizes but never loses rows. At 100 TB: pick an
+    indexed, roughly uniform column (a sequence id or epoch timestamp);
+    num_partitions bounded by what the database can serve concurrently
+    (each partition is one connection)."""
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    if lower_bound >= upper_bound:
+        raise ValueError(
+            f"lower_bound {lower_bound} must be < upper_bound {upper_bound}"
+        )
+    return read_jdbc(
+        spark,
+        url,
+        dbtable,
+        partitionColumn=partition_column,
+        lowerBound=str(lower_bound),
+        upperBound=str(upper_bound),
+        numPartitions=str(num_partitions),
+        **options,
+    )

@@ -64,3 +64,52 @@ def test_jdbc_predicate_pushdown_into_scan(spark, derby_url):
     assert scan.count() == 5
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "product_id" in plan.lower()
+
+
+def test_jdbc_partitioned_parallel_read(spark, derby_url):
+    """The scale path of reference S1: partitionColumn/numPartitions
+    turns the JDBC scan into N concurrent range queries. Assert the scan
+    really plans N partitions, every partition carries rows (the range
+    split is live, not one fat partition plus empties), and the parallel
+    read returns exactly the single-connection read's rows — including
+    ids OUTSIDE [lowerBound, upperBound], which the unbounded first/last
+    strides must still fetch."""
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import (
+        read_jdbc_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 17, float(i) * 1.5) for i in range(1, 401)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    sinks.write_jdbc_replace(df, derby_url, "par_t", driver=DRIVER)
+
+    serial = read_jdbc(spark, derby_url, "par_t", driver=DRIVER)
+    # deliberately stale bounds (50..350 instead of 1..400): rows outside
+    # must still arrive via the unbounded edge strides
+    par = read_jdbc_partitioned(
+        spark, derby_url, "par_t", "product_id", 50, 350, 4, driver=DRIVER
+    )
+    assert par.rdd.getNumPartitions() == 4
+    per_part = par.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert len(per_part) == 4 and all(n > 0 for n in per_part), per_part
+    assert sorted(tuple(r) for r in par.collect()) == sorted(
+        tuple(r) for r in serial.collect()
+    )
+
+    # pushdown composes with partitioning: the filter reaches each range query
+    filtered = par.filter("product_id > 390")
+    assert filtered.count() == 10
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+
+
+def test_jdbc_partitioned_validates_args(spark, derby_url):
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import (
+        read_jdbc_partitioned,
+    )
+
+    with pytest.raises(ValueError, match="num_partitions"):
+        read_jdbc_partitioned(spark, derby_url, "t", "id", 0, 10, 0, driver=DRIVER)
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc_partitioned(spark, derby_url, "t", "id", 10, 10, 2, driver=DRIVER)
