@@ -104,7 +104,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all co-occurring doc pairs via
     inverted-index self-join (no cross join anywhere). The shingle frame
@@ -117,7 +117,10 @@ def ngram_jaccard_pairs(
     dominate the shuffle. Dropping shingles with document frequency >
     max_df bounds the per-shingle fan-out. This UNDERCOUNTS intersections
     (Jaccard becomes a lower bound; sizes stay exact), so it is a
-    documented recall/cost lever, off by default.
+    documented recall/cost lever — ON by default (256) so direct callers
+    are skew-safe; pass ``max_df=None`` for the exact uncapped form, or
+    use ``ngram_jaccard_pairs_salted`` for exact results with bounded
+    per-reduce-key fan-out.
 
     The per-doc set size rides along on every shingle row (computed
     locally in the Arrow pass, 8 extra bytes/row in the join shuffle) so
@@ -149,12 +152,99 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_salted(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    hot_df: int | str = "p99",
+    n_salts: int = 16,
+) -> DataFrame:
+    """EXACT n-gram Jaccard (identical output to
+    ``ngram_jaccard_pairs(max_df=None)``) with the hot-shingle skew
+    defused by salting instead of dropping — the recall-lossless
+    alternative to the ``max_df`` cap.
+
+    Shingles with document frequency <= ``hot_df`` go through the normal
+    inverted-index equi-join. Hot shingles go through a salted skew join:
+    the left side gets ONE salt (hash(doc_id) % n_salts), the right side
+    is replicated to ALL salts, and the join key becomes
+    (shingle, salt) — every co-occurring pair still meets exactly once
+    (at the left doc's salt), but the worst per-reduce-key fan-out drops
+    from d² to d²/n_salts, so one stop-phrase shingle can no longer pin
+    a single reducer. Total work is unchanged (the d² pairs still
+    exist); what salting buys is that the work spreads over n_salts
+    reduce keys, which is exactly what a 1000-executor shuffle needs.
+    Intersections aggregate across both paths in one groupBy, so the
+    Jaccard values are bit-identical to the uncapped exact form
+    (oracle-verified in the registry).
+
+    ``hot_df``: integer threshold, or the default ``"p99"`` — adaptive:
+    hot = shingles above the 99th percentile of document frequency, so
+    roughly the top 1% hottest keys take the salted path at ANY corpus
+    scale (a fixed constant either never fires on a small corpus or
+    drowns a dense one). The threshold choice cannot affect results —
+    both paths are exact — only where the shuffle work lands."""
+    sh = doc_shingles_arrow(df, text_col, n, with_size=True).persist()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df")).persist()
+    if hot_df == "p99":
+        # exact percentile over the (small) per-shingle df frame; one
+        # scalar to the driver. Empty corpus → no shingles → 0 threshold.
+        row = dfreq.agg(F.expr("percentile(__df, 0.99)").alias("p")).collect()[0]
+        hot_df = int(row["p"]) if row["p"] is not None else 0
+    elif not isinstance(hot_df, int):
+        raise ValueError(f"hot_df must be an int or 'p99', got {hot_df!r}")
+    hot = dfreq.filter(F.col("__df") > hot_df).select("shingle")
+    # hot shingles are by definition few (each covers > hot_df docs) →
+    # broadcast both the semi and anti probes
+    sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh_hot = sh.join(F.broadcast(hot), "shingle", "left_semi")
+
+    a_cold = sh_cold.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b_cold = sh_cold.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cold_pairs = a_cold.join(b_cold, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts)).cast("int")
+    a_hot = sh_hot.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n_sh").alias("n_a"),
+        salt.alias("salt"),
+    )
+    b_hot = sh_hot.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("n_sh").alias("n_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
+    )
+    hot_pairs = a_hot.join(b_hot, ["shingle", "salt"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+
+    contrib = cold_pairs.select("doc_a", "doc_b", "n_a", "n_b").unionByName(
+        hot_pairs.select("doc_a", "doc_b", "n_a", "n_b")
+    )
+    inter = contrib.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count("*").alias("n_inter")
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", F.floor(jac * 1e6 + F.lit(0.5)) / 1e6)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.9,
-    max_df: int | None = None,
+    max_df: int | None = 256,
 ) -> DataFrame:
     """Asymmetric shingle-containment near-dup pairs:
     C(A→B) = |S_A ∩ S_B| / |S_A| — the subsumption detector Jaccard

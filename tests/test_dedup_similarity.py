@@ -113,8 +113,11 @@ def test_knn_ivf_recall(spark, sf_smoke):
     the true top-5; every emitted neighbor must carry its exact cosine."""
     from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
 
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
     exact = QUERIES["knn_bruteforce"](spark, sf_smoke).collect()
-    approx = QUERIES["knn_ivf"](spark, sf_smoke).collect()
+    approx = SIM.knn_ivf(emb, F.col("vec_id") < 10, k=5, nprobe=3).collect()
     truth = {(r.q_id, r.neighbor_id) for r in exact}
     found = {(r.q_id, r.neighbor_id) for r in approx}
     recall = len(truth & found) / len(truth)
@@ -175,8 +178,11 @@ def test_freq_items_superset(spark, sf_smoke):
         r.l_partkey
         for r in li.groupBy("l_partkey").count().filter(F.col("count") >= n * support).collect()
     }
-    sketch = set(QUERIES["freq_items_parts"](spark, sf_smoke).collect()[0][0])
+    sketch = set(li.freqItems(["l_partkey"], support=support).collect()[0][0])
     assert truly_frequent <= sketch
+    # and the registry's invariant frame asserts the same guarantee
+    inv = QUERIES["freq_items_parts"](spark, sf_smoke).collect()[0]
+    assert inv.all_true_heavy_found and inv.sketch_items_exist_in_data
 
 
 def test_stratified_sample_fractions(spark, sf_smoke):
@@ -281,7 +287,7 @@ def test_ml_minhash_agrees_with_exact_jaccard(spark, sf_smoke):
     ml = {(r.doc_a, r.doc_b): r.jaccard_dist for r in ml_minhash_pairs(docs, 0.95).collect()}
     exact = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in D.ngram_jaccard_pairs(docs, n=1, threshold=0.0).collect()
+        for r in D.ngram_jaccard_pairs(docs, n=1, threshold=0.0, max_df=None).collect()
     }
     assert ml, "ML LSH found no candidate pairs at all"
     for pair, dist in ml.items():
@@ -372,3 +378,59 @@ def test_knn_query_cap_raises(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     with pytest.raises(ValueError, match="max_queries"):
         SIM.knn_bruteforce(emb, F.lit(True), k=5, max_queries=10)
+
+
+def test_salted_jaccard_equals_uncapped_exact(spark):
+    """The salted skew variant is EXACT: identical pairs and jaccard
+    values to ngram_jaccard_pairs(max_df=None), with hot_df low enough
+    that the salted path actually runs (the shared stop-phrase prefix is
+    hot for every doc)."""
+    stop = "the quick brown fox jumps over the lazy dog again and again "
+    docs = _docs(
+        spark,
+        [(i, stop + f"unique filler {i} content block {i * 7}") for i in range(1, 9)]
+        + [(100, stop + "rare shared tail marker alpha beta"),
+           (101, stop + "rare shared tail marker alpha beta")],
+    )
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0, max_df=None).collect()
+    }
+    salted = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs_salted(
+            docs, threshold=0.0, hot_df=3, n_salts=4
+        ).collect()
+    }
+    assert salted == exact and len(exact) > 0
+
+
+def test_salted_jaccard_bounds_per_key_fanout(spark):
+    """With hot_df=h and n_salts=g, no (shingle, salt) reduce key on the
+    hot path carries more than ceil(d_max/g) left rows — the d² fan-out
+    of a hot shingle spreads over g keys instead of pinning one."""
+    stop = "common shared phrase repeated across every document here "
+    n_docs, g, h = 24, 4, 3
+    docs = _docs(
+        spark, [(i, stop + f"tail {i} word {i * 13}") for i in range(n_docs)]
+    )
+    sh = D.doc_shingles_arrow(docs, "text", 3, with_size=True)
+    hot = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > h)
+    )
+    sh_hot = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_semi")
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(g)).cast("int")
+    per_key = (
+        sh_hot.select("shingle", salt.alias("salt"))
+        .groupBy("shingle", "salt")
+        .agg(F.count("*").alias("n_left"))
+        .agg(F.max("n_left").alias("mx"))
+        .collect()[0]
+    )
+    d_max = hot.agg(F.max("df")).collect()[0][0]
+    assert d_max == n_docs  # the stop phrase really is corpus-wide hot
+    # xxhash64 spreads 24 sequential ids over 4 salts; bound is loose
+    # (2x balanced) but proves no single key keeps the full posting list
+    assert per_key.mx < d_max
+    assert per_key.mx <= 2 * ((d_max + g - 1) // g)
