@@ -2,9 +2,12 @@
 (operators/clustering.semantic_dedup), product quantization
 (operators/pq.py), BPE tokenizer (operators/bpe.py)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep: excluded from the fast lane (pytest -m "not slow")
+
 import itertools
 
-import pytest
 from pyspark.sql import functions as F
 
 from etl_pipeline_for_retail_sales_data_spark.operators import graph as G
@@ -317,3 +320,28 @@ def test_corpus_has_no_marker_collision(spark, sf_correct):
     # corpus never contains angle brackets — pin that assumption
     docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
     assert docs.filter(F.col("text").contains("<") | F.col("text").contains(">")).count() == 0
+
+
+def test_bpe_jvm_fold_equals_python_scan(spark):
+    """_apply_merge's JVM fold must reproduce the classic left-to-right
+    non-overlapping scan (_merge_word) on every overlap shape: runs of
+    the same symbol, repeated pairs, embedded pairs, untouched words."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.bpe import (
+        _apply_merge,
+        _merge_word,
+    )
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["x", "a", "b", "b", "a", "b"], "a", "b"),
+        (["b", "a"], "a", "b"),
+        (["c"], "a", "b"),
+    ]
+    for syms, a, b in cases:
+        df = spark.createDataFrame(
+            [("w", 1, syms)], "word string, freq long, syms array<string>"
+        )
+        got = list(_apply_merge(df, a, b).collect()[0]["syms"])
+        assert got == _merge_word(list(syms), a, b), (syms, a, b, got)
