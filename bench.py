@@ -55,9 +55,20 @@ HEADLINE = [
     "text_stats",
     "minhash_candidates",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_salted",
     "knn_bruteforce",
     "embed_neardup_lsh",
     "json_props_stats",
+    # LLM-pipeline heavyweights (r4: previously untimed operator families
+    # — semantic dedup, PQ-ANN, BPE, packing, linkage, canonical dedup,
+    # real-codec multimodal — so regressions there are now visible)
+    "semantic_dedup_docs",
+    "pq_ann",
+    "bpe_top_merges",
+    "packed_sequences",
+    "record_linkage_parts",
+    "canonical_dedup_pipeline",
+    "multimodal_decode_real",
 ]
 
 

@@ -584,9 +584,7 @@ _SHINGLE_SQL = r"""
 """
 
 
-@query(
-    "ngram_jaccard_pairs",
-    oracle=rf"""
+_NGRAM_JACCARD_ORACLE = rf"""
     WITH {_SHINGLE_SQL},
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -600,12 +598,33 @@ _SHINGLE_SQL = r"""
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e6 + 0.5) / 1e6 >= 0.1
-    """,
-)
+    """
+
+
+@query("ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE)
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard via inverted-index self-join — no cross join;
     shuffles on shingle then (doc_a, doc_b)."""
-    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1, max_df=None)
+
+
+@query("ngram_jaccard_salted", oracle=_NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard with hot-shingle skew defused by SALTING
+    instead of dropping (operators/dedup.ngram_jaccard_pairs_salted):
+    shingles with document frequency > hot_df join on (shingle, salt) —
+    left side one salt, right side replicated — so the worst
+    per-reduce-key fan-out is d²/n_salts instead of d², while every
+    co-occurring pair still meets exactly once. Same oracle as
+    ngram_jaccard_pairs: salting is a physical rebalance, not an
+    approximation. The default adaptive hot_df ("p99": shingles above
+    the 99th-percentile document frequency go hot) keeps the salted
+    path live at every corpus scale with bounded replication — a fixed
+    constant either never fires on a sparse corpus or drowns a dense
+    one."""
+    return D.ngram_jaccard_pairs_salted(
+        load_table(spark, sf_dir, "documents"), threshold=0.1, n_salts=8
+    )
 
 
 def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
@@ -645,13 +664,44 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidates(load_table(spark, sf_dir, "documents"))
 
 
-@query("simhash_fast_docs")
+@query(
+    "simhash_fast_docs",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(0 AS BIGINT) AS self_hamming,
+           TRUE AS same_text_same_sig
+    FROM documents
+    WHERE text IS NOT NULL AND len(regexp_extract_all(lower(text), '\S+')) >= 1
+    """,
+)
 def q_simhash_fast_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures on the FAST path (xxhash64, JVM-side — no
-    DuckDB twin → rows-only driver check; property-tested in
-    tests/test_dedup_similarity.py). The oracled default is
-    ``simhash_docs`` (portable md5, operators/dedup.py simhash_md5)."""
-    return D.simhash_64(load_table(spark, sf_dir, "documents"))
+    """64-bit SimHash on the FAST path (xxhash64, JVM-side). xxhash64 has
+    no DuckDB twin, so the OUTPUT is reshaped to hash-engine-independent
+    invariants the oracle pins per document: the signature exists for
+    exactly the docs with >= 1 token (row set), hamming(sig, sig) = 0
+    through the real bit_count/XOR path, and any two docs with identical
+    text carry the identical signature (computed by grouping the real
+    signatures by text digest — a broken tokenizer, bit assembly, or
+    nondeterministic hash flips the boolean). Raw signatures remain
+    available via operators/dedup.simhash_64; the oracled portable
+    pipeline is ``simhash_docs`` (md5, operators/dedup.py simhash_md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.simhash_64(docs)
+    digests = docs.select("doc_id", F.md5("text").alias("__digest"))
+    joined = sig.join(digests, "doc_id")
+    per_text = joined.groupBy("__digest").agg(
+        (F.countDistinct("simhash") == 1).alias("__consistent")
+    )
+    return (
+        joined.join(per_text, "__digest")
+        .select(
+            "doc_id",
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash")))
+            .cast("long")
+            .alias("self_hamming"),
+            F.col("__consistent").alias("same_text_same_sig"),
+        )
+    )
 
 
 @query(
@@ -785,6 +835,43 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, schema, and partitioning are fully exercised and oracle-checked."""
     media = MM.attach_binary(load_table(spark, sf_dir, "documents"))
     return MM.decode_media(media, MM.fake_decoder)
+
+
+@query(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+               AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + ((doc_id % 31 + 1) * 3
+                           + (4 - ((doc_id % 31 + 1) * 3) % 4) % 4)
+                         * ((doc_id * 7) % 23 + 1)
+                ELSE 44 + 2 * (doc_id % 500 + 1) END AS BIGINT) AS payload_len,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 31 + 1 ELSE 1 END
+                AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 23 + 1 ELSE 8000 END
+                AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE doc_id % 500 + 1 END
+                AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path, stdlib only: executors encode genuine BMP
+    (24-bit BI_RGB, hand-built headers + row padding) and WAV (RIFF/PCM
+    via the stdlib wave module) payloads with geometry derived from the
+    doc_id, then the decode pass sniffs magic bytes and parses the
+    ACTUAL binary back out (operators/multimodal.encode_bmp/parse_bmp/
+    encode_wav/parse_wav). The oracle pins, per document, the media
+    type, the exact encoded byte length (header + padded pixel rows /
+    44-byte PCM header + samples), and the decoded geometry — a broken
+    header layout, padding formula, or parser offset shifts a value and
+    the hash catches it. Both encode and decode run as Arrow batches on
+    executors; payloads never touch the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_real_media(docs)
+    return MM.decode_media(media, MM.stdlib_decoder)
 
 
 @query(
@@ -1441,13 +1528,65 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ivf")
+@query(
+    "knn_ivf",
+    oracle="""
+    SELECT vec_id AS q_id,
+           CAST(5 AS BIGINT) AS n_neighbors,
+           TRUE AS neighbors_distinct,
+           TRUE AS ranks_are_1_to_k,
+           TRUE AS sims_sorted_desc,
+           TRUE AS sims_exact_cosine
+    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
+    """,
+)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: per-list centroids (posexplode + groupBy mean),
-    queries probe the nprobe nearest lists and score only those vectors.
-    Rows-only driver check; recall vs knn_bruteforce asserted in tests."""
+    """IVF-style ANN (per-list centroids via posexplode + groupBy mean;
+    queries probe the nprobe=3 nearest of 10 lists and score only those
+    vectors). WHICH neighbors surface depends on float centroid sums →
+    not SQL-portable, so the output is the per-query invariant frame the
+    oracle CAN pin: each of the 10 queries returns exactly k=5 distinct
+    neighbors ranked 1..5 with non-increasing sims, and every returned
+    sim equals the EXACT cosine for that (query, neighbor) pair
+    recomputed independently — IVF prunes candidates, it never perturbs
+    scores (quantization-free search). Aggregate recall vs the exact kNN
+    is gated by the ``knn_ivf_recall_check`` twin. Raw neighbor lists:
+    operators/similarity.knn_ivf."""
+    from pyspark.sql import Window as W
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_ivf(emb, F.col("vec_id") < 10, k=5, nprobe=3)
+    res = SIM.knn_ivf(emb, F.col("vec_id") < 10, k=5, nprobe=3)
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), SIM.as_double(F.col("embedding")).alias("qe")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.as_double(F.col("embedding")).alias("e"),
+    )
+    checked = (
+        res.join(F.broadcast(qv), "q_id")
+        .join(cv, "neighbor_id")
+        .withColumn("esim", SIM.round6(SIM.cosine(F.col("qe"), F.col("e"))))
+        .withColumn(
+            "prev_sim",
+            F.lag("sim", 1, 2.0).over(W.partitionBy("q_id").orderBy("rnk")),
+        )
+    )
+    return checked.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_neighbors"),
+        (F.countDistinct("neighbor_id") == F.count("*")).alias("neighbors_distinct"),
+        (
+            (F.min("rnk") == 1)
+            & (F.max("rnk") == F.count("*"))
+            & (F.countDistinct("rnk") == F.count("*"))
+        ).alias("ranks_are_1_to_k"),
+        F.coalesce(F.every(F.col("sim") <= F.col("prev_sim")), F.lit(True)).alias(
+            "sims_sorted_desc"
+        ),
+        F.coalesce(F.every(F.col("sim") == F.col("esim")), F.lit(True)).alias(
+            "sims_exact_cosine"
+        ),
+    )
 
 
 @query(
@@ -1922,13 +2061,38 @@ from .operators.clustering import kmeans_assign  # noqa: E402
 from .operators.windows import topk_per_group as _topk  # noqa: E402
 
 
-@query("kmeans_clusters")
+@query(
+    "kmeans_clusters",
+    oracle="""
+    SELECT vec_id,
+           TRUE AS cluster_in_range,
+           TRUE AS dist_nonnegative,
+           TRUE AS assigned_once
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative distributed k-means (3 Lloyd rounds, deterministic seeds
-    and tiebreaks). Rows-only driver check; inertia monotonicity and
-    cluster-count invariants asserted in tests."""
+    and tiebreaks). Cluster labels depend on float centroid sums → not
+    SQL-portable, so the output is the per-vector invariant frame the
+    oracle CAN pin: the assignment covers every non-null vector exactly
+    once (row set + assigned_once), cluster ids stay in [0, k), and
+    squared distances are non-negative. Inertia monotonicity is gated by
+    the ``kmeans_check`` twin; raw labels via
+    operators/clustering.kmeans_assign."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(emb, k=10, iters=3)
+    out = kmeans_assign(emb, k=10, iters=3)
+    per_vec = out.groupBy("vec_id").agg(
+        F.count("*").alias("__n"),
+        F.min("cluster").alias("__c"),
+        F.min("dist").alias("__d"),
+    )
+    return per_vec.select(
+        "vec_id",
+        ((F.col("__c") >= 0) & (F.col("__c") < 10)).alias("cluster_in_range"),
+        (F.col("__d") >= 0).alias("dist_nonnegative"),
+        (F.col("__n") == 1).alias("assigned_once"),
+    )
 
 
 @query(
@@ -2381,14 +2545,88 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_fast_pairs")
+@query(
+    "simhash_fast_pairs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, md5(text) AS digest
+        FROM documents
+        WHERE text IS NOT NULL AND len(regexp_extract_all(lower(text), '\S+')) >= 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sigs,
+           CAST(COUNT(*) * 4 AS BIGINT) AS n_banded,
+           TRUE AS pairs_ordered_and_in_range,
+           TRUE AS exact_dups_all_found,
+           CAST((SELECT COUNT(*) FROM t a JOIN t b
+                 ON a.digest = b.digest AND a.doc_id < b.doc_id) AS BIGINT)
+               AS n_exact_dup_pairs
+    FROM t
+    """,
+)
 def q_simhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs on the FAST path (band equi-joins
-    + exact hamming filter over xxhash64 signatures — no DuckDB twin →
-    rows-only driver check; behavioral tests in
-    tests/test_dedup_similarity.py). The oracled default is
-    ``simhash_pairs`` (portable md5 pipeline)."""
-    return D.simhash_candidates(load_table(spark, sf_dir, "documents"), max_hamming=12)
+    """SimHash near-dup candidates on the FAST path (xxhash64 band
+    equi-joins + exact hamming verify), reshaped to hash-engine-
+    independent invariants so the driver can oracle it without
+    reproducing xxhash64 in DuckDB: signature-count conservation (one
+    sig per tokenized doc), band-count conservation (4 bands per sig,
+    counted from the real exploded band frame), every emitted pair
+    ordered (doc_a < doc_b) with hamming in [0, 12], and the candidate
+    set a SUPERSET of the exact duplicates (identical text ⇒ identical
+    signature ⇒ hamming 0 ⇒ guaranteed by pigeonhole to share a clean
+    band — the recall floor a broken banding would break). The oracle
+    pins every count from the raw corpus. Raw pairs remain available via
+    operators/dedup.simhash_candidates; the oracled portable pipeline is
+    ``simhash_pairs`` (md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.simhash_64(docs).persist()
+    pairs = D.simhash_candidates(docs, max_hamming=12).persist()
+    n_docs = docs.count()
+    n_sigs = sig.count()
+    # the real banded frame: same 16-bit band split as the operator
+    band_structs = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ]
+    )
+    n_banded = sig.select(F.explode(band_structs)).count()
+    pairs_ok = pairs.agg(
+        F.coalesce(
+            F.every(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.col("hamming") >= 0)
+                & (F.col("hamming") <= 12)
+            ),
+            F.lit(True),
+        ).alias("ok")
+    ).collect()[0]["ok"]
+    dig = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.md5("text").alias("digest")
+    ).join(sig.select("doc_id"), "doc_id")
+    da = dig.select(F.col("doc_id").alias("doc_a"), "digest")
+    db = dig.select(F.col("doc_id").alias("doc_b"), "digest")
+    exact_pairs = da.join(db, "digest").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    ).persist()
+    n_exact = exact_pairs.count()
+    n_missed = exact_pairs.join(
+        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).count()
+    return docs.sparkSession.createDataFrame(
+        [
+            (
+                n_docs,
+                n_sigs,
+                n_banded,
+                bool(pairs_ok),
+                n_missed == 0,
+                n_exact,
+            )
+        ],
+        "n_docs long, n_sigs long, n_banded long, pairs_ordered_and_in_range boolean, "
+        "exact_dups_all_found boolean, n_exact_dup_pairs long",
+    )
 
 
 @query(
@@ -2826,14 +3064,56 @@ def q_stats_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("freq_items_parts")
+@query(
+    "freq_items_parts",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_true_heavy,
+           TRUE AS all_true_heavy_found,
+           TRUE AS sketch_items_exist_in_data
+    FROM (
+        SELECT l_partkey FROM lineitem GROUP BY l_partkey
+        HAVING COUNT(*) > 0.001 * (SELECT COUNT(*) FROM lineitem)
+    )
+    """,
+)
 def q_freq_items_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass frequent-items sketch (DataFrame.freqItems) over the
-    lineitem part keys — the profiling sketch for hot-key detection
-    before choosing a skew strategy. Sketch internals differ per engine →
-    rows-only check; superset guarantee tested in pytest."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.freqItems(["l_partkey"], support=0.001)
+    lineitem part keys — hot-key detection before choosing a skew
+    strategy. The sketch's candidate LIST is engine-specific, so the
+    output is the invariant frame the oracle pins: the exact
+    heavy-hitter count (DuckDB recomputes it), the Karp-Shenker-
+    Papadimitriou superset guarantee (every key with frequency >
+    support·n IS in the sketch — false negatives are a sketch bug), and
+    no fabricated candidates (every sketch item occurs in the data).
+    Raw candidates via df.freqItems."""
+    li = load_table(spark, sf_dir, "lineitem").persist()
+    n = li.count()
+    sketch_items = list(li.freqItems(["l_partkey"], support=0.001).collect()[0][0])
+    true_heavy = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 0.001 * n)
+        .select("l_partkey")
+        .persist()
+    )
+    n_heavy = true_heavy.count()
+    missing = true_heavy.filter(
+        ~F.col("l_partkey").isin(sketch_items or [-1])
+    ).count()
+    # sketch size is bounded by 1/support (= 1000 items) → a tiny local
+    # frame; existence check is a distributed anti-join, not a collect
+    sketch_df = li.sparkSession.createDataFrame(
+        [(int(x),) for x in sketch_items] or [(None,)], "l_partkey long"
+    ).filter(F.col("l_partkey").isNotNull())
+    fabricated = sketch_df.join(
+        li.select("l_partkey").distinct(), "l_partkey", "left_anti"
+    ).count()
+    return li.sparkSession.createDataFrame(
+        [(n, n_heavy, missing == 0, fabricated == 0)],
+        "n_rows long, n_true_heavy long, all_true_heavy_found boolean, "
+        "sketch_items_exist_in_data boolean",
+    )
 
 
 @query(
@@ -3999,7 +4279,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same graph with a recursive-CTE transitive closure. Completes the
     dedup pipeline: candidates → clusters → canonical."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    edges = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b")
     return D.connected_components(edges, docs)
 
 
@@ -4321,18 +4601,31 @@ def q_zorder_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xy.select("p_partkey", "x", "y", interleave_bits(F.col("x"), F.col("y")).alias("zval"))
 
 
-@query("pagerank_neardup")
+@query(
+    "pagerank_neardup",
+    oracle="""
+    SELECT doc_id,
+           TRUE AS rank_ge_teleport_floor,
+           TRUE AS rank_le_total_mass,
+           TRUE AS mass_conserved
+    FROM documents
+    """,
+)
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank centrality over the near-duplicate graph (edges = doc pairs
-    with 3-gram Jaccard >= 0.3, symmetrized): the canonical-document picker
-    for dedup clusters — keep the most central copy, drop the rest
-    (operators.graph.pagerank, 6 synchronous iterations, damping 0.85).
-    Iterative float fixpoint → no SQL oracle; property tests assert mass
-    conservation, positivity, and determinism."""
+    """PageRank centrality over the near-duplicate graph (edges = doc
+    pairs with 3-gram Jaccard >= 0.3, symmetrized; 6 synchronous
+    iterations, damping 0.85) — the canonical-document picker for dedup
+    clusters. The float fixpoint is not SQL-portable, so the output is
+    the per-doc invariant frame the oracle pins: every document carries
+    a rank >= the teleport floor (1-d = 0.15, strict positivity), no
+    rank exceeds the total mass n, and the total-mass convention holds
+    (sum of ranks = n to 1e-6 — teleport + dangling redistribution
+    conserve mass exactly; replicated per row so any leak flags every
+    row). Raw ranks via operators/graph.pagerank."""
     from .operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3).select("doc_a", "doc_b")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).select("doc_a", "doc_b")
     edges = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
     pr = pagerank(
         docs.select(F.col("doc_id")),
@@ -4341,8 +4634,17 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         src="doc_a",
         dst="doc_b",
         iterations=6,
+    ).persist()
+    n_docs = docs.count()
+    mass_ok = pr.agg(
+        (F.abs(F.sum("rank") - F.lit(float(n_docs))) < 1e-6).alias("ok")
+    ).collect()[0]["ok"]
+    return pr.select(
+        "doc_id",
+        (F.col("rank") >= 0.15 - 1e-12).alias("rank_ge_teleport_floor"),
+        (F.col("rank") <= F.lit(float(n_docs)) + 1e-9).alias("rank_le_total_mass"),
+        F.lit(bool(mass_ok)).alias("mass_conserved"),
     )
-    return pr.select("doc_id", F.floor(F.col("rank") * 1e6 + F.lit(0.5)).cast("long").alias("rank_ppm"))
 
 
 @query(
@@ -4601,34 +4903,125 @@ def q_grouped_agg_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("canonical_dedup_pipeline")
+@query(
+    "canonical_dedup_pipeline",
+    oracle=rf"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_CC_EDGES_SQL},
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    )
+    SELECT a AS doc_id, MIN(b) AS component,
+           TRUE AS exactly_one_keeper_in_component,
+           TRUE AS keeper_in_same_component
+    FROM reach GROUP BY a
+    """,
+)
 def q_canonical_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus dedup decision: 3-gram Jaccard candidate edges →
     connected components → PageRank centrality → ONE canonical keeper per
-    near-dup cluster (highest rank, min-id tiebreak), non-keepers pointing
-    at their keeper (operators.dedup.canonical_dedup). The composition of
-    the whole dedup family into the artifact a training pipeline actually
-    consumes; iterative stages → rows-only with structural property
-    tests."""
+    near-dup cluster (highest rank, min-id tiebreak), non-keepers
+    pointing at their keeper (operators.dedup.canonical_dedup). The
+    COMPONENT labels are exact min-label ids, so the oracle recomputes
+    them with a recursive-CTE transitive closure over the same
+    jaccard>=0.5 graph — a hard value check on the whole candidate-
+    generation + components stack. Only the keeper CHOICE rides on the
+    float PageRank fixpoint, so it is verified as per-row invariants the
+    oracle pins TRUE: every component elects exactly one keeper, and
+    every row's keeper is a member of its own component. Raw keeper
+    decisions via operators/dedup.canonical_dedup."""
     from .operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b").persist()
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b").persist()
     sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
     pr = pagerank(docs.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4)
-    return D.canonical_dedup(docs, pairs, pr)
+    out = D.canonical_dedup(docs, pairs, pr).persist()
+    per_comp = out.groupBy("component").agg(
+        F.sum(F.col("is_keeper").cast("long")).alias("__nk")
+    )
+    keeper_rows = out.filter("is_keeper").select(
+        F.col("component"), F.col("doc_id").alias("keeper_id"),
+        F.lit(True).alias("__keeper_exists"),
+    )
+    return (
+        out.join(per_comp, "component")
+        .join(keeper_rows, ["component", "keeper_id"], "left")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("__nk") == 1).alias("exactly_one_keeper_in_component"),
+            F.coalesce(F.col("__keeper_exists"), F.lit(False)).alias(
+                "keeper_in_same_component"
+            ),
+        )
+    )
 
 
-@query("weighted_sample_docs")
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n_sampled,
+           CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n_distinct_ids,
+           TRUE AS all_ids_in_corpus,
+           TRUE AS deterministic_across_runs,
+           TRUE AS sample_biased_to_long_docs
+    FROM documents
+    """,
+)
 def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis–
-    Spirakis A-ES, operators.text.weighted_sample): 50 documents drawn with
-    probability ∝ length, reproducible across runs/partitionings because
-    the per-row uniform comes from md5(seed:id), not an RNG. pow/ln are
-    not bit-stable across engines → rows-only, with determinism and
-    weight-bias property tests."""
+    Spirakis A-ES, operators.text.weighted_sample): 50 documents drawn
+    with probability ∝ length, reproducible because the per-row uniform
+    comes from md5(seed:id), not an RNG. pow/ln are not bit-stable
+    across engines, so the output is the invariant frame the oracle
+    pins: exactly min(50, n) distinct corpus ids, the identical sample
+    from two independent runs (the 100 TB reproducibility contract),
+    and the length bias the weighting exists for — the sample's mean
+    n_chars exceeds the corpus mean (deterministic given the fixed
+    seed, so pinned, not flaky). Raw sample via
+    operators/text.weighted_sample."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id", "lang", "n_chars")
+    s1 = TX.weighted_sample(docs, F.col("n_chars"), 50).select(
+        "doc_id", "n_chars"
+    ).persist()
+    s2 = TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id")
+    n1 = s1.count()
+    n_distinct = s1.select("doc_id").distinct().count()
+    sym_diff = (
+        s1.select("doc_id").exceptAll(s2).count()
+        + s2.exceptAll(s1.select("doc_id")).count()
+    )
+    orphans = s1.join(docs.select("doc_id"), "doc_id", "left_anti").count()
+    sample_mean = s1.agg(F.avg("n_chars")).collect()[0][0]
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    # empty corpus → no sample and null means: the bias claim is vacuously
+    # true (and the oracle's row also reports TRUE over zero docs)
+    biased = (
+        True
+        if sample_mean is None or corpus_mean is None
+        else float(sample_mean) > float(corpus_mean)
+    )
+    return docs.sparkSession.createDataFrame(
+        [
+            (
+                n1,
+                n_distinct,
+                orphans == 0,
+                sym_diff == 0,
+                biased,
+            )
+        ],
+        "n_sampled long, n_distinct_ids long, all_ids_in_corpus boolean, "
+        "deterministic_across_runs boolean, sample_biased_to_long_docs boolean",
+    )
 
 
 @query(
@@ -5176,7 +5569,7 @@ def q_minhash_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_candidates(docs).select("doc_a", "doc_b", F.lit(True).alias("is_cand"))
     truth = (
-        D.ngram_jaccard_pairs(docs, threshold=0.5)
+        D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None)
         .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
     )
     j = cands.join(truth, ["doc_a", "doc_b"], "full_outer")
@@ -5195,21 +5588,153 @@ def q_minhash_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("training_corpus_stats")
+@query(
+    "training_corpus_stats",
+    oracle=rf"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, text,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toksd,
+               len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS stops,
+               len(regexp_extract_all(text, '[[:punct:]]')) AS puncts,
+               CAST(length(text) AS DOUBLE) AS chars,
+               regexp_extract_all(lower(text), '\S+') AS ltoks
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, lang, text, ltoks
+        FROM t
+        WHERE FLOOR(((stops / GREATEST(toksd, 1.0)) * 0.4
+                     + (LEAST(toksd, 100.0) / 100.0) * 0.3
+                     + (1 - (puncts / GREATEST(chars, 1.0))) * 0.3) * 1e6 + 0.5) / 1e6
+                  >= 0.3
+          AND lang IN ('en', 'de', 'fr', 'es')
+    ),
+    exact AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+    kept AS (SELECT g.* FROM gated g JOIN exact e USING (doc_id)),
+    sh0 AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(len(ltoks) - 2),
+                      i -> ltoks[i + 1] || ' ' || ltoks[i + 2] || ' ' || ltoks[i + 3]))
+                   AS shingle
+        FROM kept WHERE len(ltoks) >= 3
+    ),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    shc AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfreq USING (shingle)
+            WHERE df <= 256),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e6 + 0.5) / 1e6 >= 0.5
+    ),
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM kept
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+           CAST((SELECT COUNT(*) FROM gated) AS BIGINT) AS n_gated,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_kept,
+           CAST((SELECT COUNT(DISTINCT component)
+                 FROM comp JOIN kept USING (doc_id)
+                 WHERE len(kept.ltoks) > 0) AS BIGINT) AS n_kept_docs,
+           TRUE AS chunk_counts_consistent,
+           TRUE AS token_sums_consistent,
+           TRUE AS splits_exclusive
+    """,
+)
 def q_training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus pipeline (plans/corpus.py: quality+lang
-    gate → exact dedup → near-dup canonical keep → chunking → leakage-safe
-    split assignment) summarized per (split, lang): kept chunks, kept
-    docs, token totals. Iterative near-dup stage → rows-only; funnel
-    invariants (monotone shrink, no split straddle, idempotent re-run)
-    are pinned in tests/test_corpus_pipeline.py."""
+    gate → exact dedup → near-dup canonical keep → chunking →
+    leakage-safe split assignment) as an oracle-pinned FUNNEL: DuckDB
+    independently replays the gate, the md5 exact-dedup, the capped
+    3-gram Jaccard graph, and a recursive-CTE component count, pinning
+    the EXACT document count at every funnel stage — including the
+    near-dup stage, because one keeper survives per component no matter
+    which member PageRank elects. The chunker's shape is verified
+    in-engine per kept doc (chunk count = floor((len-1)/48)+1, token
+    sums = Σ least(len-s, 64), one split per doc) and asserted TRUE.
+    Per-(split, lang) detail remains available from
+    plans/corpus.build_training_corpus; funnel monotonicity and
+    idempotence are pinned in tests/test_corpus_pipeline.py."""
+    from .operators.text import quality_expr
+    from .operators.text import TOKEN_RE as _TRE
     from .plans.corpus import build_training_corpus
 
-    corpus = build_training_corpus(spark, sf_dir)
-    return corpus.groupBy("split", "lang").agg(
-        F.count("*").alias("n_chunks"),
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+    docs = load_table(spark, sf_dir, "documents").persist()
+    corpus = build_training_corpus(spark, sf_dir).persist()
+
+    gated = docs.filter(
+        (quality_expr("text") >= 0.3) & F.col("lang").isin("en", "de", "fr", "es")
+    ).persist()
+    n_raw = docs.count()
+    n_gated = gated.count()
+    n_exact_kept = gated.select(F.md5("text")).distinct().count()
+
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TRE), 0)
+    step, ctoks = 48, 64
+    ltoks = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(ltoks - 1, F.lit(0)), F.lit(step))
+    expected_chunks = F.floor((ltoks - 1) / step) + 1
+    expected_tokens = F.aggregate(
+        starts,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.least(ltoks - s, F.lit(ctoks)).cast("long"),
+    )
+    doc_expect = docs.select(
+        "doc_id",
+        expected_chunks.alias("__exp_chunks"),
+        expected_tokens.alias("__exp_tokens"),
+    )
+    per_doc = (
+        corpus.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("__n_chunks"),
+            F.sum("n_tokens").alias("__n_tokens"),
+            F.countDistinct("split").alias("__n_splits"),
+        )
+        .join(doc_expect, "doc_id")
+    )
+    checks = per_doc.agg(
+        F.count("*").cast("long").alias("n_kept_docs"),
+        F.coalesce(
+            F.every(F.col("__n_chunks") == F.col("__exp_chunks")), F.lit(True)
+        ).alias("chunk_counts_consistent"),
+        F.coalesce(
+            F.every(F.col("__n_tokens") == F.col("__exp_tokens")), F.lit(True)
+        ).alias("token_sums_consistent"),
+        F.coalesce(F.every(F.col("__n_splits") == 1), F.lit(True)).alias(
+            "splits_exclusive"
+        ),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n_raw,
+                n_gated,
+                n_exact_kept,
+                checks["n_kept_docs"],
+                bool(checks["chunk_counts_consistent"]),
+                bool(checks["token_sums_consistent"]),
+                bool(checks["splits_exclusive"]),
+            )
+        ],
+        "n_raw long, n_gated long, n_exact_kept long, n_kept_docs long, "
+        "chunk_counts_consistent boolean, token_sums_consistent boolean, "
+        "splits_exclusive boolean",
     )
 
 
@@ -6154,19 +6679,57 @@ def q_triangle_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("semantic_dedup_docs")
+@query(
+    "semantic_dedup_docs",
+    oracle="""
+    SELECT vec_id,
+           TRUE AS covered_once,
+           TRUE AS keep_iff_component_min,
+           TRUE AS component_is_member_min
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
 def q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
     partitions the space, cosine >= 0.92 edges within each cluster,
     connected components, min-id keeper per component
-    (operators/clustering.semantic_dedup). Two nested iterative
-    fixpoints → no SQL oracle (rows-only); the oracled twin
-    ``semantic_dedup_check`` hash-verifies the partition invariants,
-    and tests/test_semantic_bpe_pq.py pins determinism + semantics."""
+    (operators/clustering.semantic_dedup). Two nested iterative float
+    fixpoints → the grouping is not SQL-portable, so the output is the
+    per-vector invariant frame the oracle pins: the result partitions
+    the non-null corpus exactly once, ``keep`` is set on precisely the
+    rows whose id equals their component id (the min-id keeper
+    contract), and every component label is the true min over its
+    members (checked with a real per-component aggregation, not the
+    label itself). Raw assignments via
+    operators/clustering.semantic_dedup; the global gate is the
+    ``semantic_dedup_check`` twin."""
     emb = load_table(spark, sf_dir, "embeddings")
     from .operators.clustering import semantic_dedup
 
-    return semantic_dedup(emb, k=8, iters=2, threshold=0.92).orderBy("vec_id")
+    out = semantic_dedup(emb, k=8, iters=2, threshold=0.92).persist()
+    comp_min = out.groupBy("component_id").agg(F.min("vec_id").alias("__min_member"))
+    per_vec = (
+        out.join(comp_min, "component_id")
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("__n"),
+            F.min(
+                (
+                    F.col("keep")
+                    == (F.col("vec_id") == F.col("component_id"))
+                ).cast("int")
+            ).alias("__keep_ok"),
+            F.min(
+                (F.col("component_id") == F.col("__min_member")).cast("int")
+            ).alias("__label_ok"),
+        )
+    )
+    return per_vec.select(
+        "vec_id",
+        (F.col("__n") == 1).alias("covered_once"),
+        (F.col("__keep_ok") == 1).alias("keep_iff_component_min"),
+        (F.col("__label_ok") == 1).alias("component_is_member_min"),
+    )
 
 
 @query(
@@ -6220,21 +6783,74 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_ann")
+@query(
+    "pq_ann",
+    oracle="""
+    SELECT vec_id AS q_id,
+           CAST(5 AS BIGINT) AS n_results,
+           TRUE AS no_self_match,
+           TRUE AS neighbors_distinct,
+           TRUE AS ranks_are_1_to_k,
+           TRUE AS sims_sorted_desc,
+           TRUE AS sims_exact_cosine
+    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
+    """,
+)
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011; operators/pq.py):
     train 8 sub-codebooks, encode the corpus to 8-code rows, generate 50
     candidates per query via the ADC lookup-table join, exact-rerank the
-    candidates (the FAISS IVFPQ+refine shape). Iterative codebook
-    fixpoint → no SQL oracle (rows-only); the oracled twin
-    ``pq_recall_check`` hash-verifies recall against the exact kNN, and
-    tests pin determinism + code bounds."""
+    candidates (the FAISS IVFPQ+refine shape). WHICH candidates the
+    codebook surfaces rides on the iterative float fixpoint → not SQL-
+    portable, so the output is the per-query invariant frame the oracle
+    pins: each of the 10 queries returns exactly k=5 distinct non-self
+    neighbors ranked 1..5 with non-increasing sims, and every returned
+    sim equals the EXACT cosine recomputed independently — the rerank
+    step scores candidates exactly, never with the quantized distance.
+    Aggregate recall is gated by the ``pq_recall_check`` twin; raw
+    neighbor lists via operators/pq.pq_search_rerank."""
+    from pyspark.sql import Window as W
+
     emb = load_table(spark, sf_dir, "embeddings")
     from .operators.pq import pq_search_rerank
 
-    return pq_search_rerank(
+    res = pq_search_rerank(
         emb, F.col("vec_id") < 10, m=8, ksub=16, iters=2, k=5, n_candidates=50
-    ).orderBy("q_id", "rnk")
+    )
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), SIM.as_double(F.col("embedding")).alias("qe")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.as_double(F.col("embedding")).alias("e"),
+    )
+    checked = (
+        res.join(F.broadcast(qv), "q_id")
+        .join(cv, "neighbor_id")
+        .withColumn("esim", SIM.round6(SIM.cosine(F.col("qe"), F.col("e"))))
+        .withColumn(
+            "prev_sim",
+            F.lag("sim", 1, 2.0).over(W.partitionBy("q_id").orderBy("rnk")),
+        )
+    )
+    return checked.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_results"),
+        F.coalesce(F.every(F.col("neighbor_id") != F.col("q_id")), F.lit(True)).alias(
+            "no_self_match"
+        ),
+        (F.countDistinct("neighbor_id") == F.count("*")).alias("neighbors_distinct"),
+        (
+            (F.min("rnk") == 1)
+            & (F.max("rnk") == F.count("*"))
+            & (F.countDistinct("rnk") == F.count("*"))
+        ).alias("ranks_are_1_to_k"),
+        F.coalesce(F.every(F.col("sim") <= F.col("prev_sim")), F.lit(True)).alias(
+            "sims_sorted_desc"
+        ),
+        F.coalesce(F.every(F.col("sim") == F.col("esim")), F.lit(True)).alias(
+            "sims_exact_cosine"
+        ),
+    )
 
 
 @query(
@@ -6283,21 +6899,52 @@ def q_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_top_merges")
+@query(
+    "bpe_top_merges",
+    oracle="""
+    SELECT CAST(UNNEST(range(40)) AS INT) AS rank,
+           TRUE AS parts_nonempty,
+           TRUE AS count_ge_min_freq,
+           TRUE AS merge_is_novel,
+           TRUE AS counts_nonincreasing
+    """,
+)
 def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The first 40 learned BPE merges (rank order) on the documents
-    corpus (operators/bpe.bpe_train — Sennrich et al. 2016). Iterative
-    greedy argmax → no SQL oracle (rows-only); the oracled twin
-    ``bpe_roundtrip_check`` hash-verifies the tokenization invariants
-    and tests pin the merge sequence on a known corpus."""
+    """The first 40 learned BPE merges on the documents corpus
+    (operators/bpe.bpe_train — Sennrich et al. 2016). The merge TOKENS
+    come from an iterative greedy argmax → not SQL-portable, so the
+    output is the per-rank invariant frame the oracle pins: exactly 40
+    merges learned (row set — the corpus sustains the full budget),
+    both parts non-empty, every selection count respects the min_freq=2
+    stopping rule, no merge pair repeats (each (a,b) is consumed by its
+    own merge), and the selection counts are NON-INCREASING in rank —
+    the defining
+    property of greedy BPE (a new pair's frequency is bounded by the
+    merged pair's, so the argmax sequence can never rise). Raw merge
+    tokens via operators/bpe.bpe_train; encode/decode conservation is
+    gated by the ``bpe_roundtrip_check`` twin."""
     docs = load_table(spark, sf_dir, "documents")
     from .operators.bpe import bpe_train
 
-    merges = bpe_train(docs, n_merges=40)
-    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    merges = bpe_train(docs, n_merges=40, return_counts=True)
+    seen: set[tuple[str, str]] = set()
+    rows = []
+    for i, (a, b, cnt) in enumerate(merges):
+        rows.append(
+            (
+                i,
+                bool(a) and bool(b),
+                cnt >= 2,
+                (a, b) not in seen,
+                cnt <= merges[i - 1][2] if i > 0 else True,
+            )
+        )
+        seen.add((a, b))
     return spark.createDataFrame(
-        rows, "rank int, left string, right string, merged string"
-    ).orderBy("rank")
+        rows,
+        "rank int, parts_nonempty boolean, count_ge_min_freq boolean, "
+        "merge_is_novel boolean, counts_nonincreasing boolean",
+    )
 
 
 @query(
@@ -7167,7 +7814,7 @@ def q_pagerank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3).select("doc_a", "doc_b")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -7203,7 +7850,7 @@ def q_canonical_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b").persist()
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b").persist()
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -7313,7 +7960,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard but high containment). operators/dedup.containment_pairs:
     same inverted-index equi-join shape as the Jaccard path, directed
     pairs because containment is asymmetric."""
-    return D.containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)
+    return D.containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6, max_df=None)
 
 
 @query(
@@ -7713,7 +8360,7 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_assignment), with anchor/positive/known-dup collisions
     excluded. No cross join over the corpus at any stage."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b").persist()
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b").persist()
     out = D.contrastive_triplets(docs, pairs, k=2)
     return out.select("anchor", "positive", "negative", F.col("slot").cast("long").alias("slot"))
 
