@@ -18,6 +18,16 @@ def spark():
     yield s
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_cache(spark):
+    """Clear cached/persisted relations at every module boundary so
+    plan-shape assertions (PushedFilters, scan nodes) never see another
+    module's leftover InMemoryRelation — keeps test files independent of
+    execution order and of which -m lane is running."""
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.fixture(scope="session")
 def sf_smoke():
     return SF_SMOKE

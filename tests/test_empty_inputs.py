@@ -16,6 +16,9 @@ like their JVM twins.
 """
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep: excluded from the fast lane (pytest -m "not slow")
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES

@@ -5,6 +5,9 @@ semantics is oracle-checked as `incremental_ingest_funnel`."""
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy sweep: excluded from the fast lane (pytest -m "not slow")
+
+
 from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
     ingest_batch,
 )

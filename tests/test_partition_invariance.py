@@ -17,6 +17,9 @@ accumulation order — their contracts are the oracled invariant twins.
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy sweep: excluded from the fast lane (pytest -m "not slow")
+
+
 import __spark_entry__ as entry_mod
 
 QUERIES = entry_mod.queries()

@@ -19,6 +19,10 @@ aggregates, and the interval join requires it (test_plans.py asserts it
 present).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep: excluded from the fast lane (pytest -m "not slow")
+
 from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
 
 # Python UDTFs evaluate through BatchEvalPython by API design

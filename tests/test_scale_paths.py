@@ -1,6 +1,10 @@
 """Scale-path storage features: partition pruning and bucketed (shuffle-free)
 joins — the physical layouts a 100 TB deployment would rely on."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep: excluded from the fast lane (pytest -m "not slow")
+
 import contextlib
 import io
 

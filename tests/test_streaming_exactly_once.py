@@ -3,6 +3,10 @@ manifest-versioned table with the epoch id embedded in the atomic commit
 — re-delivered epochs are skipped, so at-least-once delivery becomes
 exactly-once output."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep: excluded from the fast lane (pytest -m "not slow")
+
 from etl_pipeline_for_retail_sales_data_spark import versioned as V
 from etl_pipeline_for_retail_sales_data_spark.streaming.sinks import (
     exactly_once_append,

@@ -3,6 +3,10 @@ micro-batch arriving entirely behind the watermark must be dropped in
 append mode. This is the state-bounding contract that keeps streaming
 aggregations at fixed memory on unbounded input."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep: excluded from the fast lane (pytest -m "not slow")
+
 import datetime
 import uuid
 
