@@ -26,15 +26,26 @@ def _sq_dist(a, b):
 
 
 def _assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(id, vec, cluster, dist): nearest centroid per point (broadcast)."""
+    """(id, vec, cluster, dist): nearest centroid per point (broadcast).
+    The argmin is a hash AGGREGATE of min(struct(dist, cluster, v)) —
+    lexicographic struct ordering reproduces the (lowest dist, then
+    lowest cluster) tiebreak, and v rides along un-compared because
+    (dist, cluster) is unique per scored row. vs the former row_number
+    window: map-side partial combine collapses the k candidate rows per
+    point before any exchange, and no per-key sort — the difference
+    between a ranking shuffle and a reduction at corpus scale."""
     scored = pts.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "v", "cluster", _sq_dist(F.col("v"), F.col("centroid")).alias("dist")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster", "v")).alias("__m"))
+        .select(
+            "vec_id",
+            F.col("__m.v").alias("v"),
+            F.col("__m.cluster").alias("cluster"),
+            F.col("__m.dist").alias("dist"),
+        )
     )
 
 

@@ -86,15 +86,25 @@ def _subvectors(
 
 def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(vec_id, sub, code, dist): nearest codebook centroid per
-    subvector; the codebook (m·ksub rows) is broadcast."""
+    subvector; the codebook (m·ksub rows) is broadcast. The argmin is a
+    hash AGGREGATE of min(struct(dist, code)) — lexicographic struct
+    ordering gives exactly the (lowest dist, then lowest code) tiebreak
+    — instead of a row_number window: the aggregate gets a map-side
+    partial combine and no per-key sort, which at corpus scale turns
+    the assignment's shuffle from sort-based ranking into partial-agg
+    reduction (ksub candidate rows collapse to 1 before the exchange)."""
     scored = subs.join(F.broadcast(codebooks), "sub").select(
         "vec_id", "sub", "code", _sq_dist(F.col("sv"), F.col("centroid")).alias("dist")
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("dist").asc(), F.col("code").asc())
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("__m"))
+        .select(
+            "vec_id",
+            "sub",
+            F.col("__m.code").alias("code"),
+            F.col("__m.dist").alias("dist"),
+        )
     )
 
 
@@ -123,22 +133,31 @@ def pq_train(
         .select("sub", (F.col("__rn") - 1).alias("code"), F.col("sv").alias("centroid"))
     )
     codebooks = seeds.localCheckpoint(eager=True)
-    for _ in range(iters):
+    rounds = [codebooks]
+    for it in range(iters):
         assigned = _assign_codes(subs, codebooks)
         expl = assigned.join(subs, ["vec_id", "sub"]).select(
             "sub", "code", F.posexplode("sv").alias("dim", "x")
         )
-        new_cb = (
+        # LAZY checkpoints chain the rounds into ONE job, fired by the
+        # final round's eager materialization (previously each round ran
+        # its own eager-checkpoint job). Intermediate codebooks are
+        # m*ksub rows (~128), so holding every round until the chain has
+        # materialized costs nothing — and unpersisting earlier would
+        # strand an unmaterialized checkpoint whose truncated lineage
+        # cannot recompute.
+        codebooks = (
             expl.groupBy("sub", "code", "dim")
             .agg(F.avg("x").alias("mu"))
             .groupBy("sub", "code")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("s"))
             .select("sub", "code", F.transform("s", lambda t: t["mu"]).alias("centroid"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=(it == iters - 1))
         )
-        codebooks.unpersist()
-        codebooks = new_cb
+        rounds.append(codebooks)
     subs.unpersist()
+    for frame in rounds[:-1]:
+        frame.unpersist()
     return codebooks
 
 
