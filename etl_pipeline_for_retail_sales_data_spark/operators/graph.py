@@ -62,7 +62,8 @@ def pagerank(
     dangling_ids = n.join(out_deg.withColumnRenamed("src", "id"), "id", "left_anti").persist()
 
     ranks = n.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
+    rounds = [ranks]
+    for it in range(iterations):
         contribs = (
             ew.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
@@ -70,34 +71,42 @@ def pagerank(
             .withColumnRenamed("dst", "id")
         )
         # mass sitting on dangling nodes this iteration, as a broadcast
-        # 1-row frame — keeps the whole iteration ONE job (no driver
-        # collect round-trip per iteration)
+        # 1-row frame — no driver collect round-trip per iteration
         dang = ranks.join(dangling_ids, "id", "left_semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
         )
         base = (
             F.lit(1.0 - damping) + F.lit(damping) * F.col("__dang") / F.lit(float(n_nodes))
         )
-        # localCheckpoint truncates the logical plan each iteration —
-        # without it Catalyst re-analyzes a lineage nesting every prior
-        # iteration and planning time, not data, dominates. On a cluster
-        # swap for reliable checkpoint(dir) to also survive executor loss.
-        new_ranks = (
+        # localCheckpoint truncates the logical plan each iteration (a
+        # LAZY one truncates immediately too — the plan becomes a
+        # LogicalRDD at once, only the compute is deferred), so Catalyst
+        # never re-analyzes a nested lineage. Lazy rounds chain the whole
+        # fixed-iteration loop into ONE job fired by the final eager
+        # round — iterations-1 fewer job launches. The cost is holding
+        # every round's n-row rank frame until the chain materializes
+        # (an unmaterialized checkpoint cannot recompute across its
+        # truncated lineage); at billion-node scale cap that by going
+        # eager every few rounds and releasing the frames behind the
+        # eager point. On a cluster swap for reliable checkpoint(dir) to
+        # also survive executor loss.
+        ranks = (
             n.join(contribs, "id", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (base + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=(it == iterations - 1))
         )
-        ranks.unpersist()
-        ranks = new_ranks
+        rounds.append(ranks)
 
     ew.unpersist()
     out_deg.unpersist()
     dangling_ids.unpersist()
     n.unpersist()
+    for frame in rounds[:-1]:
+        frame.unpersist()
     return ranks.select(F.col("id").alias(id_col), "rank")
 
 
