@@ -68,9 +68,15 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Run ``iters`` rounds of Lloyd's algorithm; return the final
-    (vec_id, cluster, dist) assignment. Each round's assignment frame is
-    persisted so the next round's centroid job does not replay prior
-    rounds (lineage would otherwise grow exponentially)."""
+    (vec_id, cluster, dist) assignment. Rounds are chained through LAZY
+    localCheckpoints (the same fixed-iteration pattern as
+    operators/graph.pagerank and operators/pq.pq_train): each round's
+    plan truncates to a LogicalRDD immediately, but nothing executes
+    until the LAST round's eager checkpoint fires — no per-round
+    count() action. The cost is holding every round's n-row assignment
+    until the chain materializes; at billion-point scale cap that by
+    going eager every few rounds and releasing frames behind the eager
+    point."""
     pts = spread(emb).select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).persist()
@@ -83,14 +89,16 @@ def kmeans_assign(
     centroids = seeds.withColumn("__rn", F.row_number().over(w)).select(
         (F.col("__rn") - 1).alias("cluster"), F.col("v").alias("centroid")
     )
+    rounds = []
     assigned = None
-    for _ in range(iters):
-        prev = assigned
-        assigned = _assign(pts, centroids).persist()
-        assigned.count()  # materialize before unpersisting the parent
-        if prev is not None:
-            prev.unpersist()
-        centroids = _recompute_centroids(assigned)
+    for it in range(iters):
+        assigned = _assign(pts, centroids).localCheckpoint(eager=(it == iters - 1))
+        rounds.append(assigned)
+        if it < iters - 1:
+            centroids = _recompute_centroids(assigned)
+    pts.unpersist()
+    for frame in rounds[:-1]:
+        frame.unpersist()
     return assigned.select("vec_id", "cluster", "dist")
 
 

@@ -429,16 +429,30 @@ def connected_components(
     the symmetrized edge list + one min-aggregation — all shuffles keyed
     on node id, so a co-partitioned layout is reused across rounds.
     Rounds needed = graph diameter (near-dup components are shallow —
-    a handful). localCheckpoint truncates the growing lineage each round;
-    convergence is detected with a count of changed labels (one tiny
-    action per round — the standard driver-side loop for iterative
-    algorithms, cf. GraphX connected components).
+    a handful). ONE action per round: the new label frame carries its
+    own ``chg`` flag (did this node's label shrink?), so the
+    convergence count both materializes the round's LAZY checkpoint and
+    reads the fixpoint signal — no separate old-vs-new join job (which
+    previously doubled the per-round job count).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.localCheckpoint(eager=True)
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    # iterate ONLY over edge-incident nodes: a node with no edges is its
+    # own singleton component, can never change label, and contributes
+    # nothing to any neighbor — so it is appended analytically after the
+    # fixpoint instead of riding through every round. Near-dup graphs
+    # are sparse; at corpus scale this iterates over the candidate-pair
+    # members (sym's endpoints), not the whole corpus.
+    all_nodes = nodes.select(F.col(id_col).alias("node"))
+    incident = all_nodes.join(
+        sym.select(F.col("u").alias("node")), "node", "left_semi"
+    )
+    singletons = all_nodes.join(
+        sym.select(F.col("u").alias("node")), "node", "left_anti"
+    )
+    labels = incident.select("node", F.col("node").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nb_min = (
@@ -446,24 +460,33 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("comp").alias("nb_comp"))
         )
+        new_comp = F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp")))
         new_labels = (
             labels.join(nb_min, labels["node"] == nb_min["v"], "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias("comp"),
+                new_comp.alias("comp"),
+                # min-label only ever shrinks, so != is exactly "shrank"
+                (new_comp != F.col("comp")).alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        # this count scans every partition of the lazy checkpoint, so it
+        # materializes the round AND reads convergence in one job; only
+        # after it returns is the parent frame safe to release (an
+        # unmaterialized checkpoint cannot recompute across its
+        # truncated lineage)
+        changed = new_labels.filter("chg").count()
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component_id"))
+    out = labels.select(F.col("node").alias(id_col), F.col("comp").alias("component_id"))
+    return out.unionAll(
+        singletons.select(
+            F.col("node").alias(id_col), F.col("node").alias("component_id")
+        )
+    )
 
 
 def simhash_candidates(

@@ -55,15 +55,24 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _probe_dim(emb: DataFrame, vec_col: str) -> int:
+    """One 1-row job reading the corpus vector dimensionality (0 on an
+    empty/all-null corpus). Callers that split several frames of the
+    same corpus (train / encode / query) probe ONCE and pass ``d``
+    down — three probe jobs collapse to one."""
+    dims = emb.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).limit(1).collect()
+    return dims[0]["d"] if dims else 0
+
+
 def _subvectors(
-    emb: DataFrame, m: int, id_col: str, vec_col: str
+    emb: DataFrame, m: int, id_col: str, vec_col: str, d: int | None = None
 ) -> DataFrame:
     """(vec_id, sub, sv): each vector split into m contiguous blocks.
     Dim must divide evenly by m (asserted once against the first row —
     padding policies belong to the caller)."""
-    dims = emb.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).limit(1).collect()
-    if dims:
-        d = dims[0]["d"]
+    if d is None:
+        d = _probe_dim(emb, vec_col)
+    if d:
         if d % m != 0:
             raise ValueError(f"vector dim {d} not divisible by m={m}")
         dsub = d // m
@@ -115,13 +124,14 @@ def pq_train(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    d: int | None = None,
 ) -> DataFrame:
     """Learn the m per-subspace codebooks with Lloyd's algorithm run on
     the single exploded (vec_id, sub, sv) frame — every iteration is one
     broadcast-join assignment + one per-(sub, code, dim) mean, identical
     in shape to operators/clustering.kmeans_assign but covering all m
     subspaces at once. Returns (sub, code, centroid)."""
-    subs = _subvectors(emb, m, id_col, vec_col).persist()
+    subs = _subvectors(emb, m, id_col, vec_col, d=d).persist()
     seeds = (
         subs.withColumn(
             "__rn",
@@ -167,11 +177,12 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    d: int | None = None,
 ) -> DataFrame:
     """(vec_id, codes): the m-array PQ code of every vector — the
     compressed corpus representation downstream search scans instead of
     the float vectors."""
-    subs = _subvectors(emb, m, id_col, vec_col)
+    subs = _subvectors(emb, m, id_col, vec_col, d=d)
     assigned = _assign_codes(subs, codebooks)
     return (
         assigned.groupBy("vec_id")
@@ -198,12 +209,13 @@ def pq_search(
     ``codebooks``/pre-computed ``codes`` to amortize training across
     queries (the production shape: train once, encode once, search
     many)."""
+    d = _probe_dim(emb, vec_col)
     if codebooks is None:
-        codebooks = pq_train(emb, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+        codebooks = pq_train(emb, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col, d=d)
     if codes is None:
-        codes = pq_encode(emb, codebooks, m=m, id_col=id_col, vec_col=vec_col)
+        codes = pq_encode(emb, codebooks, m=m, id_col=id_col, vec_col=vec_col, d=d)
 
-    q_subs = _subvectors(emb.filter(query_filter), m, id_col, vec_col).withColumnRenamed(
+    q_subs = _subvectors(emb.filter(query_filter), m, id_col, vec_col, d=d).withColumnRenamed(
         "vec_id", "q_id"
     )
     lut = q_subs.join(F.broadcast(codebooks), "sub").select(

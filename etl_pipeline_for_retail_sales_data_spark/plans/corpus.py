@@ -85,8 +85,14 @@ def build_training_corpus(
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
+    # rank only the near-dup graph's incident nodes (sym is symmetric,
+    # so doc_a covers every endpoint): isolated survivors are singleton
+    # components — keepers regardless of rank (canonical_dedup defaults
+    # their rank to 0.0) — so the PageRank state is proportional to the
+    # candidate pairs, not the corpus
+    incident = sym.select(F.col("doc_a").alias("doc_id")).distinct()
     pr = pagerank(
-        exact_kept.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4
+        incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4
     )
     decision = D.canonical_dedup(exact_kept, pairs, pr)
     # persisted: consumed by the chunker and the final lang join

@@ -4942,7 +4942,15 @@ def q_canonical_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b").persist()
     sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-    pr = pagerank(docs.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4)
+    # centrality is ranked over the near-dup graph's INCIDENT nodes only
+    # (sym carries both directions, so doc_a covers every endpoint):
+    # isolated documents are singleton components and keepers by
+    # definition (canonical_dedup's left join gives them rank 0.0), so
+    # at corpus scale the rank frame is proportional to the candidate
+    # pairs, not the corpus — the difference between iterating PageRank
+    # over ~10^6 near-dup members and over 10^11 documents.
+    incident = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    pr = pagerank(incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4)
     out = D.canonical_dedup(docs, pairs, pr).persist()
     per_comp = out.groupBy("component").agg(
         F.sum(F.col("is_keeper").cast("long")).alias("__nk")

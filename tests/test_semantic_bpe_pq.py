@@ -291,6 +291,28 @@ def test_bpe_train_deterministic(spark, sf_smoke):
     assert len(m1) == 15
 
 
+def test_bpe_local_and_distributed_paths_identical(spark, sf_smoke):
+    # the bounded-collect local trainer (driver_vocab_cap) must produce
+    # byte-for-byte the distributed loop's merge sequence — counts
+    # included — on a real corpus slice AND on a tie-heavy toy corpus
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(40)
+    local = bpe_train(docs, n_merges=12, return_counts=True)
+    dist = bpe_train(docs, n_merges=12, return_counts=True, driver_vocab_cap=0)
+    assert local == dist
+    toy = _docs(spark, ["aaab aaab ccd", "aaab ccd ccd"])
+    assert bpe_train(toy, n_merges=6, min_freq=1, return_counts=True) == bpe_train(
+        toy, n_merges=6, min_freq=1, return_counts=True, driver_vocab_cap=0
+    )
+
+
+def test_bpe_over_cap_falls_back_to_distributed(spark):
+    # cap smaller than the vocabulary: the collected head is discarded
+    # and the distributed loop answers — same sequence as uncapped
+    docs = _docs(spark, ["hello world hello", "worldly hell world"])
+    capped = bpe_train(docs, n_merges=5, min_freq=1, driver_vocab_cap=2)
+    assert capped == bpe_train(docs, n_merges=5, min_freq=1)
+
+
 def test_bpe_merges_reduce_token_count(spark, sf_smoke):
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(50)
     merges = bpe_train(docs, n_merges=15)
