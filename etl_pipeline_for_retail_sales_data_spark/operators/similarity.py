@@ -551,3 +551,140 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
         round6(F.array_max(err_arr)).alias("max_abs_err"),
         round6(sum_err / float(dim)).alias("mean_abs_err"),
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 4,
+    n_candidates: int = 12,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k retrieval (Carbonell
+    & Goldstein 1998, "The use of MMR, diversity-based reranking ...").
+    Plain top-k returns near-duplicates of the same best hit; MMR
+    re-ranks greedily:
+
+        pick argmax over unselected candidates of
+            lam * rel(q, d)  -  (1 - lam) * max_{s in selected} sim(d, s)
+
+    The diversity penalty starts at -1.0 (the cosine floor, an empty
+    selected set), so the first pick is exactly the relevance argmax —
+    pinned against knn_bruteforce in tests.
+
+    Scale shape (the reason this is not a driver loop per query): ALL
+    queries advance through the k greedy rounds together. Candidates are
+    the exact top-``n_candidates`` per query (broadcast queries, one
+    corpus pass — knn_bruteforce's plan); the candidate-candidate sim
+    table is ONE self-equi-join on q_id (n_candidates² rows per query,
+    bounded); each round is a tiny per-q argmax aggregate (min-struct,
+    map-side combinable — the kmeans/pq pattern) plus one keyed join to
+    fold the new pick into the running max-sim. Rounds chain through
+    LAZY localCheckpoints into one job (the pagerank/kmeans pattern).
+    Nothing driver-side, nothing O(corpus²).
+
+    Float parity: rel and sim are the sequential-fold cosine (dot), norms
+    hoisted once per row; the greedy score uses lam and (1 - lam)
+    evaluated ONCE in Python and injected as literals, so the DuckDB
+    oracle replays the identical doubles and the unrolled-CTE greedy
+    selects identical ids. Returns (q_id, doc_id, rnk, rel, mmr) with
+    rel/mmr on the round6 grid; ties break on the lowest candidate id.
+    """
+    lamc = float(lam)
+    divc = 1.0 - lamc
+    emb = emb.filter(F.col(vec_col).isNotNull())
+    q = (
+        emb.filter(query_filter)
+        .select(F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qe"))
+        .withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"))))
+    )
+    c = (
+        spread(emb)
+        .select(F.col(id_col).alias("cand"), as_double(F.col(vec_col)).alias("e"))
+        .withColumn("en", F.sqrt(dot(F.col("e"), F.col("e"))))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cand",
+            "e",
+            "en",
+            (dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("cand"))
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_candidates)
+        .select("q_id", "cand", "e", "en", "rel")
+        .persist()
+    )
+    a = cand.select(
+        "q_id", F.col("cand").alias("ca"), F.col("e").alias("va"), F.col("en").alias("na")
+    )
+    b = cand.select(
+        "q_id", F.col("cand").alias("cb"), F.col("e").alias("vb"), F.col("en").alias("nb")
+    )
+    cc = (
+        a.join(b, "q_id")
+        .select(
+            "q_id",
+            "ca",
+            "cb",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"),
+        )
+        .persist()
+    )
+    state = (
+        cand.select("q_id", "cand", "rel")
+        .withColumn("maxsim", F.lit(-1.0))
+        .withColumn("rnk", F.lit(None).cast("int"))
+        .withColumn("mmr", F.lit(None).cast("double"))
+    )
+    rounds = []
+    for t in range(1, k + 1):
+        score = F.lit(lamc) * F.col("rel") - F.lit(divc) * F.col("maxsim")
+        pick = (
+            state.filter(F.col("rnk").isNull())
+            .groupBy("q_id")
+            .agg(F.min(F.struct((-score).alias("ns"), F.col("cand").alias("cand"))).alias("__p"))
+            .select("q_id", F.col("__p.cand").alias("pick"))
+        )
+        selected_now = F.col("rnk").isNull() & (F.col("cand") == F.col("pick"))
+        state = (
+            state.join(F.broadcast(pick), "q_id", "left")
+            .join(
+                cc.select(
+                    "q_id", F.col("ca").alias("cand"), F.col("cb").alias("pick"), "s"
+                ),
+                ["q_id", "cand", "pick"],
+                "left",
+            )
+            .select(
+                "q_id",
+                "cand",
+                "rel",
+                F.greatest(F.col("maxsim"), F.coalesce(F.col("s"), F.lit(-1.0))).alias(
+                    "maxsim"
+                ),
+                F.when(selected_now, F.lit(t)).otherwise(F.col("rnk")).alias("rnk"),
+                F.when(selected_now, score).otherwise(F.col("mmr")).alias("mmr"),
+            )
+            .localCheckpoint(eager=(t == k))
+        )
+        rounds.append(state)
+    cand.unpersist()
+    cc.unpersist()
+    for frame in rounds[:-1]:
+        frame.unpersist()
+    return state.filter(F.col("rnk").isNotNull()).select(
+        "q_id",
+        F.col("cand").alias("doc_id"),
+        "rnk",
+        round6(F.col("rel")).alias("rel"),
+        round6(F.col("mmr")).alias("mmr"),
+    )

@@ -802,6 +802,75 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh(emb, F.col("vec_id") < 10, _lsh_tables(), k=5)
 
 
+def _mmr_oracle(k: int = 4, n_cand: int = 12, lam: float = 0.7) -> str:
+    """SQL twin of mmr_topk: the fixed-k greedy is UNROLLED into k
+    (pick, state) CTE pairs — each pick is the per-query argmax of
+    lam*rel - (1-lam)*maxsim over unselected candidates (score desc, id
+    asc), each state folds the pick's candidate-candidate sim into the
+    running maxsim, exactly the operator's round. lam and 1-lam are the
+    same Python-evaluated doubles on both engines (repr round-trips);
+    every cosine is list_dot_product — the sequential fold Spark's
+    zip_with/aggregate reproduces bit-for-bit — so the greedy selects
+    identical ids and the round6 scores match exactly."""
+    lamr, divr = repr(float(lam)), repr(1.0 - float(lam))
+    steps = []
+    for t in range(1, k + 1):
+        prev = f"st{t - 1}"
+        steps.append(f""",
+    p{t} AS (
+        SELECT q_id, cand AS pick FROM (
+            SELECT q_id, cand,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY ({lamr}*rel - {divr}*maxsim) DESC, cand) AS pr
+            FROM {prev} WHERE rnk IS NULL) WHERE pr = 1),
+    st{t} AS (
+        SELECT t.q_id, t.cand, t.rel,
+               GREATEST(t.maxsim, COALESCE(cc.s, -1.0)) AS maxsim,
+               CASE WHEN t.rnk IS NULL AND t.cand = p.pick THEN {t} ELSE t.rnk END AS rnk,
+               CASE WHEN t.rnk IS NULL AND t.cand = p.pick
+                    THEN {lamr}*t.rel - {divr}*t.maxsim ELSE t.mmr END AS mmr
+        FROM {prev} t
+        LEFT JOIN p{t} p ON t.q_id = p.q_id
+        LEFT JOIN cc ON cc.q_id = t.q_id AND cc.ca = t.cand AND cc.cb = p.pick)""")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS n
+               FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e WHERE vec_id < 8),
+    sc AS (SELECT q.q_id, e.vec_id AS cand, e.v, e.n,
+                  list_dot_product(q.qv, e.v) / (q.qn * e.n) AS rel
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+    candr AS (SELECT q_id, cand, v, n, rel,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, cand) AS crn
+              FROM sc),
+    cand AS (SELECT q_id, cand, v, n, rel FROM candr WHERE crn <= {n_cand}),
+    cc AS (SELECT a.q_id, a.cand AS ca, b.cand AS cb,
+                  list_dot_product(a.v, b.v) / (a.n * b.n) AS s
+           FROM cand a JOIN cand b ON a.q_id = b.q_id),
+    st0 AS (SELECT q_id, cand, rel, CAST(-1.0 AS DOUBLE) AS maxsim,
+                   CAST(NULL AS INT) AS rnk, CAST(NULL AS DOUBLE) AS mmr
+            FROM cand){"".join(steps)}
+    SELECT q_id, cand AS doc_id, rnk,
+           FLOOR(rel * 1e6 + 0.5) / 1e6 AS rel,
+           FLOOR(mmr * 1e6 + 0.5) / 1e6 AS mmr
+    FROM st{k} WHERE rnk IS NOT NULL
+    """
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR top-4 (lam=0.7) over exact top-12
+    candidates for 8 query vectors (operators/similarity.mmr_topk —
+    Carbonell & Goldstein 1998). All queries advance through the fixed
+    greedy rounds together (per-q argmax aggregates + keyed joins, lazy
+    checkpoint chain — no driver loop, no O(corpus²)); the oracle
+    replays the greedy as unrolled CTEs over the identical
+    sequential-fold cosines, so selections AND scores value-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.mmr_topk(emb, F.col("vec_id") < 8, k=4, n_candidates=12, lam=0.7)
+
+
 @query(
     "multimodal_meta",
     oracle="""

@@ -434,3 +434,71 @@ def test_salted_jaccard_bounds_per_key_fanout(spark):
     # (2x balanced) but proves no single key keeps the full posting list
     assert per_key.mx < d_max
     assert per_key.mx <= 2 * ((d_max + g - 1) // g)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+
+def _emb_frame(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_mmr_first_pick_is_relevance_argmax(spark, sf_correct):
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    mmr = SIM.mmr_topk(emb, F.col("vec_id") < 5, k=3, n_candidates=10)
+    knn = SIM.knn_bruteforce_expr(emb, F.col("vec_id") < 5, k=1)
+    first = {r["q_id"]: r["doc_id"] for r in mmr.filter("rnk = 1").collect()}
+    top1 = {r["q_id"]: r["neighbor_id"] for r in knn.collect()}
+    assert first == top1
+
+
+def test_mmr_structure_and_determinism(spark, sf_correct):
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    out1 = SIM.mmr_topk(emb, F.col("vec_id") < 5, k=4, n_candidates=12).collect()
+    out2 = SIM.mmr_topk(emb, F.col("vec_id") < 5, k=4, n_candidates=12).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    per_q = {}
+    for r in out1:
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in per_q.items():
+        assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+        ids = [r["doc_id"] for r in rows]
+        assert len(set(ids)) == len(ids)
+        assert q_id not in ids
+
+
+def test_mmr_skips_near_duplicate_that_topk_keeps(spark):
+    # docs 1,2 point the same way (near-dups of each other, NOT of the
+    # query — a first pick parallel to the query would make every
+    # round-2 margin rel - maxsim collapse to ~0); doc 3 is slightly
+    # less relevant but diverse. Plain top-2 returns the two dups; MMR
+    # at lam=0.5 takes doc 1 then skips its copy for doc 3:
+    #   rel = (0.900, 0.897, 0.880), sim(2,1) = 0.999, sim(3,1) = 0.585
+    #   round 2: score(2) = -0.051 < score(3) = +0.148
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],        # 0: query
+        [0.9, 0.43589, 0.0, 0.0],    # 1: relevant
+        [0.88, 0.43, 0.05, 0.0],     # 2: near-dup of doc 1
+        [0.88, -0.475, 0.0, 0.0],    # 3: relevant but diverse from doc 1
+    ]
+    emb = _emb_frame(spark, vecs)
+    knn2 = {r["neighbor_id"] for r in
+            SIM.knn_bruteforce_expr(emb, F.col("vec_id") == 0, k=2).collect()}
+    assert knn2 == {1, 2}
+    mmr = SIM.mmr_topk(emb, F.col("vec_id") == 0, k=2, n_candidates=3, lam=0.5)
+    picked = {r["rnk"]: r["doc_id"] for r in mmr.collect()}
+    assert picked[1] in (1, 2)
+    assert picked[2] == 3
+
+
+def test_mmr_fewer_candidates_than_k(spark):
+    # 3-vector corpus, k=5: each query has only 2 candidates → 2 rows out
+    vecs = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]
+    emb = _emb_frame(spark, vecs)
+    out = SIM.mmr_topk(emb, F.col("vec_id") == 0, k=5, n_candidates=10).collect()
+    assert sorted(r["rnk"] for r in out) == [1, 2]
