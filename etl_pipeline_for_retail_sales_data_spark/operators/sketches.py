@@ -74,3 +74,144 @@ def cm_estimate(cells: DataFrame, probes: DataFrame, key: str, depth: int = 4, w
         .groupBy(key)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q-digest: deterministic mergeable quantile sketch over a bounded
+# non-negative integer domain (Shrivastava, Buragohain, Agrawal & Suri
+# 2004, "Medians and Beyond: New Aggregation Techniques for Sensor
+# Networks"). Completes the mergeable-sketch family next to HLL
+# (distinct), count-min (frequency), and KMV (distinct): bounded-size
+# state answering any quantile with rank error <= bits*n/k.
+#
+# Execution split (the BPE-fast-path philosophy): the corpus-sized work
+# is ONE distributed value-histogram aggregation — for a bounded integer
+# domain (cents, token counts) the distinct-value table is bounded and
+# tiny relative to the corpus at any scale — followed by a driver-side
+# deterministic bottom-up compression over the BOUNDED collected
+# histogram (capped collect: fetch cap+1, raise if incomplete). The
+# digest itself is O(k*log domain) cells. Merging digests = summing cell
+# counts + one recompression, so per-partition / per-day digests roll up
+# without touching raw data (asserted in tests).
+#
+# Determinism: leaf ids are heap-numbered tree nodes (2^bits + value);
+# compression walks levels bottom-up and ids ascending, so two builds of
+# the same data produce identical cells — and the quantile walk (cells
+# by (max_value, range size), cumulative count) is reproducible across
+# engines, which is what lets the registry oracle pin rank-error
+# invariants.
+# ---------------------------------------------------------------------------
+
+
+def _qd_compress(cells: dict[int, int], n: int, k: int, bits: int) -> dict[int, int]:
+    """Classic bottom-up q-digest compression: merge (node, sibling,
+    parent) triples whose combined count fits under n/k. Deterministic:
+    levels bottom-up, node ids ascending."""
+    thr = n // k
+    if thr <= 0:
+        return dict(cells)
+    out = dict(cells)
+    for level in range(bits, 0, -1):
+        lo, hi = 1 << level, 1 << (level + 1)
+        for node in sorted(i for i in out if lo <= i < hi):
+            if node not in out:
+                continue
+            sib = node ^ 1
+            parent = node >> 1
+            total = out.get(node, 0) + out.get(sib, 0) + out.get(parent, 0)
+            if total <= thr:
+                out.pop(node, None)
+                out.pop(sib, None)
+                out[parent] = total
+    return out
+
+
+def qdigest_from_hist(
+    hist: list[tuple[int, int]], k: int, bits: int
+) -> dict[int, int]:
+    """Build the digest from a (value, count) histogram. Values must be
+    in [0, 2^bits)."""
+    dom = 1 << bits
+    cells: dict[int, int] = {}
+    n = 0
+    for v, c in hist:
+        if not (0 <= v < dom):
+            raise ValueError(f"qdigest: value {v} outside [0, {dom})")
+        cells[dom + v] = cells.get(dom + v, 0) + c
+        n += c
+    return _qd_compress(cells, n, k, bits)
+
+
+def qdigest_build(
+    df: DataFrame,
+    value: Column,
+    k: int = 1024,
+    bits: int = 25,
+    hist_cap: int = 2_000_000,
+) -> dict[int, int]:
+    """One distributed aggregation → bounded histogram collect → driver
+    compression. Raises when the distinct-value count exceeds
+    ``hist_cap`` (a histogram that big means the domain was mis-sized —
+    raise the cap deliberately or shrink the domain)."""
+    hist_df = (
+        df.select(value.cast("long").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count("*").alias("__c"))
+    )
+    rows = hist_df.limit(hist_cap + 1).collect()
+    if len(rows) > hist_cap:
+        raise ValueError(
+            f"qdigest_build: more than hist_cap={hist_cap} distinct values; "
+            "the bounded-domain histogram is the scale contract — raise the "
+            "cap deliberately if the driver can hold it"
+        )
+    return qdigest_from_hist([(r["__v"], r["__c"]) for r in rows], k, bits)
+
+
+def qdigest_merge(
+    d1: dict[int, int], d2: dict[int, int], k: int, bits: int
+) -> dict[int, int]:
+    """Mergeable-summary contract: cell-wise count sum + one
+    recompression at the combined n/k threshold. Error bounds compose
+    (eps1*n1 + eps2*n2 <= eps*(n1+n2))."""
+    cells = dict(d1)
+    for node, c in d2.items():
+        cells[node] = cells.get(node, 0) + c
+    n = sum(cells.values())
+    return _qd_compress(cells, n, k, bits)
+
+
+def qdigest_total(digest: dict[int, int]) -> int:
+    return sum(digest.values())
+
+
+def _qd_bounds(node: int, bits: int) -> tuple[int, int, int]:
+    """(level, min_value, max_value) of a heap-numbered node."""
+    level = node.bit_length() - 1
+    span = 1 << (bits - level)
+    lo = (node - (1 << level)) * span
+    return level, lo, lo + span - 1
+
+
+def qdigest_quantile(digest: dict[int, int], q: float, bits: int) -> int:
+    """Rank-q estimate: walk cells in (max_value asc, range asc) order,
+    return the first cell's max_value whose cumulative count reaches
+    ceil(q*n). Guarantee: the true rank of the returned value is within
+    bits*n/k of q*n."""
+    import math
+
+    n = qdigest_total(digest)
+    if n == 0:
+        raise ValueError("qdigest_quantile: empty digest")
+    target = max(1, math.ceil(q * n))
+    ordered = sorted(
+        ((_qd_bounds(node, bits), c) for node, c in digest.items()),
+        key=lambda t: (t[0][2], t[0][2] - t[0][1]),
+    )
+    cum = 0
+    for (level, lo, hi), c in ordered:
+        cum += c
+        if cum >= target:
+            return hi
+    return ordered[-1][0][2]

@@ -4645,6 +4645,77 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "qdigest_quantiles",
+    oracle="""
+    SELECT CAST(pct AS INT) AS pct,
+           TRUE AS within_rank_bound,
+           TRUE AS count_conserved,
+           TRUE AS size_bounded,
+           TRUE AS merge_within_bound
+    FROM (SELECT UNNEST([1, 25, 50, 75, 99]) AS pct)
+    """,
+)
+def q_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: a deterministic q-digest (Shrivastava
+    et al. 2004; operators/sketches.qdigest_*) over lineitem extended
+    price in integer CENTS (k=1024, 25-bit domain) — the fourth
+    mergeable-summary family next to HLL/count-min/KMV. The corpus-sized
+    work is one distributed value-histogram aggregation (bounded-domain
+    → bounded cardinality at any scale); compression runs driver-side on
+    the BOUNDED collected histogram, and per-split digests merge by
+    cell-count sum + recompression. The estimates ride on a driver-side
+    walk of the tiny digest → not SQL-replayable, so the output is the
+    per-quantile invariant frame the oracle pins: each of the five
+    estimates' TRUE rank (recomputed with a full distributed pass) is
+    within the paper bound bits*floor(n/k) of the target rank, the
+    digest conserves the row count exactly, the cell count respects the
+    4k size bound (3k + floor-threshold slack), and the estimate from a
+    MERGE of two half-digests (split by orderkey parity) honors the same
+    rank bound — the mergeability contract, checked end-to-end."""
+    from .operators.sketches import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantile,
+        qdigest_total,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    val = cents(F.col("l_extendedprice"))
+    k, bits = 1024, 25
+    d = qdigest_build(li, val, k=k, bits=bits)
+    half1 = qdigest_build(li.filter(F.col("l_orderkey") % 2 == 0), val, k=k, bits=bits)
+    half2 = qdigest_build(li.filter(F.col("l_orderkey") % 2 == 1), val, k=k, bits=bits)
+    merged = qdigest_merge(half1, half2, k=k, bits=bits)
+    n = qdigest_total(d)
+    pcts = [1, 25, 50, 75, 99]
+    ests = {p: qdigest_quantile(d, p / 100.0, bits) for p in pcts}
+    mests = {p: qdigest_quantile(merged, p / 100.0, bits) for p in pcts}
+    # exact ranks of all ten estimates in ONE distributed pass
+    aggs = [
+        F.sum((val <= F.lit(ests[p])).cast("long")).alias(f"r{p}") for p in pcts
+    ] + [
+        F.sum((val <= F.lit(mests[p])).cast("long")).alias(f"m{p}") for p in pcts
+    ] + [F.count("*").alias("n_rows")]
+    g = li.agg(*aggs).collect()[0]
+    bound = bits * (n // k)
+    rows = [
+        (
+            p,
+            abs(g[f"r{p}"] - (p / 100.0) * n) <= bound,
+            n == g["n_rows"] and qdigest_total(merged) == g["n_rows"],
+            len(d) <= 4 * k and len(merged) <= 4 * k,
+            abs(g[f"m{p}"] - (p / 100.0) * n) <= bound,
+        )
+        for p in pcts
+    ]
+    return spark.createDataFrame(
+        rows,
+        "pct int, within_rank_bound boolean, count_conserved boolean, "
+        "size_bounded boolean, merge_within_bound boolean",
+    )
+
+
+@query(
     "zorder_parts",
     oracle=f"""
     WITH xy AS (

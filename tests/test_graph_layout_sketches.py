@@ -328,3 +328,106 @@ def test_weighted_sample_deterministic_and_biased(spark, sf_smoke):
     # plan: global top-k must be TakeOrderedAndProject, not a full sort
     plan = weighted_sample(docs, F.col("n_chars"), 50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# q-digest mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+from etl_pipeline_for_retail_sales_data_spark.operators.sketches import (  # noqa: E402
+    qdigest_build,
+    qdigest_from_hist,
+    qdigest_merge,
+    qdigest_quantile,
+    qdigest_total,
+)
+
+
+def _rank(vals, x):
+    return sum(1 for v in vals if v <= x)
+
+
+def test_qdigest_rank_error_within_paper_bound():
+    import random
+
+    rng = random.Random(11)
+    # skewed + uniform mixture, repeated values included
+    vals = [rng.randint(0, 4000) for _ in range(30000)] + [
+        int(rng.expovariate(1 / 300.0)) % 16000 for _ in range(30000)
+    ]
+    hist: dict[int, int] = {}
+    for v in vals:
+        hist[v] = hist.get(v, 0) + 1
+    k, bits = 256, 14
+    d = qdigest_from_hist(list(hist.items()), k, bits)
+    n = qdigest_total(d)
+    assert n == len(vals)
+    assert len(d) <= 4 * k
+    bound = bits * (n // k)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = qdigest_quantile(d, q, bits)
+        assert abs(_rank(vals, est) - q * n) <= bound, q
+
+
+def test_qdigest_deterministic_and_merge_bound():
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randint(0, 10000) for _ in range(40000)]
+    hist: dict[int, int] = {}
+    for v in vals:
+        hist[v] = hist.get(v, 0) + 1
+    k, bits = 256, 14
+    d1 = qdigest_from_hist(list(hist.items()), k, bits)
+    d2 = qdigest_from_hist(list(reversed(list(hist.items()))), k, bits)
+    assert d1 == d2  # input order never matters
+    # split/merge honors the same bound (mergeable-summary contract)
+    items = list(hist.items())
+    m = qdigest_merge(
+        qdigest_from_hist(items[::2], k, bits),
+        qdigest_from_hist(items[1::2], k, bits),
+        k,
+        bits,
+    )
+    n = qdigest_total(m)
+    assert n == len(vals)
+    assert len(m) <= 4 * k
+    bound = bits * (n // k)
+    for q in (0.1, 0.5, 0.9):
+        est = qdigest_quantile(m, q, bits)
+        assert abs(_rank(vals, est) - q * n) <= bound
+
+
+def test_qdigest_small_n_is_exact_histogram():
+    # n < k → threshold 0 → no compression: quantiles are exact
+    vals = list(range(100))
+    d = qdigest_from_hist([(v, 1) for v in vals], k=1024, bits=7)
+    assert len(d) == 100
+    assert qdigest_quantile(d, 0.5, 7) == 49
+    assert qdigest_quantile(d, 1.0, 7) == 99
+
+
+def test_qdigest_domain_and_empty_contracts(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside"):
+        qdigest_from_hist([(200, 1)], k=16, bits=7)
+    with _pytest.raises(ValueError, match="empty"):
+        qdigest_quantile({}, 0.5, 7)
+    empty = spark.createDataFrame([], "x long")
+    assert qdigest_build(empty, F.col("x"), k=16, bits=7) == {}
+    with _pytest.raises(ValueError, match="hist_cap"):
+        df = spark.range(100).select(F.col("id").alias("x"))
+        qdigest_build(df, F.col("x"), k=16, bits=10, hist_cap=10)
+
+
+def test_qdigest_build_matches_local_hist(spark, sf_smoke):
+    from etl_pipeline_for_retail_sales_data_spark.functions import cents
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    k, bits = 512, 25
+    d = qdigest_build(li, cents(F.col("l_extendedprice")), k=k, bits=bits)
+    local = {}
+    for r in li.select(cents(F.col("l_extendedprice")).alias("c")).collect():
+        local[int(r["c"])] = local.get(int(r["c"]), 0) + 1
+    assert d == qdigest_from_hist(list(local.items()), k, bits)
