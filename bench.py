@@ -69,6 +69,9 @@ HEADLINE = [
     "record_linkage_parts",
     "canonical_dedup_pipeline",
     "multimodal_decode_real",
+    # r4 second-session additions: diversified retrieval + quantile sketch
+    "mmr_diversified_topk",
+    "qdigest_quantiles",
 ]
 
 

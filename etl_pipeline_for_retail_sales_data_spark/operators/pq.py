@@ -243,33 +243,21 @@ def pq_search(
     )
 
 
-def pq_search_rerank(
+def _exact_rerank(
     emb: DataFrame,
     query_filter: Column,
-    m: int = 8,
-    ksub: int = 16,
-    iters: int = 3,
-    k: int = 5,
-    n_candidates: int = 50,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    cands: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """PQ candidate generation + exact re-rank (the FAISS IVFPQ+refine
-    shape, and the production answer to raw ADC's recall ceiling —
-    quantization error caps ADC@k around 0.3 on isotropic data, while
-    the ADC top-50 candidate set holds ~0.8 of the true top-5): the
-    corpus is scanned in CODE form only; original vectors are fetched —
-    one equi-join on vec_id, touching k_cand·n_queries rows, not the
-    corpus — for the candidates alone, scored with the exact cosine
-    (same fold as knn_bruteforce_expr, so overlapping pairs carry
-    identical sims), and re-ranked. Returns (q_id, neighbor_id, sim,
-    rnk)."""
+    """Exact-cosine re-rank of a (q_id, neighbor_id) candidate shortlist:
+    original vectors are fetched with ONE equi-join on vec_id — touching
+    shortlist rows, not the corpus — and scored with the same sequential
+    fold as knn_bruteforce_expr, so overlapping pairs carry identical
+    sims. Returns (q_id, neighbor_id, sim, rnk)."""
     from .similarity import dot, round6
 
-    cands = pq_search(
-        emb, query_filter, m=m, ksub=ksub, iters=iters, k=n_candidates,
-        id_col=id_col, vec_col=vec_col,
-    ).select("q_id", "neighbor_id")
     vecs = (
         spread(emb)
         .filter(F.col(vec_col).isNotNull())
@@ -296,3 +284,122 @@ def pq_search_rerank(
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", round6(F.col("cos")).alias("sim"), "rnk")
     )
+
+
+def pq_search_rerank(
+    emb: DataFrame,
+    query_filter: Column,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    k: int = 5,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ candidate generation + exact re-rank (the FAISS refine shape,
+    and the production answer to raw ADC's recall ceiling — quantization
+    error caps ADC@k around 0.3 on isotropic data, while the ADC top-50
+    candidate set holds ~0.8 of the true top-5). Returns (q_id,
+    neighbor_id, sim, rnk)."""
+    cands = pq_search(
+        emb, query_filter, m=m, ksub=ksub, iters=iters, k=n_candidates,
+        id_col=id_col, vec_col=vec_col,
+    ).select("q_id", "neighbor_id")
+    return _exact_rerank(emb, query_filter, cands, k, id_col, vec_col)
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    nprobe: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF + PQ + exact refine — the complete FAISS IVFPQ architecture
+    (Jégou et al. 2011 §V; the billion-vector standard), composed from
+    the engine's existing pieces:
+
+      IVF    the coarse quantizer (inverted lists = ``list_col``, same
+             convention as similarity.knn_ivf) bounds WHICH rows each
+             query touches: only the nprobe lists whose mean centroids
+             are nearest — scan cost ÷ (n_lists/nprobe).
+      PQ     the sub-quantizer bounds the BYTES per touched row: probed
+             lists are scanned in m-code form via the broadcast ADC
+             lookup table, never as float vectors (÷32 at m=8 on
+             64-dim floats).
+      refine the ADC top-``n_candidates`` shortlist is re-scored with
+             the exact sequential-fold cosine (one vec_id equi-join,
+             shortlist-sized), so returned sims are exact.
+
+    This variant quantizes RAW vectors with one shared codebook set
+    (FAISS trains per-list residuals; raw-vector PQ keeps the codebook
+    broadcastable and the encode pass list-independent — the residual
+    refinement is orthogonal to the distributed shape). Returns (q_id,
+    neighbor_id, sim, rnk); queries whose probed lists hold fewer than k
+    non-self rows return fewer rows, by construction."""
+    d = _probe_dim(emb, vec_col)
+    codebooks = pq_train(emb, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col, d=d)
+    codes = pq_encode(emb, codebooks, m=m, id_col=id_col, vec_col=vec_col, d=d)
+    lists = spread(emb).select(F.col(id_col).alias("vec_id"), F.col(list_col).alias("lst"))
+
+    # coarse centroids: per-list mean vectors (posexplode + groupBy —
+    # the knn_ivf formulation; n_lists rows, broadcast everywhere after)
+    expl = spread(emb).select(
+        F.col(list_col).alias("lst"),
+        F.posexplode(as_double(F.col(vec_col))).alias("dim", "x"),
+    )
+    cent = (
+        expl.groupBy("lst", "dim")
+        .agg(F.avg("x").alias("mu"))
+        .groupBy("lst")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("s"))
+        .select("lst", F.transform("s", lambda t: t["mu"]).alias("centroid"))
+    )
+    q_subs = _subvectors(emb.filter(query_filter), m, id_col, vec_col, d=d).withColumnRenamed(
+        "vec_id", "q_id"
+    )
+    qv = (
+        emb.filter(query_filter)
+        .select(F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qe"))
+    )
+    from .similarity import cosine
+
+    probes = qv.crossJoin(F.broadcast(cent)).select(
+        "q_id", "lst", cosine(F.col("qe"), F.col("centroid")).alias("ccos")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("lst"))
+    probed = (
+        probes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "lst")
+    )
+    lut = q_subs.join(F.broadcast(codebooks), "sub").select(
+        "q_id", "sub", "code", _sq_dist(F.col("sv"), F.col("centroid")).alias("dd")
+    )
+    # probed-list code scan: codes ⋈ lists ⋈ (q_id, lst) probes — each
+    # code row is replicated only to the queries probing its list
+    code_rows = (
+        codes.join(lists, "vec_id")
+        .join(F.broadcast(probed), "lst")
+        .select("q_id", "vec_id", F.posexplode("codes").alias("sub", "code"))
+    )
+    scores = (
+        code_rows.join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dd").alias("adist"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    cands = (
+        scores.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= n_candidates)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _exact_rerank(emb, query_filter, cands, k, id_col, vec_col)

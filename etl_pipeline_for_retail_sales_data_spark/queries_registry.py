@@ -7002,6 +7002,76 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfpq_ann",
+    oracle="""
+    SELECT vec_id AS q_id,
+           CAST(5 AS BIGINT) AS n_results,
+           TRUE AS no_self_match,
+           TRUE AS neighbors_distinct,
+           TRUE AS ranks_are_1_to_k,
+           TRUE AS sims_sorted_desc,
+           TRUE AS sims_exact_cosine
+    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
+    """,
+)
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF+PQ+refine ANN (operators/pq.ivfpq_search — the FAISS
+    IVFPQ architecture, Jégou et al. 2011 §V): inverted lists bound
+    WHICH rows each query touches (nprobe=3 of the 10 stored lists), PQ
+    codes bound the BYTES per touched row (8-code ADC scan, no float
+    vectors scanned), exact refine restores accuracy on the top-50
+    shortlist. Same per-query invariant frame as pq_ann — exactly k=5
+    distinct non-self neighbors ranked 1..5 with non-increasing sims,
+    every sim equal to the independently recomputed EXACT cosine;
+    recall vs brute force is asserted operator-level in tests
+    (test_semantic_bpe_pq.py)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from .operators.pq import ivfpq_search
+
+    res = ivfpq_search(
+        emb, F.col("vec_id") < 10, k=5, nprobe=3, m=8, ksub=16, iters=2,
+        n_candidates=50,
+    )
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), SIM.as_double(F.col("embedding")).alias("qe")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.as_double(F.col("embedding")).alias("e"),
+    )
+    checked = (
+        res.join(F.broadcast(qv), "q_id")
+        .join(cv, "neighbor_id")
+        .withColumn("esim", SIM.round6(SIM.cosine(F.col("qe"), F.col("e"))))
+        .withColumn(
+            "prev_sim",
+            F.lag("sim", 1, 2.0).over(W.partitionBy("q_id").orderBy("rnk")),
+        )
+    )
+    return checked.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_results"),
+        F.coalesce(F.every(F.col("neighbor_id") != F.col("q_id")), F.lit(True)).alias(
+            "no_self_match"
+        ),
+        (F.countDistinct("neighbor_id") == F.count("*")).alias("neighbors_distinct"),
+        (
+            (F.min("rnk") == 1)
+            & (F.max("rnk") == F.count("*"))
+            & (F.countDistinct("rnk") == F.count("*"))
+        ).alias("ranks_are_1_to_k"),
+        F.coalesce(F.every(F.col("sim") <= F.col("prev_sim")), F.lit(True)).alias(
+            "sims_sorted_desc"
+        ),
+        F.coalesce(F.every(F.col("sim") == F.col("esim")), F.lit(True)).alias(
+            "sims_exact_cosine"
+        ),
+    )
+
+
+
+@query(
     "pq_recall_check",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,

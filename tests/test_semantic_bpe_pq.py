@@ -367,3 +367,57 @@ def test_bpe_jvm_fold_equals_python_scan(spark):
         )
         got = list(_apply_merge(df, a, b).collect()[0]["syms"])
         assert got == _merge_word(list(syms), a, b), (syms, a, b, got)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (coarse lists + PQ codes + exact refine)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_recall_and_structure(spark, sf_smoke):
+    from etl_pipeline_for_retail_sales_data_spark.operators.pq import ivfpq_search
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qf = F.col("vec_id") < 10
+    exact = knn_bruteforce_expr(emb, qf, k=5).select(
+        "q_id", F.col("neighbor_id").alias("tn")
+    )
+    approx = ivfpq_search(emb, qf, k=5, nprobe=3, m=8, ksub=16, iters=2,
+                          n_candidates=50)
+    rows = approx.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rs in per_q.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
+        assert q_id not in {r["neighbor_id"] for r in rs}
+    hits = approx.join(
+        exact, (approx["q_id"] == exact["q_id"]) & (approx["neighbor_id"] == exact["tn"])
+    ).count()
+    # nprobe=3 of 10 lists: the shortlist misses true neighbors living in
+    # unprobed lists — a soft floor, not pq_rerank's
+    assert hits / exact.count() >= 0.3
+
+
+def test_ivfpq_all_lists_matches_pq_rerank(spark, sf_smoke):
+    # probing EVERY list removes the IVF restriction: candidates (and
+    # therefore the exact-reranked output) must equal plain PQ+refine
+    from etl_pipeline_for_retail_sales_data_spark.operators.pq import ivfpq_search
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qf = F.col("vec_id") < 6
+    full = ivfpq_search(emb, qf, k=5, nprobe=100, m=8, ksub=16, iters=2,
+                        n_candidates=50).collect()
+    plain = pq_search_rerank(emb, qf, m=8, ksub=16, iters=2, k=5,
+                             n_candidates=50).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
+
+
+def test_ivfpq_deterministic(spark, sf_smoke):
+    from etl_pipeline_for_retail_sales_data_spark.operators.pq import ivfpq_search
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qf = F.col("vec_id") < 5
+    a = ivfpq_search(emb, qf, k=3, nprobe=3, iters=2).collect()
+    b = ivfpq_search(emb, qf, k=3, nprobe=3, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
