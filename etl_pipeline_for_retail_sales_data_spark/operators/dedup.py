@@ -742,3 +742,105 @@ def contrastive_triplets(
         )
         .join(sym, ["anchor", "negative"], "left_anti")
     )
+
+
+def doc_shingle_tf(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle, tf, nsq) rows — per-doc shingle term frequencies
+    with the doc's squared L2 norm (sum of tf², an exact integer) carried
+    on every row. Computed per document in one Arrow pass (a local
+    Counter), same tokenizer as doc_shingles_arrow; the norm-carry means
+    pairwise cosine downstream never joins back to a norms frame (the
+    same two-shuffle saving as ngram_jaccard_pairs's size-carry)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    pat = re.compile(r"[^ \t\n\x0b\f\r]+")  # ASCII expansion of Java \S
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shingles, tfs, nsqs = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = pat.findall(text.lower())
+                cnt = Counter(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                nsq = sum(v * v for v in cnt.values())
+                for s, tf in cnt.items():
+                    ids.append(doc_id)
+                    shingles.append(s)
+                    tfs.append(tf)
+                    nsqs.append(nsq)
+            yield pd.DataFrame(
+                {"doc_id": ids, "shingle": shingles, "tf": tfs, "nsq": nsqs}
+            )
+
+    return (
+        spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .mapInPandas(gen, "doc_id long, shingle string, tf long, nsq long")
+    )
+
+
+def shingle_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """Exact n-gram TERM-FREQUENCY cosine for all co-occurring doc pairs —
+    the multiplicity-weighted complement to ngram_jaccard_pairs (set
+    semantics): cos(a,b) = Σ tf_a·tf_b / (‖tf_a‖·‖tf_b‖). A doc that
+    hammers one phrase among otherwise-shared content keeps a high
+    shingle-SET overlap (Jaccard ~0.6) while its tf vector swings toward
+    the repeated phrase (cosine ~0.3) — so this flags repetition-skewed
+    near-dups Jaccard scores as close (and conversely, cosine forgives
+    whole-document repetition that Jaccard penalizes via novel
+    wrap-around shingles; both directions pinned in tests).
+
+    Float parity: the numerator is a SUM of integer products (exact,
+    order-free), both squared norms are exact integers carried on the
+    shingle rows, sqrt is a correctly-rounded IEEE op, and the final
+    division is one float op — so the score is bit-reproducible across
+    engines with no sequential-fold choreography at all.
+
+    Scale shape: identical to ngram_jaccard_pairs — inverted-index
+    self-equi-join on shingle, one pair-keyed aggregate, with the
+    ``max_df`` hot-shingle cap ON by default (dropping a capped shingle
+    only LOWERS the numerator: the score is a lower bound, sizes stay
+    exact; pass None for the exact form)."""
+    sh = doc_shingle_tf(df, text_col, n).persist()
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("tf").alias("tf_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("tf").alias("tf_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "nsq_a", "nsq_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("num"))
+    )
+    cos = F.col("num") / (F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b")))
+    return (
+        pairs.withColumn("cosine", F.floor(cos * 1e6 + F.lit(0.5)) / 1e6)
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "num", "nsq_a", "nsq_b", "cosine")
+    )

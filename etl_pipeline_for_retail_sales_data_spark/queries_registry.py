@@ -9867,3 +9867,97 @@ def q_bq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
         (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(5.0)).alias("recall"),
     )
+
+
+def _rrf_hybrid_sql(
+    terms: list[str],
+    query_vec_id: int = 7,
+    k: int = 20,
+    pool: int = 50,
+    rrf_k: int = 60,
+) -> str:
+    lex = _bm25_oracle(terms, top_k=pool)
+    return f"""
+    WITH lex AS ({lex}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT * FROM e WHERE vec_id = {query_vec_id}),
+    vec AS (
+        SELECT doc_id, vec_rnk FROM (
+            SELECT c.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                                      c.vec_id) AS vec_rnk
+            FROM q JOIN e c ON c.vec_id <> q.vec_id
+        ) WHERE vec_rnk <= {pool}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.rnk AS lex_rnk, v.vec_rnk,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + l.rnk), 0.0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + v.vec_rnk), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+    )
+    SELECT doc_id, lex_rnk, vec_rnk,
+           FLOOR(rrf * 1e6 + 0.5) / 1e6 AS rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@query("rrf_hybrid_search", oracle=_rrf_hybrid_sql(_BM25_TERMS))
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused with Reciprocal Rank Fusion
+    (operators/retrieval.rrf_hybrid_search): BM25 top-50 for the standing
+    query terms + exact-cosine top-50 around doc 7's embedding, fused as
+    sum of 1/(60+rank). Ranks are integers so the fused score is a
+    two-term literal-order sum of exact divisions — value-oracled
+    end-to-end including both legs' rank columns."""
+    from .operators.retrieval import rrf_hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rrf_hybrid_search(docs, emb, _BM25_TERMS, query_vec_id=7)
+
+
+_SHINGLE_TF_SQL = r"""
+    shtf AS (
+        SELECT doc_id, shingle, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(list_transform(range(len(toks) - 2),
+                   i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingle
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents)
+            WHERE len(toks) >= 3)
+        GROUP BY 1, 2
+    ),
+    norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nsq FROM shtf GROUP BY 1)
+"""
+
+
+@query(
+    "shingle_cosine_pairs",
+    oracle=rf"""
+    WITH {_SHINGLE_TF_SQL},
+    num AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS num
+        FROM shtf a JOIN shtf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, num, na.nsq AS nsq_a, nb.nsq AS nsq_b,
+           FLOOR(num / (sqrt(na.nsq) * sqrt(nb.nsq)) * 1e6 + 0.5) / 1e6 AS cosine
+    FROM num JOIN norms na ON na.doc_id = doc_a JOIN norms nb ON nb.doc_id = doc_b
+    WHERE FLOOR(num / (sqrt(na.nsq) * sqrt(nb.nsq)) * 1e6 + 0.5) / 1e6 >= 0.5
+    """,
+)
+def q_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram term-frequency cosine pairs >= 0.5
+    (operators/dedup.shingle_cosine_pairs, max_df=None for the exact
+    oracle-checked form) — the multiplicity-weighted complement to
+    ngram_jaccard_pairs: integer numerator, integer squared norms carried
+    on the shingle rows (no norms join), one sqrt+divide at the end."""
+    return D.shingle_cosine_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=None
+    )

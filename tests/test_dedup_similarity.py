@@ -555,3 +555,57 @@ def test_bq_recall_floor_and_subset(spark, sf_smoke):
         if key in sims_exact:
             assert r.sim == sims_exact[key]
         assert 0 <= r.hamming <= 64
+
+
+def test_shingle_cosine_catches_repetition_inflation(spark):
+    """The motivating property vs Jaccard: a doc that hammers ONE phrase
+    among otherwise-identical content keeps a high shingle-SET overlap
+    (Jaccard) while its tf vector swings toward the repeated phrase
+    (cosine drops); identical docs score 1.0 on both."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [(1, base), (2, base), (3, base + " " + "alpha beta gamma " * 20)],
+    )
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in D.ngram_jaccard_pairs(docs, threshold=0.0, max_df=None).collect()}
+    cos = {(r.doc_a, r.doc_b): r.cosine
+           for r in D.shingle_cosine_pairs(docs, threshold=0.0, max_df=None).collect()}
+    assert cos[(1, 2)] == 1.0
+    assert jac[(1, 3)] >= 0.5  # set overlap stays high
+    assert cos[(1, 3)] < 0.4 < jac[(1, 3)]  # tf direction diverges
+
+
+def test_shingle_cosine_max_df_is_lower_bound(spark, sf_smoke):
+    """Dropping capped shingles only removes numerator terms: every capped
+    score is <= its exact twin, and no new pairs appear."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    exact = {(r.doc_a, r.doc_b): r.cosine
+             for r in D.shingle_cosine_pairs(docs, threshold=0.3, max_df=None).collect()}
+    capped = {(r.doc_a, r.doc_b): r.cosine
+              for r in D.shingle_cosine_pairs(docs, threshold=0.3, max_df=64).collect()}
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-12
+
+
+def test_rrf_fuses_both_legs(spark, sf_smoke):
+    """RRF output: scores are exactly 1/(60+lex)+1/(60+vec) with absent
+    legs contributing 0, ranks are dense from 1, and the top result
+    appears in at least one leg's pool."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.retrieval import (
+        rrf_hybrid_search,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    out = rrf_hybrid_search(docs, emb, ["join", "vector", "data"], query_vec_id=7).collect()
+    assert [r.rnk for r in out] == list(range(1, len(out) + 1))
+    import math
+
+    for r in out:
+        expect = (1.0 / (60 + r.lex_rnk) if r.lex_rnk is not None else 0.0) + (
+            1.0 / (60 + r.vec_rnk) if r.vec_rnk is not None else 0.0
+        )
+        assert math.isclose(r.rrf_score, math.floor(expect * 1e6 + 0.5) / 1e6)
+        assert r.lex_rnk is not None or r.vec_rnk is not None
