@@ -844,3 +844,86 @@ def shingle_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "num", "nsq_a", "nsq_b", "cosine")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """Distinct (doc_id, fp) winnowing fingerprints (Schleimer, Wilkerson
+    & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS selector): hash every word k-gram, then keep
+    the MINIMUM hash of each sliding window of ``w`` consecutive k-gram
+    hashes. The guarantee: any shared token run of length >= k + w - 1
+    between two documents forces at least one IDENTICAL selected
+    fingerprint in both — so substring-level overlap is detectable from
+    a ~1/w-sized sample of the k-gram set, with the sampling decision
+    made LOCALLY per position (no corpus statistics needed, unlike
+    MinHash's global permutations).
+
+    Everything is per-document array expressions (whole-stage codegen:
+    one regexp pass, md5 per k-gram, array_min per window, one
+    array_distinct) — zero shuffles until the caller joins fingerprints;
+    md5 hex strings compare lexicographically the same in the JVM and
+    DuckDB, so selections are bit-reproducible."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    kg_idx = F.sequence(F.lit(0), F.size(toks) - k)
+    hashes = F.transform(kg_idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")))
+    df = spread(df).filter(F.size(toks) >= k + w - 1)
+    win_idx = F.sequence(F.lit(0), F.size(hashes) - w)
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j + 1, w)))
+    )
+    return df.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """Substring-overlap candidate pairs by shared winnowing fingerprints:
+    containment = |fp_a ∩ fp_b| / min(|fp_a|, |fp_b|) — the MOSS
+    plagiarism/contamination score. By the winnowing guarantee a shared
+    run of k+w-1 tokens cannot be missed, so near-verbatim inclusions of
+    a smaller doc inside a bigger one score ~1.0 even when whole-doc
+    measures (Jaccard over all shingles) dilute toward 0.
+
+    Scale shape: the family's inverted-index discipline — fingerprint
+    sets are ~1/w of the shingle sets, so the self-equi-join moves ~w×
+    less data than ngram_jaccard_pairs for the same corpus; per-doc set
+    sizes ride along on the fingerprint rows (no sizes join); hot
+    fingerprints capped by ``max_df`` ON by default (containment becomes
+    a lower bound; pass None for exact)."""
+    fp = winnowing_fingerprints(df, text_col, k, w)
+    sizes = F.count("*").alias("n_fp")
+    fp = (
+        fp.groupBy("doc_id")
+        .agg(F.collect_list("fp").alias("__fps"), sizes)
+        .select("doc_id", "n_fp", F.explode("__fps").alias("fp"))
+    )
+    if max_df is not None:
+        rare = (
+            fp.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fp = fp.join(rare, "fp")
+    fp = fp.persist()
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp", F.col("n_fp").alias("n_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp", F.col("n_fp").alias("n_b"))
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    score = F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.withColumn("containment", F.floor(score * 1e6 + F.lit(0.5)) / 1e6)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "containment")
+    )

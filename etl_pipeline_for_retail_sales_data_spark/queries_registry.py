@@ -9961,3 +9961,45 @@ def q_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.shingle_cosine_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=None
     )
+
+
+@query(
+    "winnowing_pairs",
+    oracle=r"""
+    WITH kg AS (
+        SELECT doc_id,
+               list_transform(range(len(toks) - 2),
+                  i -> md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS hashes
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents)
+        WHERE len(toks) >= 6
+    ),
+    fp AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(range(len(hashes) - 3),
+                  j -> list_min(hashes[j + 1 : j + 4])))) AS fp
+        FROM kg
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+           FLOOR(n_shared / LEAST(sa.n_fp, sb.n_fp) * 1e6 + 0.5) / 1e6 AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE FLOOR(n_shared / LEAST(sa.n_fp, sb.n_fp) * 1e6 + 0.5) / 1e6 >= 0.5
+    """,
+)
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprint overlap (Schleimer et al. 2003,
+    operators/dedup.winnowing_overlap_pairs with max_df=None for the
+    exact oracle-checked form): k=3-gram md5 hashes, window w=4 minima
+    selected per position (pure array expressions, no shuffle), then the
+    family's inverted-index self-join with size-carry. Containment
+    against the SMALLER doc flags near-verbatim inclusion that whole-doc
+    Jaccard dilutes; any shared run of k+w-1=6 tokens is guaranteed to
+    collide on a fingerprint."""
+    return D.winnowing_overlap_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=None
+    )

@@ -609,3 +609,40 @@ def test_rrf_fuses_both_legs(spark, sf_smoke):
         )
         assert math.isclose(r.rrf_score, math.floor(expect * 1e6 + 0.5) / 1e6)
         assert r.lex_rnk is not None or r.vec_rnk is not None
+
+
+def test_winnowing_guarantee_shared_run_collides(spark):
+    """The winnowing guarantee (k=3, w=4): any shared token run of length
+    >= k+w-1 = 6 forces at least one identical selected fingerprint in
+    both docs — even when the docs are otherwise disjoint."""
+    shared = "one two three four five six"  # exactly 6 shared tokens
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb cc dd " + shared + " ee ff gg hh"),
+            (2, "zz yy xx ww vv " + shared + " uu tt ss rr qq"),
+            (3, "pp oo nn mm ll kk jj ii"),  # no shared run with 1/2
+        ],
+    )
+    fp = D.winnowing_fingerprints(docs)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token run produced no common fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_containment_flags_inclusion(spark):
+    """Near-verbatim inclusion of a small doc inside a much larger one
+    scores containment ~1.0 while whole-doc Jaccard dilutes toward the
+    size ratio."""
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    big = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 " + small + " y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+    docs = _docs(spark, [(1, small), (2, big)])
+    pairs = D.winnowing_overlap_pairs(docs, threshold=0.5, max_df=None).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert p.containment >= 0.9, f"inclusion scored only {p.containment}"
+    jac = D.ngram_jaccard_pairs(docs, threshold=0.0, max_df=None).collect()
+    assert jac[0].jaccard < p.containment
