@@ -72,6 +72,14 @@ HEADLINE = [
     # r4 second-session additions: diversified retrieval + quantile sketch
     "mmr_diversified_topk",
     "qdigest_quantiles",
+    # r4 third-session additions: BQ-ANN, hybrid retrieval, weighted/local
+    # fingerprint dedup, corpus provenance audits
+    "bq_ann",
+    "rrf_hybrid_search",
+    "shingle_cosine_pairs",
+    "winnowing_pairs",
+    "doc_novelty",
+    "source_overlap_matrix",
 ]
 
 

@@ -10003,3 +10003,117 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnowing_overlap_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=None
     )
+
+
+@query(
+    "doc_novelty",
+    oracle=r"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, UNNEST(list_transform(range(len(toks) - 2),
+               i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingle
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           FLOOR(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS novelty
+    FROM sh JOIN firsts f ON f.shingle = sh.shingle
+    GROUP BY 1
+    """,
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty per document: the fraction of a doc's
+    distinct 3-gram shingles whose FIRST corpus occurrence (min doc_id —
+    ingestion order) is this doc. The curation diagnostic behind
+    'process-in-order, keep-what's-new' dedup policies (cf. the
+    incremental corpus plan): novelty ~1.0 = fresh content, ~0.0 = fully
+    recycled. Scale shape: one distinct-shingle pass, one groupBy(shingle)
+    min — the same aggregate exact-dedup uses — then one shingle-keyed
+    join back and a doc-keyed count; no pair joins at all, so it runs on
+    corpora where pairwise scoring can't."""
+    sh = D.doc_shingles_arrow(load_table(spark, sf_dir, "documents"))
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).alias("n_novel")
+    out = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), novel)
+    )
+    frac = F.col("n_novel") / F.col("n_shingles")
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long"),
+        F.col("n_novel").cast("long"),
+        (F.floor(frac * 1e6 + F.lit(0.5)) / 1e6).alias("novelty"),
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=r"""
+    WITH kg AS (
+        SELECT doc_id, source,
+               list_transform(range(len(toks) - 2),
+                  i -> md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS hashes
+        FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS toks FROM documents)
+        WHERE len(toks) >= 6
+    ),
+    fp AS (
+        SELECT DISTINCT source,
+               UNNEST(list_distinct(list_transform(range(len(hashes) - 3),
+                  j -> list_min(hashes[j + 1 : j + 4])))) AS fp
+        FROM kg
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_fp FROM fp GROUP BY 1)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           sa.n_fp AS n_a, sb.n_fp AS n_b,
+           FLOOR(COUNT(*) / LEAST(sa.n_fp, sb.n_fp) * 1e6 + 0.5) / 1e6 AS containment
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY 1, 2, 4, 5
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many DISTINCT winnowing fingerprints they share and the
+    containment vs the smaller source's fingerprint set — the
+    leakage/provenance audit run before mixing crawls (is src3 a re-crawl
+    of src1?). Sources are few, so after the per-source fingerprint
+    dedup (one aggregate) the matrix join is tiny; the corpus-side work
+    is the same shuffle-free winnowing selection as winnowing_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        D.winnowing_fingerprints(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+        .persist()
+    )
+    sizes = fp.groupBy("source").agg(F.count("*").alias("n_fp"))
+    a = fp.select(F.col("source").alias("src_a"), "fp")
+    b = fp.select(F.col("source").alias("src_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_fp").alias("n_b"))
+    out = shared.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    cont = F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("n_shared").cast("long"),
+        "n_a",
+        "n_b",
+        (F.floor(cont * 1e6 + F.lit(0.5)) / 1e6).alias("containment"),
+    )
