@@ -270,3 +270,53 @@ def domain_upsample(
             ).alias("copy"),
         )
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Greedy quality-ranked corpus subsetting under a token budget: rank
+    documents by the composite quality score (quality desc, doc_id
+    tiebreak) and keep the prefix whose CUMULATIVE token count stays
+    within ``budget`` — the standard "best N tokens" selection step that
+    sizes a training mix.
+
+    Scale shape — the global prefix sum is computed WITHOUT a
+    single-partition window over the corpus (the naive
+    ``Window.orderBy(...)`` with no partition key serializes the whole
+    table through one task): documents are range-bucketed by their
+    (bounded-domain) quality score, per-bucket token totals collapse to
+    an ``n_buckets``-row frame whose exclusive prefix sum is the only
+    unpartitioned window (tiny by construction), and each document's
+    global cumulative count = its bucket's offset + a within-bucket
+    running sum (window PARTITIONED by bucket). Ordering across buckets
+    agrees with ordering within them because the bucket key is a
+    truncation of the same rounded quality score. All sums are exact
+    integers, so the cut is bit-reproducible."""
+    from pyspark.sql import Window
+
+    from .text import quality_expr, token_count
+
+    base = df.select(
+        "doc_id",
+        quality_expr(text_col).alias("quality"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("__bucket", F.floor(F.col("quality") * n_buckets).cast("long"))
+    totals = base.groupBy("__bucket").agg(F.sum("n_tokens").alias("__btok"))
+    wb = Window.orderBy(F.col("__bucket").desc())
+    offsets = totals.select(
+        "__bucket",
+        (F.coalesce(F.sum("__btok").over(wb), F.lit(0)) - F.col("__btok")).alias("__off"),
+    )
+    ww = Window.partitionBy("__bucket").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    out = (
+        base.join(F.broadcast(offsets), "__bucket")
+        .withColumn("cum_tokens", F.col("__off") + F.sum("n_tokens").over(ww))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+    return out.select("doc_id", "quality", "n_tokens", "cum_tokens")

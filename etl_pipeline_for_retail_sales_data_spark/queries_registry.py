@@ -10117,3 +10117,43 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         (F.floor(cont * 1e6 + F.lit(0.5)) / 1e6).alias("containment"),
     )
+
+
+@query(
+    "token_budget_selection",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+               len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS stops,
+               len(regexp_extract_all(text, '[[:punct:]]')) AS puncts,
+               CAST(length(text) AS DOUBLE) AS chars
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               FLOOR(((stops / GREATEST(toks, 1.0)) * 0.4
+                      + (LEAST(toks, 100.0) / 100.0) * 0.3
+                      + (1 - (puncts / GREATEST(chars, 1.0))) * 0.3) * 1e6 + 0.5) / 1e6 AS quality,
+               CAST(toks AS BIGINT) AS n_tokens
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, quality, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
+    """,
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked corpus subsetting under a 10k-token budget
+    (operators/selection.token_budget_select): keep the best-quality
+    prefix whose cumulative token count fits. The Spark plan computes the
+    global running sum WITHOUT a single-partition window (bucketed
+    two-phase prefix sum — the only unpartitioned window is over the
+    ~100-row bucket frame); the oracle states the same cut with the naive
+    OVER (ORDER BY ...) since DuckDB runs at oracle scale."""
+    from .operators.selection import token_budget_select
+
+    return token_budget_select(load_table(spark, sf_dir, "documents"), budget=10_000)
