@@ -80,6 +80,12 @@ HEADLINE = [
     "winnowing_pairs",
     "doc_novelty",
     "source_overlap_matrix",
+    # r5: capped production twins of the pair families (operator-default
+    # max_df=256 — the 100×-scale path) benched alongside the exact
+    # oracle forms, so regressions in the capped plan are visible
+    "ngram_jaccard_capped",
+    "shingle_cosine_capped",
+    "winnowing_capped",
 ]
 
 

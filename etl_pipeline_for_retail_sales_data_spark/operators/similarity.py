@@ -830,3 +830,140 @@ def bq_hamming_topk(
             "rnk",
         )
     )
+
+
+def hyperplane_signature(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """B-bit hyperplane signature (Charikar SimHash for vectors): bit i is
+    set iff dot(v, plane_i) >= 0, packed into ``B/word_bits`` long
+    columns ``w0..`` (32 bits per word keeps every value < 2**32 — exact
+    signed-integer arithmetic in both engines). Unlike sign-bit
+    quantization of the raw components (binary_quantize, capped at dim
+    bits), hyperplane bits extend to ANY signature width: each extra bit
+    is an independent angle estimate, so normalized Hamming concentrates
+    on theta/pi with variance ~1/(4B) — the lever that separates true
+    neighbors from the random-pair bulk on corpora where neighbors are
+    only modestly closer than random (this testdata: neighbor cos 0.26-
+    0.49 vs random ~0).
+
+    One Arrow pass over the corpus, zero shuffles. Float discipline
+    (same contract as embedding_neardup_lsh_numpy): plane dots go
+    through BLAS, and any |dot| inside a 1e-6 sign-ambiguity margin is
+    recomputed with the exact sequential np.cumsum fold — bit-identical
+    to DuckDB's list_dot_product — so every sign bit matches the oracle
+    exactly (BLAS error here is ~1e-11)."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(planes, dtype=np.float64)
+    n_bits = len(planes)
+    if n_bits % word_bits:
+        raise ValueError(f"n_bits {n_bits} not a multiple of word_bits {word_bits}")
+    n_words = n_bits // word_bits
+    weights = (1 << np.arange(word_bits)).astype(np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = x @ P.T  # (n, n_bits) BLAS screen
+            sus_r, sus_c = np.nonzero(np.abs(d) < 1e-6)
+            for r, c in zip(sus_r, sus_c):
+                d[r, c] = np.cumsum(x[r] * P[c])[-1]  # exact sequential fold
+            bits = d >= 0
+            words = bits.reshape(len(x), n_words, word_bits) @ weights  # exact ints
+            out = {id_col: pdf[id_col].to_numpy()}
+            for j in range(n_words):
+                out[f"w{j}"] = words[:, j]
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(f"w{j} long" for j in range(n_words))
+    return spread(emb.filter(F.col(vec_col).isNotNull())).select(
+        id_col, vec_col
+    ).mapInPandas(kernel, schema)
+
+
+def bq_screen_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    planes: list[list[float]],
+    max_hamming: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """ANN via wide binary quantization + full-signature Hamming SCREEN +
+    exact cosine rerank — the binary-flat search mode (FAISS
+    IndexBinaryFlat / Lucene BQ): every corpus signature is Hamming-
+    tested against the (broadcast) query batch with pure integer
+    XOR+popcount — 64x cheaper per byte than float scoring and a
+    map-only pass with NO shuffle of the corpus — and only rows with
+    hamming <= max_hamming enter the exact rerank. With B hyperplane
+    bits, normalized Hamming estimates theta/pi with sigma ~ 1/(2*sqrt(B)),
+    so a sharp threshold separates neighbors from the random bulk far
+    better than banded multi-index probing on LSH-hard corpora (measured
+    here: B=256, T=112 -> recall@5 0.98-1.00 with ~11% of the corpus
+    entering the rerank, vs 0.70 at ~26% for the 64-bit banded MIH path
+    in bq_hamming_topk).
+
+    Scale shape: signature build is one Arrow pass (hyperplane_signature);
+    the screen is corpus-signatures x broadcast-query-signatures
+    (BroadcastNestedLoopJoin over a bounded query batch — the corpus
+    never moves, same discipline as knn_bruteforce_expr); the rerank
+    joins vectors only for the screened ~tau tail. Ranking is exact
+    cosine desc with id tiebreak on the shared sequential fold, so the
+    output is the exact ranking RESTRICTED to the Hamming-screened set;
+    self-pairs excluded to match knn_bruteforce."""
+    n_bits = len(planes)
+    n_words = n_bits // word_bits
+    emb = emb.filter(F.col(vec_col).isNotNull())
+    sig = hyperplane_signature(emb, planes, id_col, vec_col, word_bits).persist()
+    q_sig = sig.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        *[F.col(f"w{j}").alias(f"qw{j}") for j in range(n_words)],
+    )
+    hamming = None
+    for j in range(n_words):
+        h = F.bit_count(F.col(f"qw{j}").bitwiseXOR(F.col(f"w{j}")))
+        hamming = h if hamming is None else hamming + h
+    cand = (
+        sig.crossJoin(F.broadcast(q_sig))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("neighbor_id"), hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    vecs = emb.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    qv = vecs.select(F.col(id_col).alias("q_id"), F.col("__v").alias("qe"), F.col("__n").alias("qn"))
+    cv = vecs.select(F.col(id_col).alias("neighbor_id"), F.col("__v").alias("e"), F.col("__n").alias("en"))
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            "hamming",
+            (dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "hamming",
+            round6(F.col("cos")).alias("sim"),
+            "rnk",
+        )
+    )

@@ -60,9 +60,17 @@ def reshuffled_sf(spark, sf_smoke, tmp_path_factory):
     return out
 
 
-def test_every_oracled_query_is_partition_invariant(spark, sf_smoke, reshuffled_sf):
+# Sharded (round 5): the 377s single-test sweep is split into
+# deterministic round-robin slices so each shard stays under the 120s
+# budget and a flake only costs its slice; the reshuffled layout is
+# still built once (module-scoped fixture).
+N_SHARDS = 4
+
+
+@pytest.mark.parametrize("shard", range(N_SHARDS))
+def test_every_oracled_query_is_partition_invariant(spark, sf_smoke, reshuffled_sf, shard):
     failures = []
-    for name in ORACLED:
+    for name in ORACLED[shard::N_SHARDS]:
         fn = QUERIES[name]
         try:
             a = _norm(fn(spark, sf_smoke))
