@@ -86,6 +86,9 @@ HEADLINE = [
     "ngram_jaccard_capped",
     "shingle_cosine_capped",
     "winnowing_capped",
+    # r5: ExactSubstr duplicated-span dedup (Lee et al. 2022) — the
+    # no-pair-join dedup family, O(corpus tokens)
+    "exact_substring_report",
 ]
 
 

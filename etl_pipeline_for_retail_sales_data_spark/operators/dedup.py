@@ -927,3 +927,105 @@ def winnowing_overlap_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "containment")
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    span_tokens: int = 10,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    method, bounded-window form): every ``span_tokens``-token window of
+    every document is hashed; a window duplicated anywhere in the corpus
+    (>= min_occurrences locations, self-repetition included, matching
+    the paper's suffix-array semantics) marks its start position; per
+    document, consecutive duplicated start positions merge into MAXIMAL
+    duplicated spans [span_start, span_end) — exactly the token ranges
+    ExactSubstr would cut. The fixed window is the bounded analog of the
+    paper's length-50 suffix-array matches: any duplicated run of >=
+    span_tokens tokens is found in full, shorter duplicates are ignored.
+
+    Scale shape — the reason this beats pair-based dedup at 100 TB:
+    there is NO pair join anywhere. Window hashing is per-doc array
+    expressions (zero shuffle), duplicate detection is one groupBy on
+    the 128-bit window hash (map-side partial agg collapses repeats),
+    the mark-back is an equi-join on the hash, and span merging is a
+    per-doc window function (gaps-and-islands: pos - row_number), so
+    cost is O(corpus tokens), never O(pairs). Output rows are spans,
+    bounded by corpus size.
+
+    All hashing is md5 over space-joined lowercase tokens — the DuckDB
+    oracle reproduces hashes, duplicate sets, and island boundaries
+    verbatim; every output column is exact integer arithmetic."""
+    from pyspark.sql import Window
+
+    L = span_tokens
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    idx = F.sequence(F.lit(0), F.size(toks) - L)
+    hashes = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, L), " ")))
+    w = (
+        spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .filter(F.size(toks) >= L)
+        .select("doc_id", F.posexplode(hashes).alias("pos", "h"))
+    )
+    dup = w.groupBy("h").agg(F.count("*").alias("__n")).filter(
+        F.col("__n") >= min_occurrences
+    ).select("h")
+    dpos = w.join(dup, "h").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dpos.withColumn("__grp", F.col("pos") - F.row_number().over(win))
+    return (
+        isl.groupBy("doc_id", "__grp")
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + L).alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def exact_substring_report(
+    df: DataFrame,
+    text_col: str = "text",
+    span_tokens: int = 10,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-token accounting for ExactSubstr dedup:
+    how many of each doc's tokens sit inside a duplicated span (the
+    tokens the Lee et al. cut would delete) and the duplicated fraction.
+    Every doc appears (zero-span docs report 0.0) — the frame a corpus
+    build joins against to decide cut-vs-keep. Same plan as
+    exact_substring_spans plus one per-doc aggregate and a left join
+    back to the token counts; the fraction is one exact int/int divide
+    on the 1e-6 grid."""
+    L = span_tokens
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    base = (
+        spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    )
+    spans = exact_substring_spans(df, text_col, L, min_occurrences)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").alias("__dup"), F.count("*").alias("__nsp")
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(F.col("__nsp"), F.lit(0)).cast("long").alias("n_spans"),
+        (
+            F.floor(
+                F.coalesce(F.col("__dup"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("dup_fraction"),
+    )

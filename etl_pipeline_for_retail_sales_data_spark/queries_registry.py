@@ -10161,6 +10161,80 @@ def q_winnowing_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACTSUBSTR_L = 10
+
+_EXACTSUBSTR_DPOS_SQL = rf"""
+    toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+    w AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i + 1 : i + {_EXACTSUBSTR_L}], ' ')) AS h
+        FROM (SELECT doc_id, t, UNNEST(range(len(t) - {_EXACTSUBSTR_L} + 1)) AS i
+              FROM toks WHERE len(t) >= {_EXACTSUBSTR_L})
+    ),
+    dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+    dpos AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dpos
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_EXACTSUBSTR_L} AS span_end
+        FROM isl GROUP BY doc_id, grp
+    )
+"""
+
+
+@query(
+    "exact_substring_spans",
+    oracle=rf"""
+    WITH {_EXACTSUBSTR_DPOS_SQL}
+    SELECT doc_id, span_start, span_end, span_end - span_start AS span_len
+    FROM spans
+    """,
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span detection (Lee et al. 2022,
+    operators/dedup.exact_substring_spans): maximal token ranges whose
+    every 10-token window recurs somewhere in the corpus — the spans the
+    paper's suffix-array cut would delete. NO pair join anywhere: one
+    md5-window groupBy + mark-back + per-doc gaps-and-islands, O(corpus
+    tokens) at any scale. Window hashes, duplicate sets, and island
+    boundaries are md5/int — the oracle reproduces them verbatim."""
+    return D.exact_substring_spans(
+        load_table(spark, sf_dir, "documents"), span_tokens=_EXACTSUBSTR_L
+    )
+
+
+@query(
+    "exact_substring_report",
+    oracle=rf"""
+    WITH {_EXACTSUBSTR_DPOS_SQL},
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(span_end - span_start) AS BIGINT) AS dup,
+               CAST(COUNT(*) AS BIGINT) AS nsp
+        FROM spans GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT base.doc_id, base.n_tokens,
+           COALESCE(per_doc.dup, 0) AS dup_tokens,
+           COALESCE(per_doc.nsp, 0) AS n_spans,
+           FLOOR(COALESCE(per_doc.dup, 0)
+                 / GREATEST(base.n_tokens, 1) * 1e6 + 0.5) / 1e6 AS dup_fraction
+    FROM base LEFT JOIN per_doc ON per_doc.doc_id = base.doc_id
+    """,
+)
+def q_exact_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ExactSubstr accounting
+    (operators/dedup.exact_substring_report): tokens inside duplicated
+    spans and the duplicated fraction, zero-span docs included — the
+    cut-vs-keep frame a corpus build joins against. Exact int counts;
+    the fraction is one int/int divide on the 1e-6 grid."""
+    return D.exact_substring_report(
+        load_table(spark, sf_dir, "documents"), span_tokens=_EXACTSUBSTR_L
+    )
+
+
 @query(
     "doc_novelty",
     oracle=r"""

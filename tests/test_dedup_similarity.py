@@ -686,3 +686,46 @@ def test_bq_screen_recall_gate(spark, sf_smoke):
         if key in sims_exact:
             assert r.sim == sims_exact[key]
         assert 0 <= r.hamming <= 256
+
+
+def test_exact_substring_spans_finds_planted_run(spark):
+    """A >= L-token run shared by two docs is reported in FULL (maximal
+    span, both docs), a duplicate shorter than L is ignored, and
+    within-doc self-repetition counts as duplication (Lee et al.
+    semantics: >= 2 occurrences anywhere)."""
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token shared run
+    short = "x1 x2 x3"  # 3-token duplicate: under L, invisible
+    docs = _docs(
+        spark,
+        [
+            (1, f"a1 a2 {shared} a3 a4 {short}"),
+            (2, f"b1 {shared} b2 b3 b4 b5 {short}"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14"),
+        ],
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_len)
+        for r in D.exact_substring_spans(docs, span_tokens=10).collect()
+    }
+    # doc 1: shared run occupies token positions 2..13 -> windows 2..4,
+    # island [2,4], span [2, 14), len 12 == the full planted run
+    assert spans[1] == (2, 14, 12)
+    # doc 2: run at positions 1..12 -> span [1, 13), len 12
+    assert spans[2] == (1, 13, 12)
+    assert 3 not in spans  # unique doc: no duplicated window
+
+    rep = {r.doc_id: r for r in D.exact_substring_report(docs, span_tokens=10).collect()}
+    assert rep[1].dup_tokens == 12 and rep[1].n_spans == 1
+    assert rep[3].dup_tokens == 0 and rep[3].n_spans == 0 and rep[3].dup_fraction == 0.0
+    assert rep[1].dup_fraction == round(12 / rep[1].n_tokens, 6) or rep[1].dup_fraction > 0
+
+
+def test_exact_substring_self_repetition_counts(spark):
+    """A doc that repeats its own 10-token phrase twice is flagged even
+    with no other doc involved — matching the paper's suffix-array
+    semantics where any >= 2 occurrences duplicate each other."""
+    phrase = " ".join(f"p{i}" for i in range(10))
+    docs = _docs(spark, [(1, f"{phrase} mid1 mid2 {phrase}")])
+    spans = D.exact_substring_spans(docs, span_tokens=10).collect()
+    got = {(r.span_start, r.span_end) for r in spans}
+    assert (0, 10) in got and (12, 22) in got

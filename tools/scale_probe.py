@@ -42,7 +42,19 @@ PROBES = ["sales_summary", "q1_pricing_summary", "q3_shipping_priority",
           # round-4: the real-codec Arrow pipeline is content-agnostic
           # per-row work (encode+parse per doc_id), so doc replication
           # probes the two-stage mapInPandas plan linearly
-          "multimodal_decode_real"]
+          "multimodal_decode_real",
+          # round-5: the heavy document/embedding families. The doc
+          # replicator now token-TAGS replicas 1+ (every token prefixed
+          # with the replica id), so cross-replica shingles/fingerprints
+          # never match: pair output grows linearly (within-replica
+          # only), and the curve measures the inverted-index plan, not
+          # manufactured near-dups. Pair families are probed in their
+          # CAPPED production form (operator-default max_df=256).
+          # bq_ann/rrf queries live in replica 0 only: the query side
+          # stays fixed while the corpus-side work scales.
+          "ngram_jaccard_capped", "shingle_cosine_capped",
+          "winnowing_capped", "doc_novelty", "source_overlap_matrix",
+          "bq_ann", "rrf_hybrid_search"]
 TABLES = ["lineitem", "orders", "customer", "part", "region", "nation", "supplier",
           "events", "documents", "embeddings"]
 KEYED = {  # key columns to offset per replica so key cardinality scales
@@ -58,12 +70,21 @@ OFFSET = 10_000_000
 def replicate(spark, out_dir: str, mult: int) -> None:
     for t in TABLES:
         df = spark.read.parquet(f"{SF}/{t}.parquet")
-        if t in ("lineitem", "orders", "events"):
+        if t in ("lineitem", "orders", "events", "documents", "embeddings"):
             parts = []
             for i in range(mult):
                 p = df
                 for k in KEYED.get(t, []):
                     p = p.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+                if t == "documents" and i > 0:
+                    # token-tag replicas 1+ so no shingle/fingerprint/term
+                    # matches across replicas: pair-family output scales
+                    # linearly and the probe measures the plan, not 16
+                    # exact copies of every document. Replica 0 keeps the
+                    # original text, so fixed query terms (rrf) still hit.
+                    p = p.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", f"r{i}$1")
+                    )
                 parts.append(p)
             big = parts[0]
             for p in parts[1:]:
@@ -110,6 +131,13 @@ def main() -> None:
         "not a linear one: more orders over the same part range DENSIFY the",
         "co-purchase graph, so its work grows faster than the input by data",
         "construction - the probe checks the degree-oriented plan absorbs it.",
+        "Document/embedding families (round 5): replicas 1+ are token-tagged,",
+        "so shingles/fingerprints/terms never match across replicas - pair",
+        "output grows linearly (within-replica only) and the curve measures",
+        "the inverted-index plan, not manufactured near-dups. Pair families",
+        "run in their CAPPED production form (max_df=256); bq_ann/rrf query",
+        "sets live in replica 0, so query-side work is fixed while the",
+        "corpus side scales.",
         "",
         "| Query | x1 (s) | x4 (s) | x16 (s) | x16/x1 |",
         "|---|---|---|---|---|",
