@@ -1029,3 +1029,61 @@ def exact_substring_report(
             / 1e6
         ).alias("dup_fraction"),
     )
+
+
+def benchmark_decontaminate(
+    df: DataFrame,
+    bench_filter,
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """N-gram benchmark decontamination (the GPT-3 appendix-C / PaLM
+    recipe, exact-window form): a TRAINING document is contaminated iff
+    it shares any ``span_tokens``-token window with a document in the
+    held-out benchmark set (``bench_filter`` selects benchmark rows).
+    Output is every training doc with its total window count, the count
+    of contaminated window positions, a 1e-6-grid contamination
+    fraction, and the flag a corpus build filters on — eval leakage
+    accounting, the audit run before any benchmark number is quoted.
+
+    Scale shape: the benchmark window-hash set is DISTINCT hashes of a
+    (small) eval corpus — it broadcasts; training windows are per-doc
+    array expressions (zero shuffle) probed with one broadcast-capable
+    equi-join, then ONE per-doc aggregate. No pair join, no dependence
+    on training-corpus self-similarity: cost is O(corpus tokens) and the
+    benchmark side is read once."""
+    L = span_tokens
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    idx = F.sequence(F.lit(0), F.size(toks) - L)
+    hashes = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, L), " ")))
+    base = spread(df).filter(F.col(text_col).isNotNull())
+    w = base.filter(F.size(toks) >= L).select(
+        "doc_id", F.posexplode(hashes).alias("pos", "h")
+    )
+    bench_ids = base.filter(bench_filter).select("doc_id")
+    bench_h = w.join(F.broadcast(bench_ids), "doc_id").select("h").distinct()
+    train = base.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+    train_w = w.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+    hits = (
+        train_w.join(F.broadcast(bench_h), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    totals = train.select(
+        "doc_id", F.greatest(F.size(toks) - L + 1, F.lit(0)).cast("long").alias("n_windows")
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_contaminated"),
+        (
+            F.floor(
+                F.coalesce(F.col("__hits"), F.lit(0))
+                / F.greatest(F.col("n_windows"), F.lit(1))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("contam_fraction"),
+        (F.coalesce(F.col("__hits"), F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -10236,6 +10236,55 @@ def q_exact_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "benchmark_decontam",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, source,
+                         regexp_extract_all(lower(text), '\S+') AS t
+                  FROM documents),
+    w AS (
+        SELECT doc_id, source,
+               UNNEST(list_transform(range(len(t) - {_EXACTSUBSTR_L} + 1),
+                  i -> md5(array_to_string(t[i + 1 : i + {_EXACTSUBSTR_L}], ' ')))) AS h
+        FROM toks WHERE len(t) >= {_EXACTSUBSTR_L}
+    ),
+    bench_h AS (SELECT DISTINCT h FROM w WHERE source = 'src0'),
+    hits AS (
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM w JOIN bench_h USING (h)
+        WHERE w.source <> 'src0'
+        GROUP BY 1
+    ),
+    train AS (
+        SELECT doc_id,
+               CAST(GREATEST(len(t) - {_EXACTSUBSTR_L} + 1, 0) AS BIGINT) AS n_windows
+        FROM toks WHERE source <> 'src0'
+    )
+    SELECT train.doc_id, train.n_windows,
+           COALESCE(hits.n_hits, 0) AS n_contaminated,
+           FLOOR(COALESCE(hits.n_hits, 0)
+                 / GREATEST(train.n_windows, 1) * 1e6 + 0.5) / 1e6 AS contam_fraction,
+           COALESCE(hits.n_hits, 0) > 0 AS contaminated
+    FROM train LEFT JOIN hits ON hits.doc_id = train.doc_id
+    """,
+)
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination audit (GPT-3 appendix-C / PaLM n-gram
+    recipe, operators/dedup.benchmark_decontaminate): with source
+    'src0' held out as the benchmark, every training doc reports how
+    many of its 10-token windows appear verbatim in the benchmark and
+    the filter flag a corpus build would apply before quoting eval
+    numbers. Exact window matching (not fingerprint-sampled like
+    source_overlap_matrix); the benchmark hash set broadcasts, the
+    corpus side is one zero-shuffle window pass + one semi-join + one
+    aggregate — no pair join, O(corpus tokens)."""
+    return D.benchmark_decontaminate(
+        load_table(spark, sf_dir, "documents"),
+        F.col("source") == "src0",
+        span_tokens=_EXACTSUBSTR_L,
+    )
+
+
+@query(
     "doc_novelty",
     oracle=r"""
     WITH sh AS (

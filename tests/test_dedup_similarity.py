@@ -729,3 +729,23 @@ def test_exact_substring_self_repetition_counts(spark):
     spans = D.exact_substring_spans(docs, span_tokens=10).collect()
     got = {(r.span_start, r.span_end) for r in spans}
     assert (0, 10) in got and (12, 22) in got
+
+
+def test_benchmark_decontaminate_flags_planted_overlap(spark):
+    """A train doc embedding a benchmark 10-token window is flagged with
+    the right window count; clean docs report 0; benchmark docs are
+    excluded from the output (they are the filter, not the corpus)."""
+    phrase = " ".join(f"q{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        [
+            (1, f"bench intro {phrase} bench outro"),
+            (2, f"t1 t2 {phrase} t3"),  # contaminated: exactly 1 matching window
+            (3, "clean1 clean2 clean3 clean4 clean5 clean6 clean7 clean8 clean9 clean10 clean11"),
+        ],
+    )
+    out = {r.doc_id: r for r in D.benchmark_decontaminate(docs, F.col("doc_id") == 1).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].contaminated and out[2].n_contaminated == 1
+    assert not out[3].contaminated and out[3].n_contaminated == 0
+    assert out[3].contam_fraction == 0.0
