@@ -5155,8 +5155,18 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + s2.exceptAll(s1.select("doc_id")).count()
     )
     orphans = s1.join(docs.select("doc_id"), "doc_id", "left_anti").count()
-    sample_mean = s1.agg(F.avg("n_chars")).collect()[0][0]
-    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    # one corpus pass for BOTH means: mark sample membership (tiny
+    # broadcast side) and fold the conditional average into the same agg
+    marked = docs.select("doc_id", "n_chars").join(
+        F.broadcast(s1.select("doc_id").withColumn("__in", F.lit(True))),
+        "doc_id",
+        "left",
+    )
+    means = marked.agg(
+        F.avg(F.when(F.col("__in"), F.col("n_chars"))).alias("sm"),
+        F.avg("n_chars").alias("cm"),
+    ).collect()[0]
+    sample_mean, corpus_mean = means["sm"], means["cm"]
     # empty corpus → no sample and null means: the bias claim is vacuously
     # true (and the oracle's row also reports TRUE over zero docs)
     biased = (
@@ -10233,6 +10243,82 @@ def q_exact_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_substring_report(
         load_table(spark, sf_dir, "documents"), span_tokens=_EXACTSUBSTR_L
     )
+
+
+_SPANCORR_HEX = (
+    "CAST(('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+_SPANCORR_SPEC_SQL = rf"""
+    toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+    base AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(FLOOR(len(t) / 20) AS BIGINT) AS nb
+        FROM toks
+    ),
+    blk AS (SELECT doc_id, n_tokens, UNNEST(range(nb)) AS b FROM base WHERE nb >= 1),
+    h AS (
+        SELECT doc_id, n_tokens, b,
+               {_SPANCORR_HEX.format(salt="start")} AS h1,
+               {_SPANCORR_HEX.format(salt="len")} AS h2
+        FROM blk
+    ),
+    spec AS (
+        SELECT doc_id, CAST(b AS BIGINT) AS sentinel_id,
+               CAST(b * 20 + (h1 % 16) AS BIGINT) AS span_start,
+               CAST(LEAST(1 + (h2 % 5), n_tokens - (b * 20 + (h1 % 16))) AS BIGINT) AS span_len
+        FROM h
+    )
+"""
+
+
+@query(
+    "span_corruption_spec",
+    oracle=rf"""
+    WITH {_SPANCORR_SPEC_SQL}
+    SELECT doc_id, sentinel_id, span_start, span_len FROM spec
+    """,
+)
+def q_span_corruption_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption mask spec (Raffel et al. 2020,
+    operators/augment.span_corruption_spec): one masked span per
+    20-token block, offset/length from md5(doc_id:block) integers —
+    ~15% expected corruption at the T5 operating point, reproducible
+    across engines, reruns, and partitionings (no RNG state). Pure
+    per-doc array expressions, zero shuffles; the oracle replays the
+    identical hash arithmetic."""
+    from .operators.augment import span_corruption_spec
+
+    return span_corruption_spec(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "span_corruption_report",
+    oracle=rf"""
+    WITH {_SPANCORR_SPEC_SQL},
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(SUM(span_len) AS BIGINT) AS masked
+        FROM spec GROUP BY doc_id
+    )
+    SELECT base.doc_id, base.n_tokens,
+           COALESCE(agg.ns, 0) AS n_sentinels,
+           COALESCE(agg.masked, 0) AS masked_tokens,
+           FLOOR(COALESCE(agg.masked, 0)
+                 / GREATEST(base.n_tokens, 1) * 1e6 + 0.5) / 1e6 AS masked_fraction
+    FROM base LEFT JOIN agg ON agg.doc_id = base.doc_id
+    """,
+)
+def q_span_corruption_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corruption accounting over the span-corruption spec
+    (operators/augment.span_corruption_report): sentinel count, masked
+    tokens, masked fraction on the 1e-6 grid — the sanity frame checked
+    against the target rate before a pretokenization run commits;
+    shorter-than-one-block docs appear with zero sentinels."""
+    from .operators.augment import span_corruption_report
+
+    return span_corruption_report(load_table(spark, sf_dir, "documents"))
 
 
 @query(
