@@ -218,3 +218,43 @@ def test_curriculum_order_windows_are_partitioned(spark, sf_smoke):
 
     for m in re.finditer(r"Window \[[^\n]*row_number\(\)[^\n]*", txt):
         assert "__pid" in m.group(0), m.group(0)
+
+
+def test_span_corruption_spec_has_no_keyed_exchange(spark, sf_smoke):
+    """The mask spec is pure per-doc array expressions: no hash/range
+    exchange anywhere (the one RoundRobin exchange is functions.spread
+    fanning the small single-file scan across cores — partitioning by
+    nothing, data-independent). At scale the pass is map-only."""
+    txt = plan_of(QUERIES["span_corruption_spec"](spark, sf_smoke))
+    assert "hashpartitioning" not in txt.lower()
+    assert "rangepartitioning" not in txt.lower()
+
+
+def test_benchmark_decontam_broadcasts_bench_side(spark, sf_smoke):
+    """Decontamination probes training windows against the (small)
+    benchmark hash set: the plan must join via broadcast (bench side
+    moves, corpus side stays partitioned) and contain no cartesian
+    product or sort-merge of the full window frame against itself."""
+    txt = plan_of(QUERIES["benchmark_decontam"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_exact_substring_no_pair_join(spark, sf_smoke):
+    """ExactSubstr never joins documents against documents: every join
+    key is the window hash or doc_id (mark-back + report join), so the
+    plan has equi-joins only — no cartesian, no nested loop."""
+    for q in ("exact_substring_spans", "exact_substring_report"):
+        txt = plan_of(QUERIES[q](spark, sf_smoke))
+        assert "CartesianProduct" not in txt, q
+        assert "BroadcastNestedLoopJoin" not in txt, q
+
+
+def test_bq_screen_corpus_side_never_shuffles_before_screen(spark, sf_smoke):
+    """The BQ screen joins corpus signatures against a BROADCAST query
+    batch (BroadcastNestedLoopJoin by design — bounded build side), so
+    the corpus never shuffles before the Hamming filter; the only
+    exchanges are the rerank join and the per-query top-k window."""
+    txt = plan_of(QUERIES["bq_ann"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in txt
+    assert "CartesianProduct" not in txt
