@@ -1087,3 +1087,92 @@ def benchmark_decontaminate(
         ).alias("contam_fraction"),
         (F.coalesce(F.col("__hits"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def ppjoin_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (identical output to
+    ``ngram_jaccard_pairs(max_df=None)``) with candidates generated by
+    PREFIX FILTERING (PPJoin, Xiao et al., WWW 2008) instead of the full
+    inverted index.
+
+    Each document's distinct shingles are globally ordered rarest-first
+    (ascending document frequency, shingle string as tiebreak). For
+    Jaccard >= t, two sets of sizes ``|x| <= |y|`` must share at least
+    ``|x| - ceil(t*|x|) + 1`` tokens, so if they share NONE of the first
+    ``|x| - ceil(t*|x|) + 1`` tokens of the global order they cannot pass
+    — only that PREFIX is indexed. The self-equi-join therefore runs on a
+    fraction of the shingle rows, and because the prefix is the RAREST
+    tokens of each document, the hottest (stop-phrase) shingles fall out
+    of the index for long documents first — prefix filtering is a
+    principled skew guard, where ``max_df`` is a recall-lossy one and
+    salting a physical one. A size filter (``t*|y| <= |x|``, applied in
+    exact micro-integer arithmetic) prunes the survivors further.
+
+    Candidates are then verified EXACTLY: the distinct candidate pairs
+    join each side's full sorted-shingle array (one bounded array per
+    document) and intersect locally per pair — no second corpus-wide
+    shuffle on shingle. Output schema and values match
+    ``ngram_jaccard_pairs`` bit-for-bit (oracle-verified): the prefix
+    theorem guarantees the candidate set is a superset of all true pairs,
+    and verification is exact.
+
+    Scale shape: one df-count aggregation, one per-doc sort window
+    (shuffle by doc_id), one self-equi-join on PREFIX shingles only, one
+    pair-keyed verify join. The t=0.5 prefix keeps ~half of each
+    document's index rows; higher thresholds keep fewer."""
+    from pyspark.sql import Window
+
+    t_micro = int(round(threshold * 1_000_000))
+    sh = doc_shingles_arrow(df, text_col, n, with_size=True).persist()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("__df", "shingle")
+        ),
+    )
+    # prefix length p = |x| - ceil(t*|x|) + 1; ceil in exact integer math:
+    # ceil(t*n) = floor((t_micro*n + 999999) / 1e6)
+    ceil_tn = F.floor((F.lit(t_micro) * F.col("n_sh") + F.lit(999_999)) / F.lit(1_000_000))
+    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1).select(
+        "doc_id", "shingle", "n_sh"
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter: t*max(|x|,|y|) <= min(|x|,|y|), exact in micros
+        .filter(
+            F.lit(t_micro) * F.greatest("n_a", "n_b")
+            <= F.lit(1_000_000) * F.least("n_a", "n_b")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrays = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("toks"),
+        F.first("n_sh").alias("n_sh"),
+    )
+    aa = arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n_sh").alias("n_a")
+    )
+    bb = arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("n_sh").alias("n_b")
+    )
+    verified = (
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("long"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        verified.withColumn("jaccard", F.floor(jac * 1e6 + F.lit(0.5)) / 1e6)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )

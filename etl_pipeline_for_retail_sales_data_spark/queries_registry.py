@@ -627,6 +627,21 @@ def q_ngram_jaccard_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ppjoin_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def q_ppjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard with candidates generated by PREFIX FILTERING
+    (PPJoin, Xiao et al., WWW 2008; operators/dedup.ppjoin_jaccard_pairs):
+    shingles ordered globally rarest-first, only the first
+    |x| - ceil(t*|x|) + 1 tokens of each document indexed — any pair with
+    Jaccard >= t must collide inside those prefixes, so the self-join runs
+    on a fraction of the index and the hottest stop-phrase shingles drop
+    out of long documents' prefixes first (a principled skew guard, vs the
+    recall-lossy max_df cap and the physical salting rebalance). Exact
+    size filter + exact per-pair array-intersect verification → same
+    oracle as ngram_jaccard_pairs."""
+    return D.ppjoin_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
 def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
     rpb = k // bands
     mins = ",\n               ".join(

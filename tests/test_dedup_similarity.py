@@ -749,3 +749,60 @@ def test_benchmark_decontaminate_flags_planted_overlap(spark):
     assert out[2].contaminated and out[2].n_contaminated == 1
     assert not out[3].contaminated and out[3].n_contaminated == 0
     assert out[3].contam_fraction == 0.0
+
+
+def test_ppjoin_equals_uncapped_exact(spark):
+    """PPJoin prefix filtering is EXACT: identical pairs and values to
+    ngram_jaccard_pairs(max_df=None) at several thresholds, on a corpus
+    where the shared stop-phrase prefix makes the full inverted index
+    skewed (so the prefix filter has real work to do)."""
+    stop = "the quick brown fox jumps over the lazy dog again and again "
+    docs = _docs(
+        spark,
+        [(i, stop + f"unique filler {i} content block {i * 7}") for i in range(1, 9)]
+        + [(100, stop + "rare shared tail marker alpha beta"),
+           (101, stop + "rare shared tail marker alpha beta")],
+    )
+    for t in (0.1, 0.5, 0.9):
+        exact = {
+            (r.doc_a, r.doc_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(docs, threshold=t, max_df=None).collect()
+        }
+        pp = {
+            (r.doc_a, r.doc_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+            for r in D.ppjoin_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert pp == exact
+    assert len(exact) > 0  # t=0.9 still keeps the identical pair 100-101
+
+
+def test_ppjoin_prefix_index_is_smaller(spark):
+    """The point of prefix filtering: at t=0.5 the indexed (prefix) rows
+    are a strict subset of the full inverted index — |x| - ceil(t|x|) + 1
+    rows per doc instead of |x| — and the hottest shingle in the prefix
+    index has LOWER document frequency than the hottest shingle overall
+    (rarest-first ordering pushes stop-phrases out of long docs' prefixes)."""
+    stop = "the quick brown fox jumps over the lazy dog again and again "
+    tail = lambda i: " ".join(f"w{i}x{j}" for j in range(24))
+    docs = _docs(
+        spark,
+        [(i, stop + tail(i)) for i in range(1, 12)],
+    )
+    sh = D.doc_shingles_arrow(docs, "text", 3, with_size=True)
+    full_rows = sh.count()
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("__df", "shingle"))
+    )
+    t_micro = 500_000
+    ceil_tn = F.floor((F.lit(t_micro) * F.col("n_sh") + F.lit(999_999)) / F.lit(1_000_000))
+    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1)
+    prefix_rows = prefix.count()
+    assert prefix_rows < full_rows
+    hot_full = dfreq.agg(F.max("__df")).collect()[0][0]
+    hot_prefix = (
+        prefix.groupBy("shingle").agg(F.count("*").alias("pdf")).agg(F.max("pdf")).collect()[0][0]
+    )
+    assert hot_prefix < hot_full
