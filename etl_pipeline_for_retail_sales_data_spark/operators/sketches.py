@@ -215,3 +215,86 @@ def qdigest_quantile(digest: dict[int, int], q: float, bits: int) -> int:
         if cum >= target:
             return hi
     return ordered[-1][0][2]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set-membership sketch (Bloom 1970)
+# ---------------------------------------------------------------------------
+
+
+def bloom_bit(key: Column, seed: int, m: int) -> Column:
+    """Hash row ``seed``'s bit position for a key — the same portable
+    md5-prefix family as cm_bucket / dataset_split, so DuckDB replays
+    identical positions."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % m
+
+
+def bloom_bit_sql(key_expr: str, seed: int, m: int) -> str:
+    """Oracle twin of :func:`bloom_bit`."""
+    return (
+        f"CAST(('0x' || substring(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 6)) "
+        f"AS BIGINT) % {m}"
+    )
+
+
+def bloom_positions(df: DataFrame, key: str, k: int = 5, m: int = 4096) -> DataFrame:
+    """The filter as its set-bit positions: DISTINCT over k hash rows x
+    members — ONE map-side-combinable distinct agg whose output is
+    bounded by m rows regardless of input scale (the point of the
+    sketch). Spark ships ``bloom_filter_agg`` as an opaque JVM binary;
+    this keeps every bit inspectable and cross-engine replayable."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j")
+    d = df.select(F.col(key).alias("__k"), j)
+    pos = F.coalesce(
+        *[F.when(F.col("j") == i, bloom_bit(F.col("__k"), i, m)) for i in range(k)]
+    )
+    return d.select(pos.alias("pos")).distinct()
+
+
+def bloom_words(positions: DataFrame, word_bits: int = 32) -> DataFrame:
+    """Pack the position set into (word_idx, word) integer words via a
+    bit_or aggregate — the dense mergeable representation: two filters
+    merge by bit_or on word_idx. 32-bit words inside BIGINTs so the
+    shift stays in range on every engine (DuckDB raises on 1<<63)."""
+    return (
+        positions.select(
+            (F.col("pos") / word_bits).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {word_bits} AS INT))").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(b)").alias("word"))
+    )
+
+
+def bloom_merge_words(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two packed filters: full-outer join on word_idx, bit_or
+    of the words (missing word = 0)."""
+    aw = a.select("word_idx", F.col("word").alias("wa"))
+    bw = b.select("word_idx", F.col("word").alias("wb"))
+    return aw.join(bw, "word_idx", "full_outer").select(
+        "word_idx",
+        (
+            F.coalesce(F.col("wa"), F.lit(0)).bitwiseOR(F.coalesce(F.col("wb"), F.lit(0)))
+        ).alias("word"),
+    )
+
+
+def bloom_probe(
+    positions: DataFrame, probes: DataFrame, key: str, k: int = 5, m: int = 4096
+) -> DataFrame:
+    """Membership test: a probe is positive iff ALL k of its bit
+    positions are set. The filter is <= m rows → broadcast to the probe
+    side; no shuffle of the probe stream. Classic guarantee: no false
+    negatives (every true member probes positive), false-positive rate
+    ~ (1 - e^{-kn/m})^k."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j")
+    p = probes.select(F.col(key), j)
+    pos = F.coalesce(
+        *[F.when(F.col("j") == i, bloom_bit(F.col(key), i, m)) for i in range(k)]
+    )
+    p = p.select(key, pos.alias("pos"))
+    hits = p.join(F.broadcast(positions.withColumn("__set", F.lit(1))), "pos", "left")
+    return hits.groupBy(key).agg(
+        F.min(F.coalesce(F.col("__set"), F.lit(0))).cast("boolean").alias("bloom_positive")
+    )

@@ -4809,6 +4809,120 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_POS_SQL = (
+    "CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || "
+    "CAST(p_partkey AS VARCHAR)), 1, 6)) AS BIGINT) % 4096"
+)
+
+
+@query(
+    "bloom_filter_probe",
+    oracle=f"""
+    WITH js AS (SELECT UNNEST(range(5)) AS j),
+    members AS (SELECT DISTINCT p_partkey FROM part WHERE p_size <= 25),
+    probes AS (SELECT DISTINCT p_partkey, p_size <= 25 AS is_member FROM part),
+    bits AS (SELECT DISTINCT {_BLOOM_POS_SQL} AS pos FROM members CROSS JOIN js),
+    ppos AS (SELECT p_partkey, is_member, {_BLOOM_POS_SQL} AS pos
+             FROM probes CROSS JOIN js),
+    hit AS (
+        SELECT p_partkey, is_member,
+               MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 1 AS bloom_positive
+        FROM ppos LEFT JOIN bits b USING (pos)
+        GROUP BY 1, 2
+    )
+    SELECT (SELECT COUNT(*) FROM members) AS n_members,
+           (SELECT COUNT(*) FROM probes) AS n_probes,
+           (SELECT COUNT(*) FROM bits) AS n_set_bits,
+           CAST(SUM(CASE WHEN is_member AND bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+               AS true_pos,
+           CAST(SUM(CASE WHEN NOT is_member AND bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+               AS false_pos,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+               AS false_neg,
+           CAST(FLOOR(1e6 * SUM(CASE WHEN NOT is_member AND bloom_positive THEN 1 ELSE 0 END)
+                / GREATEST(SUM(CASE WHEN is_member THEN 0 ELSE 1 END), 1)) AS BIGINT)
+               AS fpr_micro,
+           TRUE AS merge_consistent
+    FROM hit
+    """,
+)
+def q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom filter (Bloom 1970) — the fifth mergeable-summary
+    family next to HLL/count-min/KMV/q-digest (operators/sketches
+    bloom_*): md5-positioned bits over the small-part member set
+    (p_size <= 25), packed into 32-bit words by a bit_or aggregate, so
+    DuckDB replays every bit exactly. Build is ONE distinct agg bounded
+    by m=4096 rows at any input scale; the probe of every part key joins
+    against the BROADCAST bit set — no shuffle of the probe stream. The
+    summary row pins the classic guarantees exactly: zero false
+    negatives, the measured false-positive count and micro-FPR, the
+    number of set bits, and that the bit_or MERGE of two half-filters
+    (split by key parity) reproduces the full filter word-for-word —
+    checked for real on the packed words in Spark; the oracle's TRUE is
+    the set-union identity the packing must satisfy."""
+    from .operators.sketches import (
+        bloom_merge_words,
+        bloom_positions,
+        bloom_probe,
+        bloom_words,
+    )
+
+    k, m = 5, 4096
+    part = load_table(spark, sf_dir, "part")
+    flags = part.select("p_partkey", (F.col("p_size") <= 25).alias("is_member")).distinct()
+    members = flags.filter("is_member").select("p_partkey")
+    pos = bloom_positions(members, "p_partkey", k=k, m=m).persist()
+    probed = bloom_probe(pos, flags.select("p_partkey"), "p_partkey", k=k, m=m)
+    joined = flags.join(probed, "p_partkey")
+    full_w = bloom_words(pos)
+    even_w = bloom_words(
+        bloom_positions(members.filter(F.col("p_partkey") % 2 == 0), "p_partkey", k=k, m=m)
+    )
+    odd_w = bloom_words(
+        bloom_positions(members.filter(F.col("p_partkey") % 2 == 1), "p_partkey", k=k, m=m)
+    )
+    merged = bloom_merge_words(even_w, odd_w).select(
+        "word_idx", F.col("word").alias("mword")
+    )
+    merge_ok = (
+        full_w.join(merged, "word_idx", "full_outer")
+        .agg(
+            F.min(
+                (F.coalesce(F.col("word"), F.lit(0)) == F.coalesce(F.col("mword"), F.lit(0)))
+                .cast("int")
+            )
+            .cast("boolean")
+            .alias("ok")
+        )
+        .withColumn("ok", F.coalesce(F.col("ok"), F.lit(True)))
+    )
+    counts = joined.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum((F.col("is_member") & F.col("bloom_positive")).cast("long")).alias("true_pos"),
+        F.sum((~F.col("is_member") & F.col("bloom_positive")).cast("long")).alias("false_pos"),
+        F.sum((F.col("is_member") & ~F.col("bloom_positive")).cast("long")).alias("false_neg"),
+        F.sum((~F.col("is_member")).cast("long")).alias("n_non"),
+    )
+    nbits = pos.agg(F.count("*").alias("n_set_bits"))
+    return (
+        counts.crossJoin(nbits)
+        .crossJoin(merge_ok)
+        .select(
+            "n_members",
+            "n_probes",
+            "n_set_bits",
+            "true_pos",
+            "false_pos",
+            "false_neg",
+            F.floor(F.lit(1e6) * F.col("false_pos") / F.greatest("n_non", F.lit(1)))
+            .cast("long")
+            .alias("fpr_micro"),
+            F.col("ok").alias("merge_consistent"),
+        )
+    )
+
+
 @query(
     "skew_profile",
     oracle="""

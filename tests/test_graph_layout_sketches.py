@@ -431,3 +431,60 @@ def test_qdigest_build_matches_local_hist(spark, sf_smoke):
     for r in li.select(cents(F.col("l_extendedprice")).alias("c")).collect():
         local[int(r["c"])] = local.get(int(r["c"]), 0) + 1
     assert d == qdigest_from_hist(list(local.items()), k, bits)
+
+
+def test_bloom_no_false_negatives_and_merge(spark, sf_smoke):
+    """Bloom invariants on real keys: every member probes positive (the
+    zero-false-negative guarantee), the packed-word merge of two
+    parity-split half-filters reproduces the full filter exactly, and
+    the bit count never exceeds k * n_members or m."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.sketches import (
+        bloom_merge_words,
+        bloom_positions,
+        bloom_probe,
+        bloom_words,
+    )
+
+    part = load_table(spark, sf_smoke, "part")
+    members = part.filter(F.col("p_size") <= 20).select("p_partkey").distinct()
+    k, m = 5, 1024
+    pos = bloom_positions(members, "p_partkey", k=k, m=m).persist()
+    probed = bloom_probe(pos, members, "p_partkey", k=k, m=m)
+    n_members = members.count()
+    assert probed.filter(~F.col("bloom_positive")).count() == 0  # no false negatives
+    n_bits = pos.count()
+    assert 0 < n_bits <= min(k * n_members, m)
+    even = bloom_positions(members.filter("p_partkey % 2 = 0"), "p_partkey", k=k, m=m)
+    odd = bloom_positions(members.filter("p_partkey % 2 = 1"), "p_partkey", k=k, m=m)
+    full_words = {r.word_idx: r.word for r in bloom_words(pos).collect()}
+    merged = {
+        r.word_idx: r.word
+        for r in bloom_merge_words(bloom_words(even), bloom_words(odd)).collect()
+    }
+    assert merged == full_words
+
+
+def test_bloom_fpr_in_theory_regime(spark, sf_smoke):
+    """Measured FPR on guaranteed-non-member probe keys lands within 3x
+    of (1 - e^{-kn/m})^k — sanity that the k md5 hash rows behave
+    independently, not a tight bound."""
+    import math
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.sketches import (
+        bloom_positions,
+        bloom_probe,
+    )
+
+    part = load_table(spark, sf_smoke, "part")
+    members = part.select("p_partkey").distinct()
+    k, m = 5, 2048
+    pos = bloom_positions(members, "p_partkey", k=k, m=m).persist()
+    n = members.count()
+    # probe keys strictly outside the member key space
+    non = spark.range(1_000_000, 1_002_000).select(F.col("id").alias("p_partkey"))
+    probed = bloom_probe(pos, non, "p_partkey", k=k, m=m)
+    fp = probed.filter("bloom_positive").count()
+    fpr = fp / 2000
+    theory = (1 - math.exp(-k * n / m)) ** k
+    assert fpr <= 3 * theory + 0.01
+    assert theory / 3 - 0.01 <= fpr
