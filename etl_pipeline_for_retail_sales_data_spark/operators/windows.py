@@ -257,3 +257,66 @@ def touch_attribution(
         F.count("*").cast("long").alias("n_conversions"),
         (F.sum("cents").cast("double") / 100).alias("attributed_revenue"),
     )
+
+
+def acf(
+    df: DataFrame,
+    time_col: str,
+    value_col,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of an observed time series at lags
+    1..max_lag, with EXACT cross-engine float parity.
+
+    Estimator (standard biased ACF): r_L = sum_{t>L} c_t*c_{t-L} / sum
+    c_t^2 with c_t = x_t - mean. Parity strategy (NOTES.md float rules):
+    the series values must be INTEGERS (pass an integer-cents column) so
+    that the sum and count — and therefore mean = S/n and every centered
+    c_t — are IEEE-exact identical in any engine; numerator and
+    denominator are then sequential left-to-right double folds over the
+    time-ordered array (zip_with + aggregate), which DuckDB reproduces
+    bit-for-bit as list_dot_product. Final ratio micro-rounded
+    half-up on both sides.
+
+    Scale shape: the per-time-bucket aggregation is the distributed
+    corpus-sized pass; the folded array is bounded by the TIME DOMAIN
+    (days), not the data volume, so the single-row fold stays O(|days|)
+    at any input scale — same bounded-state argument as the q-digest
+    histogram. Lags explode from one array; one job end-to-end."""
+    from ..operators.similarity import dot
+
+    daily = df.groupBy(F.col(time_col).alias("__t")).agg(
+        F.sum(value_col).alias("__x")
+    )
+    ser = daily.agg(
+        F.array_sort(F.collect_list(F.struct("__t", "__x"))).alias("pairs"),
+        F.count("*").alias("n_days"),
+        F.sum("__x").alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    cent = ser.select(
+        "n_days",
+        F.transform(F.col("pairs"), lambda p: p["__x"].cast("double") - mean).alias("c"),
+    )
+    lagged = cent.select(
+        "n_days",
+        "c",
+        F.explode(F.array(*[F.lit(i) for i in range(1, max_lag + 1)])).alias("lag"),
+    )
+    num = dot(
+        F.slice(F.col("c"), F.col("lag") + 1, F.col("n_days") - F.col("lag")),
+        F.slice(F.col("c"), F.lit(1), F.col("n_days") - F.col("lag")),
+    )
+    den = dot(F.col("c"), F.col("c"))
+    # lags >= the series length have no overlapping terms, and a constant
+    # (or empty) series has zero variance — both are undefined ACF rows,
+    # dropped identically on the oracle side (WHERE n > lag AND den > 0)
+    return (
+        lagged.filter(F.col("n_days") > F.col("lag"))
+        .filter(den > 0)
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_days").cast("long").alias("n_days"),
+            (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("acf"),
+        )
+    )

@@ -7839,6 +7839,49 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "acf_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    ser AS (
+        SELECT list(CAST(x AS DOUBLE) ORDER BY d) AS xs,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM daily
+    ),
+    cent AS (
+        SELECT n, list_transform(xs, v -> v - CAST(s AS DOUBLE) / n) AS c FROM ser
+    )
+    SELECT CAST(lg AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           FLOOR(list_dot_product(list_slice(c, lg + 1, n), list_slice(c, 1, n - lg))
+                 / list_dot_product(c, c) * 1e6 + 0.5) / 1e6 AS acf
+    FROM cent CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lg)
+    WHERE n > lg AND list_dot_product(c, c) > 0
+    """,
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (lags 1-7) of daily order revenue — the
+    seasonality diagnostic behind the seasonal-naive backtest
+    (operators/windows.acf). Exact float parity via the NOTES.md rules:
+    the daily series is INTEGER cents so mean and centered values are
+    IEEE-identical on both engines, and numerator/denominator are
+    sequential left-to-right double folds (zip_with + aggregate ==
+    DuckDB list_dot_product, bit-identical). The distributed pass is the
+    per-day aggregation; the folded array is bounded by the date DOMAIN,
+    not data volume — the q-digest bounded-state argument."""
+    from .operators.windows import acf
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents_o = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return acf(orders.select(F.col("o_orderdate"), cents_o.alias("cents")),
+               "o_orderdate", F.col("cents"), max_lag=7)
+
+
+@query(
     "ewma_monthly_revenue",
     oracle="""
     WITH monthly AS (

@@ -210,3 +210,50 @@ def test_psi_binned_matches_python_reference(spark):
     out = psi_binned(ref_df, cur_df, F.col("c")).collect()[0]
     assert out["psi"] == pytest.approx(py_psi(ref_vals, cur_vals), abs=1e-9)
     assert out["n_ref"] == 800 and out["n_cur"] == 600
+
+
+def test_acf_detects_planted_period(spark):
+    """ACF of a clean period-4 integer series peaks at lag 4 (value ~1)
+    and matches a direct numpy computation at every lag."""
+    import datetime
+
+    import numpy as np
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.windows import acf
+
+    base = datetime.date(2024, 1, 1)
+    vals = [100, 250, 400, 150] * 16  # 64 days, exact period 4
+    rows = [(base + datetime.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "d date, x long")
+    got = {r.lag: r.acf for r in acf(df, "d", F.col("x"), max_lag=8).collect()}
+    c = np.array(vals, dtype=float) - np.mean(vals)
+    den = float(np.dot(c, c))
+    for lag in range(1, 9):
+        expect = float(np.dot(c[lag:], c[:-lag])) / den
+        assert abs(got[lag] - expect) < 2e-6, (lag, got[lag], expect)
+    # biased estimator: perfect period gives (n-lag)/n, so 60/64 and 56/64
+    assert got[4] > 0.9 and got[8] > 0.85
+    assert got[1] < got[4] and got[3] < got[4]
+
+
+def test_acf_sums_duplicate_timestamps_per_bucket(spark):
+    """Multiple rows on the same day aggregate into one bucket before the
+    fold — the series length is the number of distinct days."""
+    import datetime
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.windows import acf
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        rows += [
+            (base + datetime.timedelta(days=i), 50 + i),
+            (base + datetime.timedelta(days=i), 50 - i),
+        ]
+    df = spark.createDataFrame(rows, "d date, x long")
+    # constant per-day sums (100) → zero variance → undefined ACF → no rows
+    assert acf(df, "d", F.col("x"), max_lag=3).count() == 0
+    rows.append((base + datetime.timedelta(days=9), 7))  # break the constancy
+    df2 = spark.createDataFrame(rows, "d date, x long")
+    out = acf(df2, "d", F.col("x"), max_lag=3).collect()
+    assert all(r.n_days == 10 for r in out) and len(out) == 3
