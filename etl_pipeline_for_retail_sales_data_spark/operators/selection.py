@@ -320,3 +320,61 @@ def token_budget_select(
         .filter(F.col("cum_tokens") <= budget)
     )
     return out.select("doc_id", "quality", "n_tokens", "cum_tokens")
+
+
+def hashed_linear_classifier(
+    df: DataFrame, text_col: str = "text", dim: int = 512, seed: int = 11
+) -> DataFrame:
+    """fastText-style linear text classifier INFERENCE (Joulin et al. 2017,
+    "Bag of Tricks for Efficient Text Classification") over hashed bag-of-
+    words features — the shape of every learned quality/toxicity gate large
+    corpus pipelines run (e.g. the CCNet/RefinedWeb quality classifiers).
+
+    Feature hashing (Weinberger et al. 2009): token t contributes
+    sign(t) * w[bucket(t)] where bucket is the portable md5 bucket
+    (sketches.cm_bucket family) and sign is an independent md5 hex digit's
+    parity — the unbiasing sign hash of the hashing trick. The "model" is a
+    deterministic integer weight table w[b] = (b*2654435761 mod 2001) - 1000
+    milli-units (a stand-in for trained weights — inference cost and plan
+    shape are identical; a real model would broadcast the same-sized
+    array). Margin = sum(signed milli-weights) / (1000 * n_tokens); the
+    probability is the rational fast-sigmoid 0.5 + m / (2*(1+|m|))
+    (Elliott 1993) — no exp(), so both engines compute bit-identical
+    doubles from the exact-integer margin numerator.
+
+    SCALE: the entire scorer is ONE narrow projection — tokenize, hash,
+    weigh, and fold per document with array higher-order functions inside
+    whole-stage codegen. Zero shuffles, zero joins, zero Python; at 100 TB
+    it is a single map-only pass, and `keep` stays integer-exact
+    (margin_milli > 0) regardless of float rounding.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    h = "md5(concat('%d:', t))" % seed
+    signed_w = (
+        f"(1L - 2L * (CAST(conv(substring({h}, 7, 1), 16, 10) AS BIGINT) % 2L)) * "
+        f"((CAST(conv(substring({h}, 1, 6), 16, 10) AS BIGINT) % {dim}L) "
+        f"* 2654435761L % 2001L - 1000L)"
+    )
+    # The lambda-column API can't splice a SQL fragment over the lambda
+    # variable; build the whole fold as one SQL expression instead.
+    fold = (
+        f"aggregate(transform(regexp_extract_all(lower({text_col}), '\\\\S+', 0), "
+        f"t -> {signed_w}), 0L, (acc, x) -> acc + x)"
+    )
+    base = df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(fold).alias("margin_milli"),
+    )
+    m = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("margin_milli").cast("double") / (1000.0 * F.col("n_tokens"))
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(m * 1e6 + F.lit(0.5)) / 1e6).alias("margin"),
+        (F.floor((F.lit(0.5) + m / (2 * (1 + F.abs(m)))) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "prob"
+        ),
+        (F.col("margin_milli") > 0).alias("keep"),
+    )

@@ -10694,3 +10694,56 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.selection import token_budget_select
 
     return token_budget_select(load_table(spark, sf_dir, "documents"), budget=10_000)
+
+
+@query(
+    "hashed_classifier_score",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS t
+        FROM documents
+    ),
+    sw AS (
+        SELECT doc_id,
+               (1 - 2 * (CAST(('0x' || substring(md5('11:' || t), 7, 1)) AS BIGINT) % 2))
+               * ((CAST(('0x' || substring(md5('11:' || t), 1, 6)) AS BIGINT) % 512)
+                  * 2654435761 % 2001 - 1000) AS w
+        FROM tok
+    ),
+    pd AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS margin_milli
+        FROM sw GROUP BY doc_id
+    ),
+    m AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(p.margin_milli, 0) AS BIGINT) AS margin_milli
+        FROM documents d LEFT JOIN pd p USING (doc_id)
+    ),
+    s AS (
+        SELECT doc_id, n_tokens, margin_milli,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(margin_milli AS DOUBLE) / (1000.0 * n_tokens)
+               END AS mm
+        FROM m
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR(mm * 1e6 + 0.5) / 1e6 AS margin,
+           FLOOR((0.5 + mm / (2 * (1 + abs(mm)))) * 1e6 + 0.5) / 1e6 AS prob,
+           margin_milli > 0 AS keep
+    FROM s
+    """,
+)
+def q_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bag-of-words linear classifier inference
+    (operators/selection.hashed_linear_classifier) — the learned
+    quality/toxicity gate every curation pipeline runs before training.
+    Feature hashing with an unbiasing sign hash; rational fast-sigmoid so
+    no libm call enters the hash. The whole scorer is ONE map-only
+    projection (array fold inside whole-stage codegen): zero shuffles,
+    zero joins, zero Python — at 100 TB it costs exactly one scan. The
+    oracle replays bucket, sign, weight, margin, and probability
+    bit-for-bit via the shared md5 hex scheme."""
+    from .operators.selection import hashed_linear_classifier
+
+    return hashed_linear_classifier(load_table(spark, sf_dir, "documents"))

@@ -83,3 +83,45 @@ def test_selection_handles_null_text(spark):
     dsr = {r["doc_id"]: r for r in dsir_importance(_docs(spark, rows), F.lit(True)).collect()}
     assert ppl[1]["n_bigrams"] == 0 and not ppl[1]["flagged"]
     assert dsr[1]["n_tokens"] == 0
+
+
+def test_hashed_classifier_semantics(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.selection import (
+        hashed_linear_classifier,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "spark merge join", "en"),
+            (1, "spark merge join", "en"),  # identical text -> identical score
+            (2, "SPARK MERGE JOIN", "en"),  # case-folded -> identical score
+            (3, "", "en"),  # empty: neutral
+        ],
+    )
+    out = {r["doc_id"]: r for r in hashed_linear_classifier(docs).collect()}
+    assert out[0]["margin"] == out[1]["margin"] == out[2]["margin"]
+    assert out[0]["prob"] == out[1]["prob"] == out[2]["prob"]
+    assert out[3]["n_tokens"] == 0 and out[3]["margin"] == 0.0
+    assert out[3]["prob"] == 0.5 and not out[3]["keep"]
+    # keep is the exact-integer margin sign, consistent with the float
+    for r in out.values():
+        assert r["keep"] == (r["margin"] > 0) or r["margin"] == 0.0
+    # fast-sigmoid is monotone in margin and bounded
+    rs = sorted(out.values(), key=lambda r: r["margin"])
+    probs = [r["prob"] for r in rs]
+    assert probs == sorted(probs)
+    assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_hashed_classifier_is_map_only(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.selection import (
+        hashed_linear_classifier,
+    )
+
+    docs = _docs(spark, [(0, "a b c", "en")])
+    plan = hashed_linear_classifier(docs)._jdf.queryExecution().executedPlan().toString()
+    # one narrow projection: no shuffle, no join, no Python stage
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
