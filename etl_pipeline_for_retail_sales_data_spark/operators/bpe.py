@@ -345,3 +345,129 @@ def bpe_token_stats(
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+def maxmatch_vocab(
+    wf: DataFrame, vocab_size: int = 200, max_piece_len: int = 4
+) -> DataFrame:
+    """Substring vocabulary for greedy longest-match segmentation: the
+    ``vocab_size`` highest-frequency character substrings (lengths
+    2..``max_piece_len``) of the distinct-word table, frequency-weighted
+    by word corpus count. Top-K is a distributed TakeOrderedAndProject
+    (orderBy+limit with a full deterministic tiebreak), NOT a
+    single-partition window. Returns (piece,)."""
+    subs = (
+        wf.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(2, max_piece_len + 1)])
+            ).alias("plen"),
+        )
+        .filter(F.col("pos") + F.col("plen") - 1 <= F.length("word"))
+        .select(F.expr("substring(word, pos, plen)").alias("piece"), "freq")
+    )
+    return (
+        subs.groupBy("piece")
+        .agg(F.sum("freq").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("piece"))
+        .limit(vocab_size)
+        .select("piece")
+    )
+
+
+def maxmatch_segment(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """WordPiece-style greedy longest-match (MaxMatch) subword
+    segmentation (Song et al. 2021, "Fast WordPiece Tokenization";
+    Devlin et al. 2019 inference scheme) — the OTHER standard subword
+    tokenizer next to BPE, with a corpus-derived substring vocabulary.
+    At each position the longest vocabulary piece wins; single
+    characters are the implicit fallback, so segmentation is total.
+
+    SCALE: the segmenter never walks raw text. The corpus collapses to
+    the distinct (word, freq) table (the bpe_train discipline — Zipf
+    makes it orders of magnitude smaller than the corpus); the greedy
+    walk runs once per DISTINCT word as a bounded array fold entirely
+    inside whole-stage codegen (jump table per position, then
+    ``aggregate`` over at most len(word) steps — recursion-free), and
+    documents pick up their piece counts by one token equi-join.
+    The vocabulary is a broadcast-sized top-K. No Python, no iterative
+    jobs, no collect. The DuckDB oracle replays the identical greedy
+    walk with a recursive CTE over the same jump table.
+    """
+    from .text import TOKEN_RE
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    terms = docs.select("doc_id", F.explode(toks).alias("word"))
+    wf = terms.groupBy("word").agg(F.count("*").alias("freq"))
+    vocab = maxmatch_vocab(wf, vocab_size, max_piece_len)
+
+    positions = wf.select(
+        "word", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos")
+    )
+    subs = positions.select(
+        "word",
+        "pos",
+        F.explode(F.array(*[F.lit(i) for i in range(2, max_piece_len + 1)])).alias(
+            "plen"
+        ),
+    ).filter(F.col("pos") + F.col("plen") - 1 <= F.length("word"))
+    best = (
+        subs.withColumn("piece", F.expr("substring(word, pos, plen)"))
+        .join(F.broadcast(vocab), "piece")
+        .groupBy("word", "pos")
+        .agg(F.max("plen").alias("maxl"))
+    )
+    lens = (
+        positions.join(best, ["word", "pos"], "left")
+        .withColumn("bestlen", F.coalesce("maxl", F.lit(1)))
+        .groupBy("word")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, bestlen))), x -> x.bestlen)"
+            ).alias("lens")
+        )
+    )
+    # Greedy walk as a bounded fold: each step advances >= 1 position, so
+    # size(lens) iterations always finish; extra iterations are no-ops.
+    word_pieces = lens.select(
+        "word",
+        F.expr(
+            "aggregate(lens, named_struct('pos', 1, 'k', 0), "
+            "(acc, x) -> if(acc.pos <= size(lens), "
+            "named_struct('pos', acc.pos + element_at(lens, acc.pos), 'k', acc.k + 1), "
+            "acc)).k"
+        ).alias("n_pieces_w"),
+    )
+    per_doc = (
+        terms.join(word_pieces, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_word_chars"),
+            F.sum("n_pieces_w").cast("long").alias("n_pieces"),
+        )
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    cpp = F.when(F.coalesce(F.col("n_pieces"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
+        F.floor(F.col("n_word_chars").cast("double") / F.col("n_pieces") * 1e6 + F.lit(0.5))
+        / 1e6
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_word_chars", F.lit(0)).cast("long").alias("n_word_chars"),
+        F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
+        cpp.alias("chars_per_piece"),
+    )

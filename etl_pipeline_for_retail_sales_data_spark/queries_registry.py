@@ -10747,3 +10747,74 @@ def q_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.selection import hashed_linear_classifier
 
     return hashed_linear_classifier(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "maxmatch_segmentation",
+    oracle=r"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+    positions AS (
+        SELECT word, freq, CAST(UNNEST(range(1, length(word)+1)) AS INT) AS pos
+        FROM wf
+    ),
+    subs AS (
+        SELECT word, freq, pos, CAST(plen AS INT) AS plen,
+               substr(word, pos, CAST(plen AS INT)) AS piece
+        FROM positions, UNNEST([2, 3, 4]) u(plen)
+        WHERE pos + plen - 1 <= length(word)
+    ),
+    vocab AS (
+        SELECT piece
+        FROM (SELECT piece, CAST(SUM(freq) AS BIGINT) AS f FROM subs GROUP BY piece)
+        ORDER BY f DESC, piece LIMIT 200
+    ),
+    best AS (
+        SELECT s.word, s.pos, MAX(s.plen) AS maxl
+        FROM subs s JOIN vocab v ON v.piece = s.piece
+        GROUP BY s.word, s.pos
+    ),
+    jumps AS (
+        SELECT p.word, p.pos, COALESCE(b.maxl, 1) AS bestlen
+        FROM positions p LEFT JOIN best b USING (word, pos)
+    ),
+    walk AS (
+        SELECT word, 1 AS pos, 0 AS k FROM wf
+        UNION ALL
+        SELECT w.word, w.pos + j.bestlen, w.k + 1
+        FROM walk w JOIN jumps j ON j.word = w.word AND j.pos = w.pos
+    ),
+    wp AS (SELECT word, MAX(k) AS n_pieces_w FROM walk GROUP BY word),
+    pd AS (
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(length(t.word)) AS BIGINT) AS n_word_chars,
+               CAST(SUM(w.n_pieces_w) AS BIGINT) AS n_pieces
+        FROM tok t JOIN wp w USING (word) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_word_chars, 0) AS BIGINT) AS n_word_chars,
+           CAST(COALESCE(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+           CASE WHEN COALESCE(p.n_pieces, 0) = 0 THEN 0.0
+                ELSE FLOOR(CAST(p.n_word_chars AS DOUBLE) / p.n_pieces * 1e6 + 0.5) / 1e6
+           END AS chars_per_piece
+    FROM documents d LEFT JOIN pd p USING (doc_id)
+    """,
+)
+def q_maxmatch_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy longest-match (MaxMatch) subword
+    segmentation (operators/bpe.maxmatch_segment) — the second standard
+    subword tokenizer family next to BPE, with a corpus-derived top-200
+    substring vocabulary. The segmenter walks each DISTINCT word once
+    (Zipf: orders of magnitude fewer than corpus tokens) as a bounded
+    array fold in whole-stage codegen — no recursion, no Python, no
+    iterative jobs; documents recover their piece counts by one token
+    equi-join. The oracle replays the identical jump table and greedy
+    walk with a recursive CTE, so piece counts match exactly per
+    document."""
+    from .operators.bpe import maxmatch_segment
+
+    return maxmatch_segment(load_table(spark, sf_dir, "documents"))

@@ -421,3 +421,47 @@ def test_ivfpq_deterministic(spark, sf_smoke):
     a = ivfpq_search(emb, qf, k=3, nprobe=3, iters=2).collect()
     b = ivfpq_search(emb, qf, k=3, nprobe=3, iters=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# MaxMatch (WordPiece-style greedy longest-match) segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_maxmatch_known_toy(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.bpe import maxmatch_segment
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark merge"), (1, "go park"), (2, None)],
+        "doc_id long, text string",
+    )
+    # vocab_size=4 -> {ar, ark, pa, par} (freq ties broken lexicographically):
+    # spark = s|par|k (3), merge = 5 singles, go = g|o (2), park = par|k (2)
+    out = {r["doc_id"]: r for r in maxmatch_segment(docs, vocab_size=4).collect()}
+    assert (out[0]["n_tokens"], out[0]["n_word_chars"], out[0]["n_pieces"]) == (3, 15, 11)
+    assert (out[1]["n_tokens"], out[1]["n_word_chars"], out[1]["n_pieces"]) == (2, 6, 4)
+    assert (out[2]["n_tokens"], out[2]["n_pieces"]) == (0, 0)
+    assert out[2]["chars_per_piece"] == 0.0
+
+
+def test_maxmatch_segmentation_is_total_and_bounded(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.bpe import maxmatch_segment
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i} a bb ccc dddd eeeee") for i in range(6)],
+        "doc_id long, text string",
+    )
+    for r in maxmatch_segment(docs, vocab_size=16).collect():
+        # every word fully segmented: ceil(chars/4) <= pieces <= chars
+        assert r["n_pieces"] <= r["n_word_chars"]
+        assert 4 * r["n_pieces"] >= r["n_word_chars"]
+        assert r["n_tokens"] <= r["n_pieces"]  # a word is at least one piece
+
+
+def test_maxmatch_plan_has_no_python_and_broadcasts_vocab(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.bpe import maxmatch_segment
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = maxmatch_segment(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
