@@ -378,3 +378,75 @@ def hashed_linear_classifier(
         ),
         (F.col("margin_milli") > 0).alias("keep"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame, text_col: str = "text", by: str = "source", n_buckets: int = 100
+) -> DataFrame:
+    """Per-source quantile normalization (quantile matching) of the
+    composite quality score — the cross-source calibration step mixed
+    corpora need before one global quality cut: a score's meaning is
+    its RANK within its own source, so each document is remapped to the
+    GLOBAL score at the same relative rank. Standard quantile
+    normalization (Bolstad et al. 2003, brought to corpus mixing by
+    multi-source pipelines where per-source quality scales differ).
+
+    All rank arithmetic is exact integers: the target global index is
+    round((r-1)*(N-1)/(n_s-1)) computed by integer division, so both
+    engines agree bit-for-bit; the remapped value is an existing score,
+    never an interpolation.
+
+    SCALE: the global rank uses the bucketed two-phase prefix sum
+    (token_budget_select pattern) — the only unpartitioned window runs
+    over the ~n_buckets bucket-count frame, never the data; within-bucket
+    ranks are partitioned windows. The rank→value remap is a shuffle
+    equi-join on the integer rank. No single-partition window at any
+    size.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_expr
+
+    base = df.select(
+        "doc_id",
+        F.col(by).alias("source"),
+        F.coalesce(quality_expr(text_col), F.lit(0.0)).alias("quality"),
+    ).withColumn("__bucket", F.floor(F.col("quality") * n_buckets).cast("long"))
+    totals = base.groupBy("__bucket").agg(F.count("*").alias("__bn"))
+    wb = Window.orderBy("__bucket")
+    offsets = totals.select(
+        "__bucket",
+        (F.coalesce(F.sum("__bn").over(wb), F.lit(0)) - F.col("__bn")).alias("__off"),
+    )
+    ww = Window.partitionBy("__bucket").orderBy("quality", "doc_id")
+    ranked = (
+        base.join(F.broadcast(offsets), "__bucket")
+        .withColumn("rn", (F.col("__off") + F.row_number().over(ww)).cast("long"))
+    )
+    tot = ranked.agg(F.count("*").alias("__n_all"))
+    ws = Window.partitionBy("source").orderBy("quality", "doc_id")
+    wn = Window.partitionBy("source")
+    withidx = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("src_rank", F.row_number().over(ws).cast("long"))
+        .withColumn("n_src", F.count("*").over(wn).cast("long"))
+        .withColumn(
+            "__idx",
+            F.when(
+                F.col("n_src") == 1,
+                F.expr("(__n_all - 1) div 2"),
+            ).otherwise(
+                F.expr(
+                    "((src_rank - 1) * (__n_all - 1) * 2 + (n_src - 1)) "
+                    "div ((n_src - 1) * 2)"
+                )
+            )
+            + 1,
+        )
+    )
+    lookup = ranked.select(
+        F.col("rn").alias("__rn"), F.col("quality").alias("norm_quality")
+    )
+    return withidx.join(lookup, withidx["__idx"] == lookup["__rn"]).select(
+        "doc_id", "source", "quality", "src_rank", "n_src", "norm_quality"
+    )

@@ -10818,3 +10818,52 @@ def q_maxmatch_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import maxmatch_segment
 
     return maxmatch_segment(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quantile_normalized_quality",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               COALESCE(FLOOR(((len(regexp_extract_all(lower(text), '{_STOP_PAT}'))
+                        / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0)) * 0.4
+                      + (LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 100.0) / 100.0) * 0.3
+                      + (1 - (len(regexp_extract_all(text, '[[:punct:]]'))
+                              / GREATEST(CAST(length(text) AS DOUBLE), 1.0))) * 0.3)
+                     * 1e6 + 0.5) / 1e6, 0.0) AS quality
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, quality,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS BIGINT) AS src_rank,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+               CAST(ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_all
+        FROM t
+    ),
+    x AS (
+        SELECT doc_id, source, quality, src_rank, n_src,
+               CASE WHEN n_src = 1 THEN (n_all - 1) // 2
+                    ELSE ((src_rank - 1) * (n_all - 1) * 2 + (n_src - 1))
+                         // ((n_src - 1) * 2)
+               END + 1 AS idx
+        FROM r
+    )
+    SELECT x.doc_id, x.source, x.quality, x.src_rank, x.n_src,
+           g.quality AS norm_quality
+    FROM x JOIN r g ON g.rn = x.idx
+    """,
+)
+def q_quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the composite quality score
+    (operators/selection.quantile_normalize) — cross-source score
+    calibration before a single global quality cut: each document maps to
+    the GLOBAL score at its within-source relative rank, so sources with
+    shifted score scales become comparable. All rank arithmetic is exact
+    integer division; the remapped value is an existing score. The Spark
+    global rank is the bucketed two-phase prefix sum (no single-partition
+    window); the oracle states the same mapping with naive windows at
+    oracle scale."""
+    from .operators.selection import quantile_normalize
+
+    return quantile_normalize(load_table(spark, sf_dir, "documents"))

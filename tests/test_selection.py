@@ -125,3 +125,49 @@ def test_hashed_classifier_is_map_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_quantile_normalize_endpoints_and_monotone(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.selection import (
+        quantile_normalize,
+    )
+
+    # quality is monotone in token count here (no stopwords/punct), so
+    # ranks are fully controlled: source A = short docs, B = long docs
+    rows = [(i, "tok " * (i + 1), "en", "A") for i in range(5)]
+    rows += [(10 + i, "tok " * (20 + 5 * i), "en", "B") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = quantile_normalize(docs).collect()
+    assert len(out) == 10
+    quals = sorted(r["quality"] for r in out)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["src_rank"])
+        # endpoints: lowest rank -> global min, highest rank -> global max
+        assert rs[0]["norm_quality"] == quals[0]
+        assert rs[-1]["norm_quality"] == quals[-1]
+        # monotone remap, values drawn from the global score multiset
+        nq = [r["norm_quality"] for r in rs]
+        assert nq == sorted(nq)
+        assert all(q in quals for q in nq)
+    # the two sources now share a scale: same normalized value sets
+    assert [r["norm_quality"] for r in by_src["A"]] == [
+        r["norm_quality"] for r in by_src["B"]
+    ]
+
+
+def test_quantile_normalize_single_doc_source_maps_to_median(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.selection import (
+        quantile_normalize,
+    )
+
+    rows = [(i, "tok " * (i + 1), "en", "A") for i in range(8)]
+    rows.append((99, "tok tok tok", "en", "B"))  # n_src=1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["doc_id"]: r for r in quantile_normalize(docs).collect()}
+    quals = sorted(r["quality"] for r in out.values())
+    # a single-doc source lands on the global median score: idx0=(N-1)//2
+    assert out[99]["n_src"] == 1
+    assert out[99]["norm_quality"] == quals[(len(quals) - 1) // 2]
