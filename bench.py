@@ -89,6 +89,10 @@ HEADLINE = [
     # r5: ExactSubstr duplicated-span dedup (Lee et al. 2022) — the
     # no-pair-join dedup family, O(corpus tokens)
     "exact_substring_report",
+    # r5 second session: map-only classifier gate + distinct-word subword
+    # segmentation — the two new selection/tokenization families
+    "hashed_classifier_score",
+    "maxmatch_segmentation",
 ]
 
 
