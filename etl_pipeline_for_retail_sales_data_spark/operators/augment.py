@@ -111,3 +111,42 @@ def span_corruption_report(
             / 1e6
         ).alias("masked_fraction"),
     )
+
+
+def fim_spec(df: DataFrame, text_col: str = "text", fim_rate_mod: int = 2) -> DataFrame:
+    """Fill-in-the-middle transform spec (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): split a document
+    into prefix | middle | suffix at two uniform token cut points, emit
+    the example as PSM (prefix-suffix-middle) or SPM order plus three
+    sentinels; the rest of the corpus stays plain autoregressive ('ar').
+
+    Same determinism contract as span_corruption_spec: the FIM gate, the
+    PSM/SPM coin, and both cut points are md5(doc_id) integer arithmetic
+    — per-row local, no RNG state, reproducible across engines, reruns,
+    and partitionings. Cut points are two independent uniforms over
+    [0, n] sorted (the published scheme), so middle length is
+    triangular-distributed. Zero shuffles, zero Python: one scan emits
+    the full spec frame an example builder consumes.
+    """
+    zero = F.lit(0)
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    n = F.coalesce(F.size(toks).cast("long"), F.lit(0).cast("long"))
+    fim = _h(F.col("doc_id"), zero, "fimgate") % fim_rate_mod == 0
+    psm = _h(F.col("doc_id"), zero, "fimmode") % 2 == 0
+    c1 = _h(F.col("doc_id"), zero, "fimcut1") % (n + 1)
+    c2 = _h(F.col("doc_id"), zero, "fimcut2") % (n + 1)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    base = spread(df).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        fim.alias("fim"),
+        F.when(~fim, F.lit("ar"))
+        .when(psm, F.lit("psm"))
+        .otherwise(F.lit("spm"))
+        .alias("mode"),
+        F.when(fim, lo).otherwise(n).cast("long").alias("prefix_len"),
+        F.when(fim, hi - lo).otherwise(zero.cast("long")).cast("long").alias("middle_len"),
+        F.when(fim, n - hi).otherwise(zero.cast("long")).cast("long").alias("suffix_len"),
+        (n + F.when(fim, F.lit(3)).otherwise(zero)).cast("long").alias("out_tokens"),
+    )
+    return base

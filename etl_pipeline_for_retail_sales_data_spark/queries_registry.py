@@ -10867,3 +10867,45 @@ def q_quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.selection import quantile_normalize
 
     return quantile_normalize(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "fim_transform_spec",
+    oracle=r"""
+    WITH h AS (
+        SELECT doc_id,
+               COALESCE(len(regexp_extract_all(lower(text), '\S+')), 0) AS n,
+               CAST(('0x' || substring(md5('fimgate:' || doc_id || ':0'), 1, 8)) AS BIGINT) AS hg,
+               CAST(('0x' || substring(md5('fimmode:' || doc_id || ':0'), 1, 8)) AS BIGINT) AS hm,
+               CAST(('0x' || substring(md5('fimcut1:' || doc_id || ':0'), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substring(md5('fimcut2:' || doc_id || ':0'), 1, 8)) AS BIGINT) AS h2
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               hg % 2 = 0 AS fim,
+               hm % 2 = 0 AS psm,
+               LEAST(h1 % (n + 1), h2 % (n + 1)) AS lo,
+               GREATEST(h1 % (n + 1), h2 % (n + 1)) AS hi
+        FROM h
+    )
+    SELECT doc_id, n_tokens, fim,
+           CASE WHEN NOT fim THEN 'ar' WHEN psm THEN 'psm' ELSE 'spm' END AS mode,
+           CAST(CASE WHEN fim THEN lo ELSE n_tokens END AS BIGINT) AS prefix_len,
+           CAST(CASE WHEN fim THEN hi - lo ELSE 0 END AS BIGINT) AS middle_len,
+           CAST(CASE WHEN fim THEN n_tokens - hi ELSE 0 END AS BIGINT) AS suffix_len,
+           CAST(n_tokens + CASE WHEN fim THEN 3 ELSE 0 END AS BIGINT) AS out_tokens
+    FROM c
+    """,
+)
+def q_fim_transform_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle example spec (operators/augment.fim_spec,
+    Bavarian et al. 2022): hash-gated 50% of documents split at two
+    md5-derived token cut points into prefix|middle|suffix with a
+    PSM/SPM order coin; the rest stay autoregressive. Per-row md5
+    integer arithmetic only — zero shuffles, zero Python, reproducible
+    across engines/reruns/partitionings (the augment.py contract). The
+    oracle replays gate, mode, and both cut points bit-for-bit."""
+    from .operators.augment import fim_spec
+
+    return fim_spec(load_table(spark, sf_dir, "documents"))

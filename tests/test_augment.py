@@ -47,3 +47,36 @@ def test_spec_is_deterministic_and_rate_near_target(spark):
     assert 0.10 <= masked / total <= 0.20
     for r in rep:
         assert r.n_sentinels == 10  # 200 tokens = 10 blocks
+
+
+def test_fim_spec_partition_invariants(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.augment import fim_spec
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (5 + i)) for i in range(40)] + [(99, ""), (100, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in fim_spec(docs).collect()}
+    assert len(rows) == 42
+    for r in rows.values():
+        # the three segments always reassemble the document exactly
+        assert r["prefix_len"] + r["middle_len"] + r["suffix_len"] == r["n_tokens"]
+        assert min(r["prefix_len"], r["middle_len"], r["suffix_len"]) >= 0
+        if r["fim"]:
+            assert r["mode"] in ("psm", "spm")
+            assert r["out_tokens"] == r["n_tokens"] + 3  # three sentinels
+        else:
+            assert r["mode"] == "ar"
+            assert (r["prefix_len"], r["middle_len"], r["suffix_len"]) == (
+                r["n_tokens"], 0, 0,
+            )
+            assert r["out_tokens"] == r["n_tokens"]
+    # the gate holds roughly half the corpus (hash parity), both modes occur
+    fims = [r for r in rows.values() if r["fim"]]
+    assert 10 <= len(fims) <= 32
+    assert {r["mode"] for r in fims} == {"psm", "spm"}
+    # empty/null docs degrade to zero-length segments
+    assert rows[99]["n_tokens"] == 0 and rows[100]["n_tokens"] == 0
+    # determinism: a second run is identical
+    again = {r["doc_id"]: r for r in fim_spec(docs).collect()}
+    assert again == rows
