@@ -967,3 +967,53 @@ def bq_screen_topk(
             "rnk",
         )
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    query_filter: Column,
+    dims: tuple = (8, 16, 32, 64),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation study (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): exact top-k recall of TRUNCATED-dimension
+    cosine search against the full-dimension ground truth, per query and
+    dimension budget — the evaluation every MRL-embedding deployment runs
+    to pick its serving dimension (store/scan d/64 of the bytes, keep
+    recall). Both sides are the deterministic brute-force ranker
+    (knn_bruteforce_expr) over prefix-sliced vectors, so the output is
+    pure integers: n_hits = |top-k_d ∩ top-k_full|.
+
+    SCALE: the query set is bounded by ``query_filter`` (broadcast); the
+    corpus side is scanned once per dimension budget with the truncated
+    fold — at 100 TB you'd precompute the sliced column, but the plan
+    shape (broadcast queries x corpus scan, partitioned top-k window) is
+    already the scale path. Recall is exact, not sampled.
+    """
+    full_dim = max(dims)
+    full = knn_bruteforce_expr(
+        emb, query_filter, k=k, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "neighbor_id", F.lit(1).alias("__hit"))
+    parts = []
+    for d in dims:
+        sliced = emb.withColumn(vec_col, F.slice(F.col(vec_col), 1, d))
+        parts.append(
+            knn_bruteforce_expr(sliced, query_filter, k=k, id_col=id_col, vec_col=vec_col)
+            .select("q_id", "neighbor_id", F.lit(d).alias("dim_budget"))
+        )
+    alld = parts[0]
+    for p in parts[1:]:
+        alld = alld.unionByName(p)
+    hits = alld.join(F.broadcast(full), ["q_id", "neighbor_id"], "left")
+    return (
+        hits.groupBy("q_id", "dim_budget")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "q_id",
+            F.col("dim_budget").cast("long").alias("dim_budget"),
+            "n_hits",
+            (F.floor(F.col("n_hits") / k * 1e6 + F.lit(0.5)) / 1e6).alias("recall"),
+        )
+    )

@@ -10909,3 +10909,46 @@ def q_fim_transform_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.augment import fim_spec
 
     return fim_spec(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "matryoshka_recall",
+    oracle="""
+    WITH dims AS (SELECT UNNEST([8, 16, 32, 64]) AS d),
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT d.d, q_id, vec_id,
+                 list_dot_product(qe[1:d.d], e[1:d.d])
+                   / (sqrt(list_dot_product(qe[1:d.d], qe[1:d.d]))
+                      * sqrt(list_dot_product(e[1:d.d], e[1:d.d]))) AS cos
+          FROM c CROSS JOIN q CROSS JOIN dims d
+          WHERE vec_id <> q_id),
+    r AS (SELECT d, q_id, vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY d, q_id
+                                    ORDER BY cos DESC, vec_id) AS rnk
+          FROM s),
+    top AS (SELECT d, q_id, neighbor_id FROM r WHERE rnk <= 5),
+    fullk AS (SELECT q_id, neighbor_id FROM top WHERE d = 64)
+    SELECT t.q_id, CAST(t.d AS BIGINT) AS dim_budget,
+           CAST(COUNT(f.neighbor_id) AS BIGINT) AS n_hits,
+           FLOOR(COUNT(f.neighbor_id) / 5 * 1e6 + 0.5) / 1e6 AS recall
+    FROM top t LEFT JOIN fullk f
+      ON f.q_id = t.q_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY t.q_id, t.d
+    """,
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncated-embedding recall study
+    (operators/similarity.matryoshka_recall, Kusupati et al. 2022):
+    exact top-5 recall of prefix-truncated cosine search (8/16/32 of 64
+    dims) against full-dimension ground truth, per query — the serving-
+    dimension sweep MRL deployments run. Every ranking is the
+    deterministic brute-force twin with the sequential left-to-right
+    dot-product fold DuckDB's list_dot_product reproduces bit-for-bit,
+    so neighbor sets and hit counts match exactly."""
+    from .operators.similarity import matryoshka_recall
+
+    return matryoshka_recall(
+        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10
+    )

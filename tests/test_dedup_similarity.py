@@ -806,3 +806,31 @@ def test_ppjoin_prefix_index_is_smaller(spark):
         prefix.groupBy("shingle").agg(F.count("*").alias("pdf")).agg(F.max("pdf")).collect()[0][0]
     )
     assert hot_prefix < hot_full
+
+
+def test_matryoshka_full_dim_is_exact_and_prefix_informative(spark):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    # informative prefix: dims 0-7 carry the signal, the tail is tiny noise
+    # -> truncating to 8 dims must already recover the full-dim neighbors
+    rows = []
+    for i in range(30):
+        head = [rng.gauss(0, 1) for _ in range(8)]
+        tail = [rng.gauss(0, 1e-6) for _ in range(56)]
+        rows.append((i, [float(x) for x in head + tail]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = matryoshka_recall(emb, F.col("vec_id") < 5).collect()
+    assert len(out) == 20  # 5 queries x 4 dim budgets
+    for r in out:
+        assert 0 <= r["n_hits"] <= 5
+        if r["dim_budget"] == 64:
+            assert r["recall"] == 1.0  # ground truth vs itself
+        if r["dim_budget"] == 8:
+            assert r["recall"] >= 0.8  # the signal lives in the prefix

@@ -54,7 +54,16 @@ PROBES = ["sales_summary", "q1_pricing_summary", "q3_shipping_priority",
           # stays fixed while the corpus-side work scales.
           "ngram_jaccard_capped", "shingle_cosine_capped",
           "winnowing_capped", "doc_novelty", "source_overlap_matrix",
-          "bq_ann", "rrf_hybrid_search"]
+          "bq_ann", "rrf_hybrid_search",
+          # round-5 second session: map-only classifier gate (pure scan),
+          # distinct-word subword segmentation (token-tagged replicas
+          # multiply the distinct-word table, probing the jump-table
+          # plan), per-row FIM specs, rank-machinery quantile
+          # normalization, prefix-filtered exact similarity join, and
+          # the duplicated-span dedup scan
+          "hashed_classifier_score", "maxmatch_segmentation",
+          "fim_transform_spec", "quantile_normalized_quality",
+          "ppjoin_jaccard", "exact_substring_report"]
 TABLES = ["lineitem", "orders", "customer", "part", "region", "nation", "supplier",
           "events", "documents", "embeddings"]
 KEYED = {  # key columns to offset per replica so key cardinality scales
