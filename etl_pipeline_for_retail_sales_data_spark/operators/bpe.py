@@ -398,9 +398,9 @@ def maxmatch_segment(
     SCALE: the segmenter never walks raw text. The corpus collapses to
     the distinct (word, freq) table (the bpe_train discipline — Zipf
     makes it orders of magnitude smaller than the corpus); the greedy
-    walk runs once per DISTINCT word as a bounded array fold entirely
-    inside whole-stage codegen (jump table per position, then
-    ``aggregate`` over at most len(word) steps — recursion-free), and
+    walk runs once per DISTINCT word as a bounded JVM array fold
+    (jump table per position, then ``aggregate`` over at most
+    len(word) steps — recursion-free, interpreted HOF, never Python), and
     documents pick up their piece counts by one token equi-join.
     The vocabulary is a broadcast-sized top-K. No Python, no iterative
     jobs, no collect. The DuckDB oracle replays the identical greedy

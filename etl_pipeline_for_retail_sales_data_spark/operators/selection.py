@@ -342,9 +342,10 @@ def hashed_linear_classifier(
     (Elliott 1993) — no exp(), so both engines compute bit-identical
     doubles from the exact-integer margin numerator.
 
-    SCALE: the entire scorer is ONE narrow projection — tokenize, hash,
-    weigh, and fold per document with array higher-order functions inside
-    whole-stage codegen. Zero shuffles, zero joins, zero Python; at 100 TB
+    SCALE: the entire scorer is ONE narrow JVM projection — tokenize,
+    hash, weigh, and fold per document with array higher-order functions
+    (HOFs evaluate as interpreted JVM expressions — not codegen-fused,
+    but never Python). Zero shuffles, zero joins, zero Python; at 100 TB
     it is a single map-only pass, and `keep` stays integer-exact
     (margin_milli > 0) regardless of float rounding.
     """

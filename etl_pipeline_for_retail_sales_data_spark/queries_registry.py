@@ -10739,9 +10739,9 @@ def q_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/selection.hashed_linear_classifier) — the learned
     quality/toxicity gate every curation pipeline runs before training.
     Feature hashing with an unbiasing sign hash; rational fast-sigmoid so
-    no libm call enters the hash. The whole scorer is ONE map-only
-    projection (array fold inside whole-stage codegen): zero shuffles,
-    zero joins, zero Python — at 100 TB it costs exactly one scan. The
+    no libm call enters the hash. The whole scorer is ONE map-only JVM
+    projection (array-fold HOF expression, never Python): zero shuffles,
+    zero joins — at 100 TB it costs exactly one scan. The
     oracle replays bucket, sign, weight, margin, and probability
     bit-for-bit via the shared md5 hex scheme."""
     from .operators.selection import hashed_linear_classifier
@@ -10810,7 +10810,7 @@ def q_maxmatch_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     subword tokenizer family next to BPE, with a corpus-derived top-200
     substring vocabulary. The segmenter walks each DISTINCT word once
     (Zipf: orders of magnitude fewer than corpus tokens) as a bounded
-    array fold in whole-stage codegen — no recursion, no Python, no
+    JVM array fold — no recursion, no Python, no
     iterative jobs; documents recover their piece counts by one token
     equi-join. The oracle replays the identical jump table and greedy
     walk with a recursive CTE, so piece counts match exactly per

@@ -85,6 +85,22 @@ SHOWCASE = {
         "back-to-back in one pipeline, zero shuffles — payloads stay on "
         "executors end to end"
     ),
+    "hashed_classifier_score": (
+        "feature-hashing classifier gate: ONE map-only JVM projection — the "
+        "token fold is an interpreted HOF expression, never Python; zero "
+        "Exchange, zero Join (pinned in test_hashed_classifier_is_map_only)"
+    ),
+    "maxmatch_segmentation": (
+        "greedy subword segmentation on the DISTINCT-word table: broadcast "
+        "top-K vocabulary, per-word jump table + bounded JVM array fold "
+        "(recursion-free, never Python), one token equi-join back to documents"
+    ),
+    "ppjoin_jaccard": (
+        "prefix-filtered exact similarity join: only the first "
+        "|x|-ceil(t|x|)+1 rarest tokens are indexed, so the self-join runs "
+        "on a fraction of the postings and stop-phrase shingles drop out of "
+        "long docs' prefixes — skew handled with zero recall loss"
+    ),
 }
 
 
