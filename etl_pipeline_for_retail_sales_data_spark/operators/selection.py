@@ -362,10 +362,12 @@ def hashed_linear_classifier(
         f"aggregate(transform(regexp_extract_all(lower({text_col}), '\\\\S+', 0), "
         f"t -> {signed_w}), 0L, (acc, x) -> acc + x)"
     )
+    # null text degrades like the oracle's LEFT JOIN: 0 tokens, margin 0,
+    # prob 0.5, keep false (size()/aggregate() would propagate NULL)
     base = df.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.expr(fold).alias("margin_milli"),
+        F.coalesce(F.size(toks).cast("long"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.expr(fold), F.lit(0).cast("long")).alias("margin_milli"),
     )
     m = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
         F.col("margin_milli").cast("double") / (1000.0 * F.col("n_tokens"))

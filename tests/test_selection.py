@@ -171,3 +171,14 @@ def test_quantile_normalize_single_doc_source_maps_to_median(spark):
     # a single-doc source lands on the global median score: idx0=(N-1)//2
     assert out[99]["n_src"] == 1
     assert out[99]["norm_quality"] == quals[(len(quals) - 1) // 2]
+
+
+def test_hashed_classifier_null_text_degrades_neutral(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.selection import (
+        hashed_linear_classifier,
+    )
+
+    docs = _docs(spark, [(0, None, "en"), (1, "spark join", "en")])
+    out = {r["doc_id"]: r for r in hashed_linear_classifier(docs).collect()}
+    assert out[0]["n_tokens"] == 0 and out[0]["margin"] == 0.0
+    assert out[0]["prob"] == 0.5 and not out[0]["keep"]
