@@ -53,11 +53,17 @@ def doc_shingles(
     RE2); shingle = n consecutive tokens joined by a single space."""
     df = spread(df)  # small-file scans arrive as 1 partition (functions.spread)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)  # 0-based start positions
+    # HOIST the token array into its own projection: referenced inside the
+    # shingle lambda it would re-run the regexp tokenize PER SHINGLE
+    # (winnowing_fingerprints lesson — lambda bodies re-evaluate captured
+    # expressions per element; HOF array ARGUMENTS evaluate once)
+    base = df.filter(F.size(toks) >= n).select("doc_id", toks.alias("__toks"))
+    tcol = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(tcol) - n)  # 0-based start positions
     # slice+array_join is ~3.5x faster than an element_at chain (one array
     # copy per shingle vs n indexed lookups through the lambda interpreter)
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    out = df.filter(F.size(toks) >= n).select("doc_id", F.explode(shingles).alias("shingle"))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(tcol, i + 1, n), " "))
+    out = base.select("doc_id", F.explode(shingles).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -868,12 +874,21 @@ def winnowing_fingerprints(
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     kg_idx = F.sequence(F.lit(0), F.size(toks) - k)
     hashes = F.transform(kg_idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")))
-    df = spread(df).filter(F.size(toks) >= k + w - 1)
-    win_idx = F.sequence(F.lit(0), F.size(hashes) - w)
+    # HOIST the k-gram hash array into its own projection: spliced as a
+    # sub-expression inside the window lambda it would be RE-EVALUATED for
+    # every window (O(n²) md5s per doc — measured 22x slower at sf0.1).
+    # As an attribute reference the array computes once per row, and
+    # CollapseProject keeps the barrier (non-cheap alias, multiple refs).
+    base = spread(df).filter(F.size(toks) >= k + w - 1)
+    h = base.select("doc_id", hashes.alias("__h"))
+    hcol = F.col("__h")
     fps = F.array_distinct(
-        F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j + 1, w)))
+        F.transform(
+            F.sequence(F.lit(0), F.size(hcol) - w),
+            lambda j: F.array_min(F.slice(hcol, j + 1, w)),
+        )
     )
-    return df.select("doc_id", F.explode(fps).alias("fp"))
+    return h.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def winnowing_overlap_pairs(
@@ -963,14 +978,18 @@ def exact_substring_spans(
 
     L = span_tokens
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    idx = F.sequence(F.lit(0), F.size(toks) - L)
-    hashes = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, L), " ")))
-    w = (
+    # hoist the token array (doc_shingles lesson: a lambda body re-runs
+    # captured expressions per element — here the regexp per window)
+    hbase = (
         spread(df)
         .filter(F.col(text_col).isNotNull())
         .filter(F.size(toks) >= L)
-        .select("doc_id", F.posexplode(hashes).alias("pos", "h"))
+        .select("doc_id", toks.alias("__toks"))
     )
+    tcol = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(tcol) - L)
+    hashes = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(tcol, i + 1, L), " ")))
+    w = hbase.select("doc_id", F.posexplode(hashes).alias("pos", "h"))
     dup = w.groupBy("h").agg(F.count("*").alias("__n")).filter(
         F.col("__n") >= min_occurrences
     ).select("h")
@@ -1054,12 +1073,14 @@ def benchmark_decontaminate(
     benchmark side is read once."""
     L = span_tokens
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    idx = F.sequence(F.lit(0), F.size(toks) - L)
-    hashes = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, L), " ")))
     base = spread(df).filter(F.col(text_col).isNotNull())
-    w = base.filter(F.size(toks) >= L).select(
-        "doc_id", F.posexplode(hashes).alias("pos", "h")
-    )
+    # hoist the token array (doc_shingles lesson: a lambda body re-runs
+    # captured expressions per element — here the regexp per window)
+    wbase = base.filter(F.size(toks) >= L).select("doc_id", toks.alias("__toks"))
+    tcol = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(tcol) - L)
+    hashes = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(tcol, i + 1, L), " ")))
+    w = wbase.select("doc_id", F.posexplode(hashes).alias("pos", "h"))
     bench_ids = base.filter(bench_filter).select("doc_id")
     bench_h = w.join(F.broadcast(bench_ids), "doc_id").select("h").distinct()
     train = base.join(F.broadcast(bench_ids), "doc_id", "left_anti")

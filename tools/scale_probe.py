@@ -120,6 +120,12 @@ def main() -> None:
             for name in PROBES:
                 best = None
                 for _ in range(3):  # min-of-3: drop JIT/codegen warmup noise
+                    # clear persisted frames between reps: operators that
+                    # persist (ppjoin's 16M-row shingle frame at x16) would
+                    # otherwise stack dead copies in the 8g local heap and
+                    # the probe measures eviction thrash, not the plan
+                    # (observed: ppjoin x16 52s cold -> 151s on rep 2)
+                    spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     QUERIES[name](spark, d).count()
                     dt = time.perf_counter() - t0
@@ -133,7 +139,10 @@ def main() -> None:
         "",
         "Fact tables (`lineitem`, `orders`) replicated with offset keys so key",
         "cardinality scales with volume; dims unchanged. Min of 3 runs per point",
-        "(drops JIT warmup). Generated by `tools/scale_probe.py` on local[32] from",
+        "(drops JIT warmup), persisted frames cleared between reps so operators",
+        "that cache a corpus-sized frame measure the plan, not stale-copy",
+        "eviction thrash in the local 8g heap.",
+        "Generated by `tools/scale_probe.py` on local[32] from",
         "sf0.1 (~600k lineitem rows at x1, ~9.6M at x16). A x16/x1 ratio well under",
         "16 shows fixed per-job overhead still dominating at this size; the",
         "compute itself scales linearly. triangle_coparts is a stress probe,",
