@@ -10952,3 +10952,75 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_recall(
         load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10
     )
+
+
+@query(
+    "group_split_events",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (
+            SELECT event_id, user_id,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                       % 100 AS b
+            FROM events
+        )
+    ),
+    leak AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE ns > 1) AS BIGINT) AS leak_users
+        FROM (SELECT user_id, COUNT(DISTINCT split) AS ns FROM tagged GROUP BY user_id)
+    ),
+    tot AS (SELECT COUNT(*) AS n_all FROM tagged)
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR(COUNT(*) / CAST(tot.n_all AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share,
+           leak.leak_users
+    FROM tagged, leak, tot
+    GROUP BY split, leak.leak_users, tot.n_all
+    """,
+)
+def q_group_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split: the split key is md5(user_id) —
+    every event of a user lands in ONE split, the leakage discipline
+    evaluation sets need (per-ROW splits of grouped data leak a user's
+    behavior across train and test; dataset_split covers the per-row
+    case). The query also AUDITS the guarantee: leak_users counts users
+    assigned to more than one split and must be 0. One scan, one
+    aggregate per frame; the hash split is the engine-portable md5
+    scheme shared with dataset_split, so assignments are stable across
+    engines, reruns, and repartitionings."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test")).alias("split"),
+    )
+    leak = (
+        tagged.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .agg(F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).cast("long").alias("leak_users"))
+    )
+    tot = tagged.agg(F.count("*").alias("__n_all"))
+    out = (
+        tagged.groupBy("split")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leak))
+    )
+    return out.select(
+        "split",
+        "n_users",
+        "n_events",
+        (F.floor(F.col("n_events") / F.col("__n_all").cast("double") * 1e6 + F.lit(0.5)) / 1e6).alias("share"),
+        "leak_users",
+    )
