@@ -93,6 +93,10 @@ HEADLINE = [
     # segmentation — the two new selection/tokenization families
     "hashed_classifier_score",
     "maxmatch_segmentation",
+    # r5 second session: prefix-filtered exact similarity join (the heavy
+    # exact pair family that needs no df cap) + truncated-embedding recall
+    "ppjoin_jaccard",
+    "matryoshka_recall",
 ]
 
 
