@@ -1017,3 +1017,76 @@ def matryoshka_recall(
             (F.floor(F.col("n_hits") / k * 1e6 + F.lit(0.5)) / 1e6).alias("recall"),
         )
     )
+
+
+def maxsim_late_interaction(
+    emb: DataFrame,
+    n_queries: int = 3,
+    tokens_per_query: int = 5,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): a query is a BAG of token vectors, a document is a bag
+    of token vectors, and score(q, d) = sum over query tokens of the MAX
+    cosine against any document token — the MaxSim operator. Documents
+    here are the ``group_col`` groups of the embedding table; queries are
+    the first ``n_queries * tokens_per_query`` vectors chunked in id
+    order.
+
+    Exactness: each per-token MaxSim is floored to integer micro-units
+    before the per-query SUM, so the sum is order-free (exact int64) and
+    both engines rank identically — max() over bit-identical cosines is
+    itself order-free.
+
+    SCALE: query tokens broadcast against ONE corpus scan (the
+    irreducible late-interaction cost — production systems put an ANN
+    candidate filter in front; composable here with bq_ann/ivfpq), then
+    two hash aggregates: (query, doc, q_token) max, (query, doc) sum.
+    No doc-token-by-doc-token pair materialization beyond the scan, no
+    driver collects.
+    """
+    base = emb.filter(F.col(vec_col).isNotNull())
+    q = (
+        base.filter(F.col(id_col) < n_queries * tokens_per_query)
+        .select(
+            (F.col(id_col) / tokens_per_query).cast("long").alias("query_id"),
+            F.col(id_col).alias("q_tok"),
+            as_double(F.col(vec_col)).alias("qe"),
+        )
+        .withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"))))
+    )
+    c = (
+        spread(base)
+        .select(
+            F.col(group_col).cast("long").alias("doc_label"),
+            as_double(F.col(vec_col)).alias("e"),
+        )
+        .withColumn("en", F.sqrt(dot(F.col("e"), F.col("e"))))
+    )
+    cos = (dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))).alias("cos")
+    per_tok = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "doc_label", "q_tok", cos)
+        .groupBy("query_id", "doc_label", "q_tok")
+        .agg(F.max("cos").alias("mx"))
+    )
+    micro = F.floor(F.col("mx") * 1e6 + F.lit(0.5)).cast("long")
+    scored = per_tok.groupBy("query_id", "doc_label").agg(
+        F.sum(micro).alias("__sum_u")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sum_u").desc(), F.col("doc_label")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "doc_label",
+            (F.col("__sum_u").cast("double") / 1e6).alias("maxsim_score"),
+            "rnk",
+        )
+    )

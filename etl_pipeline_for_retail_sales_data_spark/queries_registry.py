@@ -11024,3 +11024,55 @@ def q_group_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("n_events") / F.col("__n_all").cast("double") * 1e6 + F.lit(0.5)) / 1e6).alias("share"),
         "leak_users",
     )
+
+
+@query(
+    "maxsim_late_interaction",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(vec_id // 5 AS BIGINT) AS query_id, vec_id AS q_tok,
+               CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 15
+    ),
+    c AS (
+        SELECT CAST(label AS BIGINT) AS doc_label,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, doc_label, q_tok,
+               MAX(list_dot_product(qe, e)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(e, e)))) AS mx
+        FROM c CROSS JOIN q
+        GROUP BY query_id, doc_label, q_tok
+    ),
+    sc AS (
+        SELECT query_id, doc_label,
+               CAST(SUM(CAST(FLOOR(mx * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+        FROM s GROUP BY query_id, doc_label
+    ),
+    r AS (
+        SELECT query_id, doc_label, sum_u,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sum_u DESC, doc_label) AS rnk
+        FROM sc
+    )
+    SELECT query_id, doc_label,
+           CAST(sum_u AS DOUBLE) / 1e6 AS maxsim_score,
+           CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction top-k
+    (operators/similarity.maxsim_late_interaction, Khattab & Zaharia
+    2020): 3 multi-token queries (5 token vectors each, chunked in id
+    order) scored against label-group documents by MaxSim = sum over
+    query tokens of the max cosine against any document token. Per-token
+    maxima floor to integer micro-units BEFORE the per-query sum, so
+    ranking is order-free exact on both engines. One broadcast of the
+    query tokens against one corpus scan, then two hash aggregates."""
+    from .operators.similarity import maxsim_late_interaction
+
+    return maxsim_late_interaction(load_table(spark, sf_dir, "embeddings"))

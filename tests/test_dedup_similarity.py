@@ -834,3 +834,35 @@ def test_matryoshka_full_dim_is_exact_and_prefix_informative(spark):
             assert r["recall"] == 1.0  # ground truth vs itself
         if r["dim_budget"] == 8:
             assert r["recall"] >= 0.8  # the signal lives in the prefix
+
+
+def test_maxsim_exact_copy_group_wins(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.similarity import (
+        maxsim_late_interaction,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    # query tokens: vec_id 0..4 (one query)
+    qvecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(5)]
+    for i, v in enumerate(qvecs):
+        rows.append((i, [float(x) for x in v], 9))  # queries live in group 9
+    # group 1 contains an exact copy of every query token -> per-token max
+    # cosine 1.0 -> score 5.0, the ceiling, must rank first
+    for i, v in enumerate(qvecs):
+        rows.append((100 + i, [float(x) for x in v], 1))
+    # group 2: random noise
+    for i in range(10):
+        rows.append((200 + i, [float(rng.gauss(0, 1)) for _ in range(8)], 2))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = maxsim_late_interaction(emb, n_queries=1, tokens_per_query=5, k=3).collect()
+    top = {r["rnk"]: r for r in out if r["query_id"] == 0}
+    assert top[1]["doc_label"] in (1, 9)  # both hold exact copies of the tokens
+    assert abs(top[1]["maxsim_score"] - 5.0) < 1e-6
+    assert abs(top[2]["maxsim_score"] - 5.0) < 1e-6
+    assert {top[1]["doc_label"], top[2]["doc_label"]} == {1, 9}
+    assert top[3]["doc_label"] == 2 and top[3]["maxsim_score"] < 5.0
