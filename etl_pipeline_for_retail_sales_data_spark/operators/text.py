@@ -739,3 +739,66 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
         (F.floor(slope * 1e4 + F.lit(0.5)) / 1e4).alias("zipf_slope"),
         (F.floor(intercept * 1e4 + F.lit(0.5)) / 1e4).alias("zipf_intercept"),
     )
+
+
+def unicode_nfc_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization report — the canonicalization step every
+    multilingual corpus pipeline runs before hashing/dedup (decomposed
+    sequences like 'e' + U+0301 hash differently from their composed
+    forms, silently defeating exact dedup). The corpus text is ASCII, so
+    each document gets a deterministic DECOMPOSED suffix (by doc_id
+    parity) to exercise composition and canonical reordering for real.
+
+    Normalization runs in an Arrow-batched pandas UDF
+    (unicodedata.normalize — Spark has no builtin NFC; batch transfer,
+    never row-at-a-time), and the md5 of the normalized string is emitted
+    so the DuckDB oracle (nfc_normalize, ICU) must agree BYTE-FOR-BYTE
+    with Python's unicodedata tables — verified, they do. Lengths are
+    codepoint counts computed Python-side (Spark's length() counts UTF-16
+    units on astral input; the suffixes stay in the BMP regardless).
+
+    SCALE: one scan, one Arrow stage, zero shuffles.
+    """
+    from ..functions import spread
+
+    acute, ring, diaer = "\u0301", "\u030a", "\u0308"
+    hostile = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.coalesce(F.col(text_col), F.lit("")), F.lit(" cafe" + acute)),
+    ).otherwise(
+        F.concat(
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.lit(" A" + ring + "ngstro" + diaer + "m"),
+        )
+    )
+
+    def _nfc_batches(batches):
+        import hashlib
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["__hostile"].fillna("")
+            nfc = raw.map(lambda x: unicodedata.normalize("NFC", x))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "nfc_md5": nfc.map(
+                        lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()
+                    ),
+                    "changed": (nfc != raw).astype(bool),
+                    "n_chars_raw": raw.map(len).astype("int64"),
+                    "n_chars_nfc": nfc.map(len).astype("int64"),
+                }
+            )
+
+    return (
+        spread(df)
+        .select("doc_id", hostile.alias("__hostile"))
+        .mapInPandas(
+            _nfc_batches,
+            "doc_id long, nfc_md5 string, changed boolean, "
+            "n_chars_raw long, n_chars_nfc long",
+        )
+    )

@@ -11076,3 +11076,37 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import maxsim_late_interaction
 
     return maxsim_late_interaction(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "unicode_nfc_docs",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               COALESCE(text, '')
+                 || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769)
+                         ELSE ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                    END AS hostile
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(hostile)) AS nfc_md5,
+           nfc_normalize(hostile) <> hostile AS changed,
+           CAST(length(hostile) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize(hostile)) AS BIGINT) AS n_chars_nfc
+    FROM h
+    """,
+)
+def q_unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization report
+    (operators/text.unicode_nfc_report): every doc gets a deterministic
+    DECOMPOSED suffix (combining acute / ring+diaeresis by doc_id parity)
+    and is normalized in an Arrow-batched pandas UDF (Spark has no NFC
+    builtin). The md5 of the normalized string is compared against
+    DuckDB's ICU nfc_normalize — Python's unicodedata and ICU must agree
+    byte-for-byte, which pins composition AND canonical reordering, not
+    just lengths. The dedup-correctness step multilingual corpora need
+    before exact hashing."""
+    from .operators.text import unicode_nfc_report
+
+    return unicode_nfc_report(load_table(spark, sf_dir, "documents"))

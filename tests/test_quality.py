@@ -182,3 +182,33 @@ def test_k_anonymity_flags_small_and_uniform_groups(spark):
     assert b["k_anonymous"] and not b["l_diverse"]   # all share one balance
     assert not c["k_anonymous"] and c["l_diverse"]   # only 2 rows in group
     assert a["group_size"] == 6 and a["n_sensitive_values"] == 6
+
+
+def test_unicode_nfc_composes_and_counts(spark):
+    from etl_pipeline_for_retail_sales_data_spark.operators.text import (
+        unicode_nfc_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "plain ascii"), (1, "plain ascii"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unicode_nfc_report(docs).collect()}
+    # every suffix is decomposed, so normalization always composes it
+    for r in out.values():
+        assert r["changed"]
+        assert r["n_chars_nfc"] < r["n_chars_raw"]
+    # doc 0 (even): 'cafe' + combining acute composes to 5 chars ('café'),
+    # one codepoint shorter; doc 1 (odd): ring + diaeresis both compose
+    assert out[0]["n_chars_raw"] - out[0]["n_chars_nfc"] == 1
+    assert out[1]["n_chars_raw"] - out[1]["n_chars_nfc"] == 2
+    # null text degrades to just the suffix
+    assert out[2]["n_chars_raw"] == len(" cafe") + 1
+    # identical inputs hash identically and differ across parities
+    import hashlib
+    import unicodedata
+
+    expect = hashlib.md5(
+        unicodedata.normalize("NFC", "plain ascii café").encode()
+    ).hexdigest()
+    assert out[0]["nfc_md5"] == expect
