@@ -560,3 +560,89 @@ def psi_binned(
         F.coalesce(F.max("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
         (psi > F.lit(threshold)).alias("drift"),
     )
+
+
+# Poisson(1) CDF as integer thresholds over the 24-bit md5 hash space:
+# floor(P(X<=k) * 16^6) for k = 0..6 (k=7+ has probability < 6e-8 and
+# collapses into the last bucket). Both engines compare the SAME integer
+# literals against the SAME md5-derived uniform, so replicate weights are
+# bit-reproducible — no RNG state, no engine RNG differences.
+POISSON1_CDF_24BIT = (6171992, 12343985, 15429982, 16458647, 16715813, 16767247, 16775819)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key: Column,
+    value_cents: Column,
+    n_replicates: int = 32,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Distributed Poisson bootstrap confidence interval for a mean
+    (Chamandy, Muralidharan, Najmi & Naidu 2012, "Estimating Uncertainty
+    for Massive Data Streams" — the Google resampling scheme): the exact
+    multinomial bootstrap needs the global row count per replicate, but
+    Poisson(1) per-row weights approximate it with a PER-ROW LOCAL
+    decision, which is the only kind a 100 TB scan can afford. Replicate
+    b's weight for a row is the Poisson(1) inverse CDF applied to a
+    md5(key:b) uniform — deterministic, partition-invariant, identically
+    replayable by the oracle.
+
+    All replicate sums are exact int64 (weights 0..7 times integer
+    cents); each replicate mean does ONE division rounded to the 1e-6
+    grid, and the CI bounds are percentile_disc over the n_replicates
+    rounded means — actual data values, engine-exact.
+
+    SCALE: one scan exploded x n_replicates (map-side), one hash
+    aggregate of n_replicates rows, one tiny percentile pass. No
+    resampled copies of the data are ever materialized.
+    """
+    b = F.explode(F.array(*[F.lit(i) for i in range(n_replicates)])).alias("b")
+    rows = df.select(key.alias("__k"), value_cents.cast("long").alias("__c")).select(
+        "__k", "__c", b
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("boot"), F.col("__k"), F.col("b"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(7)
+    for k in range(len(POISSON1_CDF_24BIT) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF_24BIT[k]), F.lit(k)).otherwise(w)
+    reps = (
+        rows.withColumn("__w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__c")).alias("__swc"),
+            F.sum("__w").alias("__sw"),
+        )
+        .select(
+            "b",
+            F.when(F.col("__sw") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(F.col("__swc").cast("double") / F.col("__sw") / 100 * 1e6 + F.lit(0.5))
+                / 1e6
+            )
+            .alias("__mean"),
+        )
+    )
+    full = df.select(
+        F.count("*").cast("long").alias("n_rows"),
+        F.when(F.count("*") == 0, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.sum(value_cents.cast("long")).cast("double") / F.count("*") / 100 * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        )
+        .alias("mean_value"),
+    )
+    ci = reps.agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        F.expr(f"percentile_disc({lo}) WITHIN GROUP (ORDER BY __mean)").alias("boot_lo"),
+        F.expr(f"percentile_disc({hi}) WITHIN GROUP (ORDER BY __mean)").alias("boot_hi"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "mean_value", "n_replicates", "boot_lo", "boot_hi"
+    )

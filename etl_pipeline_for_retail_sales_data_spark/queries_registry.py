@@ -11110,3 +11110,71 @@ def q_unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import unicode_nfc_report
 
     return unicode_nfc_report(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "bootstrap_ci_revenue",
+    oracle="""
+    WITH rows_c AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ),
+    reps AS (
+        SELECT b, k, c,
+               CAST(('0x' || substring(md5('boot:' || k || ':' || b), 1, 6)) AS BIGINT) AS u
+        FROM rows_c, UNNEST(range(0, 32)) t(b)
+    ),
+    weighted AS (
+        SELECT b, c,
+               CASE WHEN u < 6171992 THEN 0
+                    WHEN u < 12343985 THEN 1
+                    WHEN u < 15429982 THEN 2
+                    WHEN u < 16458647 THEN 3
+                    WHEN u < 16715813 THEN 4
+                    WHEN u < 16767247 THEN 5
+                    WHEN u < 16775819 THEN 6
+                    ELSE 7 END AS w
+        FROM reps
+    ),
+    means AS (
+        SELECT b,
+               CASE WHEN SUM(w) = 0 THEN 0.0
+                    ELSE FLOOR(CAST(SUM(w * c) AS DOUBLE) / SUM(w) / 100 * 1e6 + 0.5) / 1e6
+               END AS m
+        FROM weighted GROUP BY b
+    ),
+    fullagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CASE WHEN COUNT(*) = 0 THEN 0.0
+                    ELSE FLOOR(CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100 * 1e6 + 0.5) / 1e6
+               END AS mean_value
+        FROM rows_c
+    ),
+    ci AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+               quantile_disc(m, 0.05) AS boot_lo,
+               quantile_disc(m, 0.95) AS boot_hi
+        FROM means
+    )
+    SELECT n_rows, mean_value, n_replicates, boot_lo, boot_hi FROM fullagg, ci
+    """,
+)
+def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% CI for mean order revenue
+    (operators/drift.poisson_bootstrap_ci, Chamandy et al. 2012 — THE
+    distributed bootstrap: per-row-local Poisson(1) replicate weights
+    instead of multinomial resamples, the only scheme a 100 TB scan can
+    afford). Weights come from md5(key:replicate) uniforms against
+    shared integer CDF thresholds; replicate sums are exact int64; CI
+    bounds are percentile_disc over the 32 rounded replicate means —
+    everything bit-reproducible on both engines, no RNG state
+    anywhere."""
+    from .operators.drift import poisson_bootstrap_ci
+
+    orders = load_table(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        orders,
+        key=F.col("o_orderkey"),
+        value_cents=F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+    )

@@ -257,3 +257,44 @@ def test_acf_sums_duplicate_timestamps_per_bucket(spark):
     df2 = spark.createDataFrame(rows, "d date, x long")
     out = acf(df2, "d", F.col("x"), max_lag=3).collect()
     assert all(r.n_days == 10 for r in out) and len(out) == 3
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.drift import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100.0 + (i % 7)) for i in range(400)], "k long, v double"
+    )
+    out = poisson_bootstrap_ci(
+        df, key=F.col("k"), value_cents=F.floor(F.col("v") * 100 + F.lit(0.5))
+    ).collect()[0]
+    assert out["n_rows"] == 400 and out["n_replicates"] == 32
+    # the CI must bracket the full-sample mean and be tight for a
+    # low-variance sample (values within [100, 106])
+    assert out["boot_lo"] <= out["mean_value"] <= out["boot_hi"]
+    assert 100.0 <= out["boot_lo"] <= out["boot_hi"] <= 106.0
+    assert out["boot_hi"] - out["boot_lo"] < 1.0
+    # deterministic: identical on rerun
+    again = poisson_bootstrap_ci(
+        df, key=F.col("k"), value_cents=F.floor(F.col("v") * 100 + F.lit(0.5))
+    ).collect()[0]
+    assert again == out
+
+
+def test_poisson_bootstrap_empty_input_degrades(spark):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.drift import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame([], "k long, v double")
+    out = poisson_bootstrap_ci(
+        df, key=F.col("k"), value_cents=F.floor(F.col("v") * 100 + F.lit(0.5))
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 0 and out[0]["mean_value"] == 0.0
