@@ -11178,3 +11178,54 @@ def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=F.col("o_orderkey"),
         value_cents=F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
     )
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    s AS (
+        SELECT lang, n_docs,
+               CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS sq_u
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(sq_u) AS BIGINT) AS tot_u,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_all FROM s)
+    SELECT lang, n_docs,
+           FLOOR(CAST(n_docs AS DOUBLE) / tot.n_all * 1e6 + 0.5) / 1e6 AS raw_share,
+           FLOOR(CAST(sq_u AS DOUBLE) / tot.tot_u * 1e6 + 0.5) / 1e6 AS temp_share,
+           CAST(FLOOR(CAST(sq_u AS DOUBLE) / tot.tot_u * tot.n_all) AS BIGINT) AS target_docs
+    FROM s, tot
+    """,
+)
+def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture reweighting (Conneau &
+    Lample 2019; the mBERT/XLM exponent trick): sampling share ∝
+    n_lang^α flattens the language distribution so low-resource
+    languages are not drowned. α = 0.5 is computed with sqrt — IEEE
+    correctly-rounded, so BOTH engines get bit-identical values with no
+    libm pow() parity risk (general α needs exp/ln, which is why this
+    operating point is the oracled one). Each sqrt is floored to
+    micro-units BEFORE the normalizing sum, making the denominator an
+    exact int64 — shares and integer target counts are then single
+    rounded divisions. One scan, one 5-row aggregate."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    sq_u = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6 + F.lit(0.5)).cast("long")
+    s = counts.withColumn("sq_u", sq_u)
+    tot = s.agg(
+        F.sum("sq_u").cast("long").alias("tot_u"),
+        F.sum("n_docs").cast("long").alias("n_all"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.floor(F.col("n_docs").cast("double") / F.col("n_all") * 1e6 + F.lit(0.5)) / 1e6).alias("raw_share"),
+        (F.floor(F.col("sq_u").cast("double") / F.col("tot_u") * 1e6 + F.lit(0.5)) / 1e6).alias("temp_share"),
+        F.floor(F.col("sq_u").cast("double") / F.col("tot_u") * F.col("n_all")).cast("long").alias("target_docs"),
+    )

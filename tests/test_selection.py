@@ -182,3 +182,26 @@ def test_hashed_classifier_null_text_degrades_neutral(spark):
     out = {r["doc_id"]: r for r in hashed_linear_classifier(docs).collect()}
     assert out[0]["n_tokens"] == 0 and out[0]["margin"] == 0.0
     assert out[0]["prob"] == 0.5 and not out[0]["keep"]
+
+
+def test_temperature_mixture_flattens_distribution(spark):
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    import os
+    import tempfile
+
+    # 90/10 two-language corpus: temperature 0.5 must pull shares toward
+    # the middle — the big language shrinks, the small one grows, order kept
+    rows = [(i, "tok tok tok", "big", "s") for i in range(90)]
+    rows += [(100 + i, "tok tok tok", "small", "s") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {r["lang"]: r for r in QUERIES["temperature_mixture_weights"](spark, d).collect()}
+    assert out["big"]["raw_share"] == 0.9 and out["small"]["raw_share"] == 0.1
+    assert 0.5 < out["big"]["temp_share"] < 0.9
+    assert 0.1 < out["small"]["temp_share"] < 0.5
+    assert abs(out["big"]["temp_share"] + out["small"]["temp_share"] - 1.0) < 1e-5
+    # integer targets never exceed the corpus and preserve the order
+    assert out["big"]["target_docs"] + out["small"]["target_docs"] <= 100
+    assert out["big"]["target_docs"] > out["small"]["target_docs"]
