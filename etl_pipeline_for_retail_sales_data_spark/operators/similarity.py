@@ -1090,3 +1090,53 @@ def maxsim_late_interaction(
             "rnk",
         )
     )
+
+
+def jl_projection_recall(
+    emb: DataFrame,
+    query_filter: Column,
+    planes: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection retrieval study: exact
+    top-k recall of cosine search in a seeded Gaussian random projection
+    (len(planes) output dims) against the full-dimension ground truth —
+    the data-independent counterpart of matryoshka_recall's learned
+    prefixes (JL guarantees distance preservation for ANY point set; a
+    Matryoshka prefix needs the encoder trained for it). Projection is a
+    per-row array of sequential-fold dot products, so both engines
+    compute bit-identical coordinates from the same inlined plane
+    literals; recall counts are exact integers.
+
+    SCALE: the projection is a map-only expression over one scan; both
+    rankers are the broadcast-queries brute-force twin. At 100 TB the
+    projected column would be materialized once and reused — the plan
+    shape per query is unchanged.
+    """
+    base = emb.filter(F.col(vec_col).isNotNull())
+    proj = F.array(
+        *[
+            dot(as_double(F.col(vec_col)), F.array(*[F.lit(x) for x in p]))
+            for p in planes
+        ]
+    )
+    projected = base.withColumn(vec_col, proj)
+    full = knn_bruteforce_expr(
+        base, query_filter, k=k, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "neighbor_id", F.lit(1).alias("__hit"))
+    low = knn_bruteforce_expr(
+        projected, query_filter, k=k, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "neighbor_id")
+    return (
+        low.join(F.broadcast(full), ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "q_id",
+            F.lit(len(planes)).cast("long").alias("proj_dim"),
+            "n_hits",
+            (F.floor(F.col("n_hits") / k * 1e6 + F.lit(0.5)) / 1e6).alias("recall"),
+        )
+    )

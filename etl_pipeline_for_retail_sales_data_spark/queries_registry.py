@@ -11229,3 +11229,77 @@ def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.floor(F.col("sq_u").cast("double") / F.col("tot_u") * 1e6 + F.lit(0.5)) / 1e6).alias("temp_share"),
         F.floor(F.col("sq_u").cast("double") / F.col("tot_u") * F.col("n_all")).cast("long").alias("target_docs"),
     )
+
+
+def _jl_planes(out_dim: int = 16, dim: int = 64, seed: int = 17) -> list:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(out_dim)]
+
+
+def _jl_oracle() -> str:
+    """SQL twin of jl_projection_recall: the seeded Gaussian planes inline
+    as repr() double literals (the ann_lsh trick — repr round-trips
+    doubles exactly), every dot product is list_dot_product (the same
+    sequential fold as the Spark expression), so projected coordinates,
+    neighbor ranks, and hit counts match bit-for-bit."""
+    planes = _jl_planes()
+    coords = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in p) + "])"
+        for p in planes
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    p AS (SELECT vec_id, [{coords}] AS pv FROM e),
+    fq AS (SELECT vec_id AS q_id, v AS qe FROM e WHERE vec_id < 10),
+    fs AS (
+        SELECT q_id, vec_id,
+               list_dot_product(qe, v)
+                 / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(v, v))) AS cos
+        FROM e CROSS JOIN fq WHERE vec_id <> q_id
+    ),
+    fr AS (
+        SELECT q_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM fs
+    ),
+    ftop AS (SELECT q_id, neighbor_id FROM fr WHERE rnk <= 5),
+    lq AS (SELECT vec_id AS q_id, pv AS qe FROM p WHERE vec_id < 10),
+    ls AS (
+        SELECT q_id, vec_id,
+               list_dot_product(qe, pv)
+                 / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(pv, pv))) AS cos
+        FROM p CROSS JOIN lq WHERE vec_id <> q_id
+    ),
+    lr AS (
+        SELECT q_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM ls
+    ),
+    ltop AS (SELECT q_id, neighbor_id FROM lr WHERE rnk <= 5)
+    SELECT l.q_id, CAST(16 AS BIGINT) AS proj_dim,
+           CAST(COUNT(f.neighbor_id) AS BIGINT) AS n_hits,
+           FLOOR(COUNT(f.neighbor_id) / 5 * 1e6 + 0.5) / 1e6 AS recall
+    FROM ltop l LEFT JOIN ftop f
+      ON f.q_id = l.q_id AND f.neighbor_id = l.neighbor_id
+    GROUP BY l.q_id
+    """
+
+
+@query("jl_projection_recall", oracle=_jl_oracle())
+def q_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection recall study
+    (operators/similarity.jl_projection_recall): exact top-5 recall of
+    cosine search in a seeded 16-dim Gaussian projection vs the 64-dim
+    ground truth — the data-independent counterpart of
+    matryoshka_recall's learned prefixes. Plane literals inline into the
+    oracle (repr round-trip), every dot is the sequential fold both
+    engines share, so projected coordinates and hit counts match
+    bit-for-bit."""
+    from .operators.similarity import jl_projection_recall
+
+    return jl_projection_recall(
+        load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, _jl_planes()
+    )

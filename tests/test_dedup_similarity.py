@@ -866,3 +866,32 @@ def test_maxsim_exact_copy_group_wins(spark):
     assert abs(top[2]["maxsim_score"] - 5.0) < 1e-6
     assert {top[1]["doc_label"], top[2]["doc_label"]} == {1, 9}
     assert top[3]["doc_label"] == 2 and top[3]["maxsim_score"] < 5.0
+
+
+def test_jl_projection_preserves_most_neighbors(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.similarity import (
+        jl_projection_recall,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    # clustered geometry — the structure JL preserves (isotropic points are
+    # near-equidistant, so their top-k ORDER is not a JL guarantee): 10
+    # tight clusters of 6; a query's true neighbors are its cluster mates
+    rows = []
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(10)]
+    for i in range(60):
+        c = centers[i % 10]
+        rows.append((i, [float(x + rng.gauss(0, 0.05)) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(32)]
+    out = jl_projection_recall(emb, F.col("vec_id") < 5, planes).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["proj_dim"] == 32
+        assert 0 <= r["n_hits"] <= 5
+        # each query's 5 cluster mates survive the projection
+        assert r["n_hits"] == 5
