@@ -11303,3 +11303,119 @@ def q_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_projection_recall(
         load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, _jl_planes()
     )
+
+
+def _poisson_w_sql(u_expr: str) -> str:
+    from .operators.drift import POISSON1_CDF_24BIT
+
+    cases = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(POISSON1_CDF_24BIT)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+@query(
+    "bootstrap_uplift_events",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS converted,
+               user_id % 2 AS variant
+        FROM events GROUP BY user_id
+    ),
+    reps AS (
+        SELECT b, variant, converted,
+               {_poisson_w_sql("CAST(('0x' || substring(md5('boot:' || user_id || ':' || b), 1, 6)) AS BIGINT)")} AS w
+        FROM u, UNNEST(range(0, 32)) t(b)
+    ),
+    rr AS (
+        SELECT b,
+               FLOOR(CAST(SUM(CASE WHEN variant = 0 THEN w * converted ELSE 0 END) AS DOUBLE)
+                     / GREATEST(SUM(CASE WHEN variant = 0 THEN w ELSE 0 END), 1) * 1e6 + 0.5) / 1e6 AS r0,
+               FLOOR(CAST(SUM(CASE WHEN variant = 1 THEN w * converted ELSE 0 END) AS DOUBLE)
+                     / GREATEST(SUM(CASE WHEN variant = 1 THEN w ELSE 0 END), 1) * 1e6 + 0.5) / 1e6 AS r1
+        FROM reps GROUP BY b
+    ),
+    ups AS (SELECT b, r1 - r0 AS uplift FROM rr),
+    fullagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               FLOOR(CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS DOUBLE)
+                     / GREATEST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 1) * 1e6 + 0.5) / 1e6 AS rate_control,
+               FLOOR(CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS DOUBLE)
+                     / GREATEST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 1) * 1e6 + 0.5) / 1e6 AS rate_treatment
+        FROM u
+    ),
+    ci AS (
+        SELECT quantile_disc(uplift, 0.05) AS boot_lo,
+               quantile_disc(uplift, 0.95) AS boot_hi
+        FROM ups
+    )
+    SELECT n_users, rate_control, rate_treatment,
+           rate_treatment - rate_control AS uplift,
+           boot_lo, boot_hi,
+           NOT (boot_lo <= 0 AND 0 <= boot_hi) AS significant
+    FROM fullagg, ci
+    """,
+)
+def q_bootstrap_uplift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% CI on A/B conversion UPLIFT — the effect-size
+    interval companion to ab_test_conversion's chi-square verdict (a
+    significance bit without an interval is half an answer). Per-user
+    Poisson(1) replicate weights from the shared md5 scheme; each
+    replicate's two rates round to the 1e-6 grid before subtraction so
+    every uplift is grid-exact; CI bounds are discrete percentiles over
+    the 32 replicate uplifts. One scan -> per-user flags -> 32-replicate
+    map-side explode -> one aggregate."""
+    from .operators.drift import POISSON1_CDF_24BIT
+
+    ev = load_events(spark, sf_dir)
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.max((F.col("event_type") == "purchase").cast("long")).alias("converted"))
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    b = F.explode(F.array(*[F.lit(i) for i in range(32)])).alias("b")
+    rows = u.select("user_id", "variant", "converted", b)
+    uhash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("boot"), F.col("user_id"), F.col("b"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(7)
+    for k in range(len(POISSON1_CDF_24BIT) - 1, -1, -1):
+        w = F.when(uhash < F.lit(POISSON1_CDF_24BIT[k]), F.lit(k)).otherwise(w)
+    rows = rows.withColumn("w", w)
+
+    def rate(variant):
+        num = F.sum(F.when(F.col("variant") == variant, F.col("w") * F.col("converted")).otherwise(0))
+        den = F.greatest(F.sum(F.when(F.col("variant") == variant, F.col("w")).otherwise(0)), F.lit(1))
+        return F.floor(num.cast("double") / den * 1e6 + F.lit(0.5)) / 1e6
+
+    ups = rows.groupBy("b").agg((rate(1) - rate(0)).alias("uplift"))
+    ci = ups.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY uplift)").alias("boot_lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY uplift)").alias("boot_hi"),
+    )
+
+    def frate(variant):
+        num = F.sum(F.when(F.col("variant") == variant, F.col("converted")).otherwise(0))
+        den = F.greatest(F.sum(F.when(F.col("variant") == variant, 1).otherwise(0)), F.lit(1))
+        return F.floor(num.cast("double") / den * 1e6 + F.lit(0.5)) / 1e6
+
+    fullagg = u.agg(
+        F.count("*").cast("long").alias("n_users"),
+        frate(0).alias("rate_control"),
+        frate(1).alias("rate_treatment"),
+    )
+    return fullagg.crossJoin(F.broadcast(ci)).select(
+        "n_users",
+        "rate_control",
+        "rate_treatment",
+        (F.col("rate_treatment") - F.col("rate_control")).alias("uplift"),
+        "boot_lo",
+        "boot_hi",
+        (~((F.col("boot_lo") <= 0) & (F.lit(0) <= F.col("boot_hi")))).alias("significant"),
+    )

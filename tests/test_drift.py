@@ -298,3 +298,33 @@ def test_poisson_bootstrap_empty_input_degrades(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["n_rows"] == 0 and out[0]["mean_value"] == 0.0
+
+
+def test_bootstrap_uplift_detects_planted_effect(spark):
+    import os
+    import tempfile
+
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    # 400 users, planted effect: variant 1 converts 60%, variant 0 only 10%
+    rows = []
+    eid = 0
+    for uid in range(400):
+        # residue independent of the parity split: variant 1 converts 60%,
+        # variant 0 converts 10%
+        conv = ((uid // 2) % 10) < (6 if uid % 2 == 1 else 1)
+        rows.append((eid, "2024-01-01 00:00:00", uid, "view", 1.0, "{}")); eid += 1
+        if conv:
+            rows.append((eid, "2024-01-01 01:00:00", uid, "purchase", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["bootstrap_uplift_events"](spark, d).collect()[0]
+    assert out["n_users"] == 400
+    assert abs(out["rate_control"] - 0.1) < 0.001
+    assert abs(out["rate_treatment"] - 0.6) < 0.001
+    # the CI must bracket the planted uplift and exclude zero
+    assert out["boot_lo"] <= out["uplift"] <= out["boot_hi"]
+    assert out["significant"] and out["boot_lo"] > 0
