@@ -110,6 +110,156 @@ def recover_merge(path: str) -> str:
     )
 
 
+_DERBY_TYPES = {
+    "tinyint": "SMALLINT",  # Derby has no 1-byte int
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "REAL",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "string": "VARCHAR(32672)",
+    "binary": "BLOB",
+}
+
+
+def _sql_type(spark_simple: str) -> str:
+    """Map a Spark simpleString type to ANSI/Derby DDL. decimal(p,s) maps
+    through unchanged; everything else via the table above."""
+    if spark_simple.startswith("decimal"):
+        return spark_simple.upper()
+    try:
+        return _DERBY_TYPES[spark_simple]
+    except KeyError:
+        raise ValueError(
+            f"write_jdbc_upsert: no SQL DDL mapping for Spark type {spark_simple!r}"
+        ) from None
+
+
+def _jdbc_connect(spark, url: str, driver: str | None):
+    """Open a raw driver-side JDBC connection through the JVM. Used only
+    for DDL + the single MERGE statement — all row traffic goes through
+    Spark's parallel JDBC writer, never this connection."""
+    jvm = spark._jvm
+    if driver:
+        # register the driver with DriverManager (idempotent)
+        jvm.java.lang.Class.forName(driver)
+    return jvm.java.sql.DriverManager.getConnection(url)
+
+
+def _table_exists(conn, table: str) -> bool:
+    stmt = conn.createStatement()
+    try:
+        stmt.executeQuery(f"SELECT 1 FROM {table} FETCH FIRST 1 ROWS ONLY").close()
+        return True
+    except Exception:
+        return False
+    finally:
+        stmt.close()
+
+
+def write_jdbc_upsert(
+    spark,
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    *,
+    driver: str | None = None,
+    batchsize: int = 10000,
+) -> None:
+    """TRUE keyed upsert into a live JDBC database — the reference's
+    ``INSERT ... ON DUPLICATE KEY UPDATE`` (scripts/loading.py:24-32) as
+    one set-based ``MERGE INTO``: rows whose key exists are UPDATEd in
+    place, new keys are INSERTed, untouched rows survive (no truncate).
+
+    Shape, for scale: the updates DataFrame is staged into a scratch
+    table with Spark's PARALLEL JDBC writer (N concurrent connections,
+    batched inserts — the distributed half of the work), then ONE
+    driver-side ``MERGE INTO target USING stage ON keys`` statement lets
+    the database apply the delta set-based (the half only the DB can do
+    transactionally). MERGE + stage-drop run in a single transaction with
+    commit/rollback mirroring the reference (scripts/loading.py:159-168):
+    any failure rolls back and the target is untouched.
+
+    First call creates the target with a real ``PRIMARY KEY`` on
+    ``key_cols`` (reference CREATE_TABLE_SQL, loading.py:16-21), so key
+    uniqueness is DB-enforced, not convention. Works on any JDBC database
+    with ANSI MERGE (Derby ≥10.11, PostgreSQL ≥15, Oracle, SQL Server,
+    DB2); MySQL would need an ``ON DUPLICATE KEY`` dialect branch.
+    """
+    missing = [k for k in key_cols if k not in df.columns]
+    if missing:
+        raise ValueError(f"write_jdbc_upsert: key_cols {missing} not in DataFrame")
+    if df.filter(" OR ".join(f"{k} IS NULL" for k in key_cols)).limit(1).count():
+        raise ValueError("write_jdbc_upsert: NULL in key column(s)")
+
+    q = lambda c: '"' + c + '"'  # match Spark's JDBC writer: quoted, case-preserved
+    cols = df.columns
+    val_cols = [c for c in cols if c not in key_cols]
+    stage = table + "__stage"
+
+    conn = _jdbc_connect(spark, url, driver)
+    try:
+        if not _table_exists(conn, table):
+            ddl_cols = ", ".join(
+                f"{q(f.name)} {_sql_type(f.dataType.simpleString())}"
+                + (" NOT NULL" if f.name in key_cols else "")
+                for f in df.schema.fields
+            )
+            pk = ", ".join(q(k) for k in key_cols)
+            stmt = conn.createStatement()
+            try:
+                stmt.executeUpdate(
+                    f"CREATE TABLE {table} ({ddl_cols}, PRIMARY KEY ({pk}))"
+                )
+            finally:
+                stmt.close()
+
+        # distributed half: stage the delta with Spark's parallel writer
+        w = (
+            df.write.format("jdbc")
+            .mode("overwrite")
+            .option("url", url)
+            .option("dbtable", stage)
+            .option("batchsize", batchsize)
+        )
+        if driver:
+            w = w.option("driver", driver)
+        w.save()
+
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+        matched = (
+            "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f"{q(c)} = s.{q(c)}" for c in val_cols)
+            if val_cols
+            else ""
+        )
+        insert_cols = ", ".join(q(c) for c in cols)
+        insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        merge_sql = (
+            f"MERGE INTO {table} t USING {stage} s ON {on} {matched} "
+            f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+        )
+
+        # transactional half: MERGE + stage drop commit or roll back together
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        try:
+            stmt.executeUpdate(merge_sql)
+            stmt.executeUpdate(f"DROP TABLE {stage}")
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def write_jdbc_replace(df: DataFrame, url: str, table: str, **options) -> None:
     """L2 (reference scripts/loading.py:134-172): observable behavior is
     full replace — truncate + batch insert. mode('overwrite') with

@@ -104,6 +104,119 @@ def test_jdbc_partitioned_parallel_read(spark, derby_url):
     assert "PushedFilters" in plan
 
 
+def _rows(spark, url, table):
+    return sorted(
+        tuple(r) for r in read_jdbc(spark, url, table, driver=DRIVER).collect()
+    )
+
+
+def test_jdbc_upsert_update_and_insert_without_truncate(spark, derby_url):
+    """The reference's INSERT ... ON DUPLICATE KEY UPDATE
+    (scripts/loading.py:24-32) as a live MERGE INTO: existing keys are
+    updated in place, new keys inserted, untouched keys SURVIVE — no
+    truncate anywhere in the path."""
+    base = spark.createDataFrame(
+        [(101, 13, 300.0), (102, 7, 210.0), (103, 2, 40.0)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    # first call creates the table with a real PRIMARY KEY and loads it
+    sinks.write_jdbc_upsert(
+        spark, base, derby_url, "upsert_t", ["product_id"], driver=DRIVER
+    )
+    assert _rows(spark, derby_url, "upsert_t") == [
+        (101, 13, 300.0),
+        (102, 7, 210.0),
+        (103, 2, 40.0),
+    ]
+
+    # delta: 102 changes, 104 is new, 101/103 are NOT in the delta
+    delta = spark.createDataFrame(
+        [(102, 99, 999.5), (104, 1, 10.0)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    sinks.write_jdbc_upsert(
+        spark, delta, derby_url, "upsert_t", ["product_id"], driver=DRIVER
+    )
+    assert _rows(spark, derby_url, "upsert_t") == [
+        (101, 13, 300.0),  # survived (replace semantics would have killed it)
+        (102, 99, 999.5),  # updated
+        (103, 2, 40.0),  # survived
+        (104, 1, 10.0),  # inserted
+    ]
+    # the stage scratch table was dropped inside the transaction
+    stage_gone = read_jdbc(
+        spark, derby_url, "(SELECT COUNT(*) c FROM SYS.SYSTABLES "
+        "WHERE TABLENAME = 'upsert_t__stage') probe", driver=DRIVER,
+    ).collect()[0][0]
+    assert stage_gone == 0
+
+    # idempotency: replaying the same delta is a no-op
+    sinks.write_jdbc_upsert(
+        spark, delta, derby_url, "upsert_t", ["product_id"], driver=DRIVER
+    )
+    assert len(_rows(spark, derby_url, "upsert_t")) == 4
+
+
+def test_jdbc_upsert_primary_key_enforced(spark, derby_url):
+    """First upsert call creates the target with a DB-enforced PRIMARY
+    KEY (reference CREATE_TABLE_SQL, loading.py:16-21) — a raw duplicate
+    insert bypassing the MERGE must be rejected by the database."""
+    df = spark.createDataFrame(
+        [(1, 5, 50.0)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    sinks.write_jdbc_upsert(
+        spark, df, derby_url, "pk_t", ["product_id"], driver=DRIVER
+    )
+    conn = sinks._jdbc_connect(spark, derby_url, DRIVER)
+    try:
+        stmt = conn.createStatement()
+        with pytest.raises(Exception, match="(?i)duplicate|unique|constraint"):
+            stmt.executeUpdate(
+                'INSERT INTO pk_t ("product_id", "total_quantity", '
+                '"total_sale_amount") VALUES (1, 9, 9.0)'
+            )
+        stmt.close()
+    finally:
+        conn.close()
+
+
+def test_jdbc_upsert_rollback_on_failure(spark, derby_url):
+    """Transactional failure handling mirroring the reference
+    (loading.py:159-168): a MERGE that trips a constraint rolls back and
+    the target is byte-identical to before the failed call."""
+    base = spark.createDataFrame(
+        [(1, 5, 50.0), (2, 6, 60.0)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    sinks.write_jdbc_upsert(
+        spark, base, derby_url, "rb_t", ["product_id"], driver=DRIVER
+    )
+    before = _rows(spark, derby_url, "rb_t")
+
+    # two source rows with the SAME new key: both take the NOT MATCHED
+    # branch, the second insert violates the primary key → rollback
+    bad = spark.createDataFrame(
+        [(9, 1, 1.0), (9, 2, 2.0)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    with pytest.raises(Exception):
+        sinks.write_jdbc_upsert(
+            spark, bad, derby_url, "rb_t", ["product_id"], driver=DRIVER
+        )
+    assert _rows(spark, derby_url, "rb_t") == before
+
+    # NULL keys are rejected before any DB work
+    nullkey = spark.createDataFrame(
+        [(None, 1, 1.0)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    with pytest.raises(ValueError, match="NULL in key"):
+        sinks.write_jdbc_upsert(
+            spark, nullkey, derby_url, "rb_t", ["product_id"], driver=DRIVER
+        )
+
+
 def test_jdbc_partitioned_validates_args(spark, derby_url):
     from etl_pipeline_for_retail_sales_data_spark.sources.readers import (
         read_jdbc_partitioned,
