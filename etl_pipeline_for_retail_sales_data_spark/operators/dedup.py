@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cachectl import finalize_iterative
 from ..functions import spread
 from .text import TOKEN_RE
 
@@ -114,9 +115,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all co-occurring doc pairs via
     inverted-index self-join (no cross join anywhere). The shingle frame
-    feeds three plan branches (sizes + both join sides); persisting it
-    computes the regex shingling once instead of three times — at scale,
-    persist to MEMORY_AND_DISK or checkpoint to parquet.
+    feeds three plan branches (the df-cap + both join sides): it is
+    ``repartition("shingle")``-ed ONCE and every branch inherits that
+    partitioning — the df-cap becomes a window count (no join, no new
+    exchange) and the self-join runs exchange-free on the pre-partitioned
+    sides, with Catalyst's ReuseExchange materializing the Arrow
+    shingling stage a single time in shuffle files. No ``persist()``:
+    shuffle files are auto-cleaned and cost no executor storage pool,
+    so a long-lived session never accumulates dead cached frames
+    (cachectl.py documents the repo-wide discipline).
 
     ``max_df``: the hot-shingle cap. A shingle present in d documents
     contributes O(d²) join pairs; at corpus scale stop-phrase shingles
@@ -133,20 +140,26 @@ def ngram_jaccard_pairs(
     the pair frame never joins back to a sizes frame — two shuffled
     joins removed vs the textbook inverted-index formulation, measured
     ~15% on the sf0.1 bench."""
-    sh = doc_shingles_arrow(df, text_col, n, with_size=True).persist()
+    from pyspark.sql import Window
+
+    sh = doc_shingles_arrow(df, text_col, n, with_size=True).repartition("shingle")
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b"))
+        # df-cap as a window count over the shingle partitioning already
+        # in place: zero extra exchanges vs the aggregate+join form
+        sh = sh.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("__df") <= max_df)
+    a = sh.alias("A")
+    b = sh.alias("B")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(b, F.col("A.shingle") == F.col("B.shingle"))
+        .filter(F.col("A.doc_id") < F.col("B.doc_id"))
+        .select(
+            F.col("A.doc_id").alias("doc_a"),
+            F.col("B.doc_id").alias("doc_b"),
+            F.col("A.n_sh").alias("n_a"),
+            F.col("B.n_sh").alias("n_b"),
+        )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -191,28 +204,43 @@ def ngram_jaccard_pairs_salted(
     scale (a fixed constant either never fires on a small corpus or
     drowns a dense one). The threshold choice cannot affect results —
     both paths are exact — only where the shuffle work lands."""
-    sh = doc_shingles_arrow(df, text_col, n, with_size=True).persist()
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df")).persist()
+    from pyspark.sql import Window
+
+    # one repartition by shingle; the per-shingle document frequency is a
+    # window count over that partitioning (no aggregate+join), and the
+    # hot/cold split becomes a plain FILTER on the carried __df — the
+    # broadcast semi/anti probes of the old formulation vanish. All four
+    # collect-time consumers (cold A/B, hot A/B) read the ONE reused
+    # exchange, so nothing is persisted (cachectl.py discipline); the
+    # p99 probe below is the only extra pass (its own job).
+    sh = (
+        doc_shingles_arrow(df, text_col, n, with_size=True)
+        .repartition("shingle")
+        .withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
+    )
     if hot_df == "p99":
         # exact percentile over the (small) per-shingle df frame; one
         # scalar to the driver. Empty corpus → no shingles → 0 threshold.
+        dfreq = sh.groupBy("shingle").agg(F.first("__df").alias("__df"))
         row = dfreq.agg(F.expr("percentile(__df, 0.99)").alias("p")).collect()[0]
         hot_df = int(row["p"]) if row["p"] is not None else 0
     elif not isinstance(hot_df, int):
         raise ValueError(f"hot_df must be an int or 'p99', got {hot_df!r}")
-    hot = dfreq.filter(F.col("__df") > hot_df).select("shingle")
-    # hot shingles are by definition few (each covers > hot_df docs) →
-    # broadcast both the semi and anti probes
-    sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh_hot = sh.join(F.broadcast(hot), "shingle", "left_semi")
+    sh_cold = sh.filter(F.col("__df") <= hot_df)
+    sh_hot = sh.filter(F.col("__df") > hot_df)
 
-    a_cold = sh_cold.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    a_cold = sh_cold.alias("A")
+    b_cold = sh_cold.alias("B")
+    cold_pairs = (
+        a_cold.join(b_cold, F.col("A.shingle") == F.col("B.shingle"))
+        .filter(F.col("A.doc_id") < F.col("B.doc_id"))
+        .select(
+            F.col("A.doc_id").alias("doc_a"),
+            F.col("B.doc_id").alias("doc_b"),
+            F.col("A.n_sh").alias("n_a"),
+            F.col("B.n_sh").alias("n_b"),
+        )
     )
-    b_cold = sh_cold.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
-    )
-    cold_pairs = a_cold.join(b_cold, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
 
     salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts)).cast("int")
     a_hot = sh_hot.select(
@@ -231,7 +259,7 @@ def ngram_jaccard_pairs_salted(
         F.col("doc_a") < F.col("doc_b")
     )
 
-    contrib = cold_pairs.select("doc_a", "doc_b", "n_a", "n_b").unionByName(
+    contrib = cold_pairs.unionByName(
         hot_pairs.select("doc_a", "doc_b", "n_a", "n_b")
     )
     inter = contrib.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
@@ -267,20 +295,25 @@ def containment_pairs(
     is asymmetric. ``max_df`` is the identical hot-shingle fan-out cap.
     The threshold compare happens on the 1e-6-floored value so Spark and
     the SQL oracle agree bit-for-bit."""
-    sh = doc_shingles_arrow(df, text_col, n, with_size=True).persist()
+    from pyspark.sql import Window
+
+    # same reuse-not-cache shape as ngram_jaccard_pairs: one repartition
+    # by shingle, window df-cap, exchange-free aliased self-join
+    sh = doc_shingles_arrow(df, text_col, n, with_size=True).repartition("shingle")
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        sh = sh.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("__df") <= max_df)
+    a = sh.alias("A")
+    b = sh.alias("B")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        a.join(b, F.col("A.shingle") == F.col("B.shingle"))
+        .filter(F.col("A.doc_id") != F.col("B.doc_id"))
+        .select(
+            F.col("A.doc_id").alias("doc_a"),
+            F.col("B.doc_id").alias("doc_b"),
+            F.col("A.n_sh").alias("n_a"),
+        )
         .groupBy("doc_a", "doc_b", "n_a")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -364,11 +397,17 @@ def minhash_candidates(
     band key = md5 of the concatenated band. Docs sharing ANY band key
     become candidate pairs (equi-join per band, distinct across bands);
     est_jaccard = fraction of equal signature components."""
-    # The signature frame is tiny (one row per doc) but expensive to build
-    # (shingling + k md5 mins) and feeds four plan branches — persist it so
-    # the lineage runs once. Built via the Arrow path (bit-identical to the
-    # expression form, no explode/sort/shuffle — see minhash_signatures_arrow).
-    sig = minhash_signatures_arrow(df, text_col, k, n).persist()
+    # The signature frame is expensive to build (shingling + k md5 mins),
+    # so the FULL signature rides the band rows as one array column —
+    # verification (component-equality count) happens inline on the band
+    # join's output, which removes both verify joins, the distinct, and
+    # any need to cache the signature frame (cachectl.py: reuse shuffle
+    # files via ReuseExchange, never the storage pool). Payload cost: k
+    # md5 hex strings per band row through one shuffle — bounded, and at
+    # 100 TB the carry beats re-joining the corpus-sized signature frame
+    # twice. Built via the Arrow path (bit-identical to the expression
+    # form, no explode/sort/shuffle — see minhash_signatures_arrow).
+    sig = minhash_signatures_arrow(df, text_col, k, n)
     rows_per_band = k // bands
     band_structs = F.array(
         *[
@@ -384,30 +423,53 @@ def minhash_candidates(
         ]
     )
     # one explode + ONE self-equi-join on (band, key) replaces a join per
-    # band: fewer stages, one shuffle for candidate generation
-    banded = sig.select("doc_id", F.explode(band_structs).alias("s")).select(
-        "doc_id", F.col("s.band").alias("band"), F.col("s.bk").alias("bk")
+    # band: fewer stages, one shuffle for candidate generation; the
+    # repartition makes both aliased sides inherit one reused exchange
+    banded = (
+        sig.select(
+            "doc_id",
+            F.array(*[F.col(f"h{j}") for j in range(k)]).alias("sig"),
+            F.explode(band_structs).alias("s"),
+        )
+        .select("doc_id", "sig", F.col("s.band").alias("band"), F.col("s.bk").alias("bk"))
+        .repartition("band", "bk")
     )
-    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
-    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk")
-    pairs = (
-        left.join(right, ["band", "bk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    left = banded.alias("A")
+    right = banded.alias("B")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("A.sig"),
+            F.col("B.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
-
-    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)])
-    sigc = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{j}").alias(f"c{j}") for j in range(k)])
-    matches = sum(F.when(F.col(f"a{j}") == F.col(f"c{j}"), 1).otherwise(0) for j in range(k))
+    pair_rows = (
+        left.join(
+            right,
+            (F.col("A.band") == F.col("B.band")) & (F.col("A.bk") == F.col("B.bk")),
+        )
+        .filter(F.col("A.doc_id") < F.col("B.doc_id"))
+        .select(
+            F.col("A.doc_id").alias("doc_a"),
+            F.col("B.doc_id").alias("doc_b"),
+            matches.cast("long").alias("n_equal"),
+        )
+    )
+    # a pair found in several bands carries the same n_equal each time —
+    # the max is a pure dedupe (one pair-keyed shuffle, replacing the old
+    # distinct + two signature re-joins)
     return (
-        pairs.join(siga, "doc_a")
-        .join(sigc, "doc_b")
+        pair_rows.groupBy("doc_a", "doc_b")
+        .agg(F.max("n_equal").alias("n_equal"))
         .select(
             "doc_a",
             "doc_b",
-            matches.cast("long").alias("n_equal"),
-            (F.floor(matches / F.lit(float(k)) * 1e6 + F.lit(0.5)) / 1e6).alias("est_jaccard"),
+            "n_equal",
+            (F.floor(F.col("n_equal") / F.lit(float(k)) * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "est_jaccard"
+            ),
         )
     )
 
@@ -488,11 +550,18 @@ def connected_components(
         if changed == 0:
             break
     out = labels.select(F.col("node").alias(id_col), F.col("comp").alias("component_id"))
-    return out.unionAll(
+    out = out.unionAll(
         singletons.select(
             F.col("node").alias(id_col), F.col("node").alias("component_id")
         )
     )
+    # materialize the fixpoint to a RELIABLE checkpoint (disk files, no
+    # storage-pool blocks), then release every local checkpoint — the
+    # session ends the query with getPersistentRDDs() empty (cachectl.py)
+    out = finalize_iterative(out)
+    labels.unpersist()
+    sym.unpersist()
+    return out
 
 
 def simhash_candidates(
@@ -508,40 +577,13 @@ def simhash_candidates(
     n_bands <= hamming <= max_hamming are found only if their differing
     bits happen to cluster outside some band — probabilistic recall, like
     every banded LSH. Raise n_bands for a stronger guarantee at higher
-    candidate cost. Signatures persist across the band and verify
-    branches."""
-    sig = simhash_64(df, text_col).persist()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("bk"),
-            )
-            for b in range(n_bands)
-        ]
+    candidate cost. The 8-byte signature rides the band rows, so the
+    hamming verify runs inline on the band join's output — no verify
+    joins, no distinct, nothing cached (cachectl.py discipline)."""
+    banded = _banded_simhash_pairs_input(
+        simhash_64(df, text_col), "simhash", n_bands, bits_per_band=16
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("s")).select(
-        "doc_id", F.col("s.band").alias("band"), F.col("s.bk").alias("bk")
-    )
-    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
-    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk")
-    pairs = (
-        left.join(right, ["band", "bk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return _banded_hamming_pairs(banded, "simhash", max_hamming)
 
 
 def simhash_64(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -642,37 +684,62 @@ def simhash_md5_pairs(
     Same shape as simhash_candidates but every step — signature, bands,
     xor, popcount — has a DuckDB twin, so the full pipeline
     (hash → sign-bits → banding → join → verify) is oracle-checkable."""
-    sig = simhash_md5(df, text_col).persist()
+    banded = _banded_simhash_pairs_input(
+        simhash_md5(df, text_col), "simhash60", n_bands, bits_per_band=15
+    )
+    return _banded_hamming_pairs(banded, "simhash60", max_hamming)
+
+
+def _banded_simhash_pairs_input(
+    sig: DataFrame, sig_col: str, n_bands: int, bits_per_band: int
+) -> DataFrame:
+    """(doc_id, <sig_col>, band, bk) rows: the signature exploded into its
+    bit-bands WITH the full signature carried along, repartitioned by the
+    band key so both sides of the downstream aliased self-join inherit
+    ONE reused exchange (reuse-not-cache, cachectl.py)."""
+    mask = (1 << bits_per_band) - 1
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash60"), 15 * b)
-                .bitwiseAND(F.lit(0x7FFF))
+                F.shiftrightunsigned(F.col(sig_col), bits_per_band * b)
+                .bitwiseAND(F.lit(mask))
                 .alias("bk"),
             )
             for b in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("s")).select(
-        "doc_id", F.col("s.band").alias("band"), F.col("s.bk").alias("bk")
-    )
-    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
-    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk")
-    pairs = (
-        left.join(right, ["band", "bk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash60").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash60").alias("hb"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
+        sig.select("doc_id", sig_col, F.explode(band_structs).alias("s"))
+        .select("doc_id", sig_col, F.col("s.band").alias("band"), F.col("s.bk").alias("bk"))
+        .repartition("band", "bk")
+    )
+
+
+def _banded_hamming_pairs(banded: DataFrame, sig_col: str, max_hamming: int) -> DataFrame:
+    """Self-join banded signature rows on (band, bk), verify hamming
+    INLINE from the carried signatures, dedupe pairs found in several
+    bands with one pair-keyed aggregate (hamming is identical whichever
+    band matched, so max() is a pure dedupe)."""
+    left = banded.alias("A")
+    right = banded.alias("B")
+    hamming = F.bit_count(
+        F.col(f"A.{sig_col}").bitwiseXOR(F.col(f"B.{sig_col}"))
+    ).cast("long")
+    return (
+        left.join(
+            right,
+            (F.col("A.band") == F.col("B.band")) & (F.col("A.bk") == F.col("B.bk")),
+        )
+        .filter(F.col("A.doc_id") < F.col("B.doc_id"))
+        .select(
+            F.col("A.doc_id").alias("doc_a"),
+            F.col("B.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("hamming").alias("hamming"))
     )
 
 
@@ -702,10 +769,11 @@ def contrastive_triplets(
     bucketed rank; the semantics are ROW_NUMBER over (md5(id), id))."""
     from .layout import shard_assignment
 
-    # persisted: consumed by the scalar count and the position equi-join
+    # consumed by the scalar-count branch and the position equi-join; the
+    # two evaluations are cheaper than a session-lifetime cache (cachectl)
     positions = shard_assignment(df, n_shards=1, id_col=id_col).select(
         F.col(id_col).alias("negative"), "global_pos"
-    ).persist()
+    )
     n = positions.agg(F.count("*").alias("__n"))
     slots = pairs.select(
         F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
@@ -817,30 +885,28 @@ def shingle_cosine_pairs(
     ``max_df`` hot-shingle cap ON by default (dropping a capped shingle
     only LOWERS the numerator: the score is a lower bound, sizes stay
     exact; pass None for the exact form)."""
-    sh = doc_shingle_tf(df, text_col, n).persist()
+    from pyspark.sql import Window
+
+    # reuse-not-cache shape (see ngram_jaccard_pairs): one repartition by
+    # shingle, window df-cap, exchange-free aliased self-join
+    sh = doc_shingle_tf(df, text_col, n).repartition("shingle")
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        "shingle",
-        F.col("tf").alias("tf_a"),
-        F.col("nsq").alias("nsq_a"),
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        "shingle",
-        F.col("tf").alias("tf_b"),
-        F.col("nsq").alias("nsq_b"),
-    )
+        sh = sh.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("__df") <= max_df)
+    a = sh.alias("A")
+    b = sh.alias("B")
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(b, F.col("A.shingle") == F.col("B.shingle"))
+        .filter(F.col("A.doc_id") < F.col("B.doc_id"))
+        .select(
+            F.col("A.doc_id").alias("doc_a"),
+            F.col("B.doc_id").alias("doc_b"),
+            F.col("A.tf").alias("tf_a"),
+            F.col("B.tf").alias("tf_b"),
+            F.col("A.nsq").alias("nsq_a"),
+            F.col("B.nsq").alias("nsq_b"),
+        )
         .groupBy("doc_a", "doc_b", "nsq_a", "nsq_b")
         .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("num"))
     )
@@ -912,27 +978,33 @@ def winnowing_overlap_pairs(
     sizes ride along on the fingerprint rows (no sizes join); hot
     fingerprints capped by ``max_df`` ON by default (containment becomes
     a lower bound; pass None for exact)."""
+    from pyspark.sql import Window
+
     fp = winnowing_fingerprints(df, text_col, k, w)
     sizes = F.count("*").alias("n_fp")
+    # reuse-not-cache shape (see ngram_jaccard_pairs): one repartition by
+    # fingerprint, window df-cap, exchange-free aliased self-join
     fp = (
         fp.groupBy("doc_id")
         .agg(F.collect_list("fp").alias("__fps"), sizes)
         .select("doc_id", "n_fp", F.explode("__fps").alias("fp"))
+        .repartition("fp")
     )
     if max_df is not None:
-        rare = (
-            fp.groupBy("fp")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("fp")
-        )
-        fp = fp.join(rare, "fp")
-    fp = fp.persist()
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp", F.col("n_fp").alias("n_a"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp", F.col("n_fp").alias("n_b"))
+        fp = fp.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("fp"))
+        ).filter(F.col("__df") <= max_df)
+    a = fp.alias("A")
+    b = fp.alias("B")
     inter = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(b, F.col("A.fp") == F.col("B.fp"))
+        .filter(F.col("A.doc_id") < F.col("B.doc_id"))
+        .select(
+            F.col("A.doc_id").alias("doc_a"),
+            F.col("B.doc_id").alias("doc_b"),
+            F.col("A.n_fp").alias("n_a"),
+            F.col("B.n_fp").alias("n_b"),
+        )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_shared"))
     )
@@ -1110,6 +1182,96 @@ def benchmark_decontaminate(
     )
 
 
+def _ppjoin_candidates(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    threshold: float,
+    positional: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, doc_id-partitioned shingle frame) for PPJoin.
+    ``positional`` toggles the positional filter so tests can assert the
+    candidate count strictly drops; production callers always leave it
+    on. The returned shingle frame is partitioned by doc_id, so the
+    caller's per-doc verify-array aggregate is exchange-free."""
+    from pyspark.sql import Window
+
+    t_micro = int(round(threshold * 1_000_000))
+    # each repartition is an exchange BARRIER: the stage above it (Arrow
+    # shingling, then the df window-count) materializes exactly once into
+    # shuffle files that every downstream consumer re-reads (ReuseExchange)
+    # — the no-persist equivalent of the old cached shingle frame
+    sh = (
+        doc_shingles_arrow(df, text_col, n, with_size=True)
+        .repartition("shingle")
+        .withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
+        .repartition("doc_id")
+    )
+    ranked = sh.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("__df", "shingle")
+        ),
+    )
+    # prefix length p = |x| - ceil(t*|x|) + 1; ceil in exact integer math:
+    # ceil(t*n) = floor((t_micro*n + 999999) / 1e6)
+    ceil_tn = F.floor((F.lit(t_micro) * F.col("n_sh") + F.lit(999_999)) / F.lit(1_000_000))
+    prefix = (
+        ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1)
+        .select("doc_id", "shingle", "n_sh", "pos")
+        .repartition("shingle")  # barrier: rank window computed once
+    )
+    a = prefix.alias("PA")
+    b = prefix.alias("PB")
+    n_a, n_b = F.col("PA.n_sh"), F.col("PB.n_sh")
+    pos_a, pos_b = F.col("PA.pos"), F.col("PB.pos")
+    matched = (
+        a.join(b, F.col("PA.shingle") == F.col("PB.shingle"))
+        .filter(F.col("PA.doc_id") < F.col("PB.doc_id"))
+        # size filter: t*max(|x|,|y|) <= min(|x|,|y|), exact in micros
+        .filter(
+            F.lit(t_micro) * F.greatest(n_a, n_b)
+            <= F.lit(1_000_000) * F.least(n_a, n_b)
+        )
+    )
+    # minimum required overlap α = ceil(t·(|x|+|y|)/(1+t)), exact micros
+    denom = 1_000_000 + t_micro
+    alpha = F.floor(
+        (F.lit(t_micro) * (F.col("n_a") + F.col("n_b")) + F.lit(denom - 1)) / F.lit(denom)
+    )
+    if positional:
+        # per-row bound BEFORE the pair shuffle: any shared token at
+        # (i, j) caps overlap at min(i,j) + min(|x|-i, |y|-j)
+        alpha_row = F.floor(
+            (F.lit(t_micro) * (n_a + n_b) + F.lit(denom - 1)) / F.lit(denom)
+        )
+        matched = matched.filter(
+            F.least(pos_a, pos_b) + F.least(n_a - pos_a, n_b - pos_b) >= alpha_row
+        )
+    grouped = (
+        matched.select(
+            F.col("PA.doc_id").alias("doc_a"),
+            F.col("PB.doc_id").alias("doc_b"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            pos_a.alias("pos_a"),
+            pos_b.alias("pos_b"),
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.min("pos_a").alias("i1"), F.min("pos_b").alias("j1"))
+    )
+    if positional:
+        # exact first-match bound: the shared prefix token with the
+        # smallest global order has BOTH the min pos in x and the min pos
+        # in y (the shingle ranking is one global order), and nothing
+        # shared precedes it — overlap <= 1 + min(|x|-i1, |y|-j1)
+        grouped = grouped.filter(
+            F.lit(1) + F.least(F.col("n_a") - F.col("i1"), F.col("n_b") - F.col("j1"))
+            >= alpha
+        )
+    return grouped.select("doc_a", "doc_b"), sh
+
+
 def ppjoin_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1134,48 +1296,36 @@ def ppjoin_jaccard_pairs(
     salting a physical one. A size filter (``t*|y| <= |x|``, applied in
     exact micro-integer arithmetic) prunes the survivors further.
 
-    Candidates are then verified EXACTLY: the distinct candidate pairs
-    join each side's full sorted-shingle array (one bounded array per
-    document) and intersect locally per pair — no second corpus-wide
-    shuffle on shingle. Output schema and values match
-    ``ngram_jaccard_pairs`` bit-for-bit (oracle-verified): the prefix
-    theorem guarantees the candidate set is a superset of all true pairs,
-    and verification is exact.
+    The POSITIONAL filter (the paper's §3 contribution) prunes further
+    using WHERE in each document's sorted order the shared prefix token
+    sits. For a shared token at (1-based) positions ``i`` in x and ``j``
+    in y, total overlap <= min(i, j) + min(|x|-i, |y|-j) — applied
+    per matched row before the pair aggregate. The aggregate then applies
+    the exact first-match bound: because both documents rank shingles by
+    the same global order, the shared prefix token with the smallest
+    ``pos`` in x is also the one with the smallest ``pos`` in y, and at
+    that first match the overlap bound tightens to
+    ``1 + min(|x|-i1, |y|-j1)`` (nothing shared can precede it). Both
+    bounds are compared against the minimum required overlap
+    ``α = ceil(t·(|x|+|y|)/(1+t))`` in exact micro-integer arithmetic, so
+    pruning can only shrink the candidate SUPERSET — every true pair's
+    first shared prefix token is a surviving witness (overlap >= α forces
+    ``1 + min(...) >= α`` there), hence output values are unchanged.
 
-    Scale shape: one df-count aggregation, one per-doc sort window
+    Candidates are then verified EXACTLY: the candidate pairs join each
+    side's full sorted-shingle array (one bounded array per document) and
+    intersect locally per pair — no second corpus-wide shuffle on
+    shingle. Output schema and values match ``ngram_jaccard_pairs``
+    bit-for-bit (oracle-verified).
+
+    Scale shape: ONE repartition by shingle (document frequency = window
+    count over it; ReuseExchange materializes the Arrow shingling once —
+    nothing persisted, cachectl.py discipline), one per-doc sort window
     (shuffle by doc_id), one self-equi-join on PREFIX shingles only, one
-    pair-keyed verify join. The t=0.5 prefix keeps ~half of each
-    document's index rows; higher thresholds keep fewer."""
-    from pyspark.sql import Window
-
-    t_micro = int(round(threshold * 1_000_000))
-    sh = doc_shingles_arrow(df, text_col, n, with_size=True).persist()
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    ranked = sh.join(dfreq, "shingle").withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("__df", "shingle")
-        ),
-    )
-    # prefix length p = |x| - ceil(t*|x|) + 1; ceil in exact integer math:
-    # ceil(t*n) = floor((t_micro*n + 999999) / 1e6)
-    ceil_tn = F.floor((F.lit(t_micro) * F.col("n_sh") + F.lit(999_999)) / F.lit(1_000_000))
-    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1).select(
-        "doc_id", "shingle", "n_sh"
-    )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a"))
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b"))
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # size filter: t*max(|x|,|y|) <= min(|x|,|y|), exact in micros
-        .filter(
-            F.lit(t_micro) * F.greatest("n_a", "n_b")
-            <= F.lit(1_000_000) * F.least("n_a", "n_b")
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    pair-keyed aggregate applying the first-match positional bound, one
+    verify join. The t=0.5 prefix keeps ~half of each document's index
+    rows; higher thresholds keep fewer."""
+    cand, sh = _ppjoin_candidates(df, text_col, n, threshold, positional=True)
     arrays = sh.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("shingle")).alias("toks"),
         F.first("n_sh").alias("n_sh"),

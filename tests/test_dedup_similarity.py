@@ -895,3 +895,29 @@ def test_jl_projection_preserves_most_neighbors(spark):
         assert 0 <= r["n_hits"] <= 5
         # each query's 5 cluster mates survive the projection
         assert r["n_hits"] == 5
+
+
+def test_ppjoin_positional_filter_strictly_prunes(spark, sf_smoke):
+    """The PPJoin positional filter (Xiao 2008 §3) must shrink the
+    candidate superset on a real corpus — prefix + size filtering alone
+    admits pairs whose shared prefix tokens sit too late in the sorted
+    order to ever reach the required overlap — while leaving the verified
+    output bit-identical (the filter only prunes, never drops a true
+    pair: its first-shared-token witness always survives)."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.dedup import (
+        _ppjoin_candidates,
+        ngram_jaccard_pairs,
+        ppjoin_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    loose, _ = _ppjoin_candidates(docs, "text", 3, 0.5, positional=False)
+    tight, _ = _ppjoin_candidates(docs, "text", 3, 0.5, positional=True)
+    n_loose, n_tight = loose.count(), tight.count()
+    assert n_tight < n_loose, (n_tight, n_loose)
+    # pruning is sound: the exact inverted-index pairs survive verbatim
+    got = sorted(map(tuple, ppjoin_jaccard_pairs(docs, threshold=0.5).collect()))
+    want = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).collect())
+    )
+    assert got == want
