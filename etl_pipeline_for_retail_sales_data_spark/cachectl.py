@@ -69,6 +69,43 @@ def finalize_iterative(df: DataFrame) -> DataFrame:
     return df.checkpoint(eager=True)
 
 
+def local_ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` with RELEASABLE blocks.
+
+    ``Dataset.unpersist()`` is a silent no-op for checkpoint blocks —
+    they live on the internal RDD, not in the CacheManager — so a plain
+    ``df.localCheckpoint()`` can only be reclaimed by the ContextCleaner
+    after the frame is garbage collected (non-deterministic, and never
+    while a driver loop still references the round list). This wrapper
+    records the persistent-RDD ids the checkpoint registers (persist()
+    marks the RDD immediately, even for lazy checkpoints) so
+    :func:`release_ckpt` can free the blocks deterministically.
+    """
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=eager)
+    after = sc._jsc.getPersistentRDDs().keySet().toArray()
+    out._ckpt_rdd_ids = [k for k in after if k not in before]
+    return out
+
+
+def release_ckpt(df: DataFrame) -> None:
+    """Free the blocks of a frame produced by :func:`local_ckpt`.
+
+    Only call once every consumer of the frame has materialized — a
+    local checkpoint cannot recompute across its truncated lineage.
+    No-op for frames without recorded checkpoint ids.
+    """
+    ids = getattr(df, "_ckpt_rdd_ids", None)
+    if not ids:
+        return
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        if jmap.containsKey(rid):
+            jmap.get(rid).unpersist(False)
+    df._ckpt_rdd_ids = []
+
+
 @contextmanager
 def scoped_cache(*frames: DataFrame):
     """Persist ``frames`` inside the block, guaranteed release on exit.

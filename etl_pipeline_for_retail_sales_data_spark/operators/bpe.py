@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cachectl import local_ckpt, release_ckpt
 from ..functions import spread
 
 END = "</w>"
@@ -238,7 +239,7 @@ def bpe_train(
                 return merges
             return [(a, b) for a, b, _ in merges]
         del head  # vocabulary exceeds the cap: distributed loop below
-    symframe = _init_symbols(wf).localCheckpoint(eager=True)
+    symframe = local_ckpt(_init_symbols(wf), eager=True)
     merges: list[tuple[str, str, int]] = []
     prev: DataFrame | None = None
     for _ in range(n_merges):
@@ -254,17 +255,17 @@ def bpe_train(
             .collect()
         )
         if prev is not None:
-            prev.unpersist()
+            release_ckpt(prev)
             prev = None
         if not best or best[0]["cnt"] < min_freq:
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b, int(best[0]["cnt"])))
         prev = symframe
-        symframe = _apply_merge(symframe, a, b).localCheckpoint(eager=False)
-    symframe.unpersist()
+        symframe = local_ckpt(_apply_merge(symframe, a, b), eager=False)
+    release_ckpt(symframe)
     if prev is not None:
-        prev.unpersist()
+        release_ckpt(prev)
     if return_counts:
         return merges
     return [(a, b) for a, b, _ in merges]

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cachectl import finalize_iterative, local_ckpt, release_ckpt
 from ..functions import spread
 from .similarity import as_double
 
@@ -92,14 +93,17 @@ def kmeans_assign(
     rounds = []
     assigned = None
     for it in range(iters):
-        assigned = _assign(pts, centroids).localCheckpoint(eager=(it == iters - 1))
+        assigned = local_ckpt(_assign(pts, centroids), eager=(it == iters - 1))
         rounds.append(assigned)
         if it < iters - 1:
             centroids = _recompute_centroids(assigned)
+    # final assignment to a RELIABLE checkpoint so every local checkpoint
+    # releases here — no session-lifetime blocks (cachectl.py)
+    out = finalize_iterative(assigned.select("vec_id", "cluster", "dist"))
     pts.unpersist()
-    for frame in rounds[:-1]:
-        frame.unpersist()
-    return assigned.select("vec_id", "cluster", "dist")
+    for frame in rounds:
+        release_ckpt(frame)
+    return out
 
 
 def kmeans_inertia(assigned: DataFrame) -> float:
@@ -151,20 +155,22 @@ def semantic_dedup(
 
     assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     uv = unit_vectors(emb, id_col, vec_col, out_col="uv")
-    pts = assigned.select("vec_id", "cluster").join(
-        uv.withColumnRenamed(id_col, "vec_id"), "vec_id"
-    ).persist()
-    a = pts.select(
-        F.col("cluster"), F.col("vec_id").alias("ida"), F.col("uv").alias("va")
+    # reuse-not-cache (cachectl.py): the assignment (file-backed after
+    # kmeans_assign's reliable checkpoint) joins unit vectors once into a
+    # cluster-partitioned exchange that the aliased self-join sides, the
+    # components' node list, and the final keeper join all re-read
+    pts = (
+        assigned.select("vec_id", "cluster")
+        .join(uv.withColumnRenamed(id_col, "vec_id"), "vec_id")
+        .repartition("cluster")
     )
-    b = pts.select(
-        F.col("cluster"), F.col("vec_id").alias("idb"), F.col("uv").alias("vb")
-    )
+    a = pts.alias("A")
+    b = pts.alias("B")
     edges = (
-        a.join(b, "cluster")
-        .filter(F.col("ida") < F.col("idb"))
-        .filter(dot(F.col("va"), F.col("vb")) >= threshold)
-        .select(F.col("ida").alias("doc_a"), F.col("idb").alias("doc_b"))
+        a.join(b, F.col("A.cluster") == F.col("B.cluster"))
+        .filter(F.col("A.vec_id") < F.col("B.vec_id"))
+        .filter(dot(F.col("A.uv"), F.col("B.uv")) >= threshold)
+        .select(F.col("A.vec_id").alias("doc_a"), F.col("B.vec_id").alias("doc_b"))
     )
     comps = connected_components(
         edges, pts.select(F.col("vec_id").alias("doc_id")), id_col="doc_id"

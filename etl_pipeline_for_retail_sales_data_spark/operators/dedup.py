@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..cachectl import finalize_iterative
+from ..cachectl import finalize_iterative, local_ckpt, release_ckpt
 from ..functions import spread
 from .text import TOKEN_RE
 
@@ -506,7 +506,7 @@ def connected_components(
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = local_ckpt(sym, eager=True)
     # iterate ONLY over edge-incident nodes: a node with no edges is its
     # own singleton component, can never change label, and contributes
     # nothing to any neighbor — so it is appended analytically after the
@@ -521,7 +521,7 @@ def connected_components(
         sym.select(F.col("u").alias("node")), "node", "left_anti"
     )
     labels = incident.select("node", F.col("node").alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = local_ckpt(labels, eager=True)
     for _ in range(max_iter):
         nb_min = (
             labels.join(sym, labels["node"] == sym["u"])
@@ -537,15 +537,15 @@ def connected_components(
                 # min-label only ever shrinks, so != is exactly "shrank"
                 (new_comp != F.col("comp")).alias("chg"),
             )
-            .localCheckpoint(eager=False)
         )
+        new_labels = local_ckpt(new_labels, eager=False)
         # this count scans every partition of the lazy checkpoint, so it
         # materializes the round AND reads convergence in one job; only
         # after it returns is the parent frame safe to release (an
         # unmaterialized checkpoint cannot recompute across its
         # truncated lineage)
         changed = new_labels.filter("chg").count()
-        labels.unpersist()
+        release_ckpt(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -559,8 +559,8 @@ def connected_components(
     # storage-pool blocks), then release every local checkpoint — the
     # session ends the query with getPersistentRDDs() empty (cachectl.py)
     out = finalize_iterative(out)
-    labels.unpersist()
-    sym.unpersist()
+    release_ckpt(labels)
+    release_ckpt(sym)
     return out
 
 

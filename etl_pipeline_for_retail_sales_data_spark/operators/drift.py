@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cachectl import finalize_iterative
+
 
 # critical values for alpha = 0.05 by degrees of freedom (df = k - 1)
 CHISQ_CRIT_95 = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
@@ -46,14 +48,16 @@ def chisq_drift(
     previous-period count are excluded from the statistic (expected = 0
     is undefined; df reflects the categories actually tested)."""
     crit = alpha_crit or CHISQ_CRIT_95
-    # persisted: three plan branches (totals, current, previous) consume
-    # this tiny periods×categories frame — without it each branch replays
-    # the fact-table scan + aggregate, three scans instead of one
-    counts = (
+    # three plan branches (totals, current, previous) consume this TINY
+    # periods×categories frame, and the joins push isNotNull constraints
+    # into their own copies of the subtree (which defeats ReuseExchange),
+    # so the bounded aggregate goes to a reliable checkpoint: the fact
+    # table is scanned exactly once, every branch re-reads the files, and
+    # nothing sits in the storage pool (cachectl.py)
+    counts = finalize_iterative(
         df.select(period.alias("period"), category.alias("category"))
         .groupBy("period", "category")
         .agg(F.count("*").alias("cnt"))
-        .persist()
     )
     totals = counts.groupBy("period").agg(F.sum("cnt").alias("total"))
     # pair each period with its predecessor in period order (a window
@@ -121,12 +125,11 @@ def psi_drift(
     identical double), each term is floored to 1e-6, and the sum is
     floored to 1e-4; empirically hash-stable at every SF (ln ulp
     differences sit ~1e-12 from the rounding boundaries)."""
-    # persisted for the same three-consumer reason as chisq_drift
-    counts = (
+    # same tiny-aggregate reliable-checkpoint shape as chisq_drift
+    counts = finalize_iterative(
         df.select(period.alias("period"), category.alias("category"))
         .groupBy("period", "category")
         .agg(F.count("*").alias("cnt"))
-        .persist()
     )
     totals = counts.groupBy("period").agg(F.sum("cnt").alias("total"))
     from pyspark.sql import Window

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cachectl import finalize_iterative, local_ckpt, release_ckpt
+
 
 def pagerank(
     nodes: DataFrame,
@@ -97,17 +99,22 @@ def pagerank(
                 "id",
                 (base + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint(eager=(it == iterations - 1))
         )
+        ranks = local_ckpt(ranks, eager=(it == iterations - 1))
         rounds.append(ranks)
 
+    # final ranks go to a RELIABLE checkpoint (disk files, re-readable on
+    # demand) so every local checkpoint and cache can be released here —
+    # the query ends with getPersistentRDDs() empty (cachectl.py); on a
+    # cluster the checkpoint dir is HDFS/S3 and doubles as fault tolerance
+    out = finalize_iterative(ranks.select(F.col("id").alias(id_col), "rank"))
     ew.unpersist()
     out_deg.unpersist()
     dangling_ids.unpersist()
     n.unpersist()
-    for frame in rounds[:-1]:
-        frame.unpersist()
-    return ranks.select(F.col("id").alias(id_col), "rank")
+    for frame in rounds:
+        release_ckpt(frame)
+    return out
 
 
 def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -160,10 +167,22 @@ def triangles(edges: DataFrame) -> DataFrame:
     orientation (see oriented_edges). Emitted labels are sorted by id
     so the output is orientation-independent (and matches the plain
     a<b<c three-way-join oracle formulation)."""
-    oe = oriented_edges(edges).persist()
-    w1 = oe.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
-    w2 = oe.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
-    wedges = w1.join(w2, "apex").filter(F.col("x") < F.col("y"))
+    # reuse-not-cache (cachectl.py): one repartition(lo) exchange feeds
+    # both aliased wedge sides AND the closer projection via ReuseExchange
+    # — the oriented adjacency materializes once in shuffle files, nothing
+    # sits in the storage pool
+    oe = oriented_edges(edges).repartition("lo")
+    w1 = oe.alias("W1")
+    w2 = oe.alias("W2")
+    wedges = (
+        w1.join(w2, F.col("W1.lo") == F.col("W2.lo"))
+        .filter(F.col("W1.hi") < F.col("W2.hi"))
+        .select(
+            F.col("W1.lo").alias("apex"),
+            F.col("W1.hi").alias("x"),
+            F.col("W2.hi").alias("y"),
+        )
+    )
     # each canonical edge appears exactly once in oe → re-keying by id
     # order is already duplicate-free, matching the wedge's x < y key
     closer = oe.select(

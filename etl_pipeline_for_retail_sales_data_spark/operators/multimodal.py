@@ -357,13 +357,15 @@ def perceptual_hash_pairs(
     # would hand an empty payload two phantom bucket-0 bytes and a
     # spurious bit 0; the oracle's range(1, length+1) is empty for
     # length 0, so empty payloads are excluded on both sides
-    sigs = (
-        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-        .select("doc_id", sig.alias("phash"))
-        .persist()  # feeds one exploded side per band; tiny (doc_id, long)
+    sigs = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0)).select(
+        "doc_id", sig.alias("phash")
     )
     width = dim // bands
     mask = (1 << width) - 1
+    # the banded frame (signature carried along) lands in a band-keyed
+    # repartition exchange re-read by the keep-cap aggregate and both
+    # self-join sides — the signature pass runs once, nothing persists
+    # (reuse-not-cache, cachectl.py)
     banded = sigs.select(
         "doc_id",
         "phash",
@@ -380,7 +382,7 @@ def perceptual_hash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "phash", "bk.band", "bk.key")
+    ).select("doc_id", "phash", "bk.band", "bk.key").repartition("band", "key")
     if max_band is not None:
         keep = banded.groupBy("band", "key").agg(F.count("*").alias("bn"))
         banded = banded.join(

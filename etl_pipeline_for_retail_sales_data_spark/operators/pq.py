@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cachectl import finalize_iterative, local_ckpt, release_ckpt
 from ..functions import spread
 from .similarity import as_double
 
@@ -142,7 +143,7 @@ def pq_train(
         .filter(F.col("__rn") <= ksub)
         .select("sub", (F.col("__rn") - 1).alias("code"), F.col("sv").alias("centroid"))
     )
-    codebooks = seeds.localCheckpoint(eager=True)
+    codebooks = local_ckpt(seeds, eager=True)
     rounds = [codebooks]
     for it in range(iters):
         assigned = _assign_codes(subs, codebooks)
@@ -162,13 +163,17 @@ def pq_train(
             .groupBy("sub", "code")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("s"))
             .select("sub", "code", F.transform("s", lambda t: t["mu"]).alias("centroid"))
-            .localCheckpoint(eager=(it == iters - 1))
         )
+        codebooks = local_ckpt(codebooks, eager=(it == iters - 1))
         rounds.append(codebooks)
+    # tiny (m*ksub rows) but long-lived: a RELIABLE checkpoint lets every
+    # local checkpoint release here instead of pinning storage-pool blocks
+    # for the session (cachectl.py)
+    out = finalize_iterative(codebooks)
     subs.unpersist()
-    for frame in rounds[:-1]:
-        frame.unpersist()
-    return codebooks
+    for frame in rounds:
+        release_ckpt(frame)
+    return out
 
 
 def pq_encode(

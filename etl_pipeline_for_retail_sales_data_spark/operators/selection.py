@@ -86,8 +86,13 @@ def bigram_lm_perplexity(
         )
     )
     # the LM: O(distinct bigrams) rows — this frame is the model, reused
-    # by the marginal, the vocab scalar, and the scoring join
-    big = bi_occ.groupBy("w1", "w2").agg(F.count("*").alias("n12")).persist()
+    # by the marginal, the vocab scalar, and the scoring join, all of
+    # which re-read its repartition exchange (reuse-not-cache, cachectl)
+    big = (
+        bi_occ.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12"))
+        .repartition("w1")
+    )
     uni = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
     vocab = big.agg(F.count_distinct("w2").alias("v"))
 
@@ -107,12 +112,17 @@ def bigram_lm_perplexity(
         _round4_of_micro_sum(F.col("sum_u"), F.col("n_bigrams")), F.lit(0.0)
     )
     # small O(docs) frame feeds BOTH the percentile cut and the output —
-    # persist so the model join doesn't replay (NOTES.md scan-replay audit)
-    out = base.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-        nll4.alias("nll"),
-    ).persist()
+    # the repartition barrier makes both re-read one exchange, so the
+    # model join never replays (reuse-not-cache, cachectl.py)
+    out = (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            nll4.alias("nll"),
+        )
+        .repartition("doc_id")
+    )
     cut = out.agg(
         F.expr(
             f"percentile_disc({tail_quantile}) WITHIN GROUP (ORDER BY nll)"
@@ -154,7 +164,11 @@ def dsir_importance(
     toks = doc_terms(df, text_col).withColumn(
         "bucket", cm_bucket(F.col("term"), seed, buckets)
     )
-    toks = toks.persist()  # feeds raw counts, target counts, and scoring
+    # bucket-keyed repartition barrier: one tokenize+hash pass re-read by
+    # the raw counts, target counts, and scoring aggregates — the raw and
+    # target groupBys inherit the partitioning with no further exchange
+    # (reuse-not-cache, cachectl.py)
+    toks = toks.repartition("bucket")
     raw = toks.groupBy("bucket").agg(F.count("*").alias("n_raw_b"))
     target_ids = df.filter(target_filter).select("doc_id")
     tgt = (
@@ -204,7 +218,9 @@ def dsir_importance(
             F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
             logw.alias("log_weight"),
         )
-        .persist()  # feeds both the percentile cut and the output
+        # barrier: both the percentile cut and the output re-read one
+        # exchange (reuse-not-cache, cachectl.py)
+        .repartition("doc_id")
     )
     cut = out.agg(
         F.expr(

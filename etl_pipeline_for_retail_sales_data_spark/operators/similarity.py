@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cachectl import finalize_iterative, local_ckpt, release_ckpt
 from ..functions import spread
 
 
@@ -265,21 +266,31 @@ def embedding_neardup_lsh(
     a candidate if it shares a bucket in ANY table — then exact cosine
     filters at the threshold. Misses only pairs bucketed apart in every
     table; recall vs the exact baseline is asserted in tests. The bucket
-    and vector frames are persisted: each is one corpus pass feeding two
-    join branches."""
-    bucketed = multitable_buckets(emb, tables, id_col, vec_col).persist()
-    l = bucketed.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
-    r = bucketed.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    frame is repartitioned on its join key so both aliased self-join
+    sides re-read ONE exchange (reuse-not-cache, cachectl.py) — the
+    hyperplane-bucket corpus pass runs once, nothing persisted."""
+    bucketed = multitable_buckets(emb, tables, id_col, vec_col).repartition(
+        "tbl", "bucket"
+    )
+    l = bucketed.alias("L")
+    r = bucketed.alias("R")
     cand = (
-        l.join(r, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        l.join(
+            r,
+            (F.col("L.tbl") == F.col("R.tbl"))
+            & (F.col("L.bucket") == F.col("R.bucket")),
+        )
+        .filter(F.col(f"L.{id_col}") < F.col(f"R.{id_col}"))
+        .select(
+            F.col(f"L.{id_col}").alias("id_a"),
+            F.col(f"R.{id_col}").alias("id_b"),
+        )
         .distinct()
     )
     # vecs joins: let AQE pick broadcast vs shuffle from runtime sizes —
     # measured faster than forcing broadcast on both probes, and at 100 TB
     # the vector side may exceed broadcast limits anyway
-    vecs = unit_vectors(emb, id_col, vec_col).persist()
+    vecs = unit_vectors(emb, id_col, vec_col)
     va = vecs.select(F.col(id_col).alias("id_a"), F.col("uv").alias("ua"))
     vb = vecs.select(F.col(id_col).alias("id_b"), F.col("uv").alias("ub"))
     return (
@@ -470,8 +481,11 @@ def ann_lsh(
     More tables → higher recall at linear candidate cost; recall vs brute
     force is asserted in tests. At scale the candidate join is ONE
     equi-join on (table, bucket) — never a cross join; buckets for all
-    tables come from a single persisted corpus pass."""
-    bucketed = multitable_buckets(emb, tables, id_col, vec_col).persist()
+    tables come from ONE corpus pass re-read by the query and corpus
+    branches via a repartition exchange (reuse-not-cache, cachectl.py)."""
+    bucketed = multitable_buckets(emb, tables, id_col, vec_col).repartition(
+        "tbl", "bucket"
+    )
     q = bucketed.filter(query_filter).select(
         F.col(id_col).alias("q_id"), "tbl", "bucket"
     )
@@ -483,7 +497,7 @@ def ann_lsh(
         .distinct()
     )
 
-    vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v")).persist()
+    vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
     qv = vecs.select(F.col(id_col).alias("q_id"), F.col("__v").alias("qe"))
     cv = vecs.select(F.col(id_col).alias("neighbor_id"), F.col("__v").alias("e"))
     scored = (
@@ -674,20 +688,25 @@ def mmr_topk(
                 F.when(selected_now, F.lit(t)).otherwise(F.col("rnk")).alias("rnk"),
                 F.when(selected_now, score).otherwise(F.col("mmr")).alias("mmr"),
             )
-            .localCheckpoint(eager=(t == k))
         )
+        state = local_ckpt(state, eager=(t == k))
         rounds.append(state)
+    # final selection to a RELIABLE checkpoint so every round's local
+    # checkpoint (and the cand/cc caches) release here (cachectl.py)
+    out = finalize_iterative(
+        state.filter(F.col("rnk").isNotNull()).select(
+            "q_id",
+            F.col("cand").alias("doc_id"),
+            "rnk",
+            round6(F.col("rel")).alias("rel"),
+            round6(F.col("mmr")).alias("mmr"),
+        )
+    )
     cand.unpersist()
     cc.unpersist()
-    for frame in rounds[:-1]:
-        frame.unpersist()
-    return state.filter(F.col("rnk").isNotNull()).select(
-        "q_id",
-        F.col("cand").alias("doc_id"),
-        "rnk",
-        round6(F.col("rel")).alias("rel"),
-        round6(F.col("mmr")).alias("mmr"),
-    )
+    for frame in rounds:
+        release_ckpt(frame)
+    return out
 
 
 def binary_quantize(
@@ -757,7 +776,11 @@ def bq_hamming_topk(
     Self-pairs are excluded to match knn_bruteforce."""
     n_bands = dim // band_bits
     emb = emb.filter(F.col(vec_col).isNotNull())
-    sig = binary_quantize(spread(emb), id_col, vec_col, dim, band_bits).persist()
+    # reuse-not-cache (cachectl.py): one repartition exchange feeds the
+    # query projection, the exploded corpus bands, and the verify join
+    sig = binary_quantize(spread(emb), id_col, vec_col, dim, band_bits).repartition(
+        id_col
+    )
     q_sig = sig.filter(query_filter).select(
         F.col(id_col).alias("q_id"), *[F.col(f"band{j}").alias(f"qb{j}") for j in range(n_bands)]
     )
@@ -925,7 +948,12 @@ def bq_screen_topk(
     n_bits = len(planes)
     n_words = n_bits // word_bits
     emb = emb.filter(F.col(vec_col).isNotNull())
-    sig = hyperplane_signature(emb, planes, id_col, vec_col, word_bits).persist()
+    # reuse-not-cache (cachectl.py): the Arrow signature pass materializes
+    # once into a repartition exchange re-read by the broadcast query
+    # batch and the corpus screen side
+    sig = hyperplane_signature(emb, planes, id_col, vec_col, word_bits).repartition(
+        id_col
+    )
     q_sig = sig.filter(query_filter).select(
         F.col(id_col).alias("q_id"),
         *[F.col(f"w{j}").alias(f"qw{j}") for j in range(n_words)],
@@ -982,31 +1010,67 @@ def matryoshka_recall(
     cosine search against the full-dimension ground truth, per query and
     dimension budget — the evaluation every MRL-embedding deployment runs
     to pick its serving dimension (store/scan d/64 of the bytes, keep
-    recall). Both sides are the deterministic brute-force ranker
-    (knn_bruteforce_expr) over prefix-sliced vectors, so the output is
+    recall). Every ranking is the deterministic brute-force fold of
+    knn_bruteforce_expr over prefix-sliced vectors, so the output is
     pure integers: n_hits = |top-k_d ∩ top-k_full|.
 
-    SCALE: the query set is bounded by ``query_filter`` (broadcast); the
-    corpus side is scanned once per dimension budget with the truncated
-    fold — at 100 TB you'd precompute the sliced column, but the plan
-    shape (broadcast queries x corpus scan, partitioned top-k window) is
-    already the scale path. Recall is exact, not sampled.
+    SCALE — ONE corpus scan for ALL dimension budgets: every
+    (corpus row × broadcast query) pair computes the truncated-fold
+    cosine for each budget in a single projection, explodes to
+    (dim_budget, cos) rows, and one partitioned top-k window ranks all
+    budgets at once. Ground truth is the max(dims) fold from the SAME
+    pass (slice(v, 1, full_dim) ≡ v on full_dim-wide embeddings, and
+    the oracle defines truth the same way), so the old
+    one-knn-per-budget shape (len(dims)+1 corpus scans, one broadcast
+    build each) collapses into a single pass. The tiny top-k frame is
+    repartition-barriered before the truth self-join so the pair
+    scoring runs exactly once (reuse-not-cache, cachectl.py). Recall is
+    exact, not sampled.
     """
     full_dim = max(dims)
-    full = knn_bruteforce_expr(
-        emb, query_filter, k=k, id_col=id_col, vec_col=vec_col
-    ).select("q_id", "neighbor_id", F.lit(1).alias("__hit"))
-    parts = []
-    for d in dims:
-        sliced = emb.withColumn(vec_col, F.slice(F.col(vec_col), 1, d))
-        parts.append(
-            knn_bruteforce_expr(sliced, query_filter, k=k, id_col=id_col, vec_col=vec_col)
-            .select("q_id", "neighbor_id", F.lit(d).alias("dim_budget"))
+    base = emb.filter(F.col(vec_col).isNotNull())
+    q = base.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qe")
+    )
+    c = spread(base).select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("e")
+    )
+
+    def cos_at(d: int):
+        qs = F.slice(F.col("qe"), 1, d)
+        es = F.slice(F.col("e"), 1, d)
+        return dot(qs, es) / (F.sqrt(dot(qs, qs)) * F.sqrt(dot(es, es)))
+
+    folds = F.array(
+        *[
+            F.struct(F.lit(d).alias("dim_budget"), cos_at(d).alias("cos"))
+            for d in sorted(set(dims))
+        ]
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", F.explode(folds).alias("s"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("s.dim_budget").alias("dim_budget"),
+            F.col("s.cos").alias("cos"),
         )
-    alld = parts[0]
-    for p in parts[1:]:
-        alld = alld.unionByName(p)
-    hits = alld.join(F.broadcast(full), ["q_id", "neighbor_id"], "left")
+    )
+    w = Window.partitionBy("q_id", "dim_budget").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "dim_budget")
+        .repartition("q_id")  # barrier: the scoring pass runs once
+    )
+    truth = topk.filter(F.col("dim_budget") == full_dim).select(
+        "q_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    hits = topk.join(F.broadcast(truth), ["q_id", "neighbor_id"], "left")
     return (
         hits.groupBy("q_id", "dim_budget")
         .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hits"))

@@ -193,7 +193,15 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", top_k: int = 5) -> Da
     from pyspark.sql import Window
 
     tok = doc_terms(df, text_col)
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    # reuse-not-cache (cachectl.py): the posting-list aggregate lands in a
+    # term-keyed repartition exchange; the df(term) aggregate and the
+    # scoring join both re-read it, so the corpus explodes exactly once
+    # and nothing persists
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .repartition("term")
+    )
     # one row per (doc, term) ⇒ per-term row count IS count_distinct(doc)
     dft = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     n = df.agg(F.count("*").alias("n_docs"))
@@ -245,7 +253,12 @@ def bm25_rank(
     keyed by doc pivots the ≤len(query_terms) rows per doc.
     """
     tok = doc_terms(df, text_col)
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).persist()
+    # reuse-not-cache (cachectl.py): dl's own aggregate exchange is
+    # re-read by the avgdl scalar and the per-doc join (ReuseExchange);
+    # tf lands in a term-keyed repartition exchange shared by df(term)
+    # and the scoring join — the corpus explodes once per frame, nothing
+    # persists
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).repartition("doc_id")
     # corpus scalars: N and avgdl (exact integer sum / exact count)
     scalars = df.agg(F.count("*").alias("n_docs")).crossJoin(
         dl.agg((F.sum("dl") / F.count("*")).alias("avgdl"))
@@ -254,7 +267,7 @@ def bm25_rank(
         tok.filter(F.col("term").isin(query_terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .persist()
+        .repartition("term")
     )
     # one row per (doc, term) ⇒ per-term row count IS count_distinct(doc)
     dft = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
@@ -412,13 +425,15 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     All counts are exact integers; the two fractions divide once at the
     end (round6) so the DuckDB oracle matches bit-for-bit."""
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    # persisted: consumed by the n-gram explode AND the final id/n_tokens
-    # join — without it the corpus is re-scanned and re-tokenized twice
+    # reuse-not-cache (cachectl.py): the tokenized frame lands in a
+    # doc-keyed repartition exchange; the n-gram explode and the final
+    # id/n_tokens join both re-read it, so the corpus is tokenized once
+    # and nothing persists
     base = (
         df.na.drop(subset=[text_col])
         .select("doc_id", toks.alias("__toks"))
         .select("doc_id", F.size("__toks").cast("long").alias("n_tokens"), F.col("__toks"))
-        .persist()
+        .repartition("doc_id")
     )
     tagged = base.select(
         "doc_id",
@@ -430,13 +445,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("e"),
     ).select("doc_id", F.col("e.n").alias("n"), F.explode("e.gs").alias("gram"))
     counts = tagged.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
-    # persisted: s2 and s3 are two filter branches of this doc-level frame
-    # — without it the explode + two-level aggregate execute TWICE
+    # s2 and s3 are two filter branches — they share per_n's aggregate
+    # exchange via ReuseExchange, so the explode + two-level aggregate
+    # execute once (reuse-not-cache, cachectl.py)
     per_n = counts.groupBy("doc_id", "n").agg(
         F.max("cnt").alias("mx"),
         F.sum("cnt").alias("tot"),
         F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias("dup"),
-    ).persist()
+    )
     s2 = per_n.filter(F.col("n") == 2).select("doc_id", F.col("mx").alias("top2"))
     s3 = per_n.filter(F.col("n") == 3).select(
         "doc_id", F.col("dup").alias("dup3"), F.col("tot").alias("tot3")
@@ -479,10 +495,12 @@ def crossdoc_ngram_scrub(df: DataFrame, n: int = 8, text_col: str = "text") -> D
     Output: (doc_id, n_tokens, n_scrubbed, scrubbed_text); docs whose
     every token is covered stay present with scrubbed_text = ''."""
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    # doc-keyed repartition barrier: one tokenize pass re-read by the
+    # n-gram explode and the re-assembly (reuse-not-cache, cachectl.py)
     base = (
         df.na.drop(subset=[text_col])
         .select("doc_id", toks.alias("__toks"))
-        .persist()
+        .repartition("doc_id")
     )
     starts = F.when(
         F.size("__toks") >= n, F.sequence(F.lit(1), F.size("__toks") - n + 1)
@@ -564,14 +582,13 @@ def domain_mixture_sample(
         [(k, int(v)) for k, v in sorted(targets.items())], f"{domain_col} string, wt long"
     )
     eligible = df.join(F.broadcast(wdf), domain_col)
-    # persisted: this O(#domains) frame feeds the desired-cap computation
-    # AND the final n_total join — uncached, each consumer replays the
-    # corpus-wide count scan (the corpus itself is deliberately NOT
-    # cached: the rank pass re-reads 3 pruned columns, cheaper at scale
-    # than materializing a corpus-sized cache)
-    counts = (
-        eligible.groupBy(domain_col, "wt").agg(F.count("*").alias("cnt")).persist()
-    )
+    # this O(#domains) frame feeds the desired-cap computation AND the
+    # final n_total join — both re-read its aggregate exchange via
+    # ReuseExchange, so the corpus-wide count scan runs once and nothing
+    # persists (the corpus itself is deliberately never cached: the rank
+    # pass re-reads 3 pruned columns, cheaper at scale than a
+    # corpus-sized cache)
+    counts = eligible.groupBy(domain_col, "wt").agg(F.count("*").alias("cnt"))
     d = counts.select(F.col(domain_col).alias("d_dom"), F.col("wt").alias("d_wt"))
     e = counts.select(F.col("wt").alias("e_wt"), F.col("cnt").alias("e_cnt"))
     desired = (
@@ -635,8 +652,8 @@ def token_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: (doc_id, n_tokens, n_distinct, simpson, entropy,
     low_diversity); tokenless docs keep a row with zeros/false."""
-    # persisted: consumed by the token explode AND the final id join —
-    # without it the corpus is scanned and tokenized twice
+    # doc-keyed repartition barrier: one tokenize pass re-read by the
+    # token explode and the final id join (reuse-not-cache, cachectl.py)
     base = (
         df.na.drop(subset=[text_col])
         .select(
@@ -645,7 +662,7 @@ def token_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
                 "__toks"
             ),
         )
-        .persist()
+        .repartition("doc_id")
     )
     counts = (
         base.select("doc_id", F.explode("__toks").alias("tok"))

@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cachectl import finalize_iterative
+
 
 def topk_per_group(
     df: DataFrame,
@@ -157,12 +159,14 @@ def distributed_rank(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
-    # persisted — load-bearing for CORRECTNESS, not just cost: the offset
-    # frame and the final join must see the SAME partition boundaries;
-    # uncached, each branch would re-run the sampled range exchange
-    # independently, and a boundary difference between runs would pair
-    # local ranks with offsets from a different partitioning
-    local = ranged.withColumn("__lr", F.row_number().over(w) - 1).persist()
+    # RELIABLE checkpoint — load-bearing for CORRECTNESS, not just cost:
+    # the offset frame and the final join must see the SAME partition
+    # boundaries, and the RangePartitioner's sampling is not guaranteed
+    # to repeat across re-executions. Disk files pin the boundaries once
+    # without leaving session-lifetime storage-pool blocks behind (a
+    # persist here could never be released — the returned plan needs the
+    # pinned frame; cachectl.py)
+    local = finalize_iterative(ranged.withColumn("__lr", F.row_number().over(w) - 1))
     counts = local.groupBy("__pid").agg(F.count("*").alias("__c"))
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
@@ -189,10 +193,11 @@ def bucketed_prefix_sum(
     totals (pos div bucket_size — a tiny frame) prefix-summed into bucket
     offsets, plus a within-bucket running sum windowed BY BUCKET.
 
-    The input projection is persisted: the bucket-totals branch and the
-    final join must both consume it, and the whole point is one pass over
-    the weights."""
-    t = df.withColumn("__b", F.expr(f"{pos_col} div {bucket_size}")).persist()
+    The input projection lands in a bucket-keyed repartition exchange:
+    the bucket-totals aggregate and the final within-bucket window both
+    inherit that partitioning exchange-free, so the weights are read once
+    and nothing persists (reuse-not-cache, cachectl.py)."""
+    t = df.withColumn("__b", F.expr(f"{pos_col} div {bucket_size}")).repartition("__b")
     bsums = t.groupBy("__b").agg(F.sum(weight_col).alias("__s"))
     wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     offs = bsums.select(

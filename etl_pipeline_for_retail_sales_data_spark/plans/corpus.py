@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cachectl import scoped_cache
 from ..operators import dedup as D
 from ..operators.graph import pagerank
 from ..operators.text import chunk_documents, quality_expr
@@ -73,32 +74,39 @@ def build_training_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    # persisted: the deduped working set feeds the shingle join, the
-    # pagerank vertex list, the keeper decision, and the chunker — each
-    # would otherwise replay the gate + dedup from the raw scan
-    exact_kept = gated.join(canon, "doc_id").persist()
+    # the deduped working set feeds the shingle join, the pagerank vertex
+    # list, the keeper decision, and the chunker. The doc-keyed
+    # repartition exchange dedupes the LAZY consumers (chunker + final
+    # lang join, via ReuseExchange at collect); the scoped cache below
+    # covers the EAGER phase (PageRank's and the components' fixpoint
+    # jobs run inside the block), and is guaranteed released —
+    # getPersistentRDDs() is empty when the plan returns (cachectl.py)
+    exact_kept = gated.join(canon, "doc_id").repartition("doc_id")
 
     # 3. near-dup canonical keep (components + centrality on the survivors)
     pairs = D.ngram_jaccard_pairs(
         exact_kept, threshold=neardup_threshold, max_df=neardup_max_df
-    ).select("doc_a", "doc_b").persist()
-    sym = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    # rank only the near-dup graph's incident nodes (sym is symmetric,
-    # so doc_a covers every endpoint): isolated survivors are singleton
-    # components — keepers regardless of rank (canonical_dedup defaults
-    # their rank to 0.0) — so the PageRank state is proportional to the
-    # candidate pairs, not the corpus
-    incident = sym.select(F.col("doc_a").alias("doc_id")).distinct()
-    pr = pagerank(
-        incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4
-    )
-    decision = D.canonical_dedup(exact_kept, pairs, pr)
-    # persisted: consumed by the chunker and the final lang join
+    ).select("doc_a", "doc_b")
+    with scoped_cache(exact_kept, pairs):
+        sym = pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        # rank only the near-dup graph's incident nodes (sym is symmetric,
+        # so doc_a covers every endpoint): isolated survivors are singleton
+        # components — keepers regardless of rank (canonical_dedup defaults
+        # their rank to 0.0) — so the PageRank state is proportional to the
+        # candidate pairs, not the corpus
+        incident = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+        pr = pagerank(
+            incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4
+        )
+        # components' fixpoint runs (and reliable-checkpoints) here too
+        decision = D.canonical_dedup(exact_kept, pairs, pr)
+    # consumed by the chunker and the final lang join — one exchange,
+    # both re-read it
     kept = exact_kept.join(
         decision.filter(F.col("is_keeper")).select("doc_id"), "doc_id"
-    ).persist()
+    ).repartition("doc_id")
 
     # 4. chunk into overlapping token windows
     chunks = chunk_documents(kept, chunk_tokens=chunk_tokens, overlap=overlap)

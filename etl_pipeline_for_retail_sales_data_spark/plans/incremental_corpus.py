@@ -33,6 +33,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cachectl import scoped_cache
+
 
 def _state_paths(state_dir: str) -> tuple[str, str]:
     return os.path.join(state_dir, "corpus"), os.path.join(state_dir, "fingerprints")
@@ -60,21 +62,24 @@ def ingest_batch(
     # 1. within-batch exact dedup: keep min(doc_id) per digest
     keyed = batch.select(digest, *batch.columns)
     keeper = keyed.groupBy("digest").agg(F.min(id_col).alias(id_col))
-    batch_unique = keyed.join(keeper, ["digest", id_col]).persist()
-    n_unique = batch_unique.count()
-
-    # 2. dedup against history: anti-join on the fingerprint state
+    # every consumer (the unique count, the accepted count, both state
+    # appends) runs INSIDE this scope, so the caches release with zero
+    # recompute — getPersistentRDDs() is empty when the funnel returns
+    # (cachectl.py)
+    batch_unique = keyed.join(keeper, ["digest", id_col])
     if os.path.isdir(fp_path):
         hist = spark.read.parquet(fp_path).select("digest")
-        novel = batch_unique.join(hist, "digest", "left_anti").persist()
+        novel = batch_unique.join(hist, "digest", "left_anti")
     else:
         novel = batch_unique
-    n_accepted = novel.count()
+    with scoped_cache(batch_unique, novel):
+        n_unique = batch_unique.count()
+        n_accepted = novel.count()
 
-    # 3. append novel docs + their fingerprints (append-only state)
-    if n_accepted:
-        novel.drop("digest").write.mode("append").parquet(corpus_path)
-        novel.select("digest", id_col).write.mode("append").parquet(fp_path)
+        # 3. append novel docs + their fingerprints (append-only state)
+        if n_accepted:
+            novel.drop("digest").write.mode("append").parquet(corpus_path)
+            novel.select("digest", id_col).write.mode("append").parquet(fp_path)
 
     return {
         "n_batch": n_batch,

@@ -16,6 +16,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cachectl import scoped_cache
 from .functions import cents, spread
 from .operators.cleaning import to_typed
 from .operators.joins import broadcast_dim_join
@@ -2107,21 +2108,20 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MIN event time strictly after the previous stage, per user.
     Per-stage aggregates stay small (one row per user), so the stage
     joins broadcast; the events table is scanned once per stage with the
-    event_type filter pushed down. v and c are persisted — each feeds
-    both the next stage and the final join, and without the cache every
-    consumer replays its pushed-filter scan of the fact table (6 scans
-    instead of 3)."""
+    event_type filter pushed down. v and c each feed both the next stage
+    and the final join — the consumers re-read each stage's aggregate
+    exchange via ReuseExchange, so the fact table still sees 3
+    pushed-filter scans and nothing persists (cachectl.py)."""
     ev = load_events(spark, sf_dir)
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("t_view")
-    ).persist()
+    )
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(F.broadcast(v.select("user_id", "t_view")), "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
-        .persist()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2286,7 +2286,6 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
             ).alias("cents")
         )
-        .persist()
     )
     mx = rev.agg(F.max("cents").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -2619,7 +2618,7 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     counts = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv")).persist()
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
     grid = _hourly_grid(counts)
     return grid.join(counts, ["hour", "event_type"], "left").select(
         "hour",
@@ -2663,8 +2662,13 @@ def q_simhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.simhash_candidates; the oracled portable pipeline is
     ``simhash_pairs`` (md5)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = D.simhash_64(docs).persist()
-    pairs = D.simhash_candidates(docs, max_hamming=12).persist()
+    sig = D.simhash_64(docs)
+    pairs = D.simhash_candidates(docs, max_hamming=12)
+    # every consumer is an internal action (the returned frame is built
+    # from collected scalars), so the scoped caches release with zero
+    # recompute (cachectl.py)
+    scope = scoped_cache(sig, pairs)
+    scope.__enter__()
     n_docs = docs.count()
     n_sigs = sig.count()
     # the real banded frame: same 16-bit band split as the operator
@@ -2692,11 +2696,13 @@ def q_simhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = dig.select(F.col("doc_id").alias("doc_b"), "digest")
     exact_pairs = da.join(db, "digest").filter(F.col("doc_a") < F.col("doc_b")).select(
         "doc_a", "doc_b"
-    ).persist()
-    n_exact = exact_pairs.count()
-    n_missed = exact_pairs.join(
-        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
-    ).count()
+    )
+    with scoped_cache(exact_pairs):
+        n_exact = exact_pairs.count()
+        n_missed = exact_pairs.join(
+            pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        ).count()
+    scope.__exit__(None, None, None)
     return docs.sparkSession.createDataFrame(
         [
             (
@@ -2743,7 +2749,7 @@ def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     counts = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-    ).agg((F.floor(F.max("value") * 1e6 + F.lit(0.5)) / 1e6).alias("tv")).persist()
+    ).agg((F.floor(F.max("value") * 1e6 + F.lit(0.5)) / 1e6).alias("tv"))
     grid = _hourly_grid(counts)
     sparse = grid.join(counts, ["hour", "event_type"], "left")
     return _locf(sparse, ["event_type"], ["hour"], "tv", "tv_filled").select(
@@ -3171,7 +3177,12 @@ def q_freq_items_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     support·n IS in the sketch — false negatives are a sketch bug), and
     no fabricated candidates (every sketch item occurs in the data).
     Raw candidates via df.freqItems."""
-    li = load_table(spark, sf_dir, "lineitem").persist()
+    li = load_table(spark, sf_dir, "lineitem")
+    # every consumer is an internal action and the returned frame is
+    # built from collected scalars — the scoped caches release with zero
+    # recompute (cachectl.py)
+    scope = scoped_cache(li)
+    scope.__enter__()
     n = li.count()
     sketch_items = list(li.freqItems(["l_partkey"], support=0.001).collect()[0][0])
     true_heavy = (
@@ -3179,12 +3190,12 @@ def q_freq_items_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") > 0.001 * n)
         .select("l_partkey")
-        .persist()
     )
-    n_heavy = true_heavy.count()
-    missing = true_heavy.filter(
-        ~F.col("l_partkey").isin(sketch_items or [-1])
-    ).count()
+    with scoped_cache(true_heavy):
+        n_heavy = true_heavy.count()
+        missing = true_heavy.filter(
+            ~F.col("l_partkey").isin(sketch_items or [-1])
+        ).count()
     # sketch size is bounded by 1/support (= 1000 items) → a tiny local
     # frame; existence check is a distributed anti-join, not a collect
     sketch_df = li.sparkSession.createDataFrame(
@@ -3193,6 +3204,7 @@ def q_freq_items_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fabricated = sketch_df.join(
         li.select("l_partkey").distinct(), "l_partkey", "left_anti"
     ).count()
+    scope.__exit__(None, None, None)
     return li.sparkSession.createDataFrame(
         [(n, n_heavy, missing == 0, fabricated == 0)],
         "n_rows long, n_true_heavy long, all_true_heavy_found boolean, "
@@ -4652,9 +4664,10 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cells = cm_sketch_cells(li, "l_partkey", depth=4, width=256)
     exact = li.groupBy("l_partkey").agg(F.count("*").alias("exact_n"))
-    # persisted: 20 rows consumed by the estimate AND the final join —
-    # uncached, each replays the exact-count aggregate over the fact table
-    probes = exact.orderBy(F.desc("exact_n"), "l_partkey").limit(20).persist()
+    # 20 rows consumed by the estimate AND the final join — both re-read
+    # the exact aggregate's exchange (ReuseExchange); the top-20 replays
+    # locally, nothing persists (cachectl.py)
+    probes = exact.orderBy(F.desc("exact_n"), "l_partkey").limit(20)
     est = cm_estimate(cells, probes, "l_partkey", depth=4, width=256)
     return probes.join(est, "l_partkey").select("l_partkey", "exact_n", "est_n")
 
@@ -4796,7 +4809,7 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         src="doc_a",
         dst="doc_b",
         iterations=6,
-    ).persist()
+    )  # pagerank's result is a reliable checkpoint — re-reads are file scans
     n_docs = docs.count()
     mass_ok = pr.agg(
         (F.abs(F.sum("rank") - F.lit(float(n_docs))) < 1e-6).alias("ok")
@@ -4871,7 +4884,9 @@ def q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     flags = part.select("p_partkey", (F.col("p_size") <= 25).alias("is_member")).distinct()
     members = flags.filter("is_member").select("p_partkey")
-    pos = bloom_positions(members, "p_partkey", k=k, m=m).persist()
+    # consumers (probe, packed words, set-bit count) re-read the distinct
+    # aggregate's exchange via ReuseExchange — nothing persists (cachectl)
+    pos = bloom_positions(members, "p_partkey", k=k, m=m)
     probed = bloom_probe(pos, flags.select("p_partkey"), "p_partkey", k=k, m=m)
     joined = flags.join(probed, "p_partkey")
     full_w = bloom_words(pos)
@@ -5216,7 +5231,7 @@ def q_canonical_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b").persist()
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b")
     sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
     # centrality is ranked over the near-dup graph's INCIDENT nodes only
     # (sym carries both directions, so doc_a covers every endpoint):
@@ -5226,8 +5241,13 @@ def q_canonical_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs, not the corpus — the difference between iterating PageRank
     # over ~10^6 near-dup members and over 10^11 documents.
     incident = sym.select(F.col("doc_a").alias("doc_id")).distinct()
-    pr = pagerank(incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4)
-    out = D.canonical_dedup(docs, pairs, pr).persist()
+    # pairs is consumed entirely inside this scope: PageRank materializes
+    # its edge frame eagerly and canonical_dedup's components fixpoint
+    # reliable-checkpoints, so the cache releases with zero recompute and
+    # the returned plan reads only file-backed frames (cachectl.py)
+    with scoped_cache(pairs):
+        pr = pagerank(incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4)
+        out = D.canonical_dedup(docs, pairs, pr)
     per_comp = out.groupBy("component").agg(
         F.sum(F.col("is_keeper").cast("long")).alias("__nk")
     )
@@ -5275,8 +5295,12 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     s1 = TX.weighted_sample(docs, F.col("n_chars"), 50).select(
         "doc_id", "n_chars"
-    ).persist()
+    )
     s2 = TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id")
+    # all consumers are internal actions (the returned frame is built
+    # from collected scalars) — the scoped cache releases for free
+    scope = scoped_cache(s1)
+    scope.__enter__()
     n1 = s1.count()
     n_distinct = s1.select("doc_id").distinct().count()
     sym_diff = (
@@ -5296,6 +5320,7 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n_chars").alias("cm"),
     ).collect()[0]
     sample_mean, corpus_mean = means["sm"], means["cm"]
+    scope.__exit__(None, None, None)
     # empty corpus → no sample and null means: the bias claim is vacuously
     # true (and the oracle's row also reports TRUE over zero docs)
     biased = (
@@ -5968,12 +5993,17 @@ def q_training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import TOKEN_RE as _TRE
     from .plans.corpus import build_training_corpus
 
-    docs = load_table(spark, sf_dir, "documents").persist()
-    corpus = build_training_corpus(spark, sf_dir).persist()
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = build_training_corpus(spark, sf_dir)
 
     gated = docs.filter(
         (quality_expr("text") >= 0.3) & F.col("lang").isin("en", "de", "fr", "es")
-    ).persist()
+    )
+    # all consumers are internal actions (the per-doc checks collect and
+    # the returned frame is built from scalars) — the scoped caches
+    # release for free (cachectl.py)
+    scope = scoped_cache(docs, corpus, gated)
+    scope.__enter__()
     n_raw = docs.count()
     n_gated = gated.count()
     n_exact_kept = gated.select(F.md5("text")).distinct().count()
@@ -6014,6 +6044,7 @@ def q_training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "splits_exclusive"
         ),
     ).collect()[0]
+    scope.__exit__(None, None, None)
     return spark.createDataFrame(
         [
             (
@@ -6071,13 +6102,15 @@ def q_incremental_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB the state side is a compact fingerprint table, never the
     corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    # persisted: three consumers (firsts, firstin, the classify join) —
-    # uncached, each re-scans the corpus and re-hashes every text
+    # three consumers (firsts, firstin, the classify join) — the
+    # digest-keyed repartition exchange makes every one inherit the
+    # partitioning (the two aggregates and both joins run exchange-free),
+    # so the corpus is hashed once and nothing persists (cachectl.py)
     d = docs.select(
         "doc_id",
         (F.col("doc_id") % 3).alias("day"),
         F.md5("text").alias("digest"),
-    ).persist()
+    ).repartition("digest")
     firsts = d.groupBy("digest").agg(F.min("day").alias("first_day"))
     firstin = d.groupBy("digest", "day").agg(F.min("doc_id").alias("keeper"))
     j = d.join(firsts, "digest").join(firstin, ["digest", "day"])
@@ -6933,15 +6966,17 @@ def q_triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — same set of triangles, so the counts are hash-matched
     while the PLANS differ, which is exactly the point: orientation is a
     pure execution-strategy win."""
-    tri = G.triangles(_copart_edges(spark, sf_dir)).persist()
-    nodes = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
-        .distinct()
+    tri = G.triangles(_copart_edges(spark, sf_dir))
+    # ONE pass over the triangle frame: explode the three corners, count
+    # rows (= 3x triangles) and distinct ids in the same aggregate — the
+    # old two-branch shape (count + distinct-union) scanned the triangle
+    # pipeline twice and pinned it in the cache (cachectl.py)
+    member = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("id")
     )
-    return tri.agg(F.count("*").cast("long").alias("n_triangles")).crossJoin(
-        nodes.agg(F.count("*").cast("long").alias("n_triangle_nodes"))
+    return member.agg(
+        (F.count("*") / 3).cast("long").alias("n_triangles"),
+        F.count_distinct("id").cast("long").alias("n_triangle_nodes"),
     )
 
 
@@ -7000,7 +7035,9 @@ def q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from .operators.clustering import semantic_dedup
 
-    out = semantic_dedup(emb, k=8, iters=2, threshold=0.92).persist()
+    # semantic_dedup's fixpoints are reliable-checkpointed inside the
+    # operator — consumers here re-derive from file-backed frames
+    out = semantic_dedup(emb, k=8, iters=2, threshold=0.92)
     comp_min = out.groupBy("component_id").agg(F.min("vec_id").alias("__min_member"))
     per_vec = (
         out.join(comp_min, "component_id")
@@ -7045,7 +7082,7 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from .operators.clustering import semantic_dedup
 
-    out = semantic_dedup(emb, k=8, iters=2, threshold=0.92).persist()
+    out = semantic_dedup(emb, k=8, iters=2, threshold=0.92)
     per_comp = out.groupBy("component_id").agg(
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
         F.min("vec_id").alias("min_id"),
@@ -8106,22 +8143,26 @@ def q_knn_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     qf = F.col("vec_id") < 10
     exact = SIM.knn_bruteforce_expr(emb, qf, k=5).select(
         "q_id", F.col("neighbor_id").alias("nid"), F.col("sim").alias("esim")
-    ).persist()
+    )
     approx = SIM.knn_ivf(emb, qf, k=5, nprobe=3).select(
         "q_id", F.col("neighbor_id").alias("nid"), "sim"
     )
-    hits = approx.join(exact, ["q_id", "nid"])
+    # ONE pass: left-join truth->approx so n_truth (count of exact rows)
+    # and n_hits (matched rows) fall out of the same aggregate — the old
+    # shape ran the brute-force ranker twice (a count action + the hits
+    # join) against a persisted copy it never released (cachectl.py)
+    j = exact.join(approx, ["q_id", "nid"], "left")
     n_q = emb.filter(qf & F.col("embedding").isNotNull()).count()
-    n_truth = exact.count()
-    return hits.agg(
-        F.count("*").alias("n_hits"),
-        F.coalesce(F.every(F.abs(F.col("sim") - F.col("esim")) < 1e-9), F.lit(True)).alias(
-            "sims_ok"
-        ),
+    return j.agg(
+        F.count("*").alias("n_truth"),
+        F.count(F.col("sim")).alias("n_hits"),
+        F.coalesce(
+            F.every(F.abs(F.col("sim") - F.col("esim")) < 1e-9), F.lit(True)
+        ).alias("sims_ok"),
     ).select(
         F.lit(n_q).cast("long").alias("n_queries"),
         F.lit(5).cast("long").alias("k"),
-        (F.col("n_hits") >= F.lit(0.3) * F.lit(n_truth)).alias("recall_at_least_03"),
+        (F.col("n_hits") >= F.lit(0.3) * F.col("n_truth")).alias("recall_at_least_03"),
         F.col("sims_ok").alias("sims_exact_on_hits"),
     )
 
@@ -8147,7 +8188,7 @@ def q_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = 10
-    a3 = kmeans_assign(emb, k=k, iters=3).persist()
+    a3 = kmeans_assign(emb, k=k, iters=3)  # reliable-checkpointed result
     n_in = emb.filter(F.col("embedding").isNotNull()).count()
     inertia1 = kmeans_inertia(kmeans_assign(emb, k=k, iters=1))
     inertia3 = kmeans_inertia(a3)
@@ -8192,14 +8233,19 @@ def q_freq_items_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") > 0.001 * n)
         .select("l_partkey")
-    ).persist()
+    )
     sketch_items = set(
         li.freqItems(["l_partkey"], support=0.001).collect()[0][0]
     )
-    missing = true_heavy.filter(~F.col("l_partkey").isin(list(sketch_items) or [-1])).count()
+    # ONE pass: the superset check folds into the same aggregate that
+    # counts the heavy hitters (the sketch is a collected driver-side
+    # list, so membership is a plain isin) — no persist, no second scan
     return true_heavy.agg(
         F.count("*").cast("long").alias("n_true_heavy"),
-        F.lit(missing == 0).alias("all_true_heavy_found"),
+        F.coalesce(
+            F.every(F.col("l_partkey").isin(list(sketch_items) or [-1])),
+            F.lit(True),
+        ).alias("all_true_heavy_found"),
     )
 
 
@@ -8257,15 +8303,22 @@ def q_canonical_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b").persist()
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
+    # pairs is consumed inside the scope (PageRank + the components
+    # fixpoint, both eager); out's one internal action (the dangling
+    # count) runs inside too, and the returned aggregates re-derive out
+    # from the file-backed fixpoints (cachectl.py)
+    scope = scoped_cache(pairs)
+    scope.__enter__()
     pr = pagerank(
         docs.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b",
         iterations=4,
     )
-    out = D.canonical_dedup(docs, pairs, pr).persist()
+    out = D.canonical_dedup(docs, pairs, pr)
+    scope.__exit__(None, None, None)
     n_docs = docs.count()
     per_comp = out.groupBy("component").agg(
         F.sum(F.col("is_keeper").cast("long")).alias("nk")
@@ -8315,11 +8368,13 @@ def q_weighted_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce the identical sample (the md5-derived determinism that
     makes a 100 TB re-run reproduce the same training subset)."""
     docs = load_table(spark, sf_dir, "documents")
-    s1 = TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id").persist()
+    s1 = TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id")
     s2 = TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id")
-    n1 = s1.count()
-    sym_diff = s1.exceptAll(s2).count() + s2.exceptAll(s1).count()
-    orphans = s1.join(docs.select("doc_id"), "doc_id", "left_anti").count()
+    # all consumers are internal actions — the scoped cache releases free
+    with scoped_cache(s1):
+        n1 = s1.count()
+        sym_diff = s1.exceptAll(s2).count() + s2.exceptAll(s1).count()
+        orphans = s1.join(docs.select("doc_id"), "doc_id", "left_anti").count()
     return docs.agg(
         F.least(F.lit(50), F.count("*")).cast("long").alias("n_sampled")
     ).select(
@@ -8635,7 +8690,6 @@ def q_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overlap"))
         .filter(F.col("n_overlap") >= 5)
         .select("doc_id")
-        .persist()
     )
     train = docs.filter(F.col("doc_id") >= 50)
     kept = train.join(flagged, "doc_id", "left_anti")
@@ -8767,7 +8821,7 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_assignment), with anchor/positive/known-dup collisions
     excluded. No cross join over the corpus at any stage."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b").persist()
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).select("doc_a", "doc_b")
     out = D.contrastive_triplets(docs, pairs, k=2)
     return out.select("anchor", "positive", "negative", F.col("slot").cast("long").alias("slot"))
 
@@ -9013,8 +9067,8 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate, quality profile, dominant language. All statistics are exact
     integers or single-division floors (per-doc quality is floored to an
     int64 BEFORE summing, so the mean is order-free). One narrow per-doc
-    projection (persisted) feeds both the corpus-level aggregate and the
-    language histogram."""
+    projection (repartition-barriered, cachectl.py) feeds both the
+    corpus-level aggregate and the language histogram."""
     from .operators.text import quality_expr
 
     docs = load_table(spark, sf_dir, "documents").na.drop(subset=["text"])
@@ -9028,7 +9082,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("digest"),
         n_tok.alias("n_tok"),
         q6.alias("q6"),
-    ).persist()
+    ).repartition("doc_id")  # barrier: tokenize+hash once, both aggs re-read it
     summary = base.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
@@ -10631,7 +10685,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "fp")
         .distinct()
-        .persist()
+        .repartition("fp")  # barrier: self-join sides + sizes re-read one exchange
     )
     sizes = fp.groupBy("source").agg(F.count("*").alias("n_fp"))
     a = fp.select(F.col("source").alias("src_a"), "fp")

@@ -188,13 +188,19 @@ def test_token_diversity_two_phase_agg(spark, sf_smoke):
 
 def test_drift_family_single_fact_scan(spark, sf_smoke):
     """psi_drift / chisq_drift must aggregate the fact table ONCE: the
-    period×category counts frame is persisted and all three consumers
-    (totals, current, previous) read the cache — the plan shows three
-    InMemoryTableScan nodes, never three live parquet aggregations."""
+    tiny period×category counts frame goes to a reliable checkpoint
+    (cachectl.finalize_iterative) and all three consumers (totals,
+    current, previous) re-read the files — the returned plan contains NO
+    live parquet scan of the fact table and NOTHING cached (a persist
+    here would leak for the session; the checkpoint lives on disk)."""
     for name in ("psi_drift_priority", "chisq_drift_priority"):
         df = QUERIES[name](spark, sf_smoke)
         txt = plan_of(df)
-        assert txt.count("InMemoryTableScan") >= 3, (name, txt)
+        assert txt.count("Scan parquet") == 0, (name, txt)
+        assert "InMemoryTableScan" not in txt, (name, txt)
+        assert (
+            spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+        ), name  # checkpoint files, not storage-pool blocks
 
 
 def test_embedding_mmd_single_scan_one_agg(spark, sf_smoke):
