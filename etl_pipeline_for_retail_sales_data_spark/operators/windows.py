@@ -325,3 +325,46 @@ def acf(
             (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("acf"),
         )
     )
+
+
+def zscore_per_user(events: DataFrame) -> DataFrame:
+    """Per-user z-scores, pure-JVM DEFAULT path (the grouped-map
+    applyInPandas twin lives in operators/pandas_ops.py as the
+    Arrow-boundary coverage query; both are pinned equal in tests and
+    against the same oracle).
+
+    ORACLE-EXACT by the integer-variance construction: values are exact
+    cents, so the per-user sums S = Σx and Q = Σx² are exact int64 under
+    ANY accumulation order, and
+    ``z = (n·x − S) / sqrt(n · (nQ − S²) / (n − 1))`` needs only
+    int→double conversion, one multiply, one divide, one sqrt, one
+    divide — each correctly-rounded IEEE, so the double is bit-identical
+    in any engine. Degenerate groups (n < 2 or zero variance) emit 0.
+
+    Scale shape: ONE two-phase hash aggregate over user_id (map-side
+    partial combine) joined back to the event stream — deliberately NOT
+    a window, which would sort-shuffle the whole fact table per
+    partition; the stats side is one row per user."""
+    c = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("__cents"),
+    )
+    st = c.groupBy("user_id").agg(
+        F.count("*").alias("__n"),
+        F.sum("__cents").alias("__s"),
+        F.sum(F.col("__cents") * F.col("__cents")).alias("__q"),
+    )
+    n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
+    var_num = n * q - s * s
+    z = F.when((n < 2) | (var_num <= 0), F.lit(0.0)).otherwise(
+        F.floor(
+            (n * F.col("__cents") - s).cast("double")
+            / F.sqrt(n.cast("double") * var_num.cast("double") / (n - 1).cast("double"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return c.join(st, "user_id").select("user_id", "event_id", "value", z.alias("zscore"))

@@ -3438,9 +3438,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(gate < cases).select("doc_id", "lang")
 
 
-@query(
-    "zscore_per_user",
-    oracle="""
+_ZSCORE_ORACLE = """
     WITH c AS (
         SELECT user_id, event_id, value,
                CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
@@ -3462,14 +3460,31 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 1e6 + 0.5) / 1e6
            END AS zscore
     FROM c JOIN st USING (user_id)
-    """,
-)
+    """
+
+
+@query("zscore_per_user", oracle=_ZSCORE_ORACLE)
 def q_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-scores, DEFAULT = pure-JVM path (operators/windows
+    .zscore_per_user): one two-phase hash aggregate joined back to the
+    stream, zero Python stages, ORACLE-EXACT via the integer-variance
+    trick (exact cents sums S and Q make every float op deterministic).
+    The grouped-map applyInPandas twin stays registered as
+    ``zscore_per_user_arrow`` — the Arrow-boundary coverage query —
+    and both are pinned equal in tests."""
+    from .operators.windows import zscore_per_user
+
+    return zscore_per_user(load_events(spark, sf_dir))
+
+
+@query("zscore_per_user_arrow", oracle=_ZSCORE_ORACLE)
+def q_zscore_per_user_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (one pandas frame per user group):
     per-user z-scores, ORACLE-EXACT via the integer-variance trick —
     exact cents sums S and Q make every float op deterministic (see
-    operators/pandas_ops.zscore_per_user). Agreement with the JVM window
-    formulation is additionally pinned in tests."""
+    operators/pandas_ops.zscore_per_user). This is the engine's
+    Arrow-boundary coverage query; the JVM formulation is the default
+    ``zscore_per_user``."""
     from .operators.pandas_ops import zscore_per_user
 
     return zscore_per_user(load_events(spark, sf_dir))

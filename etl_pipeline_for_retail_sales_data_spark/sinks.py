@@ -150,14 +150,81 @@ def _jdbc_connect(spark, url: str, driver: str | None):
 
 
 def _table_exists(conn, table: str) -> bool:
-    stmt = conn.createStatement()
+    """Catalog lookup via DatabaseMetaData — unlike a SELECT probe, a dead
+    connection RAISES here instead of masquerading as "table absent" and
+    sending the caller down the create path. Unquoted identifiers are
+    case-folded by the database (Derby/ANSI: upper), so both spellings
+    are probed."""
+    md = conn.getMetaData()
+    for cand in dict.fromkeys([table, table.upper(), table.lower()]):
+        rs = md.getTables(None, None, cand, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
+
+
+def _drop_table_quietly(conn, table: str) -> None:
+    """Best-effort DROP (cleanup paths only — never for correctness)."""
     try:
-        stmt.executeQuery(f"SELECT 1 FROM {table} FETCH FIRST 1 ROWS ONLY").close()
-        return True
+        auto = conn.getAutoCommit()
+        conn.setAutoCommit(True)
+        stmt = conn.createStatement()
+        try:
+            stmt.executeUpdate(f"DROP TABLE {table}")
+        finally:
+            stmt.close()
+            conn.setAutoCommit(auto)
     except Exception:
-        return False
-    finally:
-        stmt.close()
+        pass
+
+
+def _upsert_statement(
+    url: str, table: str, stage: str, cols: list[str], key_cols: list[str]
+) -> str:
+    """The one driver-side set-based upsert statement, per dialect.
+
+    - ANSI ``MERGE INTO`` (Derby >= 10.11, PostgreSQL >= 15, Oracle, SQL
+      Server, DB2) — the default.
+    - MySQL (the reference's actual target DB,
+      /root/reference/scripts/loading.py:11,24-32) has no MERGE; its
+      idiom is ``INSERT ... SELECT ... ON DUPLICATE KEY UPDATE
+      col = VALUES(col)`` — the exact statement shape the reference
+      builds per-row, applied set-based from the stage table. Backtick
+      quoting per MySQL. (No MySQL server ships in this sandbox, so this
+      branch is pinned by an expected-SQL unit test, not a live round
+      trip.)
+    """
+    val_cols = [c for c in cols if c not in key_cols]
+    if url.startswith("jdbc:mysql"):
+        q = lambda c: f"`{c}`"
+        collist = ", ".join(q(c) for c in cols)
+        updates = (
+            ", ".join(f"{q(c)} = VALUES({q(c)})" for c in val_cols)
+            # all-key table: MySQL requires a SET clause; no-op on a key
+            or f"{q(key_cols[0])} = {q(key_cols[0])}"
+        )
+        return (
+            f"INSERT INTO {table} ({collist}) SELECT {collist} FROM {stage} "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    q = lambda c: f'"{c}"'
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"{q(c)} = s.{q(c)}" for c in val_cols)
+        + " "
+        if val_cols
+        else ""
+    )
+    insert_cols = ", ".join(q(c) for c in cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {stage} s ON {on} {matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
 
 
 def write_jdbc_upsert(
@@ -186,22 +253,41 @@ def write_jdbc_upsert(
 
     First call creates the target with a real ``PRIMARY KEY`` on
     ``key_cols`` (reference CREATE_TABLE_SQL, loading.py:16-21), so key
-    uniqueness is DB-enforced, not convention. Works on any JDBC database
-    with ANSI MERGE (Derby ≥10.11, PostgreSQL ≥15, Oracle, SQL Server,
-    DB2); MySQL would need an ``ON DUPLICATE KEY`` dialect branch.
+    uniqueness is DB-enforced, not convention. Dialects: ANSI MERGE
+    (Derby ≥10.11, PostgreSQL ≥15, Oracle, SQL Server, DB2) by default;
+    ``jdbc:mysql`` URLs switch to the reference's own
+    ``INSERT ... ON DUPLICATE KEY UPDATE`` shape (see
+    :func:`_upsert_statement`).
+
+    Contract notes:
+    - In-batch duplicate keys are collapsed to ONE row per key before
+      staging (``dropDuplicates(key_cols)``) — ANSI MERGE rejects a
+      source with duplicate matches, while the reference's sequential
+      ``executemany`` silently let the last cursor row win; an unordered
+      DataFrame has no "last", so the surviving row is arbitrary but the
+      key's presence is preserved.
+    - On a failed MERGE the transaction rolls back (existing target rows
+      untouched) and the stage table is dropped best-effort; if THIS
+      call created the target, the empty table is also dropped, so a
+      failed first call leaves no trace.
+    - String columns stage as VARCHAR (``createTableColumnTypes``):
+      Spark's Derby dialect would otherwise stage StringType as CLOB,
+      and Derby cannot compare CLOB to the target's VARCHAR inside
+      MERGE ON / UPDATE SET.
     """
     missing = [k for k in key_cols if k not in df.columns]
     if missing:
         raise ValueError(f"write_jdbc_upsert: key_cols {missing} not in DataFrame")
     if df.filter(" OR ".join(f"{k} IS NULL" for k in key_cols)).limit(1).count():
         raise ValueError("write_jdbc_upsert: NULL in key column(s)")
+    df = df.dropDuplicates(key_cols)
 
     q = lambda c: '"' + c + '"'  # match Spark's JDBC writer: quoted, case-preserved
     cols = df.columns
-    val_cols = [c for c in cols if c not in key_cols]
     stage = table + "__stage"
 
     conn = _jdbc_connect(spark, url, driver)
+    created_target = False
     try:
         if not _table_exists(conn, table):
             ddl_cols = ", ".join(
@@ -215,10 +301,19 @@ def write_jdbc_upsert(
                 stmt.executeUpdate(
                     f"CREATE TABLE {table} ({ddl_cols}, PRIMARY KEY ({pk}))"
                 )
+                created_target = True
             finally:
                 stmt.close()
 
-        # distributed half: stage the delta with Spark's parallel writer
+        # distributed half: stage the delta with Spark's parallel writer.
+        # Explicit VARCHAR for string columns — the dialect default (CLOB
+        # on Derby) cannot be compared against the target's VARCHAR in
+        # the MERGE.
+        string_overrides = ", ".join(
+            f"{f.name} VARCHAR(32672)"
+            for f in df.schema.fields
+            if f.dataType.simpleString() == "string"
+        )
         w = (
             df.write.format("jdbc")
             .mode("overwrite")
@@ -226,33 +321,31 @@ def write_jdbc_upsert(
             .option("dbtable", stage)
             .option("batchsize", batchsize)
         )
+        if string_overrides:
+            w = w.option("createTableColumnTypes", string_overrides)
         if driver:
             w = w.option("driver", driver)
         w.save()
 
-        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
-        matched = (
-            "WHEN MATCHED THEN UPDATE SET "
-            + ", ".join(f"{q(c)} = s.{q(c)}" for c in val_cols)
-            if val_cols
-            else ""
-        )
-        insert_cols = ", ".join(q(c) for c in cols)
-        insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
-        merge_sql = (
-            f"MERGE INTO {table} t USING {stage} s ON {on} {matched} "
-            f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
-        )
+        upsert_sql = _upsert_statement(url, table, stage, cols, key_cols)
 
-        # transactional half: MERGE + stage drop commit or roll back together
+        # transactional half: upsert + stage drop commit or roll back
+        # together
         conn.setAutoCommit(False)
         stmt = conn.createStatement()
         try:
-            stmt.executeUpdate(merge_sql)
+            stmt.executeUpdate(upsert_sql)
             stmt.executeUpdate(f"DROP TABLE {stage}")
             conn.commit()
         except Exception:
             conn.rollback()
+            # the rollback also undid the transactional stage DROP (DDL
+            # is transactional on Derby) and the Spark stage write was
+            # autocommitted — clean both up so a retry starts fresh, and
+            # drop the empty target if this very call created it
+            _drop_table_quietly(conn, stage)
+            if created_target:
+                _drop_table_quietly(conn, table)
             raise
         finally:
             stmt.close()

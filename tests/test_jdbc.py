@@ -146,7 +146,7 @@ def test_jdbc_upsert_update_and_insert_without_truncate(spark, derby_url):
     # the stage scratch table was dropped inside the transaction
     stage_gone = read_jdbc(
         spark, derby_url, "(SELECT COUNT(*) c FROM SYS.SYSTABLES "
-        "WHERE TABLENAME = 'upsert_t__stage') probe", driver=DRIVER,
+        "WHERE UPPER(TABLENAME) = 'UPSERT_T__STAGE') probe", driver=DRIVER,
     ).collect()[0][0]
     assert stage_gone == 0
 
@@ -194,10 +194,19 @@ def test_jdbc_upsert_rollback_on_failure(spark, derby_url):
     )
     before = _rows(spark, derby_url, "rb_t")
 
-    # two source rows with the SAME new key: both take the NOT MATCHED
-    # branch, the second insert violates the primary key → rollback
+    # corrupt the target under the engine's feet: add a CHECK the next
+    # delta violates — the MERGE fails mid-transaction → rollback
+    conn = sinks._jdbc_connect(spark, derby_url, DRIVER)
+    try:
+        stmt = conn.createStatement()
+        stmt.executeUpdate(
+            'ALTER TABLE rb_t ADD CONSTRAINT qty_nonneg CHECK ("total_quantity" >= 0)'
+        )
+        stmt.close()
+    finally:
+        conn.close()
     bad = spark.createDataFrame(
-        [(9, 1, 1.0), (9, 2, 2.0)],
+        [(2, -99, 2.0)],
         "product_id bigint, total_quantity bigint, total_sale_amount double",
     )
     with pytest.raises(Exception):
@@ -205,6 +214,23 @@ def test_jdbc_upsert_rollback_on_failure(spark, derby_url):
             spark, bad, derby_url, "rb_t", ["product_id"], driver=DRIVER
         )
     assert _rows(spark, derby_url, "rb_t") == before
+    # the failed call left no stage table behind (best-effort cleanup on
+    # the rollback path — the transactional DROP was itself rolled back)
+    stale = read_jdbc(
+        spark, derby_url, "(SELECT COUNT(*) c FROM SYS.SYSTABLES "
+        "WHERE UPPER(TABLENAME) = 'RB_T__STAGE') probe", driver=DRIVER,
+    ).collect()[0][0]
+    assert stale == 0
+    # retry after the failure: a good delta applies cleanly with no
+    # stale stage rows leaking in
+    good = spark.createDataFrame(
+        [(2, 42, 2.5)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    sinks.write_jdbc_upsert(
+        spark, good, derby_url, "rb_t", ["product_id"], driver=DRIVER
+    )
+    assert _rows(spark, derby_url, "rb_t") == [(1, 5, 50.0), (2, 42, 2.5)]
 
     # NULL keys are rejected before any DB work
     nullkey = spark.createDataFrame(
@@ -226,3 +252,68 @@ def test_jdbc_partitioned_validates_args(spark, derby_url):
         read_jdbc_partitioned(spark, derby_url, "t", "id", 0, 10, 0, driver=DRIVER)
     with pytest.raises(ValueError, match="lower_bound"):
         read_jdbc_partitioned(spark, derby_url, "t", "id", 10, 10, 2, driver=DRIVER)
+
+
+def test_jdbc_upsert_string_key_and_values(spark, derby_url):
+    """String keys/values must MERGE on Derby: Spark's dialect stages
+    StringType as CLOB by default, and Derby rejects VARCHAR-vs-CLOB
+    comparisons in MERGE ON / UPDATE SET — the stage write passes
+    createTableColumnTypes so string columns stage as VARCHAR."""
+    base = spark.createDataFrame(
+        [("sku-1", "widget", 3), ("sku-2", "gadget", 5)],
+        "sku string, name string, qty bigint",
+    )
+    sinks.write_jdbc_upsert(spark, base, derby_url, "str_t", ["sku"], driver=DRIVER)
+    delta = spark.createDataFrame(
+        [("sku-2", "gizmo", 7), ("sku-3", "doodad", 1)],
+        "sku string, name string, qty bigint",
+    )
+    sinks.write_jdbc_upsert(spark, delta, derby_url, "str_t", ["sku"], driver=DRIVER)
+    assert _rows(spark, derby_url, "str_t") == [
+        ("sku-1", "widget", 3),
+        ("sku-2", "gizmo", 7),
+        ("sku-3", "doodad", 1),
+    ]
+
+
+def test_jdbc_upsert_in_batch_duplicate_keys_collapse(spark, derby_url):
+    """The reference's sequential executemany let the last cursor row win
+    on an in-batch duplicate key; an unordered DataFrame has no "last",
+    so the upsert collapses duplicates to one row per key before staging
+    (ANSI MERGE would otherwise reject the source)."""
+    dup = spark.createDataFrame(
+        [(9, 1, 1.0), (9, 2, 2.0)],
+        "product_id bigint, total_quantity bigint, total_sale_amount double",
+    )
+    sinks.write_jdbc_upsert(spark, dup, derby_url, "dup_t", ["product_id"], driver=DRIVER)
+    rows = _rows(spark, derby_url, "dup_t")
+    assert len(rows) == 1 and rows[0][0] == 9
+    assert rows[0][1:] in {(1, 1.0), (2, 2.0)}
+
+
+def test_upsert_statement_mysql_dialect():
+    """MySQL (the reference's target DB, scripts/loading.py:11,24-32) has
+    no ANSI MERGE: jdbc:mysql URLs must build the reference's exact
+    INSERT ... ON DUPLICATE KEY UPDATE shape, set-based from the stage,
+    with backtick quoting. Pinned as an expected-SQL unit test — no live
+    MySQL ships in this sandbox."""
+    sql = sinks._upsert_statement(
+        "jdbc:mysql://host/db", "sales", "sales__stage",
+        ["product_id", "total_quantity", "total_sale_amount"], ["product_id"],
+    )
+    assert sql == (
+        "INSERT INTO sales (`product_id`, `total_quantity`, `total_sale_amount`) "
+        "SELECT `product_id`, `total_quantity`, `total_sale_amount` FROM sales__stage "
+        "ON DUPLICATE KEY UPDATE `total_quantity` = VALUES(`total_quantity`), "
+        "`total_sale_amount` = VALUES(`total_sale_amount`)"
+    )
+    # all-key table: MySQL requires a SET clause; it degrades to a no-op
+    sql2 = sinks._upsert_statement("jdbc:mysql://h/d", "t", "t__stage", ["k"], ["k"])
+    assert sql2.endswith("ON DUPLICATE KEY UPDATE `k` = `k`")
+    # ANSI path unchanged for everyone else
+    ansi = sinks._upsert_statement(
+        "jdbc:derby:/tmp/x", "t", "t__stage", ["k", "v"], ["k"]
+    )
+    assert ansi.startswith('MERGE INTO t t USING t__stage s ON t."k" = s."k"')
+    assert 'WHEN MATCHED THEN UPDATE SET "v" = s."v"' in ansi
+    assert 'WHEN NOT MATCHED THEN INSERT ("k", "v") VALUES (s."k", s."v")' in ansi

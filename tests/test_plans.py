@@ -264,3 +264,37 @@ def test_bq_screen_corpus_side_never_shuffles_before_screen(spark, sf_smoke):
     txt = plan_of(QUERIES["bq_ann"](spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_zscore_default_has_no_python_stage(spark, sf_smoke):
+    """The default zscore_per_user must be pure JVM — two-phase hash
+    aggregate + join, no Arrow/Python evaluation anywhere in the plan.
+    The applyInPandas twin stays registered as zscore_per_user_arrow
+    (which DOES plan a FlatMapGroupsInPandas)."""
+    txt = plan_of(QUERIES["zscore_per_user"](spark, sf_smoke))
+    for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in txt, (marker, txt)
+    assert txt.count("HashAggregate") >= 2, txt
+    arrow = plan_of(QUERIES["zscore_per_user_arrow"](spark, sf_smoke))
+    assert "FlatMapGroupsInPandas" in arrow, arrow
+
+
+def test_matryoshka_recall_single_corpus_scan(spark, sf_smoke):
+    """matryoshka_recall must compute ALL dimension budgets from ONE
+    scoring pass: every per-budget cosine comes out of a single exploded
+    projection, and the tiny top-k frame is repartition-barriered so the
+    truth self-join re-reads that one exchange (ReusedExchange in the
+    executed plan) instead of re-running the scoring — the old shape ran
+    one full brute-force ranker per budget (len(dims)+1 corpus scans).
+    The scoring itself must appear as ONE window pass over the exploded
+    (dim_budget, cos) rows, not one window per budget."""
+    df = QUERIES["matryoshka_recall"](spark, sf_smoke)
+    df.collect()
+    txt = plan_of(df)
+    assert "ReusedExchange" in txt, txt
+    # one row_number ranking window keyed (q_id, dim_budget) — were the
+    # budgets still separate knn calls there would be one per budget
+    import re
+
+    windows = set(re.findall(r"row_number\(\).*?dim_budget[^\n]*", txt))
+    assert windows, txt
