@@ -103,36 +103,63 @@ def replicate(spark, out_dir: str, mult: int) -> None:
             df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
-def main() -> None:
-    spark = get_spark("scale-probe")
+def run_mult(d: str) -> None:
+    """Measure every probe query against the replica at ``d`` in THIS
+    fresh process and print one JSON line. One JVM per multiple: a
+    single long session accumulates heap/metaspace/shuffle-tracking
+    state across dozens of x16-sized jobs, and late queries measure that
+    drift, not their plan (observed round 7: ppjoin_jaccard x16 24.1s
+    late in a shared session vs 10.3s in a fresh one)."""
+    import json
+
+    spark = get_spark("scale-probe-mult")
     spark.sparkContext.setLogLevel("ERROR")
-    QUERIES["sales_summary"](spark, SF).count()  # warmup
+    QUERIES["sales_summary"](spark, d).count()  # JIT/codegen warmup
+    times = {}
+    for name in PROBES:
+        best = None
+        for _ in range(3):  # min-of-3: drop JIT/codegen warmup noise
+            # clear any cached relations between reps so operators
+            # measure the plan, not stale-copy eviction thrash
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, d).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        times[name] = round(best, 3)
+    print("RESULT " + json.dumps(times), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    import json
+    import subprocess
+
+    spark = get_spark("scale-probe-replicate")
+    spark.sparkContext.setLogLevel("ERROR")
 
     results = {}
     with tempfile.TemporaryDirectory() as tmp:
+        dirs = {}
         for mult in (1, 4, 16):
             # x1 is ALSO rewritten through the replicator so every multiple
             # has the same multi-file layout — otherwise the single-file
             # originals serialize their scans and skew the curve
             d = os.path.join(tmp, f"x{mult}")
             replicate(spark, d, mult)
-            times = {}
-            for name in PROBES:
-                best = None
-                for _ in range(3):  # min-of-3: drop JIT/codegen warmup noise
-                    # clear persisted frames between reps: operators that
-                    # persist (ppjoin's 16M-row shingle frame at x16) would
-                    # otherwise stack dead copies in the 8g local heap and
-                    # the probe measures eviction thrash, not the plan
-                    # (observed: ppjoin x16 52s cold -> 151s on rep 2)
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    QUERIES[name](spark, d).count()
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None or dt < best else best
-                times[name] = round(best, 3)
-            results[mult] = times
-            print(mult, times)
+            dirs[mult] = d
+        spark.stop()
+        for mult, d in dirs.items():
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-mult", d],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                check=True,
+            ).stdout
+            line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+            results[mult] = json.loads(line[len("RESULT "):])
+            print(mult, results[mult], flush=True)
 
     lines = [
         "# SCALING — measured runtime vs data multiple",
@@ -143,9 +170,18 @@ def main() -> None:
         "that cache a corpus-sized frame measure the plan, not stale-copy",
         "eviction thrash in the local 8g heap.",
         "Generated by `tools/scale_probe.py` on local[32] from",
-        "sf0.1 (~600k lineitem rows at x1, ~9.6M at x16). A x16/x1 ratio well under",
+        "sf0.1 (~600k lineitem rows at x1, ~9.6M at x16); each multiple runs in",
+        "its OWN fresh process (round 7: a shared session accumulates JVM state",
+        "across dozens of x16 jobs and late queries measured that drift — ppjoin",
+        "24.1s shared vs 10.3s fresh at x16). A x16/x1 ratio well under",
         "16 shows fixed per-job overhead still dominating at this size; the",
-        "compute itself scales linearly. triangle_coparts is a stress probe,",
+        "compute itself scales linearly. winnowing_capped's ratio is a",
+        "documented FLOOR, not a plan flaw: profiling splits it ~6.5s",
+        "fingerprinting vs ~1s pair join at x16 — the dominant substage is",
+        "map-only JVM md5 over every token k-gram (zero shuffles), i.e. linear",
+        "compute emerging from under the fixed x1 overhead; the md5 is the",
+        "price of the DuckDB-replayable oracle (xxhash64 would be ~10x cheaper",
+        "but unverifiable). triangle_coparts is a stress probe,",
         "not a linear one: more orders over the same part range DENSIFY the",
         "co-purchase graph, so its work grows faster than the input by data",
         "construction - the probe checks the degree-oriented plan absorbs it.",
@@ -170,4 +206,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--run-mult":
+        run_mult(sys.argv[2])
+    else:
+        main()
