@@ -390,6 +390,43 @@ def minhash_signatures_arrow(
     return spread(df).mapInPandas(sign, schema)
 
 
+def _minhash_band_structs(k: int, bands: int):
+    """array<struct<band, bk>> over the h0..h{k-1} signature columns —
+    band key = md5 of the '|'-joined band slice, the portable (DuckDB-
+    replayable) banding every MinHash consumer shares."""
+    rows_per_band = k // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_band_keys(
+    df: DataFrame, text_col: str = "text", k: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """(doc_id, band, bk) rows — each document's LSH band keys, the
+    compact fingerprint unit an INCREMENTAL near-dup state stores: a new
+    document is a near-dup candidate of history iff any of its ``bands``
+    keys already exists in the state table (plans/incremental_corpus.
+    ingest_batch_neardup). Portable md5 banding end-to-end, so the whole
+    incremental contract is DuckDB-replayable. Docs with < n tokens (or
+    null text) produce no signature and therefore no rows."""
+    sig = minhash_signatures_arrow(df, text_col, k, n)
+    return sig.select("doc_id", F.explode(_minhash_band_structs(k, bands)).alias("s")).select(
+        "doc_id", F.col("s.band").alias("band"), F.col("s.bk").alias("bk")
+    )
+
+
 def minhash_candidates(
     df: DataFrame, text_col: str = "text", k: int = 16, bands: int = 4, n: int = 3
 ) -> DataFrame:
@@ -408,20 +445,7 @@ def minhash_candidates(
     # twice. Built via the Arrow path (bit-identical to the expression
     # form, no explode/sort/shuffle — see minhash_signatures_arrow).
     sig = minhash_signatures_arrow(df, text_col, k, n)
-    rows_per_band = k // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                ).alias("bk"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = _minhash_band_structs(k, bands)
     # one explode + ONE self-equi-join on (band, key) replaces a join per
     # band: fewer stages, one shuffle for candidate generation; the
     # repartition makes both aliased sides inherit one reused exchange

@@ -87,3 +87,94 @@ def ingest_batch(
         "n_hist_dup": n_unique - n_accepted,
         "n_accepted": n_accepted,
     }
+
+
+def ingest_batch_neardup(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> dict[str, int]:
+    """Incremental NEAR-duplicate ingestion: the MinHash-LSH counterpart
+    of :func:`ingest_batch` (which catches only byte-identical texts).
+    Each batch is checked against a persistent BAND-KEY state — a doc is
+    a historical near-dup iff ANY of its ``bands`` LSH band keys was
+    already seen; within the batch, a doc sharing a band key with a
+    smaller-id batch member is a within-batch near-dup (exists-
+    semantics: the smaller member's own classification is irrelevant,
+    which keeps the whole contract SQL-expressible — the recursive
+    "dedup against accepted canonicals only" variant is deliberately
+    not chosen; the pure-query oracled twin is
+    ``incremental_neardup_funnel`` in the registry).
+
+    State = (band, bk, doc_id) rows for EVERY ingested doc (seen-
+    semantics, append-only): ~bands·36 bytes per historical document —
+    the 100 TB corpus collapses to a compact fingerprint table, and the
+    per-batch check is one (band, bk) equi-join, never a corpus scan.
+    Re-ingesting a batch is classification-idempotent: every doc's keys
+    are already present, so everything classifies historical and the
+    appends are empty. Docs with < n tokens (no signature, no band
+    keys) can never collide — they are accepted.
+
+    Returns ``{"n_batch", "n_hist_neardup", "n_within_neardup",
+    "n_accepted"}``; appends accepted docs to ``state_dir/
+    corpus_neardup`` and the batch's band keys to ``state_dir/
+    neardup_bands``.
+    """
+    from ..operators.dedup import minhash_band_keys
+
+    bands_path = os.path.join(state_dir, "neardup_bands")
+    corpus_path = os.path.join(state_dir, "corpus_neardup")
+
+    n_batch = batch.count()
+    bk = minhash_band_keys(batch, text_col=text_col, k=k, bands=bands, n=n)
+    if id_col != "doc_id":
+        bk = bk.withColumnRenamed("doc_id", id_col)
+
+    # every consumer (both classification counts, both appends) runs
+    # inside the scope, so the cache releases with zero recompute
+    # (cachectl.py); the signature pass runs once
+    with scoped_cache(bk):
+        if os.path.isdir(bands_path):
+            state = spark.read.parquet(bands_path).select("band", "bk")
+            hist_ids = (
+                bk.join(state, ["band", "bk"], "left_semi").select(id_col).distinct()
+            )
+        else:
+            hist_ids = bk.select(id_col).limit(0)
+        # within-batch: smallest id per batch bucket; a doc with ANY
+        # bucket whose min is a smaller id is a within-batch near-dup
+        bucket_min = bk.groupBy("band", "bk").agg(F.min(id_col).alias("__min_id"))
+        within_ids = (
+            bk.join(bucket_min, ["band", "bk"])
+            .filter(F.col("__min_id") < F.col(id_col))
+            .select(id_col)
+            .distinct()
+        )
+        with scoped_cache(hist_ids):
+            n_hist = hist_ids.count()
+            n_within = within_ids.join(hist_ids, id_col, "left_anti").count()
+            accepted = (
+                batch.join(hist_ids, id_col, "left_anti")
+                .join(within_ids, id_col, "left_anti")
+            )
+            n_accepted = accepted.count()
+            if n_accepted:
+                accepted.write.mode("append").parquet(corpus_path)
+        # seen-semantics: append EVERY batch doc's band keys (replays of
+        # the same batch then classify 100% historical and append again
+        # — harmless duplicates in an existence-checked state; dedupe on
+        # compaction if the state is ever rewritten)
+        if n_batch:
+            bk.write.mode("append").parquet(bands_path)
+
+    return {
+        "n_batch": n_batch,
+        "n_hist_neardup": n_hist,
+        "n_within_neardup": n_within,
+        "n_accepted": n_accepted,
+    }

@@ -6140,6 +6140,103 @@ def q_incremental_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_funnel_oracle(k: int = 16, bands: int = 4) -> str:
+    rpb = k // bands
+    mins = ",\n               ".join(
+        f"MIN(md5('{j}:' || shingle)) AS h{j}" for j in range(k)
+    )
+    bkeys = ",\n               ".join(
+        "md5(" + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    bunion = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bk FROM sigb" for b in range(bands)
+    )
+    return rf"""
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    sigb AS (SELECT *, {bkeys} FROM sig),
+    bandrows AS ({bunion}),
+    w AS (SELECT doc_id, doc_id % 3 AS day, band, bk FROM bandrows),
+    bs AS (SELECT band, bk, MIN(day) AS first_day FROM w GROUP BY band, bk),
+    pbd AS (SELECT band, bk, day, MIN(doc_id) AS min_id
+            FROM w GROUP BY band, bk, day),
+    perdoc AS (
+        SELECT w.doc_id, w.day,
+               MAX(CASE WHEN bs.first_day < w.day THEN 1 ELSE 0 END) AS any_hist,
+               MAX(CASE WHEN pbd.min_id < w.doc_id THEN 1 ELSE 0 END) AS any_sm
+        FROM w
+        JOIN bs ON bs.band = w.band AND bs.bk = w.bk
+        JOIN pbd ON pbd.band = w.band AND pbd.bk = w.bk AND pbd.day = w.day
+        GROUP BY w.doc_id, w.day
+    ),
+    alldocs AS (SELECT doc_id, doc_id % 3 AS day FROM documents)
+    SELECT CAST(a.day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.any_hist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hist_neardup,
+           CAST(SUM(CASE WHEN COALESCE(p.any_hist, 0) = 0 AND p.any_sm = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_neardup,
+           CAST(SUM(CASE WHEN COALESCE(p.any_hist, 0) = 0
+                          AND COALESCE(p.any_sm, 0) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+    FROM alldocs a LEFT JOIN perdoc p ON p.doc_id = a.doc_id
+    GROUP BY a.day
+    """
+
+
+@query("incremental_neardup_funnel", oracle=_neardup_funnel_oracle())
+def q_incremental_neardup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental NEAR-dup ingestion semantics (plans/
+    incremental_corpus.ingest_batch_neardup) as a pure query: documents
+    arrive in simulated daily batches (day = doc_id % 3, ingested in day
+    order) and each doc classifies as historical near-dup (shares ANY
+    MinHash-LSH band key with an earlier-day doc), within-batch near-dup
+    (first day for all its buckets, but a smaller same-day doc_id shares
+    one), or accepted. Exists-semantics make the incremental contract
+    expressible over a static table, so the funnel is fully
+    DuckDB-oracled (portable md5 banding end-to-end); the real
+    append-only band-state transitions are covered by
+    tests/test_incremental_corpus.py.
+
+    Scale shape: ONE signature pass lands in a (band, bk)-keyed
+    repartition exchange that the bucket first-day aggregate, the
+    per-day min-id aggregate, and the classify join all inherit
+    exchange-free (reuse-not-cache, cachectl.py); at 100 TB the state
+    side of the real loop is a compact fingerprint table, never the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        D.minhash_band_keys(docs)
+        .withColumn("day", F.col("doc_id") % 3)
+        .repartition("band", "bk")
+    )
+    bs = b.groupBy("band", "bk").agg(F.min("day").alias("first_day"))
+    pbd = b.groupBy("band", "bk", "day").agg(F.min("doc_id").alias("min_id"))
+    perdoc = (
+        b.join(bs, ["band", "bk"])
+        .join(pbd, ["band", "bk", "day"])
+        .groupBy("doc_id", "day")
+        .agg(
+            F.max((F.col("first_day") < F.col("day")).cast("int")).alias("any_hist"),
+            F.max((F.col("min_id") < F.col("doc_id")).cast("int")).alias("any_sm"),
+        )
+    )
+    alld = docs.select("doc_id", (F.col("doc_id") % 3).alias("day"))
+    cls = alld.join(perdoc.select("doc_id", "any_hist", "any_sm"), "doc_id", "left")
+    is_hist = F.col("any_hist") == 1
+    is_within = (F.coalesce(F.col("any_hist"), F.lit(0)) == 0) & (F.col("any_sm") == 1)
+    is_acc = (F.coalesce(F.col("any_hist"), F.lit(0)) == 0) & (
+        F.coalesce(F.col("any_sm"), F.lit(0)) == 0
+    )
+    return cls.groupBy("day").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(is_hist, 1).otherwise(0)).cast("long").alias("n_hist_neardup"),
+        F.sum(F.when(is_within, 1).otherwise(0)).cast("long").alias("n_within_neardup"),
+        F.sum(F.when(is_acc, 1).otherwise(0)).cast("long").alias("n_accepted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 2 additions: content-defined chunking, forward as-of, bucketed
 # co-located join, agg-based top-k, JSON roundtrip
