@@ -178,3 +178,27 @@ def ingest_batch_neardup(
         "n_within_neardup": n_within,
         "n_accepted": n_accepted,
     }
+
+
+def compact_neardup_state(spark: SparkSession, state_dir: str) -> int:
+    """Rewrite the near-dup band state with duplicates collapsed.
+
+    Replays of an already-ingested batch append their band rows again
+    (harmless for the existence-checked classification, wasteful on
+    disk). Compaction distincts the state and swaps it in via
+    write-to-temp + atomic rename — a crashed compaction leaves the old
+    state readable. Returns the compacted row count."""
+    import shutil
+
+    bands_path = os.path.join(state_dir, "neardup_bands")
+    if not os.path.isdir(bands_path):
+        return 0
+    tmp_path = bands_path + "._compact_tmp"
+    compacted = spark.read.parquet(bands_path).distinct()
+    compacted.write.mode("overwrite").parquet(tmp_path)
+    n = spark.read.parquet(tmp_path).count()
+    old_path = bands_path + "._compact_old"
+    os.rename(bands_path, old_path)
+    os.rename(tmp_path, bands_path)
+    shutil.rmtree(old_path)
+    return n

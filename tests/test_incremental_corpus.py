@@ -133,3 +133,31 @@ def test_neardup_ingest_replay_is_all_historical(spark, state_dir):
         "n_within_neardup": 0,
         "n_accepted": 1,
     }
+
+
+def test_neardup_state_compaction(spark, state_dir):
+    """Replaying a batch duplicates its band rows in the append-only
+    state; compaction collapses them without changing classification."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        compact_neardup_state,
+        ingest_batch_neardup,
+    )
+
+    batch = _docs(
+        spark,
+        [(1, "one two three four five six"), (2, "seven eight nine ten eleven")],
+    )
+    ingest_batch_neardup(spark, batch, state_dir)
+    ingest_batch_neardup(spark, batch, state_dir)  # replay doubles the rows
+    import os
+
+    bands_path = os.path.join(state_dir, "neardup_bands")
+    assert spark.read.parquet(bands_path).count() == 16  # 2 docs x 4 bands x 2
+    n = compact_neardup_state(spark, state_dir)
+    assert n == 8
+    assert spark.read.parquet(bands_path).count() == 8
+    # classification unchanged after compaction: replay still 100% hist
+    s = ingest_batch_neardup(spark, batch, state_dir)
+    assert s["n_hist_neardup"] == 2 and s["n_accepted"] == 0
+    # compacting an empty state is a no-op
+    assert compact_neardup_state(spark, str(state_dir) + "_missing") == 0
