@@ -1020,7 +1020,9 @@ def matryoshka_recall(
     (dim_budget, cos) rows, and one partitioned top-k window ranks all
     budgets at once. Ground truth is the max(dims) fold from the SAME
     pass (slice(v, 1, full_dim) ≡ v on full_dim-wide embeddings, and
-    the oracle defines truth the same way), so the old
+    the oracle defines truth the same way — a per-row assert_true
+    REJECTS embeddings whose width differs from max(dims), so the truth
+    can never be a silent truncation), so the old
     one-knn-per-budget shape (len(dims)+1 corpus scans, one broadcast
     build each) collapses into a single pass. The tiny top-k frame is
     repartition-barriered before the truth self-join so the pair
@@ -1029,11 +1031,33 @@ def matryoshka_recall(
     """
     full_dim = max(dims)
     base = emb.filter(F.col(vec_col).isNotNull())
+
+    # Ground truth is the max(dims) prefix fold, which equals the
+    # full-vector ranking ONLY when the embeddings are exactly max(dims)
+    # wide — wider vectors would silently truncate the truth. Guard the
+    # contract per row, JVM-side (assert_true feeds a used column, so it
+    # cannot be pruned); callers with wider embeddings must pass the full
+    # width as a dims budget.
+    def _width_checked(col):
+        return F.when(
+            F.assert_true(
+                F.size(col) == full_dim,
+                F.concat(
+                    F.lit("matryoshka_recall: embedding width "),
+                    F.size(col).cast("string"),
+                    F.lit(f" != max(dims)={full_dim}; ground truth would be "
+                          "computed over a truncated vector"),
+                ),
+            ).isNull(),
+            col,
+        )
+
     q = base.filter(query_filter).select(
-        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qe")
+        F.col(id_col).alias("q_id"), as_double(_width_checked(F.col(vec_col))).alias("qe")
     )
     c = spread(base).select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("e")
+        F.col(id_col).alias("neighbor_id"),
+        as_double(_width_checked(F.col(vec_col))).alias("e"),
     )
 
     def cos_at(d: int):

@@ -2666,43 +2666,41 @@ def q_simhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.simhash_candidates(docs, max_hamming=12)
     # every consumer is an internal action (the returned frame is built
     # from collected scalars), so the scoped caches release with zero
-    # recompute (cachectl.py)
-    scope = scoped_cache(sig, pairs)
-    scope.__enter__()
-    n_docs = docs.count()
-    n_sigs = sig.count()
-    # the real banded frame: same 16-bit band split as the operator
-    band_structs = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-            for b in range(4)
-        ]
-    )
-    n_banded = sig.select(F.explode(band_structs)).count()
-    pairs_ok = pairs.agg(
-        F.coalesce(
-            F.every(
-                (F.col("doc_a") < F.col("doc_b"))
-                & (F.col("hamming") >= 0)
-                & (F.col("hamming") <= 12)
-            ),
-            F.lit(True),
-        ).alias("ok")
-    ).collect()[0]["ok"]
-    dig = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.md5("text").alias("digest")
-    ).join(sig.select("doc_id"), "doc_id")
-    da = dig.select(F.col("doc_id").alias("doc_a"), "digest")
-    db = dig.select(F.col("doc_id").alias("doc_b"), "digest")
-    exact_pairs = da.join(db, "digest").filter(F.col("doc_a") < F.col("doc_b")).select(
-        "doc_a", "doc_b"
-    )
-    with scoped_cache(exact_pairs):
-        n_exact = exact_pairs.count()
-        n_missed = exact_pairs.join(
-            pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
-        ).count()
-    scope.__exit__(None, None, None)
+    # recompute (cachectl.py); the `with` guarantees release on exception
+    with scoped_cache(sig, pairs):
+        n_docs = docs.count()
+        n_sigs = sig.count()
+        # the real banded frame: same 16-bit band split as the operator
+        band_structs = F.array(
+            *[
+                F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ]
+        )
+        n_banded = sig.select(F.explode(band_structs)).count()
+        pairs_ok = pairs.agg(
+            F.coalesce(
+                F.every(
+                    (F.col("doc_a") < F.col("doc_b"))
+                    & (F.col("hamming") >= 0)
+                    & (F.col("hamming") <= 12)
+                ),
+                F.lit(True),
+            ).alias("ok")
+        ).collect()[0]["ok"]
+        dig = docs.filter(F.col("text").isNotNull()).select(
+            "doc_id", F.md5("text").alias("digest")
+        ).join(sig.select("doc_id"), "doc_id")
+        da = dig.select(F.col("doc_id").alias("doc_a"), "digest")
+        db = dig.select(F.col("doc_id").alias("doc_b"), "digest")
+        exact_pairs = da.join(db, "digest").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        with scoped_cache(exact_pairs):
+            n_exact = exact_pairs.count()
+            n_missed = exact_pairs.join(
+                pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+            ).count()
     return docs.sparkSession.createDataFrame(
         [
             (
@@ -3180,31 +3178,29 @@ def q_freq_items_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # every consumer is an internal action and the returned frame is
     # built from collected scalars — the scoped caches release with zero
-    # recompute (cachectl.py)
-    scope = scoped_cache(li)
-    scope.__enter__()
-    n = li.count()
-    sketch_items = list(li.freqItems(["l_partkey"], support=0.001).collect()[0][0])
-    true_heavy = (
-        li.groupBy("l_partkey")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 0.001 * n)
-        .select("l_partkey")
-    )
-    with scoped_cache(true_heavy):
-        n_heavy = true_heavy.count()
-        missing = true_heavy.filter(
-            ~F.col("l_partkey").isin(sketch_items or [-1])
+    # recompute (cachectl.py); the `with` guarantees release on exception
+    with scoped_cache(li):
+        n = li.count()
+        sketch_items = list(li.freqItems(["l_partkey"], support=0.001).collect()[0][0])
+        true_heavy = (
+            li.groupBy("l_partkey")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 0.001 * n)
+            .select("l_partkey")
+        )
+        with scoped_cache(true_heavy):
+            n_heavy = true_heavy.count()
+            missing = true_heavy.filter(
+                ~F.col("l_partkey").isin(sketch_items or [-1])
+            ).count()
+        # sketch size is bounded by 1/support (= 1000 items) → a tiny local
+        # frame; existence check is a distributed anti-join, not a collect
+        sketch_df = li.sparkSession.createDataFrame(
+            [(int(x),) for x in sketch_items] or [(None,)], "l_partkey long"
+        ).filter(F.col("l_partkey").isNotNull())
+        fabricated = sketch_df.join(
+            li.select("l_partkey").distinct(), "l_partkey", "left_anti"
         ).count()
-    # sketch size is bounded by 1/support (= 1000 items) → a tiny local
-    # frame; existence check is a distributed anti-join, not a collect
-    sketch_df = li.sparkSession.createDataFrame(
-        [(int(x),) for x in sketch_items] or [(None,)], "l_partkey long"
-    ).filter(F.col("l_partkey").isNotNull())
-    fabricated = sketch_df.join(
-        li.select("l_partkey").distinct(), "l_partkey", "left_anti"
-    ).count()
-    scope.__exit__(None, None, None)
     return li.sparkSession.createDataFrame(
         [(n, n_heavy, missing == 0, fabricated == 0)],
         "n_rows long, n_true_heavy long, all_true_heavy_found boolean, "
@@ -5313,29 +5309,28 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = TX.weighted_sample(docs, F.col("n_chars"), 50).select("doc_id")
     # all consumers are internal actions (the returned frame is built
-    # from collected scalars) — the scoped cache releases for free
-    scope = scoped_cache(s1)
-    scope.__enter__()
-    n1 = s1.count()
-    n_distinct = s1.select("doc_id").distinct().count()
-    sym_diff = (
-        s1.select("doc_id").exceptAll(s2).count()
-        + s2.exceptAll(s1.select("doc_id")).count()
-    )
-    orphans = s1.join(docs.select("doc_id"), "doc_id", "left_anti").count()
-    # one corpus pass for BOTH means: mark sample membership (tiny
-    # broadcast side) and fold the conditional average into the same agg
-    marked = docs.select("doc_id", "n_chars").join(
-        F.broadcast(s1.select("doc_id").withColumn("__in", F.lit(True))),
-        "doc_id",
-        "left",
-    )
-    means = marked.agg(
-        F.avg(F.when(F.col("__in"), F.col("n_chars"))).alias("sm"),
-        F.avg("n_chars").alias("cm"),
-    ).collect()[0]
-    sample_mean, corpus_mean = means["sm"], means["cm"]
-    scope.__exit__(None, None, None)
+    # from collected scalars) — the scoped cache releases for free; the
+    # `with` guarantees release on exception
+    with scoped_cache(s1):
+        n1 = s1.count()
+        n_distinct = s1.select("doc_id").distinct().count()
+        sym_diff = (
+            s1.select("doc_id").exceptAll(s2).count()
+            + s2.exceptAll(s1.select("doc_id")).count()
+        )
+        orphans = s1.join(docs.select("doc_id"), "doc_id", "left_anti").count()
+        # one corpus pass for BOTH means: mark sample membership (tiny
+        # broadcast side) and fold the conditional average into the same agg
+        marked = docs.select("doc_id", "n_chars").join(
+            F.broadcast(s1.select("doc_id").withColumn("__in", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        means = marked.agg(
+            F.avg(F.when(F.col("__in"), F.col("n_chars"))).alias("sm"),
+            F.avg("n_chars").alias("cm"),
+        ).collect()[0]
+        sample_mean, corpus_mean = means["sm"], means["cm"]
     # empty corpus → no sample and null means: the bias claim is vacuously
     # true (and the oracle's row also reports TRUE over zero docs)
     biased = (
@@ -6016,50 +6011,49 @@ def q_training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # all consumers are internal actions (the per-doc checks collect and
     # the returned frame is built from scalars) — the scoped caches
-    # release for free (cachectl.py)
-    scope = scoped_cache(docs, corpus, gated)
-    scope.__enter__()
-    n_raw = docs.count()
-    n_gated = gated.count()
-    n_exact_kept = gated.select(F.md5("text")).distinct().count()
+    # release for free (cachectl.py); the `with` guarantees release on
+    # exception
+    with scoped_cache(docs, corpus, gated):
+        n_raw = docs.count()
+        n_gated = gated.count()
+        n_exact_kept = gated.select(F.md5("text")).distinct().count()
 
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TRE), 0)
-    step, ctoks = 48, 64
-    ltoks = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(ltoks - 1, F.lit(0)), F.lit(step))
-    expected_chunks = F.floor((ltoks - 1) / step) + 1
-    expected_tokens = F.aggregate(
-        starts,
-        F.lit(0).cast("long"),
-        lambda acc, s: acc + F.least(ltoks - s, F.lit(ctoks)).cast("long"),
-    )
-    doc_expect = docs.select(
-        "doc_id",
-        expected_chunks.alias("__exp_chunks"),
-        expected_tokens.alias("__exp_tokens"),
-    )
-    per_doc = (
-        corpus.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("__n_chunks"),
-            F.sum("n_tokens").alias("__n_tokens"),
-            F.countDistinct("split").alias("__n_splits"),
+        toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TRE), 0)
+        step, ctoks = 48, 64
+        ltoks = F.size(toks)
+        starts = F.sequence(F.lit(0), F.greatest(ltoks - 1, F.lit(0)), F.lit(step))
+        expected_chunks = F.floor((ltoks - 1) / step) + 1
+        expected_tokens = F.aggregate(
+            starts,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.least(ltoks - s, F.lit(ctoks)).cast("long"),
         )
-        .join(doc_expect, "doc_id")
-    )
-    checks = per_doc.agg(
-        F.count("*").cast("long").alias("n_kept_docs"),
-        F.coalesce(
-            F.every(F.col("__n_chunks") == F.col("__exp_chunks")), F.lit(True)
-        ).alias("chunk_counts_consistent"),
-        F.coalesce(
-            F.every(F.col("__n_tokens") == F.col("__exp_tokens")), F.lit(True)
-        ).alias("token_sums_consistent"),
-        F.coalesce(F.every(F.col("__n_splits") == 1), F.lit(True)).alias(
-            "splits_exclusive"
-        ),
-    ).collect()[0]
-    scope.__exit__(None, None, None)
+        doc_expect = docs.select(
+            "doc_id",
+            expected_chunks.alias("__exp_chunks"),
+            expected_tokens.alias("__exp_tokens"),
+        )
+        per_doc = (
+            corpus.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("__n_chunks"),
+                F.sum("n_tokens").alias("__n_tokens"),
+                F.countDistinct("split").alias("__n_splits"),
+            )
+            .join(doc_expect, "doc_id")
+        )
+        checks = per_doc.agg(
+            F.count("*").cast("long").alias("n_kept_docs"),
+            F.coalesce(
+                F.every(F.col("__n_chunks") == F.col("__exp_chunks")), F.lit(True)
+            ).alias("chunk_counts_consistent"),
+            F.coalesce(
+                F.every(F.col("__n_tokens") == F.col("__exp_tokens")), F.lit(True)
+            ).alias("token_sums_consistent"),
+            F.coalesce(F.every(F.col("__n_splits") == 1), F.lit(True)).alias(
+                "splits_exclusive"
+            ),
+        ).collect()[0]
     return spark.createDataFrame(
         [
             (
@@ -8422,15 +8416,14 @@ def q_canonical_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs is consumed inside the scope (PageRank + the components
     # fixpoint, both eager); out's one internal action (the dangling
     # count) runs inside too, and the returned aggregates re-derive out
-    # from the file-backed fixpoints (cachectl.py)
-    scope = scoped_cache(pairs)
-    scope.__enter__()
-    pr = pagerank(
-        docs.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b",
-        iterations=4,
-    )
-    out = D.canonical_dedup(docs, pairs, pr)
-    scope.__exit__(None, None, None)
+    # from the file-backed fixpoints (cachectl.py); the `with` guarantees
+    # release on exception
+    with scoped_cache(pairs):
+        pr = pagerank(
+            docs.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b",
+            iterations=4,
+        )
+        out = D.canonical_dedup(docs, pairs, pr)
     n_docs = docs.count()
     per_comp = out.groupBy("component").agg(
         F.sum(F.col("is_keeper").cast("long")).alias("nk")

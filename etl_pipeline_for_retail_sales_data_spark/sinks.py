@@ -120,16 +120,24 @@ _DERBY_TYPES = {
     "boolean": "BOOLEAN",
     "date": "DATE",
     "timestamp": "TIMESTAMP",
-    "string": "VARCHAR(32672)",
+    "string": "VARCHAR(32672)",  # Derby VARCHAR max; longer values need CLOB,
+    # which Derby cannot compare inside MERGE ON — documented limitation
     "binary": "BLOB",
 }
 
 
-def _sql_type(spark_simple: str) -> str:
-    """Map a Spark simpleString type to ANSI/Derby DDL. decimal(p,s) maps
-    through unchanged; everything else via the table above."""
+def _sql_type(spark_simple: str, url: str = "", is_key: bool = False) -> str:
+    """Map a Spark simpleString type to DDL, dialect-aware. decimal(p,s)
+    maps through unchanged. Strings are the one type whose mapping
+    diverges by dialect: Derby/ANSI take VARCHAR(32672) (Derby's VARCHAR
+    max — comparable inside MERGE, unlike CLOB), but MySQL's utf8mb4
+    VARCHAR tops out far lower (~16383 chars / 65535-byte row limit), so
+    MySQL strings become TEXT — except PRIMARY KEY columns, which MySQL
+    requires to be length-bounded: VARCHAR(255)."""
     if spark_simple.startswith("decimal"):
         return spark_simple.upper()
+    if spark_simple == "string" and url.startswith("jdbc:mysql"):
+        return "VARCHAR(255)" if is_key else "TEXT"
     try:
         return _DERBY_TYPES[spark_simple]
     except KeyError:
@@ -154,13 +162,20 @@ def _table_exists(conn, table: str) -> bool:
     connection RAISES here instead of masquerading as "table absent" and
     sending the caller down the create path. Unquoted identifiers are
     case-folded by the database (Derby/ANSI: upper), so both spellings
-    are probed."""
+    are probed. ``getTables`` treats its name argument as a LIKE pattern
+    ('_' and '%' are wildcards — ``rb_t`` would match ``rbxt``), and
+    escape support is driver-dependent (Derby's
+    ``getSearchStringEscape()`` is empty and backslash-escaping breaks
+    LITERAL matches too), so the raw pattern is sent — wildcards can
+    only OVER-match, never miss the literal name — and the result set is
+    post-filtered by exact TABLE_NAME equality."""
     md = conn.getMetaData()
     for cand in dict.fromkeys([table, table.upper(), table.lower()]):
         rs = md.getTables(None, None, cand, None)
         try:
-            if rs.next():
-                return True
+            while rs.next():
+                if rs.getString("TABLE_NAME") == cand:
+                    return True
         finally:
             rs.close()
     return False
@@ -179,6 +194,25 @@ def _drop_table_quietly(conn, table: str) -> None:
             conn.setAutoCommit(auto)
     except Exception:
         pass
+
+
+def _stage_column_overrides(url: str, schema) -> str:
+    """``createTableColumnTypes`` override for the upsert stage table.
+
+    DERBY only: its Spark dialect stages StringType as CLOB, which Derby
+    cannot compare against the target's VARCHAR inside MERGE ON / UPDATE
+    SET — so strings stage as VARCHAR(32672) (Derby's VARCHAR max).
+    Every other dialect keeps its native mapping: on MySQL the same
+    override would exceed the utf8mb4 VARCHAR (~16383 chars) / 65535-byte
+    row limits and fail the stage CREATE outright, while its native TEXT
+    compares fine in ``ON DUPLICATE KEY UPDATE``."""
+    if not url.startswith("jdbc:derby"):
+        return ""
+    return ", ".join(
+        f"{f.name} VARCHAR(32672)"
+        for f in schema.fields
+        if f.dataType.simpleString() == "string"
+    )
 
 
 def _upsert_statement(
@@ -270,10 +304,14 @@ def write_jdbc_upsert(
       untouched) and the stage table is dropped best-effort; if THIS
       call created the target, the empty table is also dropped, so a
       failed first call leaves no trace.
-    - String columns stage as VARCHAR (``createTableColumnTypes``):
-      Spark's Derby dialect would otherwise stage StringType as CLOB,
-      and Derby cannot compare CLOB to the target's VARCHAR inside
-      MERGE ON / UPDATE SET.
+    - On Derby, string columns stage as VARCHAR(32672)
+      (``createTableColumnTypes``): Spark's Derby dialect would
+      otherwise stage StringType as CLOB, and Derby cannot compare CLOB
+      to the target's VARCHAR inside MERGE ON / UPDATE SET. (Strings
+      longer than 32672 chars therefore cannot upsert to Derby — an
+      engine limit, not ours.) Other dialects keep their native string
+      mapping; MySQL targets are created with TEXT value columns and
+      VARCHAR(255) key columns (see :func:`_sql_type`).
     """
     missing = [k for k in key_cols if k not in df.columns]
     if missing:
@@ -291,7 +329,7 @@ def write_jdbc_upsert(
     try:
         if not _table_exists(conn, table):
             ddl_cols = ", ".join(
-                f"{q(f.name)} {_sql_type(f.dataType.simpleString())}"
+                f"{q(f.name)} {_sql_type(f.dataType.simpleString(), url, f.name in key_cols)}"
                 + (" NOT NULL" if f.name in key_cols else "")
                 for f in df.schema.fields
             )
@@ -305,15 +343,8 @@ def write_jdbc_upsert(
             finally:
                 stmt.close()
 
-        # distributed half: stage the delta with Spark's parallel writer.
-        # Explicit VARCHAR for string columns — the dialect default (CLOB
-        # on Derby) cannot be compared against the target's VARCHAR in
-        # the MERGE.
-        string_overrides = ", ".join(
-            f"{f.name} VARCHAR(32672)"
-            for f in df.schema.fields
-            if f.dataType.simpleString() == "string"
-        )
+        # distributed half: stage the delta with Spark's parallel writer
+        string_overrides = _stage_column_overrides(url, df.schema)
         w = (
             df.write.format("jdbc")
             .mode("overwrite")

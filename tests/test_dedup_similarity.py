@@ -836,6 +836,29 @@ def test_matryoshka_full_dim_is_exact_and_prefix_informative(spark):
             assert r["recall"] >= 0.8  # the signal lives in the prefix
 
 
+def test_matryoshka_rejects_width_mismatch(spark):
+    """Ground truth is the max(dims) prefix fold — valid only when the
+    embeddings are exactly max(dims) wide. Wider (or narrower) vectors
+    must RAISE instead of silently measuring recall against truncated
+    ground truth."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    wide = spark.createDataFrame(
+        [(i, [float(j) for j in range(128)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="matryoshka_recall: embedding width"):
+        matryoshka_recall(wide, F.col("vec_id") < 2).collect()
+
+    # passing the real width as the truth budget restores the contract
+    ok = matryoshka_recall(wide, F.col("vec_id") < 2, dims=(8, 128)).collect()
+    assert len(ok) == 4  # 2 queries x 2 budgets
+
+
 def test_maxsim_exact_copy_group_wins(spark):
     from pyspark.sql import functions as F  # noqa: F811
 

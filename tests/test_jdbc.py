@@ -317,3 +317,50 @@ def test_upsert_statement_mysql_dialect():
     assert ansi.startswith('MERGE INTO t t USING t__stage s ON t."k" = s."k"')
     assert 'WHEN MATCHED THEN UPDATE SET "v" = s."v"' in ansi
     assert 'WHEN NOT MATCHED THEN INSERT ("k", "v") VALUES (s."k", s."v")' in ansi
+
+def test_mysql_ddl_and_stage_overrides():
+    """MySQL cannot take the Derby-shaped VARCHAR(32672) anywhere: target
+    DDL maps strings to TEXT (VARCHAR(255) for PRIMARY KEY columns, which
+    MySQL requires to be length-bounded), and the stage write passes NO
+    createTableColumnTypes override — Spark's native MySQL mapping (TEXT)
+    both fits the row limit and compares fine in ON DUPLICATE KEY
+    UPDATE. Derby keeps the VARCHAR override (CLOB is not comparable in
+    MERGE)."""
+    from pyspark.sql.types import StructType, StructField, StringType, LongType
+
+    mysql = "jdbc:mysql://host/db"
+    assert sinks._sql_type("string", mysql, is_key=True) == "VARCHAR(255)"
+    assert sinks._sql_type("string", mysql, is_key=False) == "TEXT"
+    assert sinks._sql_type("string", "jdbc:derby:/tmp/x") == "VARCHAR(32672)"
+    assert sinks._sql_type("bigint", mysql) == "BIGINT"
+    assert sinks._sql_type("decimal(12,2)", mysql) == "DECIMAL(12,2)"
+
+    schema = StructType(
+        [StructField("sku", StringType()), StructField("qty", LongType())]
+    )
+    assert sinks._stage_column_overrides("jdbc:mysql://h/d", schema) == ""
+    assert (
+        sinks._stage_column_overrides("jdbc:derby:/tmp/x", schema)
+        == "sku VARCHAR(32672)"
+    )
+
+
+def test_table_exists_escapes_like_wildcards(spark, derby_url):
+    """DatabaseMetaData.getTables treats '_' and '%' as LIKE wildcards:
+    an unescaped probe for rb_t would false-positive against a table
+    named RBXT, skip the CREATE, and fail the MERGE against a mismatched
+    schema. Derby supports NO metadata escape string (and backslash-
+    escaping breaks literal matches too), so the probe post-filters the
+    result set by exact TABLE_NAME equality instead."""
+    conn = sinks._jdbc_connect(spark, derby_url, DRIVER)
+    try:
+        stmt = conn.createStatement()
+        stmt.executeUpdate("CREATE TABLE rbxt (k INTEGER PRIMARY KEY)")
+        stmt.close()
+        # 'rb_t' must NOT match RBXT despite '_' being a LIKE wildcard
+        assert sinks._table_exists(conn, "rb_t") is False
+        # the real table is still found (both case foldings)
+        assert sinks._table_exists(conn, "rbxt") is True
+        assert sinks._table_exists(conn, "RBXT") is True
+    finally:
+        conn.close()
