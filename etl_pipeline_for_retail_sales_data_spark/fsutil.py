@@ -1,0 +1,81 @@
+"""Hadoop FileSystem helpers for driver-side state maintenance.
+
+Stateful plans (plans/incremental_corpus.py) and swap-style rewrites
+need a handful of filesystem primitives — exists / rename / delete /
+list / atomic marker files. Using ``os``/``shutil`` silently pins the
+state to the driver's LOCAL disk; at 100 TB the state lives on
+HDFS/S3/ABFS. Everything here goes through the JVM Hadoop FileSystem
+client resolved from the PATH'S OWN scheme (``file:///`` and bare paths
+hit RawLocalFileSystem, ``hdfs://`` the DFS client, …), so the same
+code runs against any Hadoop-compatible store.
+
+Atomicity contract: ``rename`` is atomic on HDFS and local filesystems
+(the stores these protocols target). On S3A, rename is a copy+delete —
+state swaps there should go through a table format (Delta/Iceberg)
+instead; the callers document this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem for one scheme."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jvm = spark._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def path(self, p: str):
+        return self._Path(p)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._Path(p)))
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
+    def delete(self, p: str, recursive: bool = True) -> bool:
+        return bool(self._fs.delete(self._Path(p), recursive))
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic on HDFS/local. Returns False when the filesystem
+        refuses (e.g. destination exists) — callers decide whether that
+        means "already done" (idempotent retry) or an error."""
+        return bool(self._fs.rename(self._Path(src), self._Path(dst)))
+
+    def list_names(self, p: str) -> list[str]:
+        """Child basenames of ``p`` (empty when ``p`` is absent)."""
+        if not self.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(self._Path(p))]
+
+    def has_visible_files(self, p: str) -> bool:
+        """True when ``p`` contains at least one non-hidden entry — the
+        "does this dataset exist for a reader" probe ('_'/'.'-prefixed
+        entries are invisible to Spark/Hadoop readers)."""
+        return any(not n.startswith(("_", ".")) for n in self.list_names(p))
+
+    def touch_atomic(self, p: str, content: str = "") -> None:
+        """Create a small marker file whose VISIBILITY is atomic: write
+        to a dot-tmp sibling, then rename into place."""
+        tmp = self._Path(p + ".tmp")
+        out = self._fs.create(tmp, True)
+        try:
+            if content:
+                out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        if not self._fs.rename(tmp, self._Path(p)):
+            # a concurrent/previous publisher already placed the marker
+            self._fs.delete(tmp, False)
+
+    def read_text(self, p: str) -> str:
+        # JVM-side copy into a byte array: a Python bytearray passed to
+        # InputStream.read(byte[]) is copied by py4j, never mutated back
+        inp = self._fs.open(self._Path(p))
+        baos = self._jvm.java.io.ByteArrayOutputStream()
+        self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(inp, baos, 4096, True)
+        return bytes(baos.toByteArray()).decode("utf-8")

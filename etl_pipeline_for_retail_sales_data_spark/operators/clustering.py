@@ -115,6 +115,121 @@ def kmeans_inertia(assigned: DataFrame) -> float:
     ).collect()[0]["i"]
 
 
+def split_oversized_clusters(
+    pts: DataFrame,
+    max_cluster_size: int,
+    split_factor: int = 4,
+    max_levels: int = 16,
+) -> DataFrame:
+    """Recursively split clusters above ``max_cluster_size`` so a single
+    hot k-means cluster cannot re-inflate SemDeDup's within-cluster pair
+    join toward n² (r7 verdict: Σ|cluster|² must stay bounded by the
+    cap, not by luck).
+
+    Input/output: (vec_id, cluster, uv) — cluster labels come out as
+    STRINGS ("3", "3.1", "3.1#2", …) since each split level appends a
+    sub-label. Per level, every oversized cluster is split
+    ``split_factor``-ways by nearest-seed assignment (seeds = the
+    cluster's lowest-id points; one Lloyd's half-step — locality-
+    preserving, deterministic, same min-struct argmin as
+    :func:`_assign`). A level that makes NO progress (max oversized size
+    did not shrink — e.g. bit-identical vectors, where every seed
+    distance ties) switches to deterministic hash splitting
+    (xxhash64(vec_id) % split_factor), which always makes progress.
+
+    Semantics trade, documented: splitting loses candidate pairs that
+    straddle a split boundary, so an oversized near-dup group can elect
+    up to one keeper per final sub-cluster — the standard SemDeDup
+    recall/cost dial (cluster granularity), applied adaptively instead
+    of globally via k. Each level materializes via local checkpoint; the
+    CALLER must finalize/release (semantic_dedup does).
+    """
+    from .similarity import dot
+
+    if max_cluster_size < 1:
+        raise ValueError(f"max_cluster_size must be >= 1, got {max_cluster_size}")
+    S = int(split_factor)
+    # every level's frame is checkpointed and re-read; the hash-split
+    # path is NARROW on both union branches, so without a per-level
+    # partition bound the count would DOUBLE per level (2^levels empty
+    # tasks by the final checkpoint). coalesce is shuffle-free.
+    n_part = int(
+        pts.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cur = pts.select("vec_id", F.col("cluster").cast("string").alias("cluster"), "uv")
+    rounds: list[DataFrame] = []
+    prev_max = None
+    use_hash = False
+    for _ in range(max_levels):
+        sizes = cur.groupBy("cluster").agg(F.count("*").alias("__n"))
+        stat = (
+            sizes.filter(F.col("__n") > max_cluster_size)
+            .agg(F.count("*").alias("c"), F.max("__n").alias("m"))
+            .collect()[0]
+        )
+        if not stat["c"]:
+            break
+        if prev_max is not None and stat["m"] >= prev_max:
+            use_hash = True  # seed split stalled (ties) — hash always splits
+        prev_max = stat["m"]
+        over = F.broadcast(
+            sizes.filter(F.col("__n") > max_cluster_size).select("cluster")
+        )
+        small = cur.join(over, "cluster", "left_anti")
+        big = cur.join(over, "cluster", "left_semi")
+        if use_hash:
+            # the label participates in the hash so each level's re-split
+            # of a still-oversized cluster lands points DIFFERENTLY —
+            # hashing vec_id alone would re-produce the same sub-label
+            # every level and never make progress past the first split
+            newbig = big.select(
+                "vec_id",
+                F.concat(
+                    "cluster",
+                    F.lit("#"),
+                    F.pmod(F.xxhash64("cluster", "vec_id"), F.lit(S)).cast("string"),
+                ).alias("cluster"),
+                "uv",
+            )
+        else:
+            w = Window.partitionBy("cluster").orderBy("vec_id")
+            seed_ids = (
+                big.select("cluster", "vec_id")
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= S)
+            )
+            seeds = seed_ids.join(big, ["cluster", "vec_id"]).select(
+                "cluster",
+                (F.col("__rn") - 1).alias("__sub"),
+                F.col("uv").alias("__seed"),
+            )
+            best = (
+                big.join(seeds, "cluster")
+                .select(
+                    "cluster",
+                    "vec_id",
+                    F.struct(
+                        (-dot(F.col("uv"), F.col("__seed"))).alias("ns"),
+                        F.col("__sub").alias("sub"),
+                    ).alias("__sc"),
+                )
+                .groupBy("cluster", "vec_id")
+                .agg(F.min("__sc").alias("__b"))
+            )
+            newbig = big.join(best, ["cluster", "vec_id"]).select(
+                "vec_id",
+                F.concat(
+                    "cluster", F.lit("."), F.col("__b.sub").cast("string")
+                ).alias("cluster"),
+                "uv",
+            )
+        cur = local_ckpt(small.unionByName(newbig).coalesce(n_part), eager=True)
+        rounds.append(cur)
+    # hand the round frames to the caller's finalize/release cycle
+    cur._split_rounds = rounds  # type: ignore[attr-defined]
+    return cur
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 10,
@@ -122,6 +237,8 @@ def semantic_dedup(
     threshold: float = 0.92,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    split_factor: int = 4,
 ) -> DataFrame:
     """Semantic (embedding-space) deduplication, the SemDeDup recipe
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -135,6 +252,12 @@ def semantic_dedup(
     instead of n². (The LSH twin in operators/similarity.py bounds
     candidates differently — by hyperplane bucket; k-means buckets adapt
     to the actual density, the published argument for SemDeDup over LSH.)
+    ``max_cluster_size`` hard-caps the worst case: one hot cluster would
+    otherwise re-inflate Σ|cluster|² toward n², so clusters above the
+    cap are recursively split (:func:`split_oversized_clusters`) before
+    the pair join — cluster labels become strings in capped mode, and
+    near-dup groups larger than the cap may elect extra keepers (the
+    documented recall/cost dial).
 
     Pipeline (all existing engine operators, no new primitives):
       kmeans_assign → within-cluster self-join on unit vectors →
@@ -155,15 +278,22 @@ def semantic_dedup(
 
     assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     uv = unit_vectors(emb, id_col, vec_col, out_col="uv")
+    base = assigned.select("vec_id", "cluster").join(
+        uv.withColumnRenamed(id_col, "vec_id"), "vec_id"
+    )
+    if max_cluster_size is not None:
+        capped = split_oversized_clusters(base, max_cluster_size, split_factor)
+        rounds = getattr(capped, "_split_rounds", [])
+        # reliable checkpoint, then release the split rounds' blocks —
+        # the same finalize/release cycle as kmeans_assign (cachectl.py)
+        base = finalize_iterative(capped.select("vec_id", "cluster", "uv"))
+        for fr in rounds:
+            release_ckpt(fr)
     # reuse-not-cache (cachectl.py): the assignment (file-backed after
     # kmeans_assign's reliable checkpoint) joins unit vectors once into a
     # cluster-partitioned exchange that the aliased self-join sides, the
     # components' node list, and the final keeper join all re-read
-    pts = (
-        assigned.select("vec_id", "cluster")
-        .join(uv.withColumnRenamed(id_col, "vec_id"), "vec_id")
-        .repartition("cluster")
-    )
+    pts = base.repartition("cluster")
     a = pts.alias("A")
     b = pts.alias("B")
     edges = (

@@ -943,7 +943,11 @@ def shingle_cosine_pairs(
 
 
 def winnowing_fingerprints(
-    df: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Distinct (doc_id, fp) winnowing fingerprints (Schleimer, Wilkerson
     & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -969,8 +973,11 @@ def winnowing_fingerprints(
     # every window (O(n²) md5s per doc — measured 22x slower at sf0.1).
     # As an attribute reference the array computes once per row, and
     # CollapseProject keeps the barrier (non-cheap alias, multiple refs).
+    # carry_cols ride the map-only pass so consumers that need doc
+    # attributes (e.g. source_overlap_matrix's source label) never join
+    # back to the corpus by doc_id — two corpus shuffles saved per use
     base = spread(df).filter(F.size(toks) >= k + w - 1)
-    h = base.select("doc_id", hashes.alias("__h"))
+    h = base.select("doc_id", *carry_cols, hashes.alias("__h"))
     hcol = F.col("__h")
     fps = F.array_distinct(
         F.transform(
@@ -978,7 +985,7 @@ def winnowing_fingerprints(
             lambda j: F.array_min(F.slice(hcol, j + 1, w)),
         )
     )
-    return h.select("doc_id", F.explode(fps).alias("fp"))
+    return h.select("doc_id", *carry_cols, F.explode(fps).alias("fp"))
 
 
 def winnowing_overlap_pairs(

@@ -11,14 +11,32 @@ Scale design:
   historical document — 100 TB of raw text collapses to a few hundred GB
   of digests. The per-batch check is one equi-join (left_anti) on the
   digest, never a scan of the corpus itself.
-- At production scale the fingerprint table is written bucketed by
-  digest (operators/joins.bucketed_join_tables is the layout lever), so
-  daily ingests shuffle only the new batch, never the state.
+- The fingerprint tables are BUCKETED on their join key (digest for the
+  exact loop, (band, bk) for the near-dup loop): the state side of the
+  classification join plans NO Exchange — only the new batch shuffles,
+  into ``n_buckets`` partitions (size n_buckets for the cluster at
+  production scale; the default 8 is the local-test shape). Asserted on
+  the physical plan in tests/test_incremental_corpus.py.
+- Crash atomicity: a batch publishes its corpus rows and its state rows
+  with a single commit point. Both datasets are first written to hidden
+  ``.staged-<token>`` directories (invisible to every reader), then a
+  journal marker (one atomic rename) commits the batch, then the staged
+  files move into the visible roots. :func:`recover_state` — run at the
+  start of every ingest — rolls a crashed batch FORWARD when the marker
+  exists and BACK when it does not, so a blind retry of a crashed run
+  can never double-ingest (tested stepwise via the crash hooks).
 - Idempotency: re-ingesting the same batch is a no-op — every digest is
-  already in the state, so zero rows are appended. A crashed run can be
-  retried blindly.
+  already in the state, so zero rows are appended.
 - Within-batch duplicates collapse to min(doc_id) BEFORE the history
   join (cheapest first, same funnel ordering as plans/corpus.py).
+
+Concurrency contract: ONE writer per state_dir at a time (the daily
+scheduler's natural shape). The journal makes a crashed-then-retried
+single writer safe; two CONCURRENT writers are not coordinated — a real
+multi-writer deployment needs a table format with optimistic commits
+(Delta/Iceberg). Filesystem ops go through the Hadoop FileSystem API
+(fsutil.py), so state may live on file:// or HDFS; S3A's non-atomic
+rename is explicitly out of contract.
 
 The pure-query twin of this loop (day-partitioned funnel counts over a
 static table, fully DuckDB-oracled) is `incremental_ingest_funnel` in
@@ -28,16 +46,266 @@ tests/test_incremental_corpus.py.
 
 from __future__ import annotations
 
-import os
+import hashlib
+import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cachectl import scoped_cache
+from ..fsutil import HadoopFS
+
+STATE_ROOTS = ("corpus", "fingerprints", "corpus_neardup", "neardup_bands")
+DEFAULT_BUCKETS = 8  # local-test shape; size for the cluster in production
 
 
-def _state_paths(state_dir: str) -> tuple[str, str]:
-    return os.path.join(state_dir, "corpus"), os.path.join(state_dir, "fingerprints")
+class SimulatedCrash(RuntimeError):
+    """Raised by the test-only ``_crash`` hooks to exercise the recovery
+    protocol at exact points. Never raised in production paths."""
+
+
+def _join(*parts: str) -> str:
+    return "/".join(p.rstrip("/") for p in parts)
+
+
+def _norm_loc(loc: str) -> str:
+    """Normalize a catalog-reported location (URI) and a caller path to
+    a comparable form: strip scheme, trailing slash."""
+    from urllib.parse import urlparse
+
+    p = urlparse(loc).path if ":" in loc.split("/", 1)[0] + "/" else loc
+    return (p or loc).rstrip("/")
+
+
+def _state_table_name(root_path: str) -> str:
+    """Deterministic per-location catalog name for a bucketed state
+    table (the in-memory catalog is session-scoped; every ingest
+    re-registers idempotently)."""
+    return "incr_state_" + hashlib.md5(root_path.encode()).hexdigest()[:12]
+
+
+def _ensure_state_table(
+    spark: SparkSession,
+    root: str,
+    like_df: DataFrame,
+    bucket_cols: list[str],
+    n_buckets: int,
+) -> DataFrame:
+    """Register (idempotently) the bucketed external table over ``root``
+    and return it. The BUCKETED table is what lets the classification
+    join read the state with NO Exchange: the scan itself reports
+    hashpartitioning(bucket_cols, n_buckets), so only the batch side
+    shuffles."""
+    name = _state_table_name(root)
+    if spark.catalog.tableExists(name):
+        rows = spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
+        loc = next((r[1] for r in rows if r[0] == "Location"), "")
+        if _norm_loc(loc) != _norm_loc(root):
+            # a stale same-name registration from a recycled path
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    if not spark.catalog.tableExists(name):
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in like_df.schema.fields
+        )
+        cols = ", ".join(f"`{c}`" for c in bucket_cols)
+        spark.sql(
+            f"CREATE TABLE `{name}` ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({cols}) SORTED BY ({cols}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{root}'"
+        )
+    return spark.table(name)
+
+
+def _refresh_state_table(spark: SparkSession, root: str) -> None:
+    name = _state_table_name(root)
+    if spark.catalog.tableExists(name):
+        spark.catalog.refreshTable(name)
+
+
+def _staged_bucketed_write(
+    df: DataFrame, staged_path: str, bucket_cols: list[str], n_buckets: int
+) -> None:
+    """Write ``df`` BUCKETED to ``staged_path``. Spark only writes bucket
+    metadata through the table API, so the stage is a throwaway external
+    table at the staged location; dropping it keeps the files. The
+    bucketed part-file names survive the publish move verbatim, so the
+    state table's scans keep trusting them."""
+    tmp_table = "incr_stage_" + uuid.uuid4().hex[:16]
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", staged_path)
+        .format("parquet")
+        .saveAsTable(tmp_table)
+    )
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
+
+
+# ---------------------------------------------------------------------------
+# commit protocol: stage (hidden) -> journal marker (atomic) -> publish moves
+# ---------------------------------------------------------------------------
+
+
+def _staged_dir(root: str, token: str) -> str:
+    return _join(root, f".staged-{token}")
+
+
+def _journal_dir(state_dir: str) -> str:
+    return _join(state_dir, "_journal")
+
+
+def _epochs_dir(state_dir: str) -> str:
+    return _join(state_dir, "_epochs")
+
+
+def _record_epoch(fs: HadoopFS, state_dir: str, epoch_id: int) -> None:
+    fs.mkdirs(_epochs_dir(state_dir))
+    fs.touch_atomic(_join(_epochs_dir(state_dir), str(int(epoch_id))))
+
+
+def epoch_committed(spark: SparkSession, state_dir: str, epoch_id: int) -> bool:
+    """True iff a batch tagged ``epoch_id`` fully committed to this
+    state (its marker rides the journal commit, so a crashed epoch is
+    either rolled forward — marker appears — or rolled back — it never
+    does). The streaming ingestor's redelivery guard."""
+    return HadoopFS(spark, state_dir).exists(
+        _join(_epochs_dir(state_dir), str(int(epoch_id)))
+    )
+
+
+def _write_marker(
+    fs: HadoopFS,
+    state_dir: str,
+    token: str,
+    roots: list[str],
+    epoch_id: int | None = None,
+) -> None:
+    fs.mkdirs(_journal_dir(state_dir))
+    meta: dict = {"roots": roots}
+    if epoch_id is not None:
+        meta["epoch"] = int(epoch_id)
+    fs.touch_atomic(_join(_journal_dir(state_dir), token), json.dumps(meta))
+
+
+def _publish_staged(fs: HadoopFS, root: str, token: str) -> None:
+    """Move the staged part files into the visible root. Idempotent: the
+    part-file names are globally unique (Spark job UUIDs), so a retried
+    publish skips files that already arrived and re-moves the rest."""
+    staged = _staged_dir(root, token)
+    if not fs.exists(staged):
+        return  # already fully published
+    fs.mkdirs(root)
+    for name in fs.list_names(staged):
+        if name.startswith(("_", ".")):
+            continue  # _SUCCESS and checksum files stay behind
+        src, dst = _join(staged, name), _join(root, name)
+        if fs.exists(dst):
+            fs.delete(src, False)
+        elif not fs.rename(src, dst) and not fs.exists(dst):
+            raise IOError(f"publish: rename {src} -> {dst} failed")
+    fs.delete(staged, True)
+
+
+def recover_state(spark: SparkSession, state_dir: str) -> dict[str, int]:
+    """Settle any crashed ingest or compaction at ``state_dir``; runs at
+    the start of every ingest/compaction so a blind retry starts from a
+    consistent state. Three sweeps:
+
+    1. journaled batches → roll FORWARD (finish the publish moves, then
+       drop the marker): the batch committed, readers just could not see
+       all of it yet;
+    2. orphan ``.staged-*`` dirs with no marker → roll BACK (delete):
+       the batch never committed, the retry will redo it from scratch;
+    3. half-swapped compactions → roll forward/back per the
+       ``._compact_tmp`` / ``._compact_old`` state machine (same
+       contract as sinks.recover_merge).
+
+    Returns counts per action for logging/tests."""
+    fs = HadoopFS(spark, state_dir)
+    actions = {"rolled_forward": 0, "rolled_back": 0, "compact_settled": 0}
+
+    jdir = _journal_dir(state_dir)
+    for token in fs.list_names(jdir):
+        if token.endswith(".tmp"):
+            fs.delete(_join(jdir, token), False)
+            continue
+        meta = json.loads(fs.read_text(_join(jdir, token)) or "{}")
+        for rel in meta.get("roots", []):
+            _publish_staged(fs, _join(state_dir, rel), token)
+        if meta.get("epoch") is not None:
+            _record_epoch(fs, state_dir, meta["epoch"])
+        fs.delete(_join(jdir, token), False)
+        actions["rolled_forward"] += 1
+
+    for rel in STATE_ROOTS:
+        root = _join(state_dir, rel)
+        for name in fs.list_names(root):
+            if name.startswith(".staged-"):
+                fs.delete(_join(root, name), True)
+                actions["rolled_back"] += 1
+        if _recover_swap(fs, root) != "ok":
+            actions["compact_settled"] += 1
+    for rel in STATE_ROOTS:
+        _refresh_state_table(spark, _join(state_dir, rel))
+    return actions
+
+
+def _commit(
+    spark: SparkSession,
+    state_dir: str,
+    staged: list[str],
+    token: str,
+    epoch_id: int | None = None,
+    _crash: str | None = None,
+) -> None:
+    """The single commit point: marker rename, then publish moves. An
+    ``epoch_id`` rides the marker, so the epoch's committed-flag can
+    never separate from its data — recover_state records it on
+    roll-forward, and a rolled-back batch never records it."""
+    fs = HadoopFS(spark, state_dir)
+    if _crash == "after_stage":
+        raise SimulatedCrash("after_stage")
+    _write_marker(fs, state_dir, token, staged, epoch_id)
+    if _crash == "after_journal":
+        raise SimulatedCrash("after_journal")
+    for i, rel in enumerate(staged):
+        _publish_staged(fs, _join(state_dir, rel), token)
+        if _crash == "mid_publish" and i == 0:
+            raise SimulatedCrash("mid_publish")
+    if epoch_id is not None:
+        _record_epoch(fs, state_dir, epoch_id)
+    fs.delete(_join(_journal_dir(state_dir), token), False)
+    for rel in staged:
+        _refresh_state_table(spark, _join(state_dir, rel))
+
+
+# ---------------------------------------------------------------------------
+# ingestion loops
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_state(
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """The exact-dedup state as its bucketed table (digest, id)."""
+    like = spark.createDataFrame([], f"digest string, {id_col} long")
+    return _ensure_state_table(
+        spark, _join(state_dir, "fingerprints"), like, ["digest"], n_buckets
+    )
+
+
+def neardup_band_state(
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """The near-dup state as its bucketed table (id, band, bk)."""
+    like = spark.createDataFrame([], f"{id_col} long, band int, bk string")
+    return _ensure_state_table(
+        spark, _join(state_dir, "neardup_bands"), like, ["band", "bk"], n_buckets
+    )
 
 
 def ingest_batch(
@@ -46,15 +314,22 @@ def ingest_batch(
     state_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    epoch_id: int | None = None,
+    _crash: str | None = None,
 ) -> dict[str, int]:
     """Ingest one batch of documents against the state at ``state_dir``.
 
     Returns the ingestion funnel as exact counts:
     ``{"n_batch", "n_within_dup", "n_hist_dup", "n_accepted"}``.
     Appends accepted docs to ``state_dir/corpus`` and their digests to
-    ``state_dir/fingerprints``; both appends are per-batch parquet files,
-    so a re-run of an already-ingested batch appends nothing."""
-    corpus_path, fp_path = _state_paths(state_dir)
+    the bucketed ``state_dir/fingerprints`` state, atomically (both or
+    neither — see the module docstring's commit protocol). A crashed run
+    can be retried blindly: :func:`recover_state` runs first and either
+    finishes or undoes the crashed batch, so the retry never
+    double-appends."""
+    recover_state(spark, state_dir)
+    corpus_root, fp_root = _join(state_dir, "corpus"), _join(state_dir, "fingerprints")
     digest = F.md5(F.col(text_col)).alias("digest")
 
     n_batch = batch.count()
@@ -62,24 +337,37 @@ def ingest_batch(
     # 1. within-batch exact dedup: keep min(doc_id) per digest
     keyed = batch.select(digest, *batch.columns)
     keeper = keyed.groupBy("digest").agg(F.min(id_col).alias(id_col))
-    # every consumer (the unique count, the accepted count, both state
-    # appends) runs INSIDE this scope, so the caches release with zero
+    batch_unique = keyed.join(keeper, ["digest", id_col])
+    # 2. history check: one equi-join against the bucketed state — the
+    # state side plans no Exchange, only the batch shuffles
+    hist = fingerprint_state(spark, state_dir, id_col, n_buckets).select("digest")
+    novel = batch_unique.join(hist, "digest", "left_anti")
+    # every consumer (the unique count, the accepted count, both staged
+    # writes) runs INSIDE this scope, so the caches release with zero
     # recompute — getPersistentRDDs() is empty when the funnel returns
     # (cachectl.py)
-    batch_unique = keyed.join(keeper, ["digest", id_col])
-    if os.path.isdir(fp_path):
-        hist = spark.read.parquet(fp_path).select("digest")
-        novel = batch_unique.join(hist, "digest", "left_anti")
-    else:
-        novel = batch_unique
     with scoped_cache(batch_unique, novel):
         n_unique = batch_unique.count()
         n_accepted = novel.count()
 
-        # 3. append novel docs + their fingerprints (append-only state)
+        # 3. stage novel docs + their fingerprints, commit atomically
         if n_accepted:
-            novel.drop("digest").write.mode("append").parquet(corpus_path)
-            novel.select("digest", id_col).write.mode("append").parquet(fp_path)
+            token = uuid.uuid4().hex
+            novel.drop("digest").write.parquet(_staged_dir(corpus_root, token))
+            _staged_bucketed_write(
+                novel.select("digest", id_col),
+                _staged_dir(fp_root, token),
+                ["digest"],
+                n_buckets,
+            )
+            _commit(
+                spark,
+                state_dir,
+                ["corpus", "fingerprints"],
+                token,
+                epoch_id=epoch_id,
+                _crash=_crash,
+            )
 
     return {
         "n_batch": n_batch,
@@ -98,6 +386,9 @@ def ingest_batch_neardup(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
+    n_buckets: int = DEFAULT_BUCKETS,
+    epoch_id: int | None = None,
+    _crash: str | None = None,
 ) -> dict[str, int]:
     """Incremental NEAR-duplicate ingestion: the MinHash-LSH counterpart
     of :func:`ingest_batch` (which catches only byte-identical texts).
@@ -111,14 +402,18 @@ def ingest_batch_neardup(
     not chosen; the pure-query oracled twin is
     ``incremental_neardup_funnel`` in the registry).
 
-    State = (band, bk, doc_id) rows for EVERY ingested doc (seen-
-    semantics, append-only): ~bands·36 bytes per historical document —
-    the 100 TB corpus collapses to a compact fingerprint table, and the
-    per-batch check is one (band, bk) equi-join, never a corpus scan.
-    Re-ingesting a batch is classification-idempotent: every doc's keys
-    are already present, so everything classifies historical and the
-    appends are empty. Docs with < n tokens (no signature, no band
-    keys) can never collide — they are accepted.
+    State = (doc_id, band, bk) rows for EVERY ingested doc (seen-
+    semantics, append-only), BUCKETED on (band, bk): ~bands·36 bytes per
+    historical document — the 100 TB corpus collapses to a compact
+    fingerprint table, and the per-batch check is one (band, bk)
+    equi-join that never shuffles the state side, never scans the
+    corpus. Re-ingesting a batch is classification-idempotent: every
+    doc's keys are already present, so everything classifies historical
+    and the appends are empty. Docs with < n tokens (no signature, no
+    band keys) can never collide — they are accepted.
+
+    Corpus rows and band keys commit ATOMICALLY (module docstring): a
+    crashed run retried blindly re-classifies, never double-appends.
 
     Returns ``{"n_batch", "n_hist_neardup", "n_within_neardup",
     "n_accepted"}``; appends accepted docs to ``state_dir/
@@ -127,25 +422,25 @@ def ingest_batch_neardup(
     """
     from ..operators.dedup import minhash_band_keys
 
-    bands_path = os.path.join(state_dir, "neardup_bands")
-    corpus_path = os.path.join(state_dir, "corpus_neardup")
+    recover_state(spark, state_dir)
+    bands_root = _join(state_dir, "neardup_bands")
+    corpus_root = _join(state_dir, "corpus_neardup")
 
     n_batch = batch.count()
     bk = minhash_band_keys(batch, text_col=text_col, k=k, bands=bands, n=n)
     if id_col != "doc_id":
         bk = bk.withColumnRenamed("doc_id", id_col)
 
-    # every consumer (both classification counts, both appends) runs
-    # inside the scope, so the cache releases with zero recompute
+    # every consumer (both classification counts, both staged writes)
+    # runs inside the scope, so the cache releases with zero recompute
     # (cachectl.py); the signature pass runs once
     with scoped_cache(bk):
-        if os.path.isdir(bands_path):
-            state = spark.read.parquet(bands_path).select("band", "bk")
-            hist_ids = (
-                bk.join(state, ["band", "bk"], "left_semi").select(id_col).distinct()
-            )
-        else:
-            hist_ids = bk.select(id_col).limit(0)
+        state = neardup_band_state(spark, state_dir, id_col, n_buckets).select(
+            "band", "bk"
+        )
+        hist_ids = (
+            bk.join(state, ["band", "bk"], "left_semi").select(id_col).distinct()
+        )
         # within-batch: smallest id per batch bucket; a doc with ANY
         # bucket whose min is a smaller id is a within-batch near-dup
         bucket_min = bk.groupBy("band", "bk").agg(F.min(id_col).alias("__min_id"))
@@ -163,14 +458,27 @@ def ingest_batch_neardup(
                 .join(within_ids, id_col, "left_anti")
             )
             n_accepted = accepted.count()
+            staged: list[str] = []
+            token = uuid.uuid4().hex
             if n_accepted:
-                accepted.write.mode("append").parquet(corpus_path)
-        # seen-semantics: append EVERY batch doc's band keys (replays of
-        # the same batch then classify 100% historical and append again
-        # — harmless duplicates in an existence-checked state; dedupe on
-        # compaction if the state is ever rewritten)
-        if n_batch:
-            bk.write.mode("append").parquet(bands_path)
+                accepted.write.parquet(_staged_dir(corpus_root, token))
+                staged.append("corpus_neardup")
+            # seen-semantics: append EVERY batch doc's band keys (replays
+            # of the same batch then classify 100% historical and append
+            # again — harmless duplicates in an existence-checked state;
+            # compact_neardup_state collapses them)
+            if n_batch:
+                _staged_bucketed_write(
+                    bk.select(id_col, "band", "bk"),
+                    _staged_dir(bands_root, token),
+                    ["band", "bk"],
+                    n_buckets,
+                )
+                staged.append("neardup_bands")
+            if staged:
+                _commit(
+                    spark, state_dir, staged, token, epoch_id=epoch_id, _crash=_crash
+                )
 
     return {
         "n_batch": n_batch,
@@ -180,25 +488,94 @@ def ingest_batch_neardup(
     }
 
 
-def compact_neardup_state(spark: SparkSession, state_dir: str) -> int:
-    """Rewrite the near-dup band state with duplicates collapsed.
+# ---------------------------------------------------------------------------
+# compaction: distinct-rewrite + dir swap (recoverable)
+# ---------------------------------------------------------------------------
+
+
+def _recover_swap(fs: HadoopFS, root: str) -> str:
+    """Settle a crashed compaction swap at ``root`` deterministically —
+    the same four-state contract as sinks.recover_merge, over the Hadoop
+    FS: root present → clear leftovers; root missing + complete tmp →
+    roll forward; root missing + old → roll back."""
+    tmp, old = root + "._compact_tmp", root + "._compact_old"
+    if fs.exists(root):
+        for left in (tmp, old):
+            if fs.exists(left):
+                fs.delete(left, True)
+        return "ok"
+    if fs.exists(_join(tmp, "_SUCCESS")):
+        if not fs.rename(tmp, root):
+            raise IOError(f"recover_swap: rename {tmp} -> {root} failed")
+        if fs.exists(old):
+            fs.delete(old, True)
+        return "rolled_forward"
+    if fs.exists(old):
+        if not fs.rename(old, root):
+            raise IOError(f"recover_swap: rename {old} -> {root} failed")
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        return "rolled_back"
+    return "absent"
+
+
+def _compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    rel: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+) -> int:
+    """Rewrite one bucketed state root with duplicates collapsed, then
+    swap the new directory in. The swap's only non-atomic window (root
+    renamed away, tmp not yet renamed in) is settled by
+    :func:`recover_state` / :func:`_recover_swap` on the next touch —
+    roll forward (tmp is complete) — so a crash never loses the state.
+    SINGLE WRITER assumed (module docstring): appends landing between
+    the distinct read and the swap would be lost."""
+    fs = HadoopFS(spark, state_dir)
+    root = _join(state_dir, rel)
+    _recover_swap(fs, root)
+    if not fs.has_visible_files(root):
+        return 0
+    tmp, old = root + "._compact_tmp", root + "._compact_old"
+    compacted = spark.read.parquet(root).distinct()
+    # the rewrite goes through the bucketed writer so the swapped-in
+    # files keep the bucket layout the state table's scans rely on
+    _staged_bucketed_write(compacted, tmp, bucket_cols, n_buckets)
+    n = spark.read.parquet(tmp).count()
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(root, old):
+        raise IOError(f"compact: rename {root} -> {old} failed")
+    if not fs.rename(tmp, root):
+        raise IOError(f"compact: rename {tmp} -> {root} failed")
+    fs.delete(old, True)
+    _refresh_state_table(spark, root)
+    return n
+
+
+def compact_neardup_state(
+    spark: SparkSession, state_dir: str, n_buckets: int = DEFAULT_BUCKETS
+) -> int:
+    """Collapse replay-duplicated band rows in the near-dup state.
 
     Replays of an already-ingested batch append their band rows again
     (harmless for the existence-checked classification, wasteful on
-    disk). Compaction distincts the state and swaps it in via
-    write-to-temp + atomic rename — a crashed compaction leaves the old
-    state readable. Returns the compacted row count."""
-    import shutil
+    disk). Compaction distincts the state and swaps it in, preserving
+    the bucketed layout; a crashed swap is rolled forward by
+    :func:`recover_state`. Single writer assumed. Returns the compacted
+    row count."""
+    return _compact_state(
+        spark, state_dir, "neardup_bands", ["band", "bk"], n_buckets
+    )
 
-    bands_path = os.path.join(state_dir, "neardup_bands")
-    if not os.path.isdir(bands_path):
-        return 0
-    tmp_path = bands_path + "._compact_tmp"
-    compacted = spark.read.parquet(bands_path).distinct()
-    compacted.write.mode("overwrite").parquet(tmp_path)
-    n = spark.read.parquet(tmp_path).count()
-    old_path = bands_path + "._compact_old"
-    os.rename(bands_path, old_path)
-    os.rename(tmp_path, bands_path)
-    shutil.rmtree(old_path)
-    return n
+
+def compact_fingerprints(
+    spark: SparkSession, state_dir: str, n_buckets: int = DEFAULT_BUCKETS
+) -> int:
+    """Exact-loop symmetry of :func:`compact_neardup_state`: collapse
+    duplicate (digest, id) rows in the fingerprint state (the exact loop
+    never appends duplicates itself, but a restored/merged state can
+    carry them) and rewrite it bucketed. Single writer assumed."""
+    return _compact_state(spark, state_dir, "fingerprints", ["digest"], n_buckets)

@@ -7221,6 +7221,63 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup_capped_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS all_rows_covered,
+           TRUE AS max_cluster_within_cap,
+           TRUE AS one_keeper_per_component
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def q_semantic_dedup_capped_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with the r8 worst-case cap
+    (operators/clustering.split_oversized_clusters): clusters above
+    max_cluster_size=48 are recursively split BEFORE the within-cluster
+    pair join, so one hot k-means cluster can never re-inflate
+    Σ|cluster|² toward n². The oracle pins the population count and
+    that the engine-verified invariants hold: the output still
+    partitions the non-null corpus, NO final cluster exceeds the cap
+    (the splitting contract, checked from the real cluster sizes), and
+    every component elects exactly one keeper."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from .operators.clustering import semantic_dedup
+
+    out = semantic_dedup(emb, k=8, iters=2, threshold=0.92, max_cluster_size=48)
+    size_ok = out.groupBy("cluster").agg(F.count("*").alias("__n")).agg(
+        F.coalesce(F.every(F.col("__n") <= 48), F.lit(True)).alias("cap_ok")
+    )
+    comp_ok = (
+        out.groupBy("component_id")
+        .agg(F.sum(F.col("keep").cast("long")).alias("n_keep"))
+        .agg(
+            F.coalesce(F.every(F.col("n_keep") == 1), F.lit(True)).alias(
+                "one_keeper"
+            )
+        )
+    )
+    n_in = emb.filter(F.col("embedding").isNotNull()).count()
+    cover = out.agg(
+        (
+            (F.count("*") == F.lit(n_in))
+            & (F.countDistinct("vec_id") == F.lit(n_in))
+        ).alias("all_rows_covered")
+    )
+    return (
+        out.agg(F.count("*").cast("long").alias("n_vectors"))
+        .crossJoin(cover)
+        .crossJoin(size_ok)
+        .crossJoin(comp_ok)
+        .select(
+            "n_vectors",
+            "all_rows_covered",
+            F.col("cap_ok").alias("max_cluster_within_cap"),
+            F.col("one_keeper").alias("one_keeper_per_component"),
+        )
+    )
+
+
+@query(
     "pq_ann",
     oracle="""
     SELECT vec_id AS q_id,
@@ -10781,23 +10838,45 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources, how many DISTINCT winnowing fingerprints they share and the
     containment vs the smaller source's fingerprint set — the
     leakage/provenance audit run before mixing crawls (is src3 a re-crawl
-    of src1?). Sources are few, so after the per-source fingerprint
-    dedup (one aggregate) the matrix join is tiny; the corpus-side work
-    is the same shuffle-free winnowing selection as winnowing_pairs."""
+    of src1?). Sources are FEW (a bounded label set), which makes the
+    matrix computable WITHOUT a corpus-sized self-join: one groupBy(fp)
+    collects each fingerprint's source set (bounded array), source pairs
+    explode from the sorted set in-row, and the pair counts aggregate
+    over that already-tiny frame — r8 rewrite of the former
+    fp-self-join, same results (oracle unchanged), one aggregate instead
+    of a second corpus-sized shuffle+join. Per-source sizes reuse the
+    SAME repartition("fp") exchange (ReuseExchange, cachectl.py); the
+    corpus-side work is the same shuffle-free winnowing selection as
+    winnowing_pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = (
-        D.winnowing_fingerprints(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "fp")
-        .distinct()
-        .repartition("fp")  # barrier: self-join sides + sizes re-read one exchange
+    # source rides the fingerprint pass (carry_cols) — no corpus join by
+    # doc_id; collect_set dedups, so no separate distinct shuffle either.
+    # The barrier after the agg lets BOTH consumers (pair counts, per-
+    # source sizes) re-read one exchange (reuse-not-cache, cachectl.py).
+    per_fp = (
+        D.winnowing_fingerprints(docs, carry_cols=("source",))
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .repartition("fp")
     )
-    sizes = fp.groupBy("source").agg(F.count("*").alias("n_fp"))
-    a = fp.select(F.col("source").alias("src_a"), "fp")
-    b = fp.select(F.col("source").alias("src_b"), "fp")
+    sizes = per_fp.select(F.explode("ss").alias("source")).groupBy("source").agg(
+        F.count("*").alias("n_fp")
+    )
+    # pairs (a<b) explode from the sorted source set in-row — no
+    # self-join anywhere
+    ss = F.col("ss")
+    pair_structs = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + 2, F.greatest(F.size(ss) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "fp")
-        .filter(F.col("src_a") < F.col("src_b"))
+        per_fp.select(F.explode(pair_structs).alias("p"))
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_shared"))
     )

@@ -301,3 +301,117 @@ def test_drift_gate_reference_mix_is_carried_in_manifest(spark, tmp_path):
     committer(_mix(spark, 48, 52, start=200), 1)
     m = V._read_manifest(table, V.current_version(table))
     assert m["mix"] == {"a": 98, "b": 102}
+
+
+# --- round 8: the incremental dedup-ingest loop as a streaming sink -------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stream_neardup_ingest_end_to_end(spark, tmp_path):
+    """The daily-batch near-dup loop driven by Structured Streaming:
+    one availableNow pass over a file source ingests exactly what the
+    batch API would."""
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        stream_ingest_neardup,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    _docs_df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "completely different words entirely here now"),
+        ],
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_ingest_neardup(stream, state, "neardup_ingest_smoke")
+    q.awaitTermination(120)
+
+    corpus = spark.read.parquet(state + "/corpus_neardup")
+    # doc 2 is a within-batch near-dup (identical text -> identical bands)
+    assert {r.doc_id for r in corpus.collect()} == {1, 3}
+    # a second identical stream run re-delivers nothing new: the state
+    # classifies everything historical
+    src2 = str(tmp_path / "src2")
+    _docs_df(spark, [(9, "the quick brown fox jumps over the lazy dog")]).write.parquet(src2)
+    q2 = stream_ingest_neardup(
+        spark.readStream.schema("doc_id long, text string").parquet(src2),
+        state,
+        "neardup_ingest_smoke2",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(state + "/corpus_neardup").count() == 2
+
+
+def test_stream_redelivered_epoch_is_skipped_wholesale(spark, tmp_path):
+    """At-least-once delivery: the same (batch_df, batch_id) arrives
+    twice. The epoch guard skips the redelivery entirely — corpus AND
+    the append-only band state are byte-count-identical, stronger than
+    classification-idempotence (which would re-append band rows)."""
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        make_neardup_ingestor,
+    )
+
+    state = str(tmp_path / "state")
+    seen = {}
+    ingest = make_neardup_ingestor(state, on_stats=lambda b, s: seen.setdefault(b, s))
+    batch = _docs_df(spark, [(1, "one two three four five six")])
+
+    ingest(batch, 0)
+    assert seen[0]["n_accepted"] == 1
+    bands_before = spark.read.parquet(state + "/neardup_bands").count()
+
+    ingest(batch, 0)  # redelivery: skipped before any read or append
+    assert spark.read.parquet(state + "/corpus_neardup").count() == 1
+    assert spark.read.parquet(state + "/neardup_bands").count() == bands_before
+
+    ingest(_docs_df(spark, [(2, "seven eight nine ten eleven")]), 1)
+    assert seen[1]["n_accepted"] == 1
+    assert spark.read.parquet(state + "/corpus_neardup").count() == 2
+
+
+def test_stream_crashed_epoch_rolls_forward_then_skips(spark, tmp_path):
+    """Failure between the journal commit and the epoch flag cannot
+    double-ingest: the epoch id rides the journal marker, so the
+    redelivery's recover_state() rolls BOTH the data and the flag
+    forward, and the guard then skips the epoch."""
+    from etl_pipeline_for_retail_sales_data_spark.plans import (
+        incremental_corpus as IC,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        make_neardup_ingestor,
+    )
+
+    state = str(tmp_path / "state")
+    batch = _docs_df(spark, [(1, "one two three four five six")])
+    with pytest.raises(IC.SimulatedCrash):
+        IC.ingest_batch_neardup(spark, batch, state, epoch_id=5, _crash="after_journal")
+    assert not IC.epoch_committed(spark, state, 5)
+
+    calls = []
+    ingest = make_neardup_ingestor(state, on_stats=lambda b, s: calls.append(b))
+    ingest(batch, 5)  # redelivery of the crashed epoch
+    assert calls == []  # skipped: recover_state rolled epoch 5 forward
+    assert IC.epoch_committed(spark, state, 5)
+    assert spark.read.parquet(state + "/corpus_neardup").count() == 1
+    assert spark.read.parquet(state + "/neardup_bands").count() == 4  # 1 doc x 4 bands
+
+
+def test_stream_exact_ingest_epoch_guard(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        make_exact_ingestor,
+    )
+
+    state = str(tmp_path / "state")
+    ingest = make_exact_ingestor(state)
+    batch = _docs_df(spark, [(1, "a"), (2, "a"), (3, "b")])
+    ingest(batch, 0)
+    ingest(batch, 0)  # redelivery
+    corpus = spark.read.parquet(state + "/corpus")
+    assert corpus.count() == 2 and {r.doc_id for r in corpus.collect()} == {1, 3}
