@@ -56,7 +56,14 @@ from pyspark.sql import functions as F
 from ..cachectl import scoped_cache
 from ..fsutil import HadoopFS
 
-STATE_ROOTS = ("corpus", "fingerprints", "corpus_neardup", "neardup_bands")
+STATE_ROOTS = (
+    "corpus",
+    "fingerprints",
+    "corpus_neardup",
+    "neardup_bands",
+    "corpus_embdup",
+    "embdup_buckets",
+)
 DEFAULT_BUCKETS = 8  # local-test shape; size for the cluster in production
 
 
@@ -422,30 +429,120 @@ def ingest_batch_neardup(
     """
     from ..operators.dedup import minhash_band_keys
 
-    recover_state(spark, state_dir)
-    bands_root = _join(state_dir, "neardup_bands")
-    corpus_root = _join(state_dir, "corpus_neardup")
-
-    n_batch = batch.count()
     bk = minhash_band_keys(batch, text_col=text_col, k=k, bands=bands, n=n)
     if id_col != "doc_id":
         bk = bk.withColumnRenamed("doc_id", id_col)
+    n_batch, n_hist, n_within, n_accepted = _ingest_keyed(
+        spark,
+        batch,
+        state_dir,
+        keys=bk,
+        key_cols=("band", "bk"),
+        corpus_rel="corpus_neardup",
+        state_rel="neardup_bands",
+        id_col=id_col,
+        n_buckets=n_buckets,
+        epoch_id=epoch_id,
+        _crash=_crash,
+    )
+    return {
+        "n_batch": n_batch,
+        "n_hist_neardup": n_hist,
+        "n_within_neardup": n_within,
+        "n_accepted": n_accepted,
+    }
 
+
+def ingest_batch_embdup(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    tables: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    epoch_id: int | None = None,
+    _crash: str | None = None,
+) -> dict[str, int]:
+    """Incremental EMBEDDING near-duplicate ingestion — the third leg of
+    the incremental family (exact digests → MinHash text LSH → hyperplane
+    embedding LSH): each batch's vectors are checked against a persistent
+    (tbl, bucket) sign-bit state (operators/similarity.multitable_buckets
+    over the caller's seeded hyperplane ``tables``). A vector is a
+    historical near-dup iff ANY of its per-table buckets was already
+    seen; within the batch, sharing a bucket with a smaller-id member.
+    Exists-semantics, append-only, same SQL-expressible contract as the
+    text loop (oracled twin ``incremental_embdup_funnel``); state rows
+    are ~n_tables·(id + small strings) per vector and the per-batch check
+    is one bucketed (tbl, bucket) equi-join — the state side never
+    shuffles, the corpus is never rescanned. Null vectors produce no
+    buckets and are accepted (can never collide). Crash-atomic via the
+    shared journal commit; ``epoch_id`` rides the marker.
+
+    Returns ``{"n_batch", "n_hist_embdup", "n_within_embdup",
+    "n_accepted"}``; appends accepted rows to ``state_dir/corpus_embdup``
+    and the batch's bucket keys to ``state_dir/embdup_buckets``."""
+    from ..operators.similarity import multitable_buckets
+
+    keys = multitable_buckets(batch, tables, id_col=id_col, vec_col=vec_col)
+    n_batch, n_hist, n_within, n_accepted = _ingest_keyed(
+        spark,
+        batch,
+        state_dir,
+        keys=keys,
+        key_cols=("tbl", "bucket"),
+        corpus_rel="corpus_embdup",
+        state_rel="embdup_buckets",
+        id_col=id_col,
+        n_buckets=n_buckets,
+        epoch_id=epoch_id,
+        _crash=_crash,
+    )
+    return {
+        "n_batch": n_batch,
+        "n_hist_embdup": n_hist,
+        "n_within_embdup": n_within,
+        "n_accepted": n_accepted,
+    }
+
+
+def _ingest_keyed(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    keys: DataFrame,
+    key_cols: tuple,
+    corpus_rel: str,
+    state_rel: str,
+    id_col: str,
+    n_buckets: int,
+    epoch_id: int | None,
+    _crash: str | None,
+) -> tuple[int, int, int, int]:
+    """Shared engine of the LSH-keyed incremental loops: classify a batch
+    against a persistent bucketed key state (historical iff ANY key seen;
+    within-batch iff a smaller-id member shares a key), append accepted
+    rows + the batch's keys atomically. Returns
+    (n_batch, n_hist, n_within, n_accepted)."""
+    recover_state(spark, state_dir)
+    state_root = _join(state_dir, state_rel)
+    corpus_root = _join(state_dir, corpus_rel)
+    kc = list(key_cols)
+
+    n_batch = batch.count()
     # every consumer (both classification counts, both staged writes)
     # runs inside the scope, so the cache releases with zero recompute
-    # (cachectl.py); the signature pass runs once
-    with scoped_cache(bk):
-        state = neardup_band_state(spark, state_dir, id_col, n_buckets).select(
-            "band", "bk"
-        )
-        hist_ids = (
-            bk.join(state, ["band", "bk"], "left_semi").select(id_col).distinct()
-        )
-        # within-batch: smallest id per batch bucket; a doc with ANY
+    # (cachectl.py); the key-derivation pass runs once
+    with scoped_cache(keys):
+        state = _ensure_state_table(
+            spark, state_root, keys.select(id_col, *kc), kc, n_buckets
+        ).select(*kc)
+        hist_ids = keys.join(state, kc, "left_semi").select(id_col).distinct()
+        # within-batch: smallest id per batch bucket; a row with ANY
         # bucket whose min is a smaller id is a within-batch near-dup
-        bucket_min = bk.groupBy("band", "bk").agg(F.min(id_col).alias("__min_id"))
+        bucket_min = keys.groupBy(*kc).agg(F.min(id_col).alias("__min_id"))
         within_ids = (
-            bk.join(bucket_min, ["band", "bk"])
+            keys.join(bucket_min, kc)
             .filter(F.col("__min_id") < F.col(id_col))
             .select(id_col)
             .distinct()
@@ -462,30 +559,24 @@ def ingest_batch_neardup(
             token = uuid.uuid4().hex
             if n_accepted:
                 accepted.write.parquet(_staged_dir(corpus_root, token))
-                staged.append("corpus_neardup")
-            # seen-semantics: append EVERY batch doc's band keys (replays
-            # of the same batch then classify 100% historical and append
+                staged.append(corpus_rel)
+            # seen-semantics: append EVERY batch row's keys (replays of
+            # the same batch then classify 100% historical and append
             # again — harmless duplicates in an existence-checked state;
-            # compact_neardup_state collapses them)
+            # compaction collapses them)
             if n_batch:
                 _staged_bucketed_write(
-                    bk.select(id_col, "band", "bk"),
-                    _staged_dir(bands_root, token),
-                    ["band", "bk"],
+                    keys.select(id_col, *kc),
+                    _staged_dir(state_root, token),
+                    kc,
                     n_buckets,
                 )
-                staged.append("neardup_bands")
+                staged.append(state_rel)
             if staged:
                 _commit(
                     spark, state_dir, staged, token, epoch_id=epoch_id, _crash=_crash
                 )
-
-    return {
-        "n_batch": n_batch,
-        "n_hist_neardup": n_hist,
-        "n_within_neardup": n_within,
-        "n_accepted": n_accepted,
-    }
+    return n_batch, n_hist, n_within, n_accepted
 
 
 # ---------------------------------------------------------------------------
@@ -568,6 +659,17 @@ def compact_neardup_state(
     row count."""
     return _compact_state(
         spark, state_dir, "neardup_bands", ["band", "bk"], n_buckets
+    )
+
+
+def compact_embdup_state(
+    spark: SparkSession, state_dir: str, n_buckets: int = DEFAULT_BUCKETS
+) -> int:
+    """Embedding-loop twin of :func:`compact_neardup_state`: collapse
+    replay-duplicated (id, tbl, bucket) rows, rewrite bucketed, swap in.
+    Single writer assumed."""
+    return _compact_state(
+        spark, state_dir, "embdup_buckets", ["tbl", "bucket"], n_buckets
     )
 
 

@@ -6231,6 +6231,103 @@ def q_incremental_neardup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embdup_funnel_oracle() -> str:
+    tables = _lsh_tables()
+    per_table = []
+    for t, planes in enumerate(tables):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        per_table.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
+    buckets = "\nUNION ALL\n".join(per_table)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    b AS (
+        {buckets}
+    ),
+    w AS (SELECT vec_id, vec_id % 3 AS day, tbl, bucket FROM b),
+    bs AS (SELECT tbl, bucket, MIN(day) AS first_day FROM w GROUP BY tbl, bucket),
+    pbd AS (SELECT tbl, bucket, day, MIN(vec_id) AS min_id
+            FROM w GROUP BY tbl, bucket, day),
+    pervec AS (
+        SELECT w.vec_id, w.day,
+               MAX(CASE WHEN bs.first_day < w.day THEN 1 ELSE 0 END) AS any_hist,
+               MAX(CASE WHEN pbd.min_id < w.vec_id THEN 1 ELSE 0 END) AS any_sm
+        FROM w
+        JOIN bs ON bs.tbl = w.tbl AND bs.bucket = w.bucket
+        JOIN pbd ON pbd.tbl = w.tbl AND pbd.bucket = w.bucket AND pbd.day = w.day
+        GROUP BY w.vec_id, w.day
+    ),
+    allv AS (SELECT vec_id, vec_id % 3 AS day FROM embeddings)
+    SELECT CAST(a.day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN p.any_hist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hist_embdup,
+           CAST(SUM(CASE WHEN COALESCE(p.any_hist, 0) = 0 AND p.any_sm = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_embdup,
+           CAST(SUM(CASE WHEN COALESCE(p.any_hist, 0) = 0
+                          AND COALESCE(p.any_sm, 0) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+    FROM allv a LEFT JOIN pervec p ON p.vec_id = a.vec_id
+    GROUP BY a.day
+    """
+
+
+@query("incremental_embdup_funnel", oracle=_embdup_funnel_oracle())
+def q_incremental_embdup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental EMBEDDING near-dup ingestion semantics (plans/
+    incremental_corpus.ingest_batch_embdup) as a pure query — the
+    hyperplane-LSH leg of the incremental family: vectors arrive in
+    simulated daily batches (day = vec_id % 3, ingested in day order)
+    and each classifies as historical (shares ANY (tbl, bucket) sign-bit
+    key with an earlier-day vector), within-batch (smaller same-day id
+    shares one), or accepted. Seeded planes inline into the DuckDB
+    oracle as double literals (the ann_lsh trick), list_dot_product
+    reproduces the sign bits bit-for-bit, so the funnel is fully
+    oracled; the real append-only bucketed-state transitions are covered
+    by tests/test_incremental_corpus.py.
+
+    Scale shape: ONE bucket pass lands in a (tbl, bucket)-keyed
+    repartition exchange inherited exchange-free by the first-day
+    aggregate, the per-day min-id aggregate, and the classify join
+    (reuse-not-cache, cachectl.py); in the real loop the state side is a
+    bucketed table the per-batch join never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = (
+        SIM.multitable_buckets(emb, _lsh_tables())
+        .withColumn("day", F.col("vec_id") % 3)
+        .repartition("tbl", "bucket")
+    )
+    bs = b.groupBy("tbl", "bucket").agg(F.min("day").alias("first_day"))
+    pbd = b.groupBy("tbl", "bucket", "day").agg(F.min("vec_id").alias("min_id"))
+    pervec = (
+        b.join(bs, ["tbl", "bucket"])
+        .join(pbd, ["tbl", "bucket", "day"])
+        .groupBy("vec_id", "day")
+        .agg(
+            F.max((F.col("first_day") < F.col("day")).cast("int")).alias("any_hist"),
+            F.max((F.col("min_id") < F.col("vec_id")).cast("int")).alias("any_sm"),
+        )
+    )
+    allv = emb.select("vec_id", (F.col("vec_id") % 3).alias("day"))
+    cls = allv.join(pervec.select("vec_id", "any_hist", "any_sm"), "vec_id", "left")
+    is_hist = F.col("any_hist") == 1
+    is_within = (F.coalesce(F.col("any_hist"), F.lit(0)) == 0) & (F.col("any_sm") == 1)
+    is_acc = (F.coalesce(F.col("any_hist"), F.lit(0)) == 0) & (
+        F.coalesce(F.col("any_sm"), F.lit(0)) == 0
+    )
+    return cls.groupBy("day").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.when(is_hist, 1).otherwise(0)).cast("long").alias("n_hist_embdup"),
+        F.sum(F.when(is_within, 1).otherwise(0)).cast("long").alias("n_within_embdup"),
+        F.sum(F.when(is_acc, 1).otherwise(0)).cast("long").alias("n_accepted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 2 additions: content-defined chunking, forward as-of, bucketed
 # co-located join, agg-based top-k, JSON roundtrip

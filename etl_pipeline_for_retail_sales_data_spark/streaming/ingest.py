@@ -31,6 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..plans.incremental_corpus import (
     epoch_committed,
     ingest_batch,
+    ingest_batch_embdup,
     ingest_batch_neardup,
     recover_state,
 )
@@ -71,6 +72,41 @@ def make_neardup_ingestor(state_dir: str, on_stats=None, **ingest_kwargs):
             on_stats(batch_id, stats)
 
     return ingest
+
+
+def make_embdup_ingestor(state_dir: str, tables: list, on_stats=None, **ingest_kwargs):
+    """foreachBatch callback: hyperplane-LSH embedding near-dup ingest of
+    each micro-batch against the persistent (tbl, bucket) state."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recover_state(spark, state_dir)
+        if epoch_committed(spark, state_dir, batch_id):
+            return
+        stats = ingest_batch_embdup(
+            spark, batch_df, state_dir, tables, epoch_id=batch_id, **ingest_kwargs
+        )
+        if on_stats is not None:
+            on_stats(batch_id, stats)
+
+    return ingest
+
+
+def stream_ingest_embdup(
+    stream_df: DataFrame,
+    state_dir: str,
+    tables: list,
+    query_name: str,
+    **ingest_kwargs,
+) -> StreamingQuery:
+    """Embedding-LSH twin of :func:`stream_ingest_neardup`."""
+    return (
+        stream_df.writeStream.foreachBatch(make_embdup_ingestor(state_dir, tables, **ingest_kwargs))
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_ingest_neardup(

@@ -355,3 +355,90 @@ def test_compaction_swap_crash_rolls_forward(spark, state_dir):
     assert fs.exists(bands)
     assert not fs.exists(bands + "._compact_tmp")
     assert not fs.exists(bands + "._compact_old")
+
+
+def _lsh_tables_fixture():
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import _lsh_tables
+
+    return _lsh_tables()
+
+
+def test_embdup_ingest_matches_static_funnel(spark, state_dir, sf_smoke):
+    """Replaying the embeddings table as day batches (day = vec_id % 3,
+    ingested in day order) through the STATEFUL embedding near-dup loop
+    must reproduce exactly the static funnel the oracle checks
+    (incremental_embdup_funnel)."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_embdup,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    expected = {
+        int(r["day"]): (r["n_vecs"], r["n_hist_embdup"], r["n_within_embdup"], r["n_accepted"])
+        for r in QUERIES["incremental_embdup_funnel"](spark, sf_smoke).collect()
+    }
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    tables = _lsh_tables_fixture()
+    for day in (0, 1, 2):
+        batch = emb.filter(emb.vec_id % 3 == day)
+        got = ingest_batch_embdup(spark, batch, state_dir, tables)
+        assert (
+            got["n_batch"],
+            got["n_hist_embdup"],
+            got["n_within_embdup"],
+            got["n_accepted"],
+        ) == expected[day], (day, got, expected[day])
+
+
+def test_embdup_replay_and_crash_recovery(spark, state_dir):
+    """Re-ingesting a seen batch classifies every bucketed vector as
+    historical (null vectors produce no keys and are always accepted);
+    a crash after the journal commit rolls forward on blind retry with
+    zero duplicate corpus rows — the shared protocol, exercised through
+    the embedding loop."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_embdup,
+    )
+
+    tables = _lsh_tables_fixture()
+    batch = spark.createDataFrame(
+        [
+            (1, [float(j) for j in range(64)]),
+            (2, [float(j) + 0.001 for j in range(64)]),  # same sign buckets as 1
+            (3, None),  # no embedding: no keys, always accepted
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    s1 = ingest_batch_embdup(spark, batch, state_dir, tables)
+    assert s1["n_batch"] == 3 and s1["n_hist_embdup"] == 0
+    assert s1["n_within_embdup"] == 1  # vec 2 shares every bucket with 1
+    assert s1["n_accepted"] == 2  # vec 1 + the null-vector row
+
+    s2 = ingest_batch_embdup(spark, batch, state_dir, tables)
+    assert s2 == {
+        "n_batch": 3,
+        "n_hist_embdup": 2,
+        "n_within_embdup": 0,
+        "n_accepted": 1,  # the null-vector row can never collide
+    }
+
+    day2 = spark.createDataFrame(
+        [(10, [-float(j) - 1.0 for j in range(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(IC.SimulatedCrash):
+        ingest_batch_embdup(spark, day2, state_dir, tables, _crash="after_journal")
+    retry = ingest_batch_embdup(spark, day2, state_dir, tables)
+    assert retry["n_hist_embdup"] == 1 and retry["n_accepted"] == 0
+    corpus = spark.read.parquet(state_dir + "/corpus_embdup")
+    assert corpus.filter("vec_id = 10").count() == 1  # exactly once
+
+    # compaction symmetry
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        compact_embdup_state,
+    )
+
+    n = compact_embdup_state(spark, state_dir)
+    assert n == spark.read.parquet(state_dir + "/embdup_buckets").count()
+    s3 = ingest_batch_embdup(spark, batch, state_dir, tables)
+    assert s3["n_hist_embdup"] == 2  # classification unchanged after compaction

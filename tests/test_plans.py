@@ -298,3 +298,21 @@ def test_matryoshka_recall_single_corpus_scan(spark, sf_smoke):
 
     windows = set(re.findall(r"row_number\(\).*?dim_budget[^\n]*", txt))
     assert windows, txt
+
+
+def test_source_overlap_matrix_has_no_corpus_self_join(spark, sf_smoke):
+    """r8 rewrite: the cross-source fingerprint matrix is ONE
+    groupBy(fp)/collect_set aggregate with in-row pair explosion — the
+    former corpus-sized fp self-join (SortMergeJoin over two full
+    fingerprint sets) must not reappear. The only joins left are the two
+    broadcast joins against the tiny per-source size frame, and the
+    source label rides the fingerprint projection (no doc_id join back
+    to the corpus)."""
+    df = QUERIES["source_overlap_matrix"](spark, sf_smoke)
+    df.collect()
+    txt = plan_of(df)
+    assert "SortMergeJoin" not in txt, txt
+    assert "ShuffledHashJoin" not in txt, txt
+    # the remaining joins are broadcasts of the tiny size frames (AQE may
+    # fold reused subtrees, so pin the KIND, not an exact count)
+    assert "BroadcastHashJoin" in txt, txt

@@ -415,3 +415,27 @@ def test_stream_exact_ingest_epoch_guard(spark, tmp_path):
     ingest(batch, 0)  # redelivery
     corpus = spark.read.parquet(state + "/corpus")
     assert corpus.count() == 2 and {r.doc_id for r in corpus.collect()} == {1, 3}
+
+
+def test_stream_embdup_ingest_epoch_guard(spark, tmp_path):
+    """The embedding-LSH loop through the streaming sink: exactly-once
+    per epoch, redelivery skipped wholesale."""
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import _lsh_tables
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        make_embdup_ingestor,
+    )
+
+    state = str(tmp_path / "state")
+    tables = _lsh_tables()
+    ingest = make_embdup_ingestor(state, tables)
+    batch = spark.createDataFrame(
+        [(1, [float(j) for j in range(64)]), (2, [-float(j) - 1.0 for j in range(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    ingest(batch, 0)
+    ingest(batch, 0)  # redelivery
+    corpus = spark.read.parquet(state + "/corpus_embdup")
+    assert corpus.count() == 2
+    buckets = spark.read.parquet(state + "/embdup_buckets").count()
+    ingest(batch, 0)  # and again
+    assert spark.read.parquet(state + "/embdup_buckets").count() == buckets
