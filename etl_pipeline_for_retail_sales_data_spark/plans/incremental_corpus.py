@@ -78,11 +78,14 @@ def _join(*parts: str) -> str:
 
 def _norm_loc(loc: str) -> str:
     """Normalize a catalog-reported location (URI) and a caller path to
-    a comparable form: strip scheme, trailing slash."""
+    a comparable form: strip the scheme and trailing slash but KEEP the
+    authority (two clusters sharing a path must not compare equal)."""
     from urllib.parse import urlparse
 
-    p = urlparse(loc).path if ":" in loc.split("/", 1)[0] + "/" else loc
-    return (p or loc).rstrip("/")
+    if ":" in loc.split("/", 1)[0]:
+        u = urlparse(loc)
+        return (u.netloc + u.path).rstrip("/")
+    return loc.rstrip("/")
 
 
 def _state_table_name(root_path: str) -> str:

@@ -181,7 +181,17 @@ def main() -> None:
         "map-only JVM md5 over every token k-gram (zero shuffles), i.e. linear",
         "compute emerging from under the fixed x1 overhead; the md5 is the",
         "price of the DuckDB-replayable oracle (xxhash64 would be ~10x cheaper",
-        "but unverifiable). triangle_coparts is a stress probe,",
+        "but unverifiable). source_overlap_matrix sits on the SAME md5 floor,",
+        "measured per-substage by tools/profile_overlap.py (fresh process per",
+        "multiple): at x16 the raw winnowing fingerprint pass alone is ~4.3s",
+        "of the ~5.0-5.6s total and the one corpus shuffle (groupBy(fp)",
+        "source-set aggregate) ~0.4s more — ≥85% of the query IS the",
+        "fingerprint floor. The r8 rewrite removed every other corpus-sized",
+        "stage (the doc_id join and the fp self-join: source rides the",
+        "fingerprint projection via carry_cols; pairs explode in-row from a",
+        "collect_set) — both endpoints dropped ~40% (x1 1.84->1.08s, x16",
+        "9.3->5.6s); the ratio stays ~5x only because the x1 endpoint is now",
+        "mostly fixed session overhead. triangle_coparts is a stress probe,",
         "not a linear one: more orders over the same part range DENSIFY the",
         "co-purchase graph, so its work grows faster than the input by data",
         "construction - the probe checks the degree-oriented plan absorbs it.",
