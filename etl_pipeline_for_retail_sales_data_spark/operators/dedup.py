@@ -45,6 +45,32 @@ def doc_dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bloom_positions(digest_col, m_bits: int, k: int = 4):
+    """``k`` PORTABLE Bloom-filter bit positions for a digest column —
+    position i = md5("i:" || digest) folded to a long mod ``m_bits``.
+    The same arithmetic is expressible verbatim in DuckDB
+    (CAST('0x'||substring(md5(..),1,15) AS BIGINT) % m), so a Bloom
+    membership DECISION — not just its invariants — replays exactly
+    across engines. Returns an array<long> expression.
+
+    Scale note: a Bloom dedup state stores ~k·n/ln2 DISTINCT set bits ≈
+    10-15 BITS per document at 1% FP (vs ~50 BYTES for the digest
+    table) — the space/recall dial for exact dedup at 100 TB: no false
+    negatives ever (every true duplicate is caught); a tunable share of
+    genuinely-novel docs is sacrificed as false positives."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), digest_col)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for i in range(k)
+        ]
+    )
+
+
 def doc_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = True
 ) -> DataFrame:

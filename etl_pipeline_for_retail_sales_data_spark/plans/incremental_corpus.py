@@ -63,6 +63,8 @@ STATE_ROOTS = (
     "neardup_bands",
     "corpus_embdup",
     "embdup_buckets",
+    "corpus_bloom",
+    "bloom_bits",
 )
 DEFAULT_BUCKETS = 8  # local-test shape; size for the cluster in production
 
@@ -580,6 +582,123 @@ def _ingest_keyed(
                     spark, state_dir, staged, token, epoch_id=epoch_id, _crash=_crash
                 )
     return n_batch, n_hist, n_within, n_accepted
+
+
+def ingest_batch_bloom(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    n_buckets: int = DEFAULT_BUCKETS,
+    epoch_id: int | None = None,
+    _crash: str | None = None,
+) -> dict[str, int]:
+    """Space-optimized exact-dedup ingestion: the fingerprint table is
+    replaced by a PORTABLE Bloom filter (operators/dedup.bloom_positions)
+    stored as one ``pos`` long per DISTINCT set bit, bucketed — the
+    whole state is at most ``m_bits`` rows however large the corpus,
+    ~10-15 BITS per document at 1% FP vs ~50 BYTES per digest in
+    :func:`ingest_batch`. The trade, explicit: NO false negatives ever
+    (a true duplicate's digest sets exactly the bits its first copy set,
+    so every probe hits), but a tunable share of genuinely-novel docs is
+    rejected as false positives once the filter loads up — size
+    ``m_bits`` ≈ k·corpus/ln2 ÷ desired-FP for production. Rejected
+    docs' digests are NOT inserted (they were judged duplicates), so
+    decisions are replay-stable.
+
+    Classification: a within-batch-deduped doc is ``maybe-historical``
+    iff ALL ``k`` of its bit positions are present in the state — one
+    bucketed equi-join on ``pos`` (state side never shuffles) + a
+    per-doc count. Accepted docs append to ``corpus_bloom``; their
+    distinct positions append to ``bloom_bits`` in the SAME atomic
+    journal commit (crash ⇒ blind retry, never double-ingest).
+    ``compact_bloom_state`` collapses replay/overlap duplicates. The
+    md5 position math replays bit-exactly in DuckDB — the oracled twin
+    ``incremental_bloom_funnel`` pins the DECISIONS, not just
+    invariants.
+
+    Returns ``{"n_batch", "n_within_dup", "n_rejected_maybe_dup",
+    "n_accepted"}`` (``n_rejected_maybe_dup`` counts true duplicates
+    AND false positives — the loop cannot tell them apart; that is the
+    contract)."""
+    from ..operators.dedup import bloom_positions
+
+    recover_state(spark, state_dir)
+    corpus_root = _join(state_dir, "corpus_bloom")
+    bits_root = _join(state_dir, "bloom_bits")
+    digest = F.md5(F.col(text_col)).alias("digest")
+
+    n_batch = batch.count()
+    keyed = batch.select(digest, *batch.columns)
+    keeper = keyed.groupBy("digest").agg(F.min(id_col).alias(id_col))
+    batch_unique = keyed.join(keeper, ["digest", id_col])
+
+    probes = batch_unique.select(
+        id_col, F.explode(bloom_positions(F.col("digest"), m_bits, k)).alias("pos")
+    ).distinct()
+    state = _ensure_state_table(
+        spark,
+        bits_root,
+        spark.createDataFrame([], "pos long"),
+        ["pos"],
+        n_buckets,
+    )
+    # bucketed groupBy: generation-duplicate bits collapse shuffle-free
+    state_pos = state.groupBy("pos").agg(F.lit(1).alias("__set")).select("pos")
+    matched = probes.join(state_pos, "pos", "left_semi")
+    per_doc = (
+        probes.groupBy(id_col)
+        .agg(F.count("*").alias("__n_probe"))
+        .join(matched.groupBy(id_col).agg(F.count("*").alias("__n_hit")), id_col, "left")
+    )
+    hist_ids = per_doc.filter(
+        F.col("__n_hit") == F.col("__n_probe")
+    ).select(id_col)
+
+    with scoped_cache(batch_unique, hist_ids):
+        n_unique = batch_unique.count()
+        n_hist = hist_ids.count()
+        accepted = batch_unique.join(hist_ids, id_col, "left_anti")
+        n_accepted = n_unique - n_hist
+        if n_accepted:
+            token = uuid.uuid4().hex
+            accepted.drop("digest").write.parquet(_staged_dir(corpus_root, token))
+            new_bits = accepted.select(
+                F.explode(
+                    bloom_positions(F.col("digest"), m_bits, k)
+                ).alias("pos")
+            ).distinct()
+            _staged_bucketed_write(
+                new_bits, _staged_dir(bits_root, token), ["pos"], n_buckets
+            )
+            _commit(
+                spark,
+                state_dir,
+                ["corpus_bloom", "bloom_bits"],
+                token,
+                epoch_id=epoch_id,
+                _crash=_crash,
+            )
+
+    return {
+        "n_batch": n_batch,
+        "n_within_dup": n_batch - n_unique,
+        "n_rejected_maybe_dup": n_hist,
+        "n_accepted": n_accepted,
+    }
+
+
+def compact_bloom_state(
+    spark: SparkSession, state_dir: str, n_buckets: int = DEFAULT_BUCKETS
+) -> int:
+    """Collapse duplicate set-bit rows in the Bloom state (replays and
+    cross-batch position collisions append the same ``pos`` again).
+    After compaction the state is at most ``m_bits`` rows regardless of
+    corpus size. Single writer assumed."""
+    return _compact_state(spark, state_dir, "bloom_bits", ["pos"], n_buckets)
 
 
 # ---------------------------------------------------------------------------

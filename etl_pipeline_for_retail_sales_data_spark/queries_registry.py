@@ -6328,6 +6328,148 @@ def q_incremental_embdup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_funnel_oracle(m: int = 4096, k: int = 4) -> str:
+    pos_expr = (
+        "CAST(('0x' || substring(md5(CAST(u.i AS VARCHAR) || ':' || kk.digest), 1, 15)) "
+        f"AS BIGINT) % {m}"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, doc_id % 3 AS day, md5(text) AS digest FROM documents),
+    kk AS (SELECT day, digest, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+           FROM d GROUP BY day, digest),
+    p AS (SELECT DISTINCT kk.day, kk.digest, {pos_expr} AS pos
+          FROM kk, (SELECT UNNEST(range({k})) AS i) u
+          WHERE kk.digest IS NOT NULL),
+    np AS (SELECT day, digest, COUNT(*) AS n_pos FROM p GROUP BY day, digest),
+    seen1 AS (SELECT DISTINCT pos FROM p WHERE day = 0),
+    hit1 AS (SELECT p.digest, COUNT(*) AS n_hit
+             FROM p JOIN seen1 s ON s.pos = p.pos WHERE p.day = 1 GROUP BY p.digest),
+    rej1 AS (SELECT np.digest FROM np JOIN hit1 USING (digest)
+             WHERE np.day = 1 AND hit1.n_hit = np.n_pos),
+    acc1 AS (SELECT kk.digest FROM kk LEFT JOIN rej1 r ON r.digest = kk.digest
+             WHERE kk.day = 1 AND kk.digest IS NOT NULL AND r.digest IS NULL),
+    seen2 AS (SELECT pos FROM seen1 UNION
+              SELECT p.pos FROM p JOIN acc1 a ON a.digest = p.digest WHERE p.day = 1),
+    hit2 AS (SELECT p.digest, COUNT(*) AS n_hit
+             FROM p JOIN seen2 s ON s.pos = p.pos WHERE p.day = 2 GROUP BY p.digest),
+    rej2 AS (SELECT np.digest FROM np JOIN hit2 USING (digest)
+             WHERE np.day = 2 AND hit2.n_hit = np.n_pos),
+    rejected AS (SELECT 1 AS day, digest FROM rej1
+                 UNION ALL SELECT 2 AS day, digest FROM rej2),
+    perday AS (
+        SELECT kk.day,
+               SUM(kk.n_copies) AS n_docs,
+               COUNT(*) AS n_keepers,
+               SUM(CASE WHEN r.digest IS NOT NULL THEN 1 ELSE 0 END) AS n_rej
+        FROM kk LEFT JOIN rejected r ON r.day = kk.day AND r.digest = kk.digest
+        GROUP BY kk.day)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs - n_keepers AS BIGINT) AS n_within_dup,
+           CAST(n_rej AS BIGINT) AS n_rejected_maybe_dup,
+           CAST(n_keepers - n_rej AS BIGINT) AS n_accepted
+    FROM perday
+    """
+
+
+@query("incremental_bloom_funnel", oracle=_bloom_funnel_oracle())
+def q_incremental_bloom_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-filter incremental exact-dedup semantics (plans/
+    incremental_corpus.ingest_batch_bloom) as a pure query: documents
+    arrive in daily batches (day = doc_id % 3), within-batch duplicates
+    collapse to a keeper per (day, digest), and a keeper is REJECTED as
+    maybe-duplicate iff ALL k of its portable Bloom positions
+    (operators/dedup.bloom_positions — md5-folded mod m, the identical
+    arithmetic in both engines) were set by EARLIER days' accepted
+    digests. Because positions are portable, the oracle replays the
+    actual DECISIONS — true duplicates and false positives alike — not
+    just invariants: no false negatives is a theorem (a true dup's
+    digest sets exactly its first copy's bits), and the FP count at
+    m=4096 bits over this corpus is pinned exactly. Null-text keepers
+    have no positions and are always accepted. Day-0 state is empty, so
+    everything chains acc0 -> seen1 -> acc1 -> seen2 deterministically.
+
+    Scale shape: the state the real loop carries is at most m rows (one
+    long per distinct set bit, bucketed) — ~10-15 bits/doc vs ~50
+    bytes/doc for the digest table; per-day work here is position
+    explosion (k rows/keeper) + keyed joins, no corpus pair work."""
+    from .operators.dedup import bloom_positions
+
+    M, K = 4096, 4
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", (F.col("doc_id") % 3).alias("day"), F.md5("text").alias("digest")
+    )
+    kk = d.groupBy("day", "digest").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+    p = (
+        kk.filter(F.col("digest").isNotNull())
+        .select(
+            "day",
+            "digest",
+            F.explode(bloom_positions(F.col("digest"), M, K)).alias("pos"),
+        )
+        .distinct()
+        .repartition("pos")  # the three seen-set joins reuse one exchange
+    )
+    np_ = p.groupBy("day", "digest").agg(F.count("*").alias("n_pos"))
+    seen1 = p.filter(F.col("day") == 0).select("pos").distinct()
+    hit1 = (
+        p.filter(F.col("day") == 1)
+        .join(seen1, "pos")
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    rej1 = (
+        np_.filter(F.col("day") == 1)
+        .join(hit1, "digest")
+        .filter(F.col("n_hit") == F.col("n_pos"))
+        .select("digest")
+    )
+    acc1 = (
+        kk.filter((F.col("day") == 1) & F.col("digest").isNotNull())
+        .join(rej1, "digest", "left_anti")
+        .select("digest")
+    )
+    seen2 = seen1.union(
+        p.filter(F.col("day") == 1).join(acc1, "digest").select("pos")
+    ).distinct()
+    hit2 = (
+        p.filter(F.col("day") == 2)
+        .join(seen2, "pos")
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    rej2 = (
+        np_.filter(F.col("day") == 2)
+        .join(hit2, "digest")
+        .filter(F.col("n_hit") == F.col("n_pos"))
+        .select("digest")
+    )
+    rejected = rej1.select(F.lit(1).alias("day"), "digest").unionByName(
+        rej2.select(F.lit(2).alias("day"), "digest")
+    )
+    perday = (
+        kk.join(
+            rejected.withColumn("__rej", F.lit(1)), ["day", "digest"], "left"
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("n_copies").alias("n_docs"),
+            F.count("*").alias("n_keepers"),
+            F.sum(F.coalesce(F.col("__rej"), F.lit(0))).alias("n_rej"),
+        )
+    )
+    return perday.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs") - F.col("n_keepers")).cast("long").alias("n_within_dup"),
+        F.col("n_rej").cast("long").alias("n_rejected_maybe_dup"),
+        (F.col("n_keepers") - F.col("n_rej")).cast("long").alias("n_accepted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 2 additions: content-defined chunking, forward as-of, bucketed
 # co-located join, agg-based top-k, JSON roundtrip

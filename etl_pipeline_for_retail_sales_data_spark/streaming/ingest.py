@@ -31,6 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..plans.incremental_corpus import (
     epoch_committed,
     ingest_batch,
+    ingest_batch_bloom,
     ingest_batch_embdup,
     ingest_batch_neardup,
     recover_state,
@@ -66,6 +67,25 @@ def make_neardup_ingestor(state_dir: str, on_stats=None, **ingest_kwargs):
         if epoch_committed(spark, state_dir, batch_id):
             return
         stats = ingest_batch_neardup(
+            spark, batch_df, state_dir, epoch_id=batch_id, **ingest_kwargs
+        )
+        if on_stats is not None:
+            on_stats(batch_id, stats)
+
+    return ingest
+
+
+def make_bloom_ingestor(state_dir: str, on_stats=None, **ingest_kwargs):
+    """foreachBatch callback: Bloom-filter exact-dedup ingest (space-
+    optimized state, no false negatives, tunable FP rate) of each
+    micro-batch."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recover_state(spark, state_dir)
+        if epoch_committed(spark, state_dir, batch_id):
+            return
+        stats = ingest_batch_bloom(
             spark, batch_df, state_dir, epoch_id=batch_id, **ingest_kwargs
         )
         if on_stats is not None:

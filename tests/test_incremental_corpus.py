@@ -442,3 +442,72 @@ def test_embdup_replay_and_crash_recovery(spark, state_dir):
     assert n == spark.read.parquet(state_dir + "/embdup_buckets").count()
     s3 = ingest_batch_embdup(spark, batch, state_dir, tables)
     assert s3["n_hist_embdup"] == 2  # classification unchanged after compaction
+
+
+def test_bloom_ingest_matches_static_funnel(spark, state_dir, sf_smoke):
+    """Replaying documents as day batches through the STATEFUL Bloom
+    loop reproduces the oracled static funnel exactly — including the
+    false-positive decisions, because the bit positions are portable."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_bloom,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    expected = {
+        int(r["day"]): (r["n_docs"], r["n_within_dup"], r["n_rejected_maybe_dup"], r["n_accepted"])
+        for r in QUERIES["incremental_bloom_funnel"](spark, sf_smoke).collect()
+    }
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    for day in (0, 1, 2):
+        batch = docs.filter(docs.doc_id % 3 == day)
+        got = ingest_batch_bloom(spark, batch, state_dir, m_bits=4096, k=4)
+        assert (
+            got["n_batch"],
+            got["n_within_dup"],
+            got["n_rejected_maybe_dup"],
+            got["n_accepted"],
+        ) == expected[day], (day, got, expected[day])
+
+
+def test_bloom_no_false_negatives_and_bounded_state(spark, tmp_path):
+    """The Bloom contract, head-on: with a deliberately tiny filter
+    (m=256) false positives MUST appear, but no true duplicate ever
+    slips through — bloom-accepted is a SUBSET of exact-accepted — and
+    after compaction the state never exceeds m rows regardless of how
+    much was ingested."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        compact_bloom_state,
+        ingest_batch,
+        ingest_batch_bloom,
+    )
+
+    bloom_state = str(tmp_path / "bloom")
+    exact_state = str(tmp_path / "exact")
+    day1 = _docs(spark, [(i, f"text number {i}") for i in range(60)])
+    # day2: 30 true dups of day1 + 30 novel
+    day2 = _docs(
+        spark,
+        [(100 + i, f"text number {i}") for i in range(30)]
+        + [(200 + i, f"fresh text {i}") for i in range(30)],
+    )
+    for batch in (day1, day2):
+        b = ingest_batch_bloom(spark, batch, bloom_state, m_bits=256, k=4)
+        e = ingest_batch(spark, batch, exact_state)
+        # no false negatives: every true historical dup is rejected
+        assert b["n_rejected_maybe_dup"] >= e["n_hist_dup"]
+        assert b["n_accepted"] <= e["n_accepted"]
+        # bloom-accepted ⊆ exact-accepted (the FP direction only)
+        ba = {r.doc_id for r in spark.read.parquet(bloom_state + "/corpus_bloom").collect()}
+        ea = {r.doc_id for r in spark.read.parquet(exact_state + "/corpus").collect()}
+        assert ba <= ea
+    # with m=256 and ~90 inserted digests x4 probes, FPs are certain
+    assert len(ba) < len(ea)
+    n = compact_bloom_state(spark, bloom_state)
+    assert n <= 256
+    assert spark.read.parquet(bloom_state + "/bloom_bits").count() == n
+
+    # replay: every keeper's bits are set -> all rejected, nothing appended
+    again = ingest_batch_bloom(spark, day1, bloom_state, m_bits=256, k=4)
+    assert again["n_accepted"] == 0
+    assert again["n_rejected_maybe_dup"] == 60
+    assert spark.read.parquet(bloom_state + "/corpus_bloom").count() == len(ba)

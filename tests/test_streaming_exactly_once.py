@@ -439,3 +439,20 @@ def test_stream_embdup_ingest_epoch_guard(spark, tmp_path):
     buckets = spark.read.parquet(state + "/embdup_buckets").count()
     ingest(batch, 0)  # and again
     assert spark.read.parquet(state + "/embdup_buckets").count() == buckets
+
+
+def test_stream_bloom_ingest_epoch_guard(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        make_bloom_ingestor,
+    )
+
+    state = str(tmp_path / "state")
+    ingest = make_bloom_ingestor(state, m_bits=4096, k=4)
+    batch = _docs_df(spark, [(1, "aa"), (2, "aa"), (3, "bb")])
+    ingest(batch, 0)
+    ingest(batch, 0)  # redelivery: skipped wholesale
+    corpus = spark.read.parquet(state + "/corpus_bloom")
+    assert corpus.count() == 2 and {r.doc_id for r in corpus.collect()} == {1, 3}
+    bits = spark.read.parquet(state + "/bloom_bits").count()
+    ingest(batch, 0)
+    assert spark.read.parquet(state + "/bloom_bits").count() == bits

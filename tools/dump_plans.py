@@ -37,6 +37,12 @@ SHOWCASE = {
     ),
     "topk_agg_brand": "top-k inside one hash aggregate: no window shuffle",
     "cdc_chunks": "content-defined chunking: pure array ops until the final fan-out",
+    "source_overlap_matrix": (
+        "cross-source fingerprint matrix (r8): source rides the winnowing "
+        "projection (no doc_id join) and pairs explode in-row from ONE "
+        "groupBy(fp) source-set aggregate — no corpus self-join; the only "
+        "joins are broadcasts of the per-source size frame"
+    ),
     "session_window_stats": "native session_window aggregate, one shuffle on the user key",
     "triangle_coparts": (
         "degree-oriented triangle census: equi-joins only (wedge + closing "
