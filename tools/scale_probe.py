@@ -191,7 +191,20 @@ def main() -> None:
         "fingerprint projection via carry_cols; pairs explode in-row from a",
         "collect_set) — both endpoints dropped ~40% (x1 1.84->1.08s, x16",
         "9.3->5.6s); the ratio stays ~5x only because the x1 endpoint is now",
-        "mostly fixed session overhead. triangle_coparts is a stress probe,",
+        "mostly fixed session overhead. ppjoin_jaccard's ratio is also a",
+        "measured data artifact (tools/profile_ppjoin.py): at x16 this",
+        "token-tagged synthetic corpus yields ~2.0M candidate pairs for",
+        "4,096 true pairs — prefix filtering's selectivity assumption",
+        "does not hold on templated text, so candidate materialization",
+        "(~8-10s) + the 2M-pair verify join (~4s) dominate; the capped",
+        "inverted index (ngram_jaccard_capped, 3.7s at x16) is the right",
+        "operator for such corpora, PPJoin for selective-prefix ones.",
+        "r8 reshaped its verify: the candidate frame and the",
+        "candidate-doc shingle arrays are RELIABLY CHECKPOINTED (the",
+        "window-heavy lineage re-ran once per consumer before — exchange",
+        "reuse does not survive window stages), and arrays build only",
+        "for candidate docs, so selective corpora skip the corpus-sized",
+        "array pass entirely. triangle_coparts is a stress probe,",
         "not a linear one: more orders over the same part range DENSIFY the",
         "co-purchase graph, so its work grows faster than the input by data",
         "construction - the probe checks the degree-oriented plan absorbs it.",
