@@ -1382,46 +1382,24 @@ def ppjoin_jaccard_pairs(
     pair-keyed aggregate applying the first-match positional bound, one
     verify join. The t=0.5 prefix keeps ~half of each document's index
     rows; higher thresholds keep fewer."""
-    from ..cachectl import finalize_iterative
-
     cand, sh = _ppjoin_candidates(df, text_col, n, threshold, positional=True)
-    # RELIABLE CHECKPOINT, not a repartition barrier: the candidate
-    # frame is tiny but its lineage is the whole shingle+window+self-join
-    # pipeline, and it feeds THREE consumers (the id prune and both
-    # sides of the verify join). Exchange reuse does NOT survive this
-    # shape — the window stages canonicalize differently per consumer
-    # branch (measured: the executed plan carried 14 Window nodes, the
-    # pipeline re-ran per consumer, 63 Exchanges / 5 reused). The
-    # checkpoint severs the lineage into a small file-backed frame, so
-    # the candidate pipeline runs EXACTLY once; no storage-pool blocks
-    # (cachectl.finalize_iterative contract — disk files, not cache).
-    cand = finalize_iterative(cand)
-    # VERIFY ONLY THE CANDIDATE DOCS: the full-shingle arrays are heavy
-    # (every doc's whole shingle set), and the prefix filter's point is
-    # that candidates are a tiny fraction of the corpus — collecting
-    # arrays for every doc made the verify stage ~80% of the x16 runtime
-    # (14.4s of 17.3s, tools/profile_ppjoin.py) before this prune. The
-    # semi join costs nothing corpus-side: sh is already partitioned by
-    # doc_id, only the tiny id frame shuffles (AQE broadcasts it).
-    # explode(array(a,b)) — NOT union of per-column selects — so this
-    # branch reads the SAME (doc_a, doc_b) subtree as the verify join:
-    # per-branch column pruning through the repartition would otherwise
-    # produce two different exchange subtrees and ReuseExchange would
-    # miss, re-running the whole candidate pipeline per consumer
-    # (measured: 17s -> 21s instead of -> 5s).
-    cand_ids = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    arrays = finalize_iterative(
-        sh.join(cand_ids, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list("shingle")).alias("toks"),
-            F.first("n_sh").alias("n_sh"),
-        )
-        # checkpointed for the same reason as cand: pruned to candidate
-        # docs it is tiny, but its lineage re-runs the shingle+window
-        # pass, and BOTH verify-join sides consume it
+    # Verify shape, MEASURED against two r8 prune variants and kept
+    # (tools/profile_ppjoin.py): checkpointing the candidate frame and
+    # semi-pruning the arrays to candidate docs LOST on this corpus at
+    # both sf0.1 (3.5s vs 4.4/4.8s) and x16 (17-18s vs 20s) — the
+    # synthetic corpus is candidate-DENSE (x16: ~2.0M candidate pairs
+    # for 4,096 true pairs), so the checkpoint I/O on the candidate set
+    # exceeds the array-pass saving, and pruning prunes almost nothing.
+    # The profiling also established that exchange reuse does not
+    # survive the window-heavy candidate lineage (each extra consumer
+    # re-runs the pipeline; a repartition barrier is defeated by
+    # per-branch column pruning), so any future multi-consumer variant
+    # must go through cachectl.finalize_iterative, paying that I/O —
+    # only worth it on selective-prefix corpora where candidates are a
+    # tiny corpus fraction.
+    arrays = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("toks"),
+        F.first("n_sh").alias("n_sh"),
     )
     aa = arrays.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n_sh").alias("n_a")

@@ -666,11 +666,17 @@ def ingest_batch_bloom(
         if n_accepted:
             token = uuid.uuid4().hex
             accepted.drop("digest").write.parquet(_staged_dir(corpus_root, token))
-            new_bits = accepted.select(
-                F.explode(
-                    bloom_positions(F.col("digest"), m_bits, k)
-                ).alias("pos")
-            ).distinct()
+            new_bits = (
+                accepted.select(
+                    F.explode(
+                        bloom_positions(F.col("digest"), m_bits, k)
+                    ).alias("pos")
+                )
+                # a null-text keeper has no digest and no positions — keep
+                # the state free of null rows (they can never match)
+                .filter(F.col("pos").isNotNull())
+                .distinct()
+            )
             _staged_bucketed_write(
                 new_bits, _staged_dir(bits_root, token), ["pos"], n_buckets
             )

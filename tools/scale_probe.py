@@ -199,12 +199,14 @@ def main() -> None:
         "(~8-10s) + the 2M-pair verify join (~4s) dominate; the capped",
         "inverted index (ngram_jaccard_capped, 3.7s at x16) is the right",
         "operator for such corpora, PPJoin for selective-prefix ones.",
-        "r8 reshaped its verify: the candidate frame and the",
-        "candidate-doc shingle arrays are RELIABLY CHECKPOINTED (the",
-        "window-heavy lineage re-ran once per consumer before — exchange",
-        "reuse does not survive window stages), and arrays build only",
-        "for candidate docs, so selective corpora skip the corpus-sized",
-        "array pass entirely. triangle_coparts is a stress probe,",
+        "Two r8 prune variants (checkpoint the candidate frame +",
+        "semi-prune the verify arrays to candidate docs) were MEASURED",
+        "and rejected — on this candidate-dense data the checkpoint I/O",
+        "exceeds the array-pass saving at both sf0.1 and x16; the",
+        "variants and the finding (exchange reuse does not survive the",
+        "window-heavy lineage; barriers are defeated by per-branch",
+        "column pruning) are documented in the operator and the",
+        "profiler. triangle_coparts is a stress probe,",
         "not a linear one: more orders over the same part range DENSIFY the",
         "co-purchase graph, so its work grows faster than the input by data",
         "construction - the probe checks the degree-oriented plan absorbs it.",
