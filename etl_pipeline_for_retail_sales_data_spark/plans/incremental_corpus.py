@@ -172,6 +172,38 @@ def _epochs_dir(state_dir: str) -> str:
     return _join(state_dir, "_epochs")
 
 
+def _commits_dir(state_dir: str) -> str:
+    return _join(state_dir, "_commits")
+
+
+def _retire_marker(fs: HadoopFS, state_dir: str, token: str) -> None:
+    """Move a fully-published journal marker into the commit LOG instead
+    of deleting it — the audit trail of every batch that ever committed
+    (token, roots, epoch). The rename is atomic; an already-retired
+    marker (idempotent retry) is simply dropped."""
+    fs.mkdirs(_commits_dir(state_dir))
+    src = _join(_journal_dir(state_dir), token)
+    if not fs.rename(src, _join(_commits_dir(state_dir), token)):
+        fs.delete(src, False)  # a prior retry already retired it
+
+
+def ingest_log(spark: SparkSession, state_dir: str):
+    """The commit log as a list of dicts (token, roots, epoch or None) —
+    one entry per batch that COMMITTED to this state, in no particular
+    order (tokens are random; pair with the epoch id or the corpus rows
+    for ordering). Batches that rolled back never appear; a batch rolled
+    FORWARD by recover_state appears exactly once. Driver-side listing:
+    the log is one tiny file per committed batch."""
+    fs = HadoopFS(spark, state_dir)
+    out = []
+    for token in fs.list_names(_commits_dir(state_dir)):
+        meta = json.loads(fs.read_text(_join(_commits_dir(state_dir), token)) or "{}")
+        out.append(
+            {"token": token, "roots": meta.get("roots", []), "epoch": meta.get("epoch")}
+        )
+    return out
+
+
 def _record_epoch(fs: HadoopFS, state_dir: str, epoch_id: int) -> None:
     fs.mkdirs(_epochs_dir(state_dir))
     fs.touch_atomic(_join(_epochs_dir(state_dir), str(int(epoch_id))))
@@ -226,8 +258,8 @@ def recover_state(spark: SparkSession, state_dir: str) -> dict[str, int]:
     consistent state. Three sweeps:
 
     1. journaled batches → roll FORWARD (finish the publish moves, then
-       drop the marker): the batch committed, readers just could not see
-       all of it yet;
+       retire the marker into the ``_commits`` log): the batch
+       committed, readers just could not see all of it yet;
     2. orphan ``.staged-*`` dirs with no marker → roll BACK (delete):
        the batch never committed, the retry will redo it from scratch;
     3. half-swapped compactions → roll forward/back per the
@@ -248,7 +280,7 @@ def recover_state(spark: SparkSession, state_dir: str) -> dict[str, int]:
             _publish_staged(fs, _join(state_dir, rel), token)
         if meta.get("epoch") is not None:
             _record_epoch(fs, state_dir, meta["epoch"])
-        fs.delete(_join(jdir, token), False)
+        _retire_marker(fs, state_dir, token)
         actions["rolled_forward"] += 1
 
     for rel in STATE_ROOTS:
@@ -288,7 +320,7 @@ def _commit(
             raise SimulatedCrash("mid_publish")
     if epoch_id is not None:
         _record_epoch(fs, state_dir, epoch_id)
-    fs.delete(_join(_journal_dir(state_dir), token), False)
+    _retire_marker(fs, state_dir, token)
     for rel in staged:
         _refresh_state_table(spark, _join(state_dir, rel))
 

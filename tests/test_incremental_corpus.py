@@ -511,3 +511,58 @@ def test_bloom_no_false_negatives_and_bounded_state(spark, tmp_path):
     assert again["n_accepted"] == 0
     assert again["n_rejected_maybe_dup"] == 60
     assert spark.read.parquet(bloom_state + "/corpus_bloom").count() == len(ba)
+
+
+def test_ingest_commit_log_audit_trail(spark, state_dir):
+    """Every committed batch leaves exactly one _commits entry (token,
+    roots, epoch); rolled-back batches leave none, and a crash-then-
+    retry batch appears exactly once (the roll-forward retires the same
+    marker the normal path would)."""
+    ingest_batch(spark, _docs(spark, [(1, "a"), (2, "b")]), state_dir)
+    log1 = IC.ingest_log(spark, state_dir)
+    assert len(log1) == 1
+    assert sorted(log1[0]["roots"]) == ["corpus", "fingerprints"]
+    assert log1[0]["epoch"] is None
+
+    # crash after journal: retry rolls forward; the batch commits ONCE
+    with pytest.raises(IC.SimulatedCrash):
+        ingest_batch(
+            spark, _docs(spark, [(3, "c")]), state_dir, epoch_id=7,
+            _crash="after_journal",
+        )
+    retry = ingest_batch(spark, _docs(spark, [(3, "c")]), state_dir)
+    assert retry["n_hist_dup"] == 1 and retry["n_accepted"] == 0
+    log2 = IC.ingest_log(spark, state_dir)
+    assert len(log2) == 2
+    epochs = sorted(e["epoch"] for e in log2 if e["epoch"] is not None)
+    assert epochs == [7]
+
+    # an all-duplicate batch commits nothing and logs nothing
+    ingest_batch(spark, _docs(spark, [(9, "a")]), state_dir)
+    assert len(IC.ingest_log(spark, state_dir)) == 2
+    # journal itself is empty (markers retired, not pending)
+    fs = HadoopFS(spark, state_dir)
+    assert fs.list_names(f"{state_dir}/_journal") == []
+
+
+def test_ingest_loops_leave_no_persisted_blocks(spark, state_dir):
+    """The stateful loops honor the cachectl contract: after every
+    ingest call getPersistentRDDs() is empty (scoped caches released,
+    checkpoints are reliable/disk, nothing pinned in the storage pool)."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_bloom,
+        ingest_batch_neardup,
+    )
+
+    def persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    assert persisted() == 0
+    batch = _docs(spark, [(1, "one two three four five six"), (2, "b")])
+    ingest_batch(spark, batch, state_dir)
+    assert persisted() == 0
+    ingest_batch_neardup(spark, batch, state_dir)
+    assert persisted() == 0
+    ingest_batch_bloom(spark, batch, state_dir)
+    assert persisted() == 0
