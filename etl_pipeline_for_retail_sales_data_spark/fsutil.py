@@ -34,6 +34,21 @@ class HadoopFS:
     def exists(self, p: str) -> bool:
         return bool(self._fs.exists(self._Path(p)))
 
+    def qualified(self, p: str) -> str:
+        """``p`` fully qualified against this filesystem (scheme +
+        authority + absolute path) — the canonical form for comparing a
+        caller path against a catalog-reported location (a bare or
+        relative path never string-matches the catalog's URI)."""
+        return self._fs.makeQualified(self._Path(p)).toString()
+
+    def mtime(self, p: str) -> int:
+        """Modification time of ``p`` in epoch milliseconds."""
+        return int(self._fs.getFileStatus(self._Path(p)).getModificationTime())
+
+    def set_mtime(self, p: str, mtime_ms: int) -> None:
+        """Set the modification time (tests age lease files with it)."""
+        self._fs.setTimes(self._Path(p), int(mtime_ms), -1)
+
     def mkdirs(self, p: str) -> None:
         self._fs.mkdirs(self._Path(p))
 
@@ -57,6 +72,24 @@ class HadoopFS:
         "does this dataset exist for a reader" probe ('_'/'.'-prefixed
         entries are invisible to Spark/Hadoop readers)."""
         return any(not n.startswith(("_", ".")) for n in self.list_names(p))
+
+    def create_exclusive(self, p: str, content: str = "") -> bool:
+        """Atomically create ``p`` iff it does not already exist (the
+        lock-file primitive: Hadoop ``create(path, overwrite=false)`` is
+        atomic on HDFS and local filesystems). Returns False when the
+        path already exists — the caller lost the race."""
+        if self.exists(p):
+            return False
+        try:
+            out = self._fs.create(self._Path(p), False)
+        except Exception:
+            return False  # FileAlreadyExists from a concurrent creator
+        try:
+            if content:
+                out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
     def touch_atomic(self, p: str, content: str = "") -> None:
         """Create a small marker file whose VISIBILITY is atomic: write

@@ -230,6 +230,41 @@ def split_oversized_clusters(
     return cur
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, uv) — each vector assigned to its nearest FIXED
+    centroid by cosine (centroids are unit-normalized driver-side, so
+    cosine ordering = one dot product per centroid over the row's unit
+    vector). The similarity is ROUNDED to 1e-6 before the argmax and
+    ties break to the LOWEST centroid index, so the assignment is
+    bit-reproducible cross-engine (the DuckDB funnel oracle inlines the
+    same unit-centroid literals and replays the same rounded argmax —
+    queries_registry.incremental_semantic_funnel). Null vectors are
+    dropped (no embedding → no cluster). One map-only projection: the
+    centroid list is a plan literal, never a join."""
+    import math
+
+    from .similarity import dot, round6, unit_vectors
+
+    uv = unit_vectors(df, id_col, vec_col, out_col="uv")
+    structs = []
+    for c, cent in enumerate(centroids):
+        norm = math.sqrt(sum(x * x for x in cent)) or 1.0
+        uc = F.array(*[F.lit(float(x) / norm) for x in cent])
+        structs.append(
+            F.struct(
+                (-round6(dot(F.col("uv"), uc))).alias("nd"),
+                F.lit(c).alias("c"),
+            )
+        )
+    best = F.least(*structs) if len(structs) > 1 else structs[0]
+    return uv.select(F.col(id_col), best["c"].alias("cluster"), "uv")
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 10,
@@ -237,7 +272,7 @@ def semantic_dedup(
     threshold: float = 0.92,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cluster_size: int | None = None,
+    max_cluster_size: int | str | None = "auto",
     split_factor: int = 4,
 ) -> DataFrame:
     """Semantic (embedding-space) deduplication, the SemDeDup recipe
@@ -255,9 +290,18 @@ def semantic_dedup(
     ``max_cluster_size`` hard-caps the worst case: one hot cluster would
     otherwise re-inflate Σ|cluster|² toward n², so clusters above the
     cap are recursively split (:func:`split_oversized_clusters`) before
-    the pair join — cluster labels become strings in capped mode, and
-    near-dup groups larger than the cap may elect extra keepers (the
-    documented recall/cost dial).
+    the pair join. The DEFAULT is ``"auto"`` = ``split_factor`` ×
+    ⌈n/k⌉ — four times the average cluster size (r8 verdict #5: the cap
+    is on by default so every end-to-end composition is protected; at
+    100 TB one hot cluster is the realistic failure, and an uncapped
+    default quietly plans it). The cap only ENGAGES when some cluster
+    actually exceeds it (one cheap size aggregate decides): a non-binding
+    cap — every corpus whose k-means spread is sane, including all the
+    oracle-checked testdata runs — leaves the output byte-identical to
+    the uncapped path (integer cluster labels). When splitting does
+    engage, cluster labels become strings and near-dup groups larger
+    than the cap may elect extra keepers (the documented recall/cost
+    dial). ``max_cluster_size=None`` disables the cap explicitly.
 
     Pipeline (all existing engine operators, no new primitives):
       kmeans_assign → within-cluster self-join on unit vectors →
@@ -282,13 +326,32 @@ def semantic_dedup(
         uv.withColumnRenamed(id_col, "vec_id"), "vec_id"
     )
     if max_cluster_size is not None:
-        capped = split_oversized_clusters(base, max_cluster_size, split_factor)
-        rounds = getattr(capped, "_split_rounds", [])
-        # reliable checkpoint, then release the split rounds' blocks —
-        # the same finalize/release cycle as kmeans_assign (cachectl.py)
-        base = finalize_iterative(capped.select("vec_id", "cluster", "uv"))
-        for fr in rounds:
-            release_ckpt(fr)
+        # one cheap size aggregate decides whether splitting engages at
+        # all — a non-binding cap leaves the uncapped plan (and integer
+        # labels) untouched, so the default-on cap is free in the common
+        # case and pays only when a hot cluster actually exists
+        stat = (
+            base.groupBy("cluster")
+            .agg(F.count("*").alias("__n"))
+            .agg(
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("__total"),
+                F.coalesce(F.max("__n"), F.lit(0)).alias("__max"),
+            )
+            .collect()[0]
+        )
+        cap = (
+            max(split_factor * -(-int(stat["__total"]) // max(int(k), 1)), 1)
+            if max_cluster_size == "auto"
+            else int(max_cluster_size)
+        )
+        if int(stat["__max"]) > cap:
+            capped = split_oversized_clusters(base, cap, split_factor)
+            rounds = getattr(capped, "_split_rounds", [])
+            # reliable checkpoint, then release the split rounds' blocks —
+            # the same finalize/release cycle as kmeans_assign (cachectl.py)
+            base = finalize_iterative(capped.select("vec_id", "cluster", "uv"))
+            for fr in rounds:
+                release_ckpt(fr)
     # reuse-not-cache (cachectl.py): the assignment (file-backed after
     # kmeans_assign's reliable checkpoint) joins unit vectors once into a
     # cluster-partitioned exchange that the aliased self-join sides, the

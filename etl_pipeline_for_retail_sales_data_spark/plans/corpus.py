@@ -18,6 +18,16 @@ operators.dedup, operators.graph); this plan's own contribution is the
 ORDER (filter → exact-dedup → near-dup keeps the expensive stage smallest)
 and the single-lineage composition (no mid-pipeline materialization except
 the near-dup stage's own iterative checkpoints).
+
+Hot-key caps are ON BY DEFAULT in every expensive stage (r8 verdict #5 —
+at 100 TB one hot key/cluster is the realistic failure, and an uncapped
+default quietly plans it): this plan's near-dup join ships with
+``neardup_max_df=256`` (below), and the EMBEDDING-space pipeline twin
+(operators/clustering.semantic_dedup, composed end-to-end in the
+``semantic_dedup_docs`` registry query) now defaults
+``max_cluster_size="auto"`` = 4× the average cluster size — one hot
+k-means cluster is recursively split before the within-cluster pair
+join instead of re-inflating Σ|cluster|² toward n².
 """
 
 from __future__ import annotations

@@ -31,12 +31,35 @@ Scale design:
   join (cheapest first, same funnel ordering as plans/corpus.py).
 
 Concurrency contract: ONE writer per state_dir at a time (the daily
-scheduler's natural shape). The journal makes a crashed-then-retried
-single writer safe; two CONCURRENT writers are not coordinated — a real
-multi-writer deployment needs a table format with optimistic commits
-(Delta/Iceberg). Filesystem ops go through the Hadoop FileSystem API
-(fsutil.py), so state may live on file:// or HDFS; S3A's non-atomic
-rename is explicitly out of contract.
+scheduler's natural shape), ENFORCED by a writer lease — every ingest/
+compaction atomically creates ``state_dir/_lock`` and raises
+:class:`ConcurrentWriter` when another live writer holds it (detect,
+don't coordinate: real multi-writer needs a table format with
+optimistic commits — Delta/Iceberg). A hard-killed writer's lease
+expires after ``LEASE_TTL_MS`` (15 min default) and is reclaimed by the
+next writer, or broken explicitly via :func:`break_lease`; one
+ingest/compaction must finish within the TTL. The journal makes a
+crashed-then-retried single writer safe. Filesystem ops go through the
+Hadoop FileSystem API (fsutil.py), so state may live on file:// or
+HDFS; S3A's non-atomic rename is explicitly out of contract.
+
+Parameter pinning: each loop's decision-shaping parameters (n_buckets;
+minhash k/bands/n; bloom m_bits/k; the embdup hyperplane tables) are
+written once — atomically — to ``state_dir/_meta/<leg>.json`` on first
+ingest and VALIDATED on every later ingest/compaction: a call passing a
+different value raises :class:`StateParamMismatch` instead of silently
+computing incomparable keys (a changed bloom ``m_bits`` would break the
+no-false-negatives theorem; a changed ``n_buckets`` would desync the
+bucketed scan from the on-disk bucket ids and re-accept duplicates;
+changed LSH params silently collapse recall). Omitted parameters
+default FROM the pinned meta, so steady-state callers pass none.
+
+Null text: a null-text document digests to the sentinel ``"null"``
+(md5 never returns a 4-char string), so null-text duplicates dedupe
+against each other in the exact and Bloom loops exactly like any other
+digest class — the Bloom loop's no-false-negatives claim covers them.
+(The near-dup loop accepts docs with no signature — < n tokens or null
+— as documented; they can never collide.)
 
 The pure-query twin of this loop (day-partitioned funnel counts over a
 static table, fully DuckDB-oracled) is `incremental_ingest_funnel` in
@@ -48,7 +71,10 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,13 +91,34 @@ STATE_ROOTS = (
     "embdup_buckets",
     "corpus_bloom",
     "bloom_bits",
+    "corpus_semantic",
+    "semantic_members",
 )
 DEFAULT_BUCKETS = 8  # local-test shape; size for the cluster in production
+# defaults pinned into _meta on first ingest (module docstring)
+DEFAULT_MINHASH = {"k": 16, "bands": 4, "n": 3}
+DEFAULT_BLOOM = {"m_bits": 1 << 20, "k": 4}
+LEASE_TTL_MS = 15 * 60 * 1000  # writer-lease expiry for hard-killed writers
+
+# md5 hex is 32 chars, so the 4-char sentinel can never collide with a
+# real digest; null-text docs form their own exact-dedup class
+_NULL_TEXT_DIGEST = "null"
 
 
 class SimulatedCrash(RuntimeError):
     """Raised by the test-only ``_crash`` hooks to exercise the recovery
     protocol at exact points. Never raised in production paths."""
+
+
+class ConcurrentWriter(RuntimeError):
+    """A second writer touched a state_dir whose lease another live
+    writer holds (module docstring: single-writer contract, enforced)."""
+
+
+class StateParamMismatch(ValueError):
+    """An ingest/compaction passed a parameter that contradicts the
+    value pinned in ``state_dir/_meta`` at first ingest — proceeding
+    would silently corrupt dedup decisions, so the call refuses."""
 
 
 def _join(*parts: str) -> str:
@@ -108,7 +155,11 @@ def _ensure_state_table(
     and return it. The BUCKETED table is what lets the classification
     join read the state with NO Exchange: the scan itself reports
     hashpartitioning(bucket_cols, n_buckets), so only the batch side
-    shuffles."""
+    shuffles. ``root`` is fully QUALIFIED first (scheme + absolute
+    path), so a bare path and its file:// twin resolve to ONE table and
+    the location comparison below never false-negatives into a
+    drop-and-recreate per call (r8 advice)."""
+    root = HadoopFS(spark, root).qualified(root)
     name = _state_table_name(root)
     if spark.catalog.tableExists(name):
         rows = spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
@@ -130,7 +181,9 @@ def _ensure_state_table(
 
 
 def _refresh_state_table(spark: SparkSession, root: str) -> None:
-    name = _state_table_name(root)
+    # same qualification as _ensure_state_table, so refresh hits the
+    # table that registration created whatever path form the caller used
+    name = _state_table_name(HadoopFS(spark, root).qualified(root))
     if spark.catalog.tableExists(name):
         spark.catalog.refreshTable(name)
 
@@ -176,6 +229,139 @@ def _commits_dir(state_dir: str) -> str:
     return _join(state_dir, "_commits")
 
 
+def _meta_dir(state_dir: str) -> str:
+    return _join(state_dir, "_meta")
+
+
+# ---------------------------------------------------------------------------
+# parameter pinning: first ingest writes _meta/<leg>.json, later calls
+# validate explicit values against it and default the rest from it
+# ---------------------------------------------------------------------------
+
+
+def state_meta(spark: SparkSession, state_dir: str, leg: str) -> dict:
+    """The parameters pinned for ``leg`` ('exact' | 'neardup' | 'embdup'
+    | 'bloom') at this state_dir, or {} before the first ingest."""
+    fs = HadoopFS(spark, state_dir)
+    p = _join(_meta_dir(state_dir), leg + ".json")
+    return json.loads(fs.read_text(p) or "{}") if fs.exists(p) else {}
+
+
+def _resolve_meta(
+    fs: HadoopFS,
+    state_dir: str,
+    leg: str,
+    given: dict,
+    defaults: dict,
+    extra: dict | None = None,
+) -> dict:
+    """Pin-or-validate a leg's parameters (module docstring). ``given``
+    maps parameter name → caller value or None (= not specified). The
+    FIRST call fills Nones from ``defaults`` and writes the result (plus
+    ``extra`` payload, e.g. the embdup hyperplane tables) atomically;
+    every later call raises :class:`StateParamMismatch` on any explicit
+    value that contradicts the pinned one and returns the pinned set —
+    so a retry after a config change can never silently compute
+    incomparable keys against the existing state."""
+    path = _join(_meta_dir(state_dir), leg + ".json")
+    if fs.exists(path):
+        pinned = json.loads(fs.read_text(path) or "{}")
+        bad = {
+            k: (v, pinned[k])
+            for k, v in given.items()
+            if v is not None and k in pinned and pinned[k] != v
+        }
+        if bad:
+            detail = "; ".join(
+                f"{k}: pinned={pv!r}, passed={gv!r}" for k, (gv, pv) in bad.items()
+            )
+            raise StateParamMismatch(
+                f"{leg} state at {state_dir} was created with different "
+                f"parameters ({detail}) — a mismatched parameter silently "
+                f"corrupts dedup decisions; pass the pinned values (or "
+                f"omit them to default from _meta), or start a new state_dir"
+            )
+        out = dict(pinned)
+        for k, v in given.items():
+            if k not in out:
+                out[k] = v if v is not None else defaults.get(k)
+        return out
+    out = {k: (v if v is not None else defaults.get(k)) for k, v in given.items()}
+    if extra:
+        out.update(extra)
+    fs.mkdirs(_meta_dir(state_dir))
+    fs.touch_atomic(path, json.dumps(out, sort_keys=True))
+    return out
+
+
+def _meta_buckets(spark: SparkSession, state_dir: str, leg: str, n_buckets) -> int:
+    """Read-path resolution of n_buckets: pinned meta wins, then the
+    caller's value, then the local-test default (read-only — never
+    writes meta; the write happens on the first INGEST)."""
+    pinned = state_meta(spark, state_dir, leg).get("n_buckets")
+    if pinned is not None:
+        return int(pinned)
+    return DEFAULT_BUCKETS if n_buckets is None else int(n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# writer lease: detect concurrent writers, don't coordinate them
+# ---------------------------------------------------------------------------
+
+
+def _lease_path(state_dir: str) -> str:
+    return _join(state_dir, "_lock")
+
+
+def break_lease(spark: SparkSession, state_dir: str) -> bool:
+    """Operator escape hatch: drop the writer lease (e.g. after a hard
+    kill, without waiting out LEASE_TTL_MS). Only safe when the previous
+    writer is known dead."""
+    return HadoopFS(spark, state_dir).delete(_lease_path(state_dir), False)
+
+
+@contextmanager
+def _writer_lease(spark: SparkSession, state_dir: str):
+    """Acquire ``state_dir/_lock`` (atomic exclusive create) for the
+    duration of one ingest/compaction. A held, unexpired lease raises
+    :class:`ConcurrentWriter`; an expired one (holder hard-killed more
+    than LEASE_TTL_MS ago) is reclaimed. Released on exit — including
+    the test-only SimulatedCrash paths, which model a writer that
+    stopped cleanly enough to unwind; a real kill leaves the lock to
+    expire (or :func:`break_lease`)."""
+    fs = HadoopFS(spark, state_dir)
+    lock = _lease_path(state_dir)
+    token = uuid.uuid4().hex
+    fs.mkdirs(state_dir)
+    acquired = False
+    for _ in range(3):
+        if fs.create_exclusive(lock, json.dumps({"writer": token})):
+            acquired = True
+            break
+        try:
+            age_ms = int(time.time() * 1000) - fs.mtime(lock)
+        except Exception:
+            continue  # holder released between create and stat: retry
+        if age_ms <= LEASE_TTL_MS:
+            raise ConcurrentWriter(
+                f"another writer holds the lease on {state_dir} "
+                f"(age {age_ms} ms <= TTL {LEASE_TTL_MS} ms); the contract is "
+                f"ONE writer per state_dir — retry after expiry or break_lease()"
+            )
+        fs.delete(lock, False)  # expired: reclaim (one creator wins the race)
+    if not acquired:
+        raise ConcurrentWriter(f"could not acquire the writer lease on {state_dir}")
+    try:
+        yield
+    finally:
+        try:
+            held = json.loads(fs.read_text(lock) or "{}")
+            if held.get("writer") == token:
+                fs.delete(lock, False)
+        except Exception:
+            pass  # lock already gone (reclaimed after our expiry)
+
+
 def _retire_marker(fs: HadoopFS, state_dir: str, token: str) -> None:
     """Move a fully-published journal marker into the commit LOG instead
     of deleting it — the audit trail of every batch that ever committed
@@ -187,35 +373,100 @@ def _retire_marker(fs: HadoopFS, state_dir: str, token: str) -> None:
         fs.delete(src, False)  # a prior retry already retired it
 
 
+def _read_log_entries(fs: HadoopFS, state_dir: str) -> tuple[dict, list[str]]:
+    """All commit-log entries keyed by token (deduped — a crash between
+    a compaction's segment write and its marker deletes can leave a
+    token in both forms), plus the list of file names read."""
+    cdir = _commits_dir(state_dir)
+    entries: dict[str, dict] = {}
+    names: list[str] = []
+    for name in fs.list_names(cdir):
+        if name.endswith(".tmp"):
+            continue
+        text = fs.read_text(_join(cdir, name)) or ""
+        if name.startswith("segment-"):
+            for line in text.splitlines():
+                if line.strip():
+                    e = json.loads(line)
+                    entries.setdefault(e["token"], e)
+        else:
+            meta = json.loads(text or "{}")
+            # a loose marker wins over a segment copy (it is never older)
+            entries[name] = {
+                "token": name,
+                "roots": meta.get("roots", []),
+                "epoch": meta.get("epoch"),
+            }
+        names.append(name)
+    return entries, names
+
+
 def ingest_log(spark: SparkSession, state_dir: str):
     """The commit log as a list of dicts (token, roots, epoch or None) —
     one entry per batch that COMMITTED to this state, in no particular
     order (tokens are random; pair with the epoch id or the corpus rows
     for ordering). Batches that rolled back never appear; a batch rolled
     FORWARD by recover_state appears exactly once. Driver-side listing:
-    the log is one tiny file per committed batch."""
+    one tiny file per committed batch until :func:`compact_ingest_log`
+    rolls retired markers into JSONL segments — both forms are read."""
     fs = HadoopFS(spark, state_dir)
-    out = []
-    for token in fs.list_names(_commits_dir(state_dir)):
-        meta = json.loads(fs.read_text(_join(_commits_dir(state_dir), token)) or "{}")
-        out.append(
-            {"token": token, "roots": meta.get("roots", []), "epoch": meta.get("epoch")}
+    entries, _ = _read_log_entries(fs, state_dir)
+    return list(entries.values())
+
+
+def compact_ingest_log(spark: SparkSession, state_dir: str) -> int:
+    """Bound the commit log's driver-side listing cost for long-lived
+    states (a years-long daily loop is one tiny marker file per batch
+    forever): roll every loose marker and prior segment into ONE
+    ``segment-<token>.jsonl`` file, atomically, then delete the rolled
+    files. Crash-safe without a swap: the segment lands first (atomic
+    rename), so a crash mid-delete leaves tokens readable in both forms
+    and :func:`ingest_log` dedupes by token; the next compaction removes
+    the leftovers. Returns the total number of logged batches."""
+    with _writer_lease(spark, state_dir):
+        fs = HadoopFS(spark, state_dir)
+        entries, names = _read_log_entries(fs, state_dir)
+        if len(names) <= 1:
+            return len(entries)  # already compact (or empty)
+        body = "\n".join(
+            json.dumps(e, sort_keys=True)
+            for e in sorted(entries.values(), key=lambda e: e["token"])
         )
-    return out
+        cdir = _commits_dir(state_dir)
+        fs.touch_atomic(_join(cdir, "segment-" + uuid.uuid4().hex + ".jsonl"), body)
+        for name in names:
+            fs.delete(_join(cdir, name), False)
+        return len(entries)
 
 
-def _record_epoch(fs: HadoopFS, state_dir: str, epoch_id: int) -> None:
+def _epoch_key(epoch_id) -> str:
+    """Epoch ids are ints (batch API, raw foreachBatch batch ids) or
+    SAFE strings (the streaming ingestors namespace batch ids by the
+    checkpoint's persistent query id — streaming/ingest.py). Strings are
+    validated to be legal single-segment marker names on any Hadoop FS
+    (no '/', no ':', no leading dot)."""
+    if isinstance(epoch_id, bool):
+        raise TypeError("epoch_id must be an int or str, not bool")
+    if isinstance(epoch_id, int):
+        return str(epoch_id)
+    s = str(epoch_id)
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", s):
+        raise ValueError(f"epoch_id {s!r} is not a safe marker file name")
+    return s
+
+
+def _record_epoch(fs: HadoopFS, state_dir: str, epoch_id) -> None:
     fs.mkdirs(_epochs_dir(state_dir))
-    fs.touch_atomic(_join(_epochs_dir(state_dir), str(int(epoch_id))))
+    fs.touch_atomic(_join(_epochs_dir(state_dir), _epoch_key(epoch_id)))
 
 
-def epoch_committed(spark: SparkSession, state_dir: str, epoch_id: int) -> bool:
+def epoch_committed(spark: SparkSession, state_dir: str, epoch_id) -> bool:
     """True iff a batch tagged ``epoch_id`` fully committed to this
     state (its marker rides the journal commit, so a crashed epoch is
     either rolled forward — marker appears — or rolled back — it never
     does). The streaming ingestor's redelivery guard."""
     return HadoopFS(spark, state_dir).exists(
-        _join(_epochs_dir(state_dir), str(int(epoch_id)))
+        _join(_epochs_dir(state_dir), _epoch_key(epoch_id))
     )
 
 
@@ -224,12 +475,12 @@ def _write_marker(
     state_dir: str,
     token: str,
     roots: list[str],
-    epoch_id: int | None = None,
+    epoch_id=None,
 ) -> None:
     fs.mkdirs(_journal_dir(state_dir))
     meta: dict = {"roots": roots}
     if epoch_id is not None:
-        meta["epoch"] = int(epoch_id)
+        meta["epoch"] = epoch_id if isinstance(epoch_id, str) else int(epoch_id)
     fs.touch_atomic(_join(_journal_dir(state_dir), token), json.dumps(meta))
 
 
@@ -301,7 +552,7 @@ def _commit(
     state_dir: str,
     staged: list[str],
     token: str,
-    epoch_id: int | None = None,
+    epoch_id=None,
     _crash: str | None = None,
 ) -> None:
     """The single commit point: marker rename, then publish moves. An
@@ -332,24 +583,35 @@ def _commit(
 
 def fingerprint_state(
     spark: SparkSession, state_dir: str, id_col: str = "doc_id",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """The exact-dedup state as its bucketed table (digest, id)."""
+    """The exact-dedup state as its bucketed table (digest, id).
+    ``n_buckets`` defaults from the pinned ``_meta`` (falling back to
+    DEFAULT_BUCKETS for a state that has never ingested)."""
     like = spark.createDataFrame([], f"digest string, {id_col} long")
     return _ensure_state_table(
-        spark, _join(state_dir, "fingerprints"), like, ["digest"], n_buckets
+        spark, _join(state_dir, "fingerprints"), like, ["digest"],
+        _meta_buckets(spark, state_dir, "exact", n_buckets),
     )
 
 
 def neardup_band_state(
     spark: SparkSession, state_dir: str, id_col: str = "doc_id",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """The near-dup state as its bucketed table (id, band, bk)."""
+    """The near-dup state as its bucketed table (id, band, bk).
+    ``n_buckets`` defaults from the pinned ``_meta``."""
     like = spark.createDataFrame([], f"{id_col} long, band int, bk string")
     return _ensure_state_table(
-        spark, _join(state_dir, "neardup_bands"), like, ["band", "bk"], n_buckets
+        spark, _join(state_dir, "neardup_bands"), like, ["band", "bk"],
+        _meta_buckets(spark, state_dir, "neardup", n_buckets),
     )
+
+
+def _text_digest(text_col: str):
+    # null text digests to the sentinel class (module docstring) instead
+    # of a null key that would anti-join through on every batch forever
+    return F.coalesce(F.md5(F.col(text_col)), F.lit(_NULL_TEXT_DIGEST)).alias("digest")
 
 
 def ingest_batch(
@@ -358,60 +620,80 @@ def ingest_batch(
     state_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_buckets: int = DEFAULT_BUCKETS,
-    epoch_id: int | None = None,
+    n_buckets: int | None = None,
+    epoch_id=None,
     _crash: str | None = None,
-) -> dict[str, int]:
+) -> dict[str, int] | None:
     """Ingest one batch of documents against the state at ``state_dir``.
 
     Returns the ingestion funnel as exact counts:
-    ``{"n_batch", "n_within_dup", "n_hist_dup", "n_accepted"}``.
-    Appends accepted docs to ``state_dir/corpus`` and their digests to
-    the bucketed ``state_dir/fingerprints`` state, atomically (both or
-    neither — see the module docstring's commit protocol). A crashed run
-    can be retried blindly: :func:`recover_state` runs first and either
-    finishes or undoes the crashed batch, so the retry never
-    double-appends."""
-    recover_state(spark, state_dir)
-    corpus_root, fp_root = _join(state_dir, "corpus"), _join(state_dir, "fingerprints")
-    digest = F.md5(F.col(text_col)).alias("digest")
+    ``{"n_batch", "n_within_dup", "n_hist_dup", "n_accepted"}`` — or
+    ``None`` when ``epoch_id`` is set and that epoch already committed
+    (the redelivery guard, checked AFTER recovery so a crashed-then-
+    rolled-forward epoch is recognized; streaming/ingest.py relies on
+    this ordering). Appends accepted docs to ``state_dir/corpus`` and
+    their digests to the bucketed ``state_dir/fingerprints`` state,
+    atomically (both or neither — see the module docstring's commit
+    protocol). A crashed run can be retried blindly: :func:`recover_state`
+    runs first and either finishes or undoes the crashed batch, so the
+    retry never double-appends. When ``epoch_id`` is set, the epoch
+    marker commits even for an all-duplicate batch (empty staged list),
+    so every delivered epoch is skippable on redelivery. ``n_buckets``
+    pins into ``_meta`` on first ingest and defaults from it after."""
+    with _writer_lease(spark, state_dir):
+        recover_state(spark, state_dir)
+        if epoch_id is not None and epoch_committed(spark, state_dir, epoch_id):
+            return None
+        fs = HadoopFS(spark, state_dir)
+        eff = _resolve_meta(
+            fs, state_dir, "exact",
+            {"n_buckets": n_buckets}, {"n_buckets": DEFAULT_BUCKETS},
+        )
+        n_buckets = int(eff["n_buckets"])
+        corpus_root = _join(state_dir, "corpus")
+        fp_root = _join(state_dir, "fingerprints")
 
-    n_batch = batch.count()
+        n_batch = batch.count()
 
-    # 1. within-batch exact dedup: keep min(doc_id) per digest
-    keyed = batch.select(digest, *batch.columns)
-    keeper = keyed.groupBy("digest").agg(F.min(id_col).alias(id_col))
-    batch_unique = keyed.join(keeper, ["digest", id_col])
-    # 2. history check: one equi-join against the bucketed state — the
-    # state side plans no Exchange, only the batch shuffles
-    hist = fingerprint_state(spark, state_dir, id_col, n_buckets).select("digest")
-    novel = batch_unique.join(hist, "digest", "left_anti")
-    # every consumer (the unique count, the accepted count, both staged
-    # writes) runs INSIDE this scope, so the caches release with zero
-    # recompute — getPersistentRDDs() is empty when the funnel returns
-    # (cachectl.py)
-    with scoped_cache(batch_unique, novel):
-        n_unique = batch_unique.count()
-        n_accepted = novel.count()
+        # 1. within-batch exact dedup: keep min(doc_id) per digest
+        keyed = batch.select(_text_digest(text_col), *batch.columns)
+        keeper = keyed.groupBy("digest").agg(F.min(id_col).alias(id_col))
+        batch_unique = keyed.join(keeper, ["digest", id_col])
+        # 2. history check: one equi-join against the bucketed state — the
+        # state side plans no Exchange, only the batch shuffles
+        hist = fingerprint_state(spark, state_dir, id_col, n_buckets).select("digest")
+        novel = batch_unique.join(hist, "digest", "left_anti")
+        # every consumer (the unique count, the accepted count, both staged
+        # writes) runs INSIDE this scope, so the caches release with zero
+        # recompute — getPersistentRDDs() is empty when the funnel returns
+        # (cachectl.py)
+        with scoped_cache(batch_unique, novel):
+            n_unique = batch_unique.count()
+            n_accepted = novel.count()
 
-        # 3. stage novel docs + their fingerprints, commit atomically
-        if n_accepted:
+            # 3. stage novel docs + their fingerprints, commit atomically;
+            # an epoch-tagged all-duplicate batch commits the (empty)
+            # marker so redelivery skips wholesale
             token = uuid.uuid4().hex
-            novel.drop("digest").write.parquet(_staged_dir(corpus_root, token))
-            _staged_bucketed_write(
-                novel.select("digest", id_col),
-                _staged_dir(fp_root, token),
-                ["digest"],
-                n_buckets,
-            )
-            _commit(
-                spark,
-                state_dir,
-                ["corpus", "fingerprints"],
-                token,
-                epoch_id=epoch_id,
-                _crash=_crash,
-            )
+            staged: list[str] = []
+            if n_accepted:
+                novel.drop("digest").write.parquet(_staged_dir(corpus_root, token))
+                _staged_bucketed_write(
+                    novel.select("digest", id_col),
+                    _staged_dir(fp_root, token),
+                    ["digest"],
+                    n_buckets,
+                )
+                staged = ["corpus", "fingerprints"]
+            if staged or epoch_id is not None:
+                _commit(
+                    spark,
+                    state_dir,
+                    staged,
+                    token,
+                    epoch_id=epoch_id,
+                    _crash=_crash,
+                )
 
     return {
         "n_batch": n_batch,
@@ -427,13 +709,13 @@ def ingest_batch_neardup(
     state_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 16,
-    bands: int = 4,
-    n: int = 3,
-    n_buckets: int = DEFAULT_BUCKETS,
-    epoch_id: int | None = None,
+    k: int | None = None,
+    bands: int | None = None,
+    n: int | None = None,
+    n_buckets: int | None = None,
+    epoch_id=None,
     _crash: str | None = None,
-) -> dict[str, int]:
+) -> dict[str, int] | None:
     """Incremental NEAR-duplicate ingestion: the MinHash-LSH counterpart
     of :func:`ingest_batch` (which catches only byte-identical texts).
     Each batch is checked against a persistent BAND-KEY state — a doc is
@@ -460,28 +742,41 @@ def ingest_batch_neardup(
     crashed run retried blindly re-classifies, never double-appends.
 
     Returns ``{"n_batch", "n_hist_neardup", "n_within_neardup",
-    "n_accepted"}``; appends accepted docs to ``state_dir/
-    corpus_neardup`` and the batch's band keys to ``state_dir/
-    neardup_bands``.
+    "n_accepted"}`` — or ``None`` on a redelivered committed epoch.
+    Appends accepted docs to ``state_dir/corpus_neardup`` and the
+    batch's band keys to ``state_dir/neardup_bands``. ``k/bands/n/
+    n_buckets`` pin into ``_meta`` on first ingest (DEFAULT_MINHASH
+    defaults) and default from it after — a later call passing different
+    values raises :class:`StateParamMismatch` instead of computing band
+    keys incomparable with the stored state.
     """
     from ..operators.dedup import minhash_band_keys
 
-    bk = minhash_band_keys(batch, text_col=text_col, k=k, bands=bands, n=n)
-    if id_col != "doc_id":
-        bk = bk.withColumnRenamed("doc_id", id_col)
-    n_batch, n_hist, n_within, n_accepted = _ingest_keyed(
+    def keys_of(eff: dict) -> DataFrame:
+        bk = minhash_band_keys(
+            batch, text_col=text_col,
+            k=int(eff["k"]), bands=int(eff["bands"]), n=int(eff["n"]),
+        )
+        return bk.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else bk
+
+    res = _ingest_keyed(
         spark,
         batch,
         state_dir,
-        keys=bk,
+        keys_of=keys_of,
         key_cols=("band", "bk"),
         corpus_rel="corpus_neardup",
         state_rel="neardup_bands",
         id_col=id_col,
-        n_buckets=n_buckets,
+        leg="neardup",
+        given={"k": k, "bands": bands, "n": n, "n_buckets": n_buckets},
+        defaults={**DEFAULT_MINHASH, "n_buckets": DEFAULT_BUCKETS},
         epoch_id=epoch_id,
         _crash=_crash,
     )
+    if res is None:
+        return None
+    n_batch, n_hist, n_within, n_accepted = res
     return {
         "n_batch": n_batch,
         "n_hist_neardup": n_hist,
@@ -494,13 +789,13 @@ def ingest_batch_embdup(
     spark: SparkSession,
     batch: DataFrame,
     state_dir: str,
-    tables: list,
+    tables: list | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_buckets: int = DEFAULT_BUCKETS,
-    epoch_id: int | None = None,
+    n_buckets: int | None = None,
+    epoch_id=None,
     _crash: str | None = None,
-) -> dict[str, int]:
+) -> dict[str, int] | None:
     """Incremental EMBEDDING near-duplicate ingestion — the third leg of
     the incremental family (exact digests → MinHash text LSH → hyperplane
     embedding LSH): each batch's vectors are checked against a persistent
@@ -517,24 +812,49 @@ def ingest_batch_embdup(
     shared journal commit; ``epoch_id`` rides the marker.
 
     Returns ``{"n_batch", "n_hist_embdup", "n_within_embdup",
-    "n_accepted"}``; appends accepted rows to ``state_dir/corpus_embdup``
-    and the batch's bucket keys to ``state_dir/embdup_buckets``."""
+    "n_accepted"}`` — or ``None`` on a redelivered committed epoch.
+    Appends accepted rows to ``state_dir/corpus_embdup`` and the batch's
+    bucket keys to ``state_dir/embdup_buckets``. The hyperplane
+    ``tables`` THEMSELVES pin into ``_meta`` on first ingest (they ARE
+    the key function — different planes produce incomparable buckets):
+    later calls may omit ``tables`` (loaded from meta) and a call
+    passing planes with a different digest raises
+    :class:`StateParamMismatch`."""
     from ..operators.similarity import multitable_buckets
 
-    keys = multitable_buckets(batch, tables, id_col=id_col, vec_col=vec_col)
-    n_batch, n_hist, n_within, n_accepted = _ingest_keyed(
+    tables_digest = (
+        hashlib.md5(json.dumps(tables).encode()).hexdigest()
+        if tables is not None
+        else None
+    )
+    if tables is None and "tables" not in state_meta(spark, state_dir, "embdup"):
+        raise ValueError(
+            "first embdup ingest for this state_dir must pass the hyperplane "
+            "tables (they pin into _meta and later calls may omit them)"
+        )
+
+    def keys_of(eff: dict) -> DataFrame:
+        return multitable_buckets(batch, eff["tables"], id_col=id_col, vec_col=vec_col)
+
+    res = _ingest_keyed(
         spark,
         batch,
         state_dir,
-        keys=keys,
+        keys_of=keys_of,
         key_cols=("tbl", "bucket"),
         corpus_rel="corpus_embdup",
         state_rel="embdup_buckets",
         id_col=id_col,
-        n_buckets=n_buckets,
+        leg="embdup",
+        given={"tables_digest": tables_digest, "n_buckets": n_buckets},
+        defaults={"n_buckets": DEFAULT_BUCKETS},
+        meta_extra={"tables": tables} if tables is not None else None,
         epoch_id=epoch_id,
         _crash=_crash,
     )
+    if res is None:
+        return None
+    n_batch, n_hist, n_within, n_accepted = res
     return {
         "n_batch": n_batch,
         "n_hist_embdup": n_hist,
@@ -543,76 +863,253 @@ def ingest_batch_embdup(
     }
 
 
+DEFAULT_SEMANTIC_THRESHOLD = 0.92
+
+
+def ingest_batch_semantic(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    centroids: list | None = None,
+    threshold: float | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_buckets: int | None = None,
+    epoch_id=None,
+    _crash: str | None = None,
+) -> dict[str, int] | None:
+    """Incremental SEMANTIC near-duplicate ingestion — the fifth leg of
+    the incremental family (r8 verdict #8), and the one that VERIFIES
+    instead of trusting buckets: each batch vector is assigned to its
+    nearest FIXED centroid (operators/clustering.assign_to_centroids —
+    the SemDeDup partitioning with pinned centroids instead of per-run
+    k-means, so assignments are stable across batches), then checked by
+    EXACT rounded cosine against the historical members of that one
+    cluster. A vector is a historical semantic dup iff some same-cluster
+    historical member scores ≥ ``threshold``; within the batch, iff a
+    smaller-id same-cluster member does (exists-semantics, same
+    SQL-expressible contract as the other keyed legs; oracled twin
+    ``incremental_semantic_funnel``).
+
+    vs ``ingest_batch_embdup``: the hyperplane leg compares CODES (fast,
+    recall bounded by the planes), this leg compares VECTORS but only
+    within one centroid cell — candidate volume is |batch-cell| ×
+    |state-cell|, controlled by the centroid count exactly as SemDeDup
+    controls Σ|cluster|² by k. State = (vec_id, cluster, uv) for every
+    ingested vector, BUCKETED on cluster: the per-batch verify join
+    never shuffles the state side and never rescans the corpus. Size
+    the centroid count like SemDeDup's k (≈√n) so cells stay bounded;
+    n_buckets ≤ centroid count keeps buckets non-empty.
+
+    ``centroids`` (the key function) and ``threshold`` PIN into
+    ``_meta`` on first ingest — later calls may omit both; mismatching
+    values raise :class:`StateParamMismatch`. Null vectors produce no
+    assignment and are always accepted. Crash-atomic via the shared
+    journal commit; ``epoch_id`` rides the marker; replays classify
+    100% historical (their own members are in the state).
+
+    Returns ``{"n_batch", "n_hist_semdup", "n_within_semdup",
+    "n_accepted"}`` — or ``None`` on a redelivered committed epoch."""
+    from ..operators.clustering import assign_to_centroids
+    from ..operators.similarity import dot, round6
+
+    cent_digest = (
+        hashlib.md5(json.dumps(centroids).encode()).hexdigest()
+        if centroids is not None
+        else None
+    )
+    if centroids is None and "centroids" not in state_meta(spark, state_dir, "semantic"):
+        raise ValueError(
+            "first semantic ingest for this state_dir must pass the centroids "
+            "(they pin into _meta and later calls may omit them)"
+        )
+
+    with _writer_lease(spark, state_dir):
+        recover_state(spark, state_dir)
+        if epoch_id is not None and epoch_committed(spark, state_dir, epoch_id):
+            return None
+        fs = HadoopFS(spark, state_dir)
+        eff = _resolve_meta(
+            fs, state_dir, "semantic",
+            {
+                "centroids_digest": cent_digest,
+                "threshold": threshold,
+                "n_buckets": n_buckets,
+            },
+            {"threshold": DEFAULT_SEMANTIC_THRESHOLD, "n_buckets": DEFAULT_BUCKETS},
+            extra={"centroids": centroids} if centroids is not None else None,
+        )
+        thr = float(eff["threshold"])
+        n_buckets = int(eff["n_buckets"])
+        state_root = _join(state_dir, "semantic_members")
+        corpus_root = _join(state_dir, "corpus_semantic")
+
+        n_batch = batch.count()
+        keys = assign_to_centroids(batch, eff["centroids"], id_col, vec_col)
+        with scoped_cache(keys):
+            state = _ensure_state_table(
+                spark, state_root, keys, ["cluster"], n_buckets
+            )
+            # historical: EXACT rounded cosine ≥ thr against the same
+            # centroid cell's members — equi-key is the cluster (state
+            # side bucketed, no Exchange), the cosine is a join filter
+            a, s = keys.alias("A"), state.alias("S")
+            hist_ids = (
+                a.join(
+                    s,
+                    (F.col("A.cluster") == F.col("S.cluster"))
+                    & (round6(dot(F.col("A.uv"), F.col("S.uv"))) >= thr),
+                    "left_semi",
+                )
+                .select(id_col)
+                .distinct()
+            )
+            # within-batch: a smaller-id same-cluster batch member scores
+            # ≥ thr (exists-semantics — the smaller member's own
+            # classification is irrelevant, keeping the contract
+            # SQL-expressible)
+            b2 = keys.alias("B")
+            within_ids = (
+                a.join(
+                    b2,
+                    (F.col("A.cluster") == F.col("B.cluster"))
+                    & (F.col(f"B.{id_col}") < F.col(f"A.{id_col}"))
+                    & (round6(dot(F.col("A.uv"), F.col("B.uv"))) >= thr),
+                    "left_semi",
+                )
+                .select(id_col)
+                .distinct()
+            )
+            with scoped_cache(hist_ids):
+                n_hist = hist_ids.count()
+                n_within = within_ids.join(hist_ids, id_col, "left_anti").count()
+                accepted = (
+                    batch.join(hist_ids, id_col, "left_anti")
+                    .join(within_ids, id_col, "left_anti")
+                )
+                n_accepted = accepted.count()
+                staged: list[str] = []
+                token = uuid.uuid4().hex
+                if n_accepted:
+                    accepted.write.parquet(_staged_dir(corpus_root, token))
+                    staged.append("corpus_semantic")
+                # seen-semantics: every batch member joins the state
+                if n_batch:
+                    _staged_bucketed_write(
+                        keys, _staged_dir(state_root, token), ["cluster"], n_buckets
+                    )
+                    staged.append("semantic_members")
+                if staged or epoch_id is not None:
+                    _commit(
+                        spark, state_dir, staged, token,
+                        epoch_id=epoch_id, _crash=_crash,
+                    )
+    return {
+        "n_batch": n_batch,
+        "n_hist_semdup": n_hist,
+        "n_within_semdup": n_within,
+        "n_accepted": n_accepted,
+    }
+
+
+def compact_semantic_state(
+    spark: SparkSession, state_dir: str, n_buckets: int | None = None
+) -> int:
+    """Semantic-leg twin of :func:`compact_neardup_state`: collapse
+    replay-duplicated (vec_id, cluster, uv) member rows, rewrite
+    bucketed, swap in. Single writer (lease-enforced); ``n_buckets``
+    defaults from ``_meta``."""
+    return _compact_state(
+        spark, state_dir, "semantic_members", ["cluster"], "semantic", n_buckets
+    )
+
+
 def _ingest_keyed(
     spark: SparkSession,
     batch: DataFrame,
     state_dir: str,
-    keys: DataFrame,
+    keys_of,
     key_cols: tuple,
     corpus_rel: str,
     state_rel: str,
     id_col: str,
-    n_buckets: int,
-    epoch_id: int | None,
+    leg: str,
+    given: dict,
+    defaults: dict,
+    epoch_id,
     _crash: str | None,
-) -> tuple[int, int, int, int]:
+    meta_extra: dict | None = None,
+) -> tuple[int, int, int, int] | None:
     """Shared engine of the LSH-keyed incremental loops: classify a batch
     against a persistent bucketed key state (historical iff ANY key seen;
     within-batch iff a smaller-id member shares a key), append accepted
-    rows + the batch's keys atomically. Returns
-    (n_batch, n_hist, n_within, n_accepted)."""
-    recover_state(spark, state_dir)
-    state_root = _join(state_dir, state_rel)
-    corpus_root = _join(state_dir, corpus_rel)
-    kc = list(key_cols)
+    rows + the batch's keys atomically. ``keys_of(effective_params)``
+    builds the key frame AFTER the leg's parameters resolve against the
+    pinned ``_meta`` (so the key function provably matches the stored
+    state). Returns (n_batch, n_hist, n_within, n_accepted), or None on
+    a redelivered committed epoch."""
+    with _writer_lease(spark, state_dir):
+        recover_state(spark, state_dir)
+        if epoch_id is not None and epoch_committed(spark, state_dir, epoch_id):
+            return None
+        fs = HadoopFS(spark, state_dir)
+        eff = _resolve_meta(fs, state_dir, leg, given, defaults, extra=meta_extra)
+        n_buckets = int(eff["n_buckets"])
+        keys = keys_of(eff)
+        state_root = _join(state_dir, state_rel)
+        corpus_root = _join(state_dir, corpus_rel)
+        kc = list(key_cols)
 
-    n_batch = batch.count()
-    # every consumer (both classification counts, both staged writes)
-    # runs inside the scope, so the cache releases with zero recompute
-    # (cachectl.py); the key-derivation pass runs once
-    with scoped_cache(keys):
-        state = _ensure_state_table(
-            spark, state_root, keys.select(id_col, *kc), kc, n_buckets
-        ).select(*kc)
-        hist_ids = keys.join(state, kc, "left_semi").select(id_col).distinct()
-        # within-batch: smallest id per batch bucket; a row with ANY
-        # bucket whose min is a smaller id is a within-batch near-dup
-        bucket_min = keys.groupBy(*kc).agg(F.min(id_col).alias("__min_id"))
-        within_ids = (
-            keys.join(bucket_min, kc)
-            .filter(F.col("__min_id") < F.col(id_col))
-            .select(id_col)
-            .distinct()
-        )
-        with scoped_cache(hist_ids):
-            n_hist = hist_ids.count()
-            n_within = within_ids.join(hist_ids, id_col, "left_anti").count()
-            accepted = (
-                batch.join(hist_ids, id_col, "left_anti")
-                .join(within_ids, id_col, "left_anti")
+        n_batch = batch.count()
+        # every consumer (both classification counts, both staged writes)
+        # runs inside the scope, so the cache releases with zero recompute
+        # (cachectl.py); the key-derivation pass runs once
+        with scoped_cache(keys):
+            state = _ensure_state_table(
+                spark, state_root, keys.select(id_col, *kc), kc, n_buckets
+            ).select(*kc)
+            hist_ids = keys.join(state, kc, "left_semi").select(id_col).distinct()
+            # within-batch: smallest id per batch bucket; a row with ANY
+            # bucket whose min is a smaller id is a within-batch near-dup
+            bucket_min = keys.groupBy(*kc).agg(F.min(id_col).alias("__min_id"))
+            within_ids = (
+                keys.join(bucket_min, kc)
+                .filter(F.col("__min_id") < F.col(id_col))
+                .select(id_col)
+                .distinct()
             )
-            n_accepted = accepted.count()
-            staged: list[str] = []
-            token = uuid.uuid4().hex
-            if n_accepted:
-                accepted.write.parquet(_staged_dir(corpus_root, token))
-                staged.append(corpus_rel)
-            # seen-semantics: append EVERY batch row's keys (replays of
-            # the same batch then classify 100% historical and append
-            # again — harmless duplicates in an existence-checked state;
-            # compaction collapses them)
-            if n_batch:
-                _staged_bucketed_write(
-                    keys.select(id_col, *kc),
-                    _staged_dir(state_root, token),
-                    kc,
-                    n_buckets,
+            with scoped_cache(hist_ids):
+                n_hist = hist_ids.count()
+                n_within = within_ids.join(hist_ids, id_col, "left_anti").count()
+                accepted = (
+                    batch.join(hist_ids, id_col, "left_anti")
+                    .join(within_ids, id_col, "left_anti")
                 )
-                staged.append(state_rel)
-            if staged:
-                _commit(
-                    spark, state_dir, staged, token, epoch_id=epoch_id, _crash=_crash
-                )
+                n_accepted = accepted.count()
+                staged: list[str] = []
+                token = uuid.uuid4().hex
+                if n_accepted:
+                    accepted.write.parquet(_staged_dir(corpus_root, token))
+                    staged.append(corpus_rel)
+                # seen-semantics: append EVERY batch row's keys (replays of
+                # the same batch then classify 100% historical and append
+                # again — harmless duplicates in an existence-checked state;
+                # compaction collapses them)
+                if n_batch:
+                    _staged_bucketed_write(
+                        keys.select(id_col, *kc),
+                        _staged_dir(state_root, token),
+                        kc,
+                        n_buckets,
+                    )
+                    staged.append(state_rel)
+                # an epoch-tagged empty/all-dup batch still commits its
+                # (possibly empty) marker so redelivery skips wholesale
+                if staged or epoch_id is not None:
+                    _commit(
+                        spark, state_dir, staged, token,
+                        epoch_id=epoch_id, _crash=_crash,
+                    )
     return n_batch, n_hist, n_within, n_accepted
 
 
@@ -622,12 +1119,12 @@ def ingest_batch_bloom(
     state_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    m_bits: int = 1 << 20,
-    k: int = 4,
-    n_buckets: int = DEFAULT_BUCKETS,
-    epoch_id: int | None = None,
+    m_bits: int | None = None,
+    k: int | None = None,
+    n_buckets: int | None = None,
+    epoch_id=None,
     _crash: str | None = None,
-) -> dict[str, int]:
+) -> dict[str, int] | None:
     """Space-optimized exact-dedup ingestion: the fingerprint table is
     replaced by a PORTABLE Bloom filter (operators/dedup.bloom_positions)
     stored as one ``pos`` long per DISTINCT set bit, bucketed — the
@@ -655,71 +1152,85 @@ def ingest_batch_bloom(
     Returns ``{"n_batch", "n_within_dup", "n_rejected_maybe_dup",
     "n_accepted"}`` (``n_rejected_maybe_dup`` counts true duplicates
     AND false positives — the loop cannot tell them apart; that is the
-    contract)."""
+    contract), or ``None`` on a redelivered committed epoch.
+    ``m_bits``/``k``/``n_buckets`` pin into ``_meta`` on first ingest
+    (DEFAULT_BLOOM defaults) and default from it after — a later call
+    passing a different ``m_bits`` raises :class:`StateParamMismatch`,
+    because probes mod a different m would miss set bits and break the
+    no-false-negatives theorem. Null-text keepers digest to the
+    sentinel class (module docstring), so the theorem covers them."""
     from ..operators.dedup import bloom_positions
 
-    recover_state(spark, state_dir)
-    corpus_root = _join(state_dir, "corpus_bloom")
-    bits_root = _join(state_dir, "bloom_bits")
-    digest = F.md5(F.col(text_col)).alias("digest")
+    with _writer_lease(spark, state_dir):
+        recover_state(spark, state_dir)
+        if epoch_id is not None and epoch_committed(spark, state_dir, epoch_id):
+            return None
+        fs = HadoopFS(spark, state_dir)
+        eff = _resolve_meta(
+            fs, state_dir, "bloom",
+            {"m_bits": m_bits, "k": k, "n_buckets": n_buckets},
+            {**DEFAULT_BLOOM, "n_buckets": DEFAULT_BUCKETS},
+        )
+        m_bits, k, n_buckets = int(eff["m_bits"]), int(eff["k"]), int(eff["n_buckets"])
+        corpus_root = _join(state_dir, "corpus_bloom")
+        bits_root = _join(state_dir, "bloom_bits")
 
-    n_batch = batch.count()
-    keyed = batch.select(digest, *batch.columns)
-    keeper = keyed.groupBy("digest").agg(F.min(id_col).alias(id_col))
-    batch_unique = keyed.join(keeper, ["digest", id_col])
+        n_batch = batch.count()
+        keyed = batch.select(_text_digest(text_col), *batch.columns)
+        keeper = keyed.groupBy("digest").agg(F.min(id_col).alias(id_col))
+        batch_unique = keyed.join(keeper, ["digest", id_col])
 
-    probes = batch_unique.select(
-        id_col, F.explode(bloom_positions(F.col("digest"), m_bits, k)).alias("pos")
-    ).distinct()
-    state = _ensure_state_table(
-        spark,
-        bits_root,
-        spark.createDataFrame([], "pos long"),
-        ["pos"],
-        n_buckets,
-    )
-    # bucketed groupBy: generation-duplicate bits collapse shuffle-free
-    state_pos = state.groupBy("pos").agg(F.lit(1).alias("__set")).select("pos")
-    matched = probes.join(state_pos, "pos", "left_semi")
-    per_doc = (
-        probes.groupBy(id_col)
-        .agg(F.count("*").alias("__n_probe"))
-        .join(matched.groupBy(id_col).agg(F.count("*").alias("__n_hit")), id_col, "left")
-    )
-    hist_ids = per_doc.filter(
-        F.col("__n_hit") == F.col("__n_probe")
-    ).select(id_col)
+        probes = batch_unique.select(
+            id_col, F.explode(bloom_positions(F.col("digest"), m_bits, k)).alias("pos")
+        ).distinct()
+        state = _ensure_state_table(
+            spark,
+            bits_root,
+            spark.createDataFrame([], "pos long"),
+            ["pos"],
+            n_buckets,
+        )
+        # bucketed groupBy: generation-duplicate bits collapse shuffle-free
+        state_pos = state.groupBy("pos").agg(F.lit(1).alias("__set")).select("pos")
+        matched = probes.join(state_pos, "pos", "left_semi")
+        per_doc = (
+            probes.groupBy(id_col)
+            .agg(F.count("*").alias("__n_probe"))
+            .join(matched.groupBy(id_col).agg(F.count("*").alias("__n_hit")), id_col, "left")
+        )
+        hist_ids = per_doc.filter(
+            F.col("__n_hit") == F.col("__n_probe")
+        ).select(id_col)
 
-    with scoped_cache(batch_unique, hist_ids):
-        n_unique = batch_unique.count()
-        n_hist = hist_ids.count()
-        accepted = batch_unique.join(hist_ids, id_col, "left_anti")
-        n_accepted = n_unique - n_hist
-        if n_accepted:
+        with scoped_cache(batch_unique, hist_ids):
+            n_unique = batch_unique.count()
+            n_hist = hist_ids.count()
+            accepted = batch_unique.join(hist_ids, id_col, "left_anti")
+            n_accepted = n_unique - n_hist
             token = uuid.uuid4().hex
-            accepted.drop("digest").write.parquet(_staged_dir(corpus_root, token))
-            new_bits = (
-                accepted.select(
-                    F.explode(
-                        bloom_positions(F.col("digest"), m_bits, k)
-                    ).alias("pos")
+            staged: list[str] = []
+            if n_accepted:
+                accepted.drop("digest").write.parquet(_staged_dir(corpus_root, token))
+                new_bits = (
+                    accepted.select(
+                        F.explode(
+                            bloom_positions(F.col("digest"), m_bits, k)
+                        ).alias("pos")
+                    ).distinct()
                 )
-                # a null-text keeper has no digest and no positions — keep
-                # the state free of null rows (they can never match)
-                .filter(F.col("pos").isNotNull())
-                .distinct()
-            )
-            _staged_bucketed_write(
-                new_bits, _staged_dir(bits_root, token), ["pos"], n_buckets
-            )
-            _commit(
-                spark,
-                state_dir,
-                ["corpus_bloom", "bloom_bits"],
-                token,
-                epoch_id=epoch_id,
-                _crash=_crash,
-            )
+                _staged_bucketed_write(
+                    new_bits, _staged_dir(bits_root, token), ["pos"], n_buckets
+                )
+                staged = ["corpus_bloom", "bloom_bits"]
+            if staged or epoch_id is not None:
+                _commit(
+                    spark,
+                    state_dir,
+                    staged,
+                    token,
+                    epoch_id=epoch_id,
+                    _crash=_crash,
+                )
 
     return {
         "n_batch": n_batch,
@@ -730,13 +1241,15 @@ def ingest_batch_bloom(
 
 
 def compact_bloom_state(
-    spark: SparkSession, state_dir: str, n_buckets: int = DEFAULT_BUCKETS
+    spark: SparkSession, state_dir: str, n_buckets: int | None = None
 ) -> int:
     """Collapse duplicate set-bit rows in the Bloom state (replays and
     cross-batch position collisions append the same ``pos`` again).
     After compaction the state is at most ``m_bits`` rows regardless of
-    corpus size. Single writer assumed."""
-    return _compact_state(spark, state_dir, "bloom_bits", ["pos"], n_buckets)
+    corpus size. Single writer (lease-enforced); ``n_buckets`` defaults
+    from the pinned ``_meta`` — a compaction can no longer rewrite the
+    state with a bucket count the table spec disagrees with."""
+    return _compact_state(spark, state_dir, "bloom_bits", ["pos"], "bloom", n_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -775,39 +1288,61 @@ def _compact_state(
     state_dir: str,
     rel: str,
     bucket_cols: list[str],
-    n_buckets: int,
+    leg: str,
+    n_buckets: int | None,
 ) -> int:
     """Rewrite one bucketed state root with duplicates collapsed, then
     swap the new directory in. The swap's only non-atomic window (root
     renamed away, tmp not yet renamed in) is settled by
     :func:`recover_state` / :func:`_recover_swap` on the next touch —
     roll forward (tmp is complete) — so a crash never loses the state.
-    SINGLE WRITER assumed (module docstring): appends landing between
-    the distinct read and the swap would be lost."""
-    fs = HadoopFS(spark, state_dir)
-    root = _join(state_dir, rel)
-    _recover_swap(fs, root)
-    if not fs.has_visible_files(root):
-        return 0
-    tmp, old = root + "._compact_tmp", root + "._compact_old"
-    compacted = spark.read.parquet(root).distinct()
-    # the rewrite goes through the bucketed writer so the swapped-in
-    # files keep the bucket layout the state table's scans rely on
-    _staged_bucketed_write(compacted, tmp, bucket_cols, n_buckets)
-    n = spark.read.parquet(tmp).count()
-    if fs.exists(old):
+    Single writer ENFORCED by the lease (appends landing between the
+    distinct read and the swap would be lost). ``n_buckets`` resolves
+    from the leg's pinned ``_meta`` first — so a compaction can never
+    rewrite bucket files with a count the table's bucket spec disagrees
+    with (Spark's bucketed scan trusts filename bucket ids; a mismatch
+    silently drops state rows — r8 advice). An explicit mismatching
+    value raises :class:`StateParamMismatch`."""
+    with _writer_lease(spark, state_dir):
+        fs = HadoopFS(spark, state_dir)
+        pinned = state_meta(spark, state_dir, leg).get("n_buckets")
+        if (
+            pinned is not None
+            and n_buckets is not None
+            and int(n_buckets) != int(pinned)
+        ):
+            raise StateParamMismatch(
+                f"{leg} state at {state_dir} is bucketed INTO {pinned}; "
+                f"compacting with n_buckets={n_buckets} would desync the "
+                f"bucket files from the table spec — omit n_buckets to use "
+                f"the pinned value"
+            )
+        n_buckets = int(pinned) if pinned is not None else (
+            DEFAULT_BUCKETS if n_buckets is None else int(n_buckets)
+        )
+        root = _join(state_dir, rel)
+        _recover_swap(fs, root)
+        if not fs.has_visible_files(root):
+            return 0
+        tmp, old = root + "._compact_tmp", root + "._compact_old"
+        compacted = spark.read.parquet(root).distinct()
+        # the rewrite goes through the bucketed writer so the swapped-in
+        # files keep the bucket layout the state table's scans rely on
+        _staged_bucketed_write(compacted, tmp, bucket_cols, n_buckets)
+        n = spark.read.parquet(tmp).count()
+        if fs.exists(old):
+            fs.delete(old, True)
+        if not fs.rename(root, old):
+            raise IOError(f"compact: rename {root} -> {old} failed")
+        if not fs.rename(tmp, root):
+            raise IOError(f"compact: rename {tmp} -> {root} failed")
         fs.delete(old, True)
-    if not fs.rename(root, old):
-        raise IOError(f"compact: rename {root} -> {old} failed")
-    if not fs.rename(tmp, root):
-        raise IOError(f"compact: rename {tmp} -> {root} failed")
-    fs.delete(old, True)
-    _refresh_state_table(spark, root)
-    return n
+        _refresh_state_table(spark, root)
+        return n
 
 
 def compact_neardup_state(
-    spark: SparkSession, state_dir: str, n_buckets: int = DEFAULT_BUCKETS
+    spark: SparkSession, state_dir: str, n_buckets: int | None = None
 ) -> int:
     """Collapse replay-duplicated band rows in the near-dup state.
 
@@ -815,29 +1350,33 @@ def compact_neardup_state(
     (harmless for the existence-checked classification, wasteful on
     disk). Compaction distincts the state and swaps it in, preserving
     the bucketed layout; a crashed swap is rolled forward by
-    :func:`recover_state`. Single writer assumed. Returns the compacted
-    row count."""
+    :func:`recover_state`. Single writer (lease-enforced); ``n_buckets``
+    defaults from the pinned ``_meta``. Returns the compacted row
+    count."""
     return _compact_state(
-        spark, state_dir, "neardup_bands", ["band", "bk"], n_buckets
+        spark, state_dir, "neardup_bands", ["band", "bk"], "neardup", n_buckets
     )
 
 
 def compact_embdup_state(
-    spark: SparkSession, state_dir: str, n_buckets: int = DEFAULT_BUCKETS
+    spark: SparkSession, state_dir: str, n_buckets: int | None = None
 ) -> int:
     """Embedding-loop twin of :func:`compact_neardup_state`: collapse
     replay-duplicated (id, tbl, bucket) rows, rewrite bucketed, swap in.
-    Single writer assumed."""
+    Single writer (lease-enforced); ``n_buckets`` defaults from ``_meta``."""
     return _compact_state(
-        spark, state_dir, "embdup_buckets", ["tbl", "bucket"], n_buckets
+        spark, state_dir, "embdup_buckets", ["tbl", "bucket"], "embdup", n_buckets
     )
 
 
 def compact_fingerprints(
-    spark: SparkSession, state_dir: str, n_buckets: int = DEFAULT_BUCKETS
+    spark: SparkSession, state_dir: str, n_buckets: int | None = None
 ) -> int:
     """Exact-loop symmetry of :func:`compact_neardup_state`: collapse
     duplicate (digest, id) rows in the fingerprint state (the exact loop
     never appends duplicates itself, but a restored/merged state can
-    carry them) and rewrite it bucketed. Single writer assumed."""
-    return _compact_state(spark, state_dir, "fingerprints", ["digest"], n_buckets)
+    carry them) and rewrite it bucketed. Single writer (lease-enforced);
+    ``n_buckets`` defaults from ``_meta``."""
+    return _compact_state(
+        spark, state_dir, "fingerprints", ["digest"], "exact", n_buckets
+    )

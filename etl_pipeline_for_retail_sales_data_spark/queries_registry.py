@@ -6328,6 +6328,146 @@ def q_incremental_embdup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sem_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
+    """Seeded RAW centroids for the incremental semantic leg (seed 7 —
+    distinct from _lsh_tables' 42). assign_to_centroids unit-normalizes
+    them driver-side; _semantic_funnel_oracle applies the IDENTICAL
+    Python normalization before inlining, so both engines see the same
+    double literals."""
+    import random
+
+    rng = random.Random(7)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
+
+
+def _semantic_funnel_oracle(threshold: float = 0.92) -> str:
+    """SQL twin of incremental semantic ingestion: the same unit-centroid
+    literals (normalized with the same Python expression order as
+    operators/clustering.assign_to_centroids, so repr() round-trips the
+    identical doubles), the same rounded-argmax assignment (sim DESC,
+    centroid index ASC), and the same rounded-cosine pair predicate —
+    every dot is list_dot_product, bit-identical to the Spark fold."""
+    import math
+
+    arms = []
+    for c, cent in enumerate(_sem_centroids()):
+        norm = math.sqrt(sum(x * x for x in cent)) or 1.0
+        lits = ", ".join(repr(float(x) / norm) for x in cent)
+        arms.append(
+            f"SELECT vec_id, uv, {c} AS c, "
+            f"FLOOR(list_dot_product(uv, [{lits}]) * 1e6 + 0.5) / 1e6 AS sim "
+            f"FROM u"
+        )
+    union = "\n        UNION ALL ".join(arms)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+          FROM e),
+    d AS (
+        {union}
+    ),
+    asg AS (SELECT vec_id, uv, c AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, c ASC) AS rn
+                FROM d) WHERE rn = 1),
+    w AS (SELECT vec_id, vec_id % 3 AS day, cluster, uv FROM asg),
+    pairs AS (
+        SELECT a.vec_id AS id_a, a.day AS day_a, b.vec_id AS id_b, b.day AS day_b
+        FROM w a JOIN w b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        WHERE FLOOR(list_dot_product(a.uv, b.uv) * 1e6 + 0.5) / 1e6 >= {threshold}
+    ),
+    pervec AS (
+        SELECT id_a AS vec_id, day_a AS day,
+               MAX(CASE WHEN day_b < day_a THEN 1 ELSE 0 END) AS any_hist,
+               MAX(CASE WHEN day_b = day_a AND id_b < id_a
+                        THEN 1 ELSE 0 END) AS any_sm
+        FROM pairs GROUP BY 1, 2
+    ),
+    allv AS (SELECT vec_id, vec_id % 3 AS day FROM embeddings)
+    SELECT CAST(a.day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN p.any_hist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hist_semdup,
+           CAST(SUM(CASE WHEN COALESCE(p.any_hist, 0) = 0 AND p.any_sm = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_semdup,
+           CAST(SUM(CASE WHEN COALESCE(p.any_hist, 0) = 0
+                          AND COALESCE(p.any_sm, 0) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+    FROM allv a LEFT JOIN pervec p ON p.vec_id = a.vec_id
+    GROUP BY a.day
+    """
+
+
+@query("incremental_semantic_funnel", oracle=_semantic_funnel_oracle())
+def q_incremental_semantic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental SEMANTIC near-dup ingestion semantics (plans/
+    incremental_corpus.ingest_batch_semantic) as a pure query — the
+    fifth leg of the incremental family, and the one that VERIFIES by
+    exact cosine instead of trusting LSH buckets: vectors arrive in
+    simulated daily batches (day = vec_id % 3) and each classifies as
+    historical semantic dup (an earlier-day vector in the SAME fixed-
+    centroid cell scores rounded-cosine ≥ 0.92), within-batch (a
+    smaller same-day id in the cell does), or accepted. Pinned seeded
+    centroids inline into the DuckDB oracle as unit-normalized double
+    literals; assignment is the rounded argmax with index tie-break
+    (operators/clustering.assign_to_centroids), so the funnel is fully
+    oracled. The real append-only member-state transitions (crash
+    atomicity, replay, bucketed no-exchange verify join) are covered by
+    tests/test_incremental_corpus.py.
+
+    Scale shape: the pair predicate runs ONLY within a centroid cell —
+    one cluster-keyed repartition exchange feeds both aliased self-join
+    sides (reuse-not-cache, cachectl.py); candidate volume is
+    Σ|cell|², controlled by the centroid count exactly as SemDeDup
+    controls it by k. In the real loop the state side is a bucketed
+    member table the per-batch verify join never shuffles."""
+    from .operators.clustering import assign_to_centroids
+    from .operators.similarity import dot as _dot
+    from .operators.similarity import round6
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = assign_to_centroids(emb, _sem_centroids())
+    w = asg.withColumn("day", F.col("vec_id") % 3).repartition("cluster")
+    a, b = w.alias("A"), w.alias("B")
+    pairs = (
+        a.join(
+            b,
+            (F.col("A.cluster") == F.col("B.cluster"))
+            & (F.col("A.vec_id") != F.col("B.vec_id")),
+        )
+        .filter(round6(_dot(F.col("A.uv"), F.col("B.uv"))) >= 0.92)
+        .select(
+            F.col("A.vec_id").alias("vec_id"),
+            F.col("A.day").alias("day"),
+            F.col("B.vec_id").alias("id_b"),
+            F.col("B.day").alias("day_b"),
+        )
+    )
+    pervec = pairs.groupBy("vec_id", "day").agg(
+        F.max((F.col("day_b") < F.col("day")).cast("int")).alias("any_hist"),
+        F.max(
+            ((F.col("day_b") == F.col("day")) & (F.col("id_b") < F.col("vec_id"))).cast(
+                "int"
+            )
+        ).alias("any_sm"),
+    )
+    allv = emb.select("vec_id", (F.col("vec_id") % 3).alias("day"))
+    cls = allv.join(pervec.select("vec_id", "any_hist", "any_sm"), "vec_id", "left")
+    is_hist = F.col("any_hist") == 1
+    is_within = (F.coalesce(F.col("any_hist"), F.lit(0)) == 0) & (F.col("any_sm") == 1)
+    is_acc = (F.coalesce(F.col("any_hist"), F.lit(0)) == 0) & (
+        F.coalesce(F.col("any_sm"), F.lit(0)) == 0
+    )
+    return cls.groupBy("day").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.when(is_hist, 1).otherwise(0)).cast("long").alias("n_hist_semdup"),
+        F.sum(F.when(is_within, 1).otherwise(0)).cast("long").alias("n_within_semdup"),
+        F.sum(F.when(is_acc, 1).otherwise(0)).cast("long").alias("n_accepted"),
+    )
+
+
 def _bloom_funnel_oracle(m: int = 4096, k: int = 4) -> str:
     pos_expr = (
         "CAST(('0x' || substring(md5(CAST(u.i AS VARCHAR) || ':' || kk.digest), 1, 15)) "

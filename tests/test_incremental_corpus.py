@@ -566,3 +566,388 @@ def test_ingest_loops_leave_no_persisted_blocks(spark, state_dir):
     assert persisted() == 0
     ingest_batch_bloom(spark, batch, state_dir)
     assert persisted() == 0
+
+
+# --- round 9: parameter pinning, writer lease, null text, log compaction ---
+
+
+def test_meta_pins_bloom_params_and_mismatch_raises(spark, state_dir):
+    """r8 verdict #1: decision-shaping parameters persist in _meta on
+    first ingest; a later batch passing a different m_bits/k raises
+    instead of silently breaking the no-false-negatives theorem (probes
+    mod a different m miss set bits -> true duplicates accepted)."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_bloom,
+    )
+
+    ingest_batch_bloom(spark, _docs(spark, [(1, "a")]), state_dir, m_bits=4096, k=4)
+    meta = IC.state_meta(spark, state_dir, "bloom")
+    assert meta == {"m_bits": 4096, "k": 4, "n_buckets": IC.DEFAULT_BUCKETS}
+
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_bloom(spark, _docs(spark, [(2, "b")]), state_dir, m_bits=8192)
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_bloom(spark, _docs(spark, [(2, "b")]), state_dir, k=6)
+    # nothing was appended by the refused calls
+    assert spark.read.parquet(state_dir + "/corpus_bloom").count() == 1
+
+    # omitted params default FROM the pinned meta: the replayed keeper
+    # is rejected, which only happens if the same m_bits/k reproduced
+    # the same bit positions
+    again = ingest_batch_bloom(spark, _docs(spark, [(9, "a")]), state_dir)
+    assert again["n_rejected_maybe_dup"] == 1 and again["n_accepted"] == 0
+
+
+def test_meta_pins_minhash_params(spark, state_dir):
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_neardup,
+    )
+
+    batch = _docs(spark, [(1, "one two three four five six")])
+    ingest_batch_neardup(spark, batch, state_dir, k=8, bands=2)
+    meta = IC.state_meta(spark, state_dir, "neardup")
+    assert meta["k"] == 8 and meta["bands"] == 2 and meta["n"] == 3
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_neardup(spark, batch, state_dir, bands=4)
+    # defaulted-from-meta replay: every band key already in the state
+    s = ingest_batch_neardup(spark, batch, state_dir)
+    assert s["n_hist_neardup"] == 1 and s["n_accepted"] == 0
+    # 1 doc x 2 bands x 2 ingests — the pinned bands=2 drove both passes
+    assert spark.read.parquet(state_dir + "/neardup_bands").count() == 4
+
+
+def test_meta_pins_embdup_tables_and_later_calls_omit_them(spark, state_dir):
+    """The hyperplane tables ARE the key function: they pin into _meta
+    (first ingest must pass them), later ingests may omit them, and a
+    call passing different planes raises."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_embdup,
+    )
+
+    tables = _lsh_tables_fixture()
+    batch = spark.createDataFrame(
+        [(1, [float(j) for j in range(64)])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="must pass the hyperplane tables"):
+        ingest_batch_embdup(spark, batch, state_dir)  # no tables, no meta
+    ingest_batch_embdup(spark, batch, state_dir, tables)
+
+    # later ingest omits tables entirely: loaded from _meta, replay
+    # classifies historical (same buckets -> the planes round-tripped)
+    s = ingest_batch_embdup(spark, batch, state_dir)
+    assert s["n_hist_embdup"] == 1 and s["n_accepted"] == 0
+
+    other = [[[float(-x) for x in p] for p in t] for t in tables]
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_embdup(spark, batch, state_dir, other)
+
+
+def test_meta_pins_n_buckets_for_compaction(spark, state_dir):
+    """r8 advice (medium): compaction reads n_buckets from _meta instead
+    of trusting its per-call default — ingesting with 16 then compacting
+    with no argument keeps the bucket files consistent with the table
+    spec (a mismatch makes the bucketed scan silently drop state rows)."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        compact_neardup_state,
+        ingest_batch_neardup,
+    )
+
+    batch = _docs(
+        spark,
+        [(1, "one two three four five six"), (2, "seven eight nine ten eleven")],
+    )
+    ingest_batch_neardup(spark, batch, state_dir, n_buckets=16)
+    ingest_batch_neardup(spark, batch, state_dir)  # replay doubles rows
+    assert compact_neardup_state(spark, state_dir) == 8  # no n_buckets passed
+    with pytest.raises(IC.StateParamMismatch):
+        compact_neardup_state(spark, state_dir, n_buckets=8)
+    # classification still sees the full compacted state (the join would
+    # miss rows if the rewrite had desynced the bucket layout)
+    s = ingest_batch_neardup(spark, batch, state_dir)
+    assert s["n_hist_neardup"] == 2 and s["n_accepted"] == 0
+
+
+def test_null_text_docs_dedup_as_their_own_class(spark, state_dir):
+    """r8 advice (low): null text digests to the sentinel 'null' instead
+    of a null key that anti-joins through forever — the second batch's
+    null-text doc classifies as a historical dup in BOTH the exact and
+    bloom loops (no-false-negatives covers null texts)."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_bloom,
+    )
+
+    b1 = _docs(spark, [(1, None), (2, "real text")])
+    b2 = _docs(spark, [(10, None), (11, None)])
+    exact_dir, bloom_dir = state_dir + "_ex", state_dir + "_bl"
+
+    s1 = ingest_batch(spark, b1, exact_dir)
+    assert s1["n_accepted"] == 2
+    s2 = ingest_batch(spark, b2, exact_dir)
+    assert s2 == {"n_batch": 2, "n_within_dup": 1, "n_hist_dup": 1, "n_accepted": 0}
+    assert spark.read.parquet(exact_dir + "/corpus").count() == 2
+
+    t1 = ingest_batch_bloom(spark, b1, bloom_dir, m_bits=4096, k=4)
+    assert t1["n_accepted"] == 2
+    t2 = ingest_batch_bloom(spark, b2, bloom_dir)
+    assert t2["n_within_dup"] == 1 and t2["n_rejected_maybe_dup"] == 1
+    assert t2["n_accepted"] == 0
+
+
+def test_concurrent_writer_raises_and_expired_lease_reclaims(spark, state_dir):
+    """r8 verdict #4: a live lease makes a second writer raise
+    ConcurrentWriter (detect, don't coordinate); an EXPIRED lease (holder
+    hard-killed beyond the TTL) is reclaimed by the next writer; a
+    crashed-in-process run (exception unwound) releases its lease so a
+    blind retry proceeds."""
+    batch = _docs(spark, [(1, "a")])
+    ingest_batch(spark, batch, state_dir)  # creates the state
+
+    fs = HadoopFS(spark, state_dir)
+    lock = state_dir + "/_lock"
+    # simulate a live concurrent writer holding the lease
+    assert fs.create_exclusive(lock, '{"writer": "other"}')
+    with pytest.raises(IC.ConcurrentWriter):
+        ingest_batch(spark, _docs(spark, [(2, "b")]), state_dir)
+    with pytest.raises(IC.ConcurrentWriter):
+        IC.compact_fingerprints(spark, state_dir)
+    assert spark.read.parquet(state_dir + "/corpus").count() == 1
+
+    # age the lock beyond the TTL: the next writer reclaims it
+    import time as _t
+
+    fs.set_mtime(lock, int(_t.time() * 1000) - IC.LEASE_TTL_MS - 60_000)
+    s = ingest_batch(spark, _docs(spark, [(2, "b")]), state_dir)
+    assert s["n_accepted"] == 1
+    assert not fs.exists(lock)  # released after the ingest
+
+    # an in-process crash (exception) releases the lease -> blind retry runs
+    with pytest.raises(IC.SimulatedCrash):
+        ingest_batch(spark, _docs(spark, [(3, "c")]), state_dir, _crash="after_stage")
+    assert not fs.exists(lock)
+    retry = ingest_batch(spark, _docs(spark, [(3, "c")]), state_dir)
+    assert retry["n_accepted"] == 1
+
+    # break_lease: the operator escape hatch for a known-dead holder
+    assert fs.create_exclusive(lock, '{"writer": "dead"}')
+    IC.break_lease(spark, state_dir)
+    assert ingest_batch(spark, _docs(spark, [(4, "d")]), state_dir)["n_accepted"] == 1
+
+
+def test_compact_ingest_log_rolls_markers_into_segment(spark, state_dir):
+    """r8 verdict #7: the per-batch _commits files roll into one JSONL
+    segment; ingest_log reads both forms identically (same entries,
+    deduped by token), later batches append new loose markers, and a
+    second compaction folds segment + markers again."""
+    for i, text in enumerate(["a", "b", "c"]):
+        ingest_batch(spark, _docs(spark, [(i, text)]), state_dir, epoch_id=i)
+    before = {e["token"]: e for e in IC.ingest_log(spark, state_dir)}
+    assert len(before) == 3
+
+    assert IC.compact_ingest_log(spark, state_dir) == 3
+    fs = HadoopFS(spark, state_dir)
+    names = fs.list_names(state_dir + "/_commits")
+    assert len(names) == 1 and names[0].startswith("segment-")
+    after = {e["token"]: e for e in IC.ingest_log(spark, state_dir)}
+    assert after == before
+
+    ingest_batch(spark, _docs(spark, [(7, "d")]), state_dir, epoch_id=7)
+    assert len(IC.ingest_log(spark, state_dir)) == 4
+    assert IC.compact_ingest_log(spark, state_dir) == 4
+    assert len(fs.list_names(state_dir + "/_commits")) == 1
+    epochs = sorted(e["epoch"] for e in IC.ingest_log(spark, state_dir))
+    assert epochs == [0, 1, 2, 7]
+    # compacting an already-compact log is a no-op
+    assert IC.compact_ingest_log(spark, state_dir) == 4
+
+
+def test_state_table_location_comparison_is_qualified(spark, tmp_path):
+    """r8 advice (low): a bare absolute path and its file:// twin resolve
+    to ONE catalog table (qualification happens before naming and
+    location comparison), so re-registration never drops/recreates per
+    call."""
+    root = str(tmp_path / "qual_state") + "/fingerprints"
+    like = spark.createDataFrame([], "digest string, doc_id long")
+    t1 = IC._ensure_state_table(spark, root, like, ["digest"], 4)
+    name = IC._state_table_name(HadoopFS(spark, root).qualified(root))
+    created = [
+        r[1] for r in spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
+        if r[0] == "Created Time"
+    ]
+    # same dir through the explicit file:// scheme: same table, no recreate
+    IC._ensure_state_table(spark, "file://" + root, like, ["digest"], 4)
+    created2 = [
+        r[1] for r in spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
+        if r[0] == "Created Time"
+    ]
+    assert created == created2
+    assert t1.columns == ["digest", "doc_id"]
+
+
+# --- round 9: the fifth leg — incremental semantic (centroid-cell verify) --
+
+
+def _sem_centroids_fixture():
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import (
+        _sem_centroids,
+    )
+
+    return _sem_centroids()
+
+
+def test_semantic_ingest_matches_static_funnel(spark, state_dir, sf_smoke):
+    """Replaying embeddings as day batches through the STATEFUL semantic
+    loop reproduces the oracled static funnel exactly (the exists-
+    semantics + rounded-cosine + pinned-centroid formulation is the same
+    contract in both)."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_semantic,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    expected = {
+        int(r["day"]): (r["n_vecs"], r["n_hist_semdup"], r["n_within_semdup"], r["n_accepted"])
+        for r in QUERIES["incremental_semantic_funnel"](spark, sf_smoke).collect()
+    }
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    cents = _sem_centroids_fixture()
+    for day in (0, 1, 2):
+        batch = emb.filter(emb.vec_id % 3 == day)
+        got = ingest_batch_semantic(spark, batch, state_dir, cents)
+        assert (
+            got["n_batch"],
+            got["n_hist_semdup"],
+            got["n_within_semdup"],
+            got["n_accepted"],
+        ) == expected[day], (day, got, expected[day])
+
+
+def test_semantic_ingest_replay_crash_meta_and_compaction(spark, state_dir):
+    """The fifth leg honors every family contract: replay classifies
+    100% historical (null vectors always accepted), centroids pin into
+    _meta (later calls omit them; different planes raise), a crash after
+    the journal rolls forward on blind retry with zero duplicate rows,
+    and compaction collapses replay-duplicated members without changing
+    classification."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        compact_semantic_state,
+        ingest_batch_semantic,
+    )
+
+    cents = _sem_centroids_fixture()
+    batch = spark.createDataFrame(
+        [
+            (1, [float(j) for j in range(64)]),
+            (2, [float(j) + 0.001 for j in range(64)]),  # cosine ~1 with vec 1
+            (3, [(-1.0) ** j * (j + 1.0) for j in range(64)]),  # far from 1/2
+            (4, None),  # null embedding: always accepted
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="must pass the centroids"):
+        ingest_batch_semantic(spark, batch, state_dir)  # no centroids, no meta
+    s1 = ingest_batch_semantic(spark, batch, state_dir, cents)
+    assert s1["n_batch"] == 4 and s1["n_hist_semdup"] == 0
+    assert s1["n_within_semdup"] == 1  # vec 2 verifies against vec 1
+    assert s1["n_accepted"] == 3  # 1, 3, and the null row
+
+    # replay WITHOUT centroids: loaded from _meta, all bucketed vectors
+    # historical, null row accepted again
+    s2 = ingest_batch_semantic(spark, batch, state_dir)
+    assert s2 == {
+        "n_batch": 4,
+        "n_hist_semdup": 3,
+        "n_within_semdup": 0,
+        "n_accepted": 1,
+    }
+    other = [[-x for x in c] for c in cents]
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_semantic(spark, batch, state_dir, other)
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_semantic(spark, batch, state_dir, threshold=0.5)
+
+    # crash after journal: blind retry rolls forward, exactly one copy
+    day2 = spark.createDataFrame(
+        [(10, [float(j) for j in range(64)])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(IC.SimulatedCrash):
+        ingest_batch_semantic(spark, day2, state_dir, _crash="after_journal")
+    retry = ingest_batch_semantic(spark, day2, state_dir)
+    assert retry["n_hist_semdup"] == 1 and retry["n_accepted"] == 0
+    corpus = spark.read.parquet(state_dir + "/corpus_semantic")
+    assert corpus.filter("vec_id = 10").count() == 0  # 10 was a dup of 1
+    assert {r.vec_id for r in corpus.collect()} == {1, 3, 4}
+
+    # compaction: replays duplicated member rows; distinct + same verdicts
+    n = compact_semantic_state(spark, state_dir)
+    assert n == spark.read.parquet(state_dir + "/semantic_members").count()
+    s3 = ingest_batch_semantic(spark, batch, state_dir)
+    assert s3["n_hist_semdup"] == 3 and s3["n_accepted"] == 1
+
+
+def test_semantic_verify_join_no_exchange_on_state_side(spark, state_dir):
+    """The member state is bucketed on cluster: the per-batch verify
+    join plans the state scan Bucketed with no Exchange above it —
+    exactly one Exchange total (the batch side)."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.clustering import (
+        assign_to_centroids,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.operators.similarity import (
+        dot,
+        round6,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_semantic,
+    )
+
+    cents = _sem_centroids_fixture()
+    seed = spark.createDataFrame(
+        [(1, [float(j) for j in range(64)])], "vec_id long, embedding array<double>"
+    )
+    ingest_batch_semantic(spark, seed, state_dir, cents)
+
+    batch = spark.createDataFrame(
+        [(7, [float(64 - j) for j in range(64)])], "vec_id long, embedding array<double>"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        keys = assign_to_centroids(batch, cents).alias("A")
+        state = IC._ensure_state_table(
+            spark,
+            state_dir + "/semantic_members",
+            keys,
+            ["cluster"],
+            IC.DEFAULT_BUCKETS,
+        ).alias("S")
+        plan = (
+            keys.join(
+                state,
+                (F.col("A.cluster") == F.col("S.cluster"))
+                & (round6(dot(F.col("A.uv"), F.col("S.uv"))) >= 0.92),
+                "left_semi",
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange") == 1, plan  # batch side only
+
+
+def test_stream_semantic_ingest_epoch_guard(spark, tmp_path):
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        make_semantic_ingestor,
+    )
+
+    state = str(tmp_path / "state")
+    cents = _sem_centroids_fixture()
+    ingest = make_semantic_ingestor(state, cents, epoch_ns="run-x")
+    batch = spark.createDataFrame(
+        [(1, [float(j) for j in range(64)]), (2, [-float(j) - 1.0 for j in range(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    ingest(batch, 0)
+    members = spark.read.parquet(state + "/semantic_members").count()
+    ingest(batch, 0)  # redelivery: skipped wholesale
+    assert spark.read.parquet(state + "/corpus_semantic").count() == 2
+    assert spark.read.parquet(state + "/semantic_members").count() == members

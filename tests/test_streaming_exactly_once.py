@@ -313,7 +313,11 @@ def _docs_df(spark, rows):
 def test_stream_neardup_ingest_end_to_end(spark, tmp_path):
     """The daily-batch near-dup loop driven by Structured Streaming:
     one availableNow pass over a file source ingests exactly what the
-    batch API would."""
+    batch API would — and a SECOND run (fresh checkpoint, so its batch
+    ids restart at 0) carrying one historical near-dup and one NOVEL doc
+    must classify the dup AND ingest the novel doc. The novel doc is the
+    r8-advice regression: un-namespaced epoch ids made run 2's batch 0
+    look like run 1's committed batch 0 and silently dropped it."""
     from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
         stream_ingest_neardup,
     )
@@ -330,23 +334,120 @@ def test_stream_neardup_ingest_end_to_end(spark, tmp_path):
     ).write.parquet(src)
 
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
-    q = stream_ingest_neardup(stream, state, "neardup_ingest_smoke")
+    q = stream_ingest_neardup(
+        stream, state, "neardup_ingest_smoke", str(tmp_path / "cp1")
+    )
     q.awaitTermination(120)
 
     corpus = spark.read.parquet(state + "/corpus_neardup")
     # doc 2 is a within-batch near-dup (identical text -> identical bands)
     assert {r.doc_id for r in corpus.collect()} == {1, 3}
-    # a second identical stream run re-delivers nothing new: the state
-    # classifies everything historical
+    # second run, DIFFERENT checkpoint (its batch ids restart at 0):
+    # doc 9 is a historical near-dup, doc 10 is genuinely novel
     src2 = str(tmp_path / "src2")
-    _docs_df(spark, [(9, "the quick brown fox jumps over the lazy dog")]).write.parquet(src2)
+    _docs_df(
+        spark,
+        [
+            (9, "the quick brown fox jumps over the lazy dog"),
+            (10, "totally fresh never before seen sentence tokens"),
+        ],
+    ).write.parquet(src2)
     q2 = stream_ingest_neardup(
         spark.readStream.schema("doc_id long, text string").parquet(src2),
         state,
         "neardup_ingest_smoke2",
+        str(tmp_path / "cp2"),
     )
     q2.awaitTermination(120)
-    assert spark.read.parquet(state + "/corpus_neardup").count() == 2
+    assert {
+        r.doc_id for r in spark.read.parquet(state + "/corpus_neardup").collect()
+    } == {1, 3, 10}
+
+
+def test_stream_same_checkpoint_restart_continues_epochs(spark, tmp_path):
+    """Restarting the SAME checkpoint after new files arrive processes
+    them as the next batch id under the same namespace — novel docs
+    ingest, and re-running with nothing new re-delivers nothing."""
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        stream_ingest_exact,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    _docs_df(spark, [(1, "alpha"), (2, "beta")]).write.parquet(src)
+
+    def run():
+        q = stream_ingest_exact(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            state,
+            "exact_restart_smoke",
+            cp,
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(state + "/corpus").count() == 2
+    # new file lands in the source dir: the restarted query sees batch 1
+    _docs_df(spark, [(5, "alpha"), (6, "gamma")]).write.mode("append").parquet(src)
+    run()
+    got = {r.doc_id for r in spark.read.parquet(state + "/corpus").collect()}
+    assert got == {1, 2, 6}  # 5 is a historical dup; 6 is novel
+    run()  # third run: no new files, no new epochs, state unchanged
+    assert spark.read.parquet(state + "/corpus").count() == 3
+
+
+def test_stream_distinct_checkpoints_get_disjoint_epoch_namespaces(spark, tmp_path):
+    """Two ingestors with different checkpoints both deliver batch 0 to
+    one state: the second must RUN (novel doc accepted), not be skipped
+    as a redelivery of the first's epoch 0."""
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        make_exact_ingestor,
+    )
+
+    state = str(tmp_path / "state")
+    seen = []
+    a = make_exact_ingestor(
+        state, on_stats=lambda b, s: seen.append(("a", b, s["n_accepted"])),
+        epoch_ns="run-a",
+    )
+    b = make_exact_ingestor(
+        state, on_stats=lambda b_, s: seen.append(("b", b_, s["n_accepted"])),
+        epoch_ns="run-b",
+    )
+    a(_docs_df(spark, [(1, "x")]), 0)
+    b(_docs_df(spark, [(2, "y")]), 0)  # same batch id, different namespace
+    assert seen == [("a", 0, 1), ("b", 0, 1)]
+    assert spark.read.parquet(state + "/corpus").count() == 2
+    # and each namespace's OWN redelivery still skips
+    a(_docs_df(spark, [(1, "x")]), 0)
+    b(_docs_df(spark, [(2, "y")]), 0)
+    assert len(seen) == 2
+
+
+def test_stream_all_duplicate_epoch_redelivery_skips_wholesale(spark, tmp_path):
+    """r8 verdict #3: an epoch that appended NOTHING (all duplicates)
+    still commits its epoch marker, so its redelivery is skipped without
+    re-running classification (on_stats not invoked again)."""
+    from etl_pipeline_for_retail_sales_data_spark.plans import (
+        incremental_corpus as IC,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        make_exact_ingestor,
+    )
+
+    state = str(tmp_path / "state")
+    calls = []
+    ingest = make_exact_ingestor(state, on_stats=lambda b, s: calls.append((b, s)))
+    ingest(_docs_df(spark, [(1, "x")]), 0)
+    ingest(_docs_df(spark, [(9, "x")]), 1)  # all-duplicate epoch
+    assert calls[1][1]["n_accepted"] == 0
+    assert IC.epoch_committed(spark, state, 1)  # marker landed anyway
+    ingest(_docs_df(spark, [(9, "x")]), 1)  # redelivery: skipped wholesale
+    assert len(calls) == 2
+    # the empty commit is auditable: one log entry with no roots
+    empty = [e for e in IC.ingest_log(spark, state) if e["epoch"] == 1]
+    assert len(empty) == 1 and empty[0]["roots"] == []
 
 
 def test_stream_redelivered_epoch_is_skipped_wholesale(spark, tmp_path):

@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Stateful-loop scaling probe (r8 verdict #2): measure PER-BATCH ingest
+cost for the four incremental legs (exact fingerprints, MinHash text
+LSH, hyperplane embedding LSH, Bloom bits) as the persistent STATE
+grows — constant batch (5k docs / 2k vectors) against state built from
+x1 / x4 / x16 that batch volume.
+
+What the curve is allowed to show, precisely: the classification join
+never SHUFFLES the state (the state table is bucketed on the join key;
+the plan is asserted Exchange-free on the state side in
+tests/test_incremental_corpus.py), but it still SCANS it — a bucketed
+equi-join reads the whole state side (Spark has no bucket pruning from
+the probe side's keys). So the flat component is the batch's own work
+(signature pass + its shuffle into n_buckets) and the growing component
+is a columnar parquet scan of ~50 B/doc (exact), ~36 B·bands/doc
+(neardup), ~n_tables rows/vec (embdup) — and for the BLOOM leg nothing
+at all: the state is capped at m_bits rows however large the corpus, so
+its curve must be flat outright. Near-flat slopes (scan-only growth,
+orders of magnitude below re-shuffling or re-scanning the corpus) are
+the 100 TB claim this probe pins with numbers.
+
+Each state multiple runs in its own fresh process (same methodology as
+tools/scale_probe.py — a shared JVM accumulates heap/metaspace drift
+that late measurements would absorb). States are built with compaction
+applied (steady-state shape), then the SAME-sized novel batch is timed
+min-of-3 with distinct ids/texts per rep (each rep appends ~5k rows to
+an 80k-row state at x16 — ≤7% drift across reps, absorbed by min-of-3).
+
+Usage: python tools/ingest_probe.py   (writes the INGEST section into
+SCALING.md between the INGEST-PROBE markers; the main body is owned by
+tools/scale_probe.py, which preserves the section)."""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BATCH_DOCS = 5_000
+BATCH_VECS = 2_000
+MULTS = (1, 4, 16)
+WORDS = 12  # tokens per synthetic doc: enough for 3-gram shingles
+DIM = 64  # matches queries_registry._lsh_tables
+
+SECTION_BEGIN = "<!-- INGEST-PROBE BEGIN -->"
+SECTION_END = "<!-- INGEST-PROBE END -->"
+
+
+def synth_docs(spark, n: int, tag: str, id_offset: int = 0):
+    """n documents with globally-unique ids and texts (md5-derived
+    tokens keyed by tag+id): no accidental duplicates within or across
+    batches, so the funnel composition is constant at every multiple."""
+    words = [
+        F.md5(F.concat(F.lit(f"{tag}:{j}:"), F.col("id").cast("string")))
+        for j in range(WORDS)
+    ]
+    return spark.range(n).select(
+        (F.col("id") + F.lit(id_offset)).alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"),
+    )
+
+
+def synth_vecs(spark, n: int, tag: str, id_offset: int = 0):
+    """n unit-free random-ish vectors derived from xxhash64 (deterministic,
+    no RNG): distinct vectors bucket near-uniformly across hyperplanes."""
+    comps = [
+        (
+            F.pmod(
+                F.xxhash64(F.lit(f"{tag}:{j}"), F.col("id")), F.lit(2001)
+            ).cast("double")
+            / 1000.0
+            - 1.0
+        )
+        for j in range(DIM)
+    ]
+    return spark.range(n).select(
+        (F.col("id") + F.lit(id_offset)).alias("vec_id"),
+        F.array(*comps).alias("embedding"),
+    )
+
+
+def run_mult(mult: int) -> None:
+    from etl_pipeline_for_retail_sales_data_spark.plans import incremental_corpus as IC
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import _lsh_tables
+    from etl_pipeline_for_retail_sales_data_spark.session import get_spark
+
+    spark = get_spark("ingest-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    tables = _lsh_tables()
+    times = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        # ---- build states at this multiple, compacted (steady state)
+        hist_docs = synth_docs(spark, BATCH_DOCS * mult, "hist")
+        hist_vecs = synth_vecs(spark, BATCH_VECS * mult, "hist")
+        dirs = {leg: os.path.join(tmp, leg) for leg in ("exact", "neardup", "embdup", "bloom")}
+        IC.ingest_batch(spark, hist_docs, dirs["exact"])
+        IC.compact_fingerprints(spark, dirs["exact"])
+        IC.ingest_batch_neardup(spark, hist_docs, dirs["neardup"])
+        IC.compact_neardup_state(spark, dirs["neardup"])
+        IC.ingest_batch_embdup(spark, hist_vecs, dirs["embdup"], tables)
+        IC.compact_embdup_state(spark, dirs["embdup"])
+        IC.ingest_batch_bloom(spark, hist_docs, dirs["bloom"], m_bits=1 << 20, k=4)
+        IC.compact_bloom_state(spark, dirs["bloom"])
+
+        # ---- time a constant novel batch per leg, min of 3 fresh batches
+        def timed(fn) -> float:
+            best = None
+            for rep in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(rep)
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            return round(best, 3)
+
+        off = 100_000_000  # probe ids never collide with state ids
+        times["exact"] = timed(
+            lambda r: IC.ingest_batch(
+                spark, synth_docs(spark, BATCH_DOCS, f"p{r}", off * (r + 1)),
+                dirs["exact"],
+            )
+        )
+        times["neardup"] = timed(
+            lambda r: IC.ingest_batch_neardup(
+                spark, synth_docs(spark, BATCH_DOCS, f"p{r}", off * (r + 1)),
+                dirs["neardup"],
+            )
+        )
+        times["embdup"] = timed(
+            lambda r: IC.ingest_batch_embdup(
+                spark, synth_vecs(spark, BATCH_VECS, f"p{r}", off * (r + 1)),
+                dirs["embdup"],
+            )
+        )
+        times["bloom"] = timed(
+            lambda r: IC.ingest_batch_bloom(
+                spark, synth_docs(spark, BATCH_DOCS, f"p{r}", off * (r + 1)),
+                dirs["bloom"],
+            )
+        )
+        # state row counts for the table (scan-size context)
+        sizes = {
+            "exact": spark.read.parquet(dirs["exact"] + "/fingerprints").count(),
+            "neardup": spark.read.parquet(dirs["neardup"] + "/neardup_bands").count(),
+            "embdup": spark.read.parquet(dirs["embdup"] + "/embdup_buckets").count(),
+            "bloom": spark.read.parquet(dirs["bloom"] + "/bloom_bits").count(),
+        }
+    print("RESULT " + json.dumps({"times": times, "sizes": sizes}), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    results = {}
+    for mult in MULTS:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-mult", str(mult)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            check=True,
+        ).stdout
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        results[mult] = json.loads(line[len("RESULT "):])
+        print(mult, results[mult], flush=True)
+
+    lines = [
+        SECTION_BEGIN,
+        "",
+        "## Stateful ingest: per-batch cost vs state size",
+        "",
+        "Constant batch (5k docs / 2k vectors) ingested against compacted",
+        "state built from x1/x4/x16 that volume; min of 3 fresh batches,",
+        "one fresh process per multiple (`tools/ingest_probe.py`). The",
+        "classification join never shuffles the state (bucketed, plan-",
+        "asserted) but does SCAN it — the slope is a columnar scan of the",
+        "compact key table (~50 B/doc exact, 4 rows/doc neardup bands,",
+        "4 rows/vec embdup, ≤m_bits rows bloom), never a re-shuffle or a",
+        "corpus rescan. The bloom leg's state is CAPPED at m_bits rows,",
+        "so its curve is flat by construction.",
+        "",
+        "| Leg | state x1 rows | x16 rows | batch @x1 (s) | @x4 (s) | @x16 (s) | x16/x1 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for leg in ("exact", "neardup", "embdup", "bloom"):
+        t = [results[m]["times"][leg] for m in MULTS]
+        s1 = results[1]["sizes"][leg]
+        s16 = results[16]["sizes"][leg]
+        lines.append(
+            f"| {leg} | {s1} | {s16} | {t[0]} | {t[1]} | {t[2]} | "
+            f"{round(t[2] / t[0], 2)}x |"
+        )
+    lines += ["", SECTION_END]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "SCALING.md")
+    body = open(path).read() if os.path.exists(path) else ""
+    section = "\n".join(lines)
+    if SECTION_BEGIN in body:
+        pre = body.split(SECTION_BEGIN)[0].rstrip()
+        post = body.split(SECTION_END, 1)[1].lstrip("\n") if SECTION_END in body else ""
+        body = pre + "\n\n" + section + ("\n\n" + post if post else "\n")
+    else:
+        body = body.rstrip() + "\n\n" + section + "\n"
+    with open(path, "w") as f:
+        f.write(body)
+    print("SCALING.md ingest section written")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--run-mult":
+        run_mult(int(sys.argv[2]))
+    else:
+        main()

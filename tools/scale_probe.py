@@ -225,8 +225,15 @@ def main() -> None:
         t1, t4, t16 = (results[m][name] for m in (1, 4, 16))
         lines.append(f"| {name} | {t1} | {t4} | {t16} | {round(t16 / t1, 2)}x |")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALING.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    path = os.path.join(root, "SCALING.md")
+    # preserve the stateful-ingest section owned by tools/ingest_probe.py
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if "<!-- INGEST-PROBE BEGIN -->" in old:
+            tail = "\n" + old[old.index("<!-- INGEST-PROBE BEGIN -->"):].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
     print("SCALING.md written")
 
 
