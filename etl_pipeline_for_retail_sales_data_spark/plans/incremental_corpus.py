@@ -439,6 +439,78 @@ def compact_ingest_log(spark: SparkSession, state_dir: str) -> int:
         return len(entries)
 
 
+_LEG_ROOTS = {
+    "exact": ("corpus", "fingerprints"),
+    "neardup": ("corpus_neardup", "neardup_bands"),
+    "embdup": ("corpus_embdup", "embdup_buckets"),
+    "bloom": ("corpus_bloom", "bloom_bits"),
+    "semantic": ("corpus_semantic", "semantic_members"),
+}
+
+
+def state_report(spark: SparkSession, state_dir: str) -> dict:
+    """Operational snapshot of an incremental state_dir — the monitoring
+    endpoint a daily loop's runbook reads before/after each window:
+
+    - per leg (only legs that have ever ingested): the pinned ``_meta``
+      parameters (large payloads like the embdup tables / semantic
+      centroids are summarized as digests, not dumped) and the corpus /
+      state-table row counts;
+    - ``committed_batches`` (the `_commits` audit log, segments
+      included) and ``log_files`` (how fragmented the log is — when it
+      grows, run :func:`compact_ingest_log`);
+    - ``pending_journal``: marker tokens awaiting roll-forward — empty
+      except between a crash and the next touch;
+    - ``epochs_recorded`` and ``lease`` (holder + age, or None).
+
+    READ-ONLY: takes no lease and performs no recovery, so it can run
+    while a writer is live (counts may be mid-commit approximations in
+    that window — the journal protocol keeps readers consistent, but a
+    half-published batch's files land one rename at a time)."""
+    fs = HadoopFS(spark, state_dir)
+    legs: dict[str, dict] = {}
+    for leg, (crel, srel) in _LEG_ROOTS.items():
+        meta = state_meta(spark, state_dir, leg)
+        if not meta and not fs.has_visible_files(_join(state_dir, crel)):
+            continue
+        summary = dict(meta)
+        for big in ("tables", "centroids"):
+            if big in summary:
+                summary[big] = (
+                    f"<{len(summary[big])} pinned, "
+                    f"md5={hashlib.md5(json.dumps(summary[big]).encode()).hexdigest()[:12]}>"
+                )
+        row = {"meta": summary}
+        for key, rel in (("corpus_rows", crel), ("state_rows", srel)):
+            root = _join(state_dir, rel)
+            row[key] = (
+                spark.read.parquet(root).count()
+                if fs.has_visible_files(root)
+                else 0
+            )
+        legs[leg] = row
+    entries, names = _read_log_entries(fs, state_dir)
+    lease = None
+    lock = _lease_path(state_dir)
+    if fs.exists(lock):
+        try:
+            holder = json.loads(fs.read_text(lock) or "{}").get("writer")
+        except Exception:
+            holder = None
+        lease = {
+            "writer": holder,
+            "age_ms": int(time.time() * 1000) - fs.mtime(lock),
+        }
+    return {
+        "legs": legs,
+        "committed_batches": len(entries),
+        "log_files": len(names),
+        "pending_journal": fs.list_names(_journal_dir(state_dir)),
+        "epochs_recorded": len(fs.list_names(_epochs_dir(state_dir))),
+        "lease": lease,
+    }
+
+
 def _epoch_key(epoch_id) -> str:
     """Epoch ids are ints (batch API, raw foreachBatch batch ids) or
     SAFE strings (the streaming ingestors namespace batch ids by the

@@ -566,6 +566,19 @@ def test_ingest_loops_leave_no_persisted_blocks(spark, state_dir):
     assert persisted() == 0
     ingest_batch_bloom(spark, batch, state_dir)
     assert persisted() == 0
+    # the embedding legs honor the same contract
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_embdup,
+        ingest_batch_semantic,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [float(j) for j in range(64)])], "vec_id long, embedding array<double>"
+    )
+    ingest_batch_embdup(spark, vecs, state_dir, _lsh_tables_fixture())
+    assert persisted() == 0
+    ingest_batch_semantic(spark, vecs, state_dir, _sem_centroids_fixture())
+    assert persisted() == 0
 
 
 # --- round 9: parameter pinning, writer lease, null text, log compaction ---
@@ -951,3 +964,58 @@ def test_stream_semantic_ingest_epoch_guard(spark, tmp_path):
     ingest(batch, 0)  # redelivery: skipped wholesale
     assert spark.read.parquet(state + "/corpus_semantic").count() == 2
     assert spark.read.parquet(state + "/semantic_members").count() == members
+
+
+def test_state_report_snapshot(spark, state_dir):
+    """state_report: read-only ops snapshot — per-leg pinned params
+    (digest-summarized payloads) + row counts, commit-log size and
+    fragmentation, pending journal, epoch count, lease holder."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        compact_ingest_log,
+        ingest_batch_bloom,
+        state_report,
+    )
+
+    r0 = state_report(spark, state_dir)
+    assert r0["legs"] == {} and r0["committed_batches"] == 0
+    assert r0["lease"] is None and r0["pending_journal"] == []
+
+    ingest_batch(spark, _docs(spark, [(1, "a"), (2, "b")]), state_dir, epoch_id=0)
+    ingest_batch_bloom(
+        spark, _docs(spark, [(1, "a")]), state_dir, m_bits=4096, k=4, epoch_id=1
+    )
+    r = state_report(spark, state_dir)
+    assert set(r["legs"]) == {"exact", "bloom"}
+    assert r["legs"]["exact"]["corpus_rows"] == 2
+    assert r["legs"]["exact"]["state_rows"] == 2
+    assert r["legs"]["exact"]["meta"]["n_buckets"] == IC.DEFAULT_BUCKETS
+    assert r["legs"]["bloom"]["meta"]["m_bits"] == 4096
+    assert r["legs"]["bloom"]["state_rows"] == 4  # 1 digest x 4 positions
+    assert r["committed_batches"] == 2 and r["log_files"] == 2
+    assert r["epochs_recorded"] == 2 and r["pending_journal"] == []
+
+    compact_ingest_log(spark, state_dir)
+    r2 = state_report(spark, state_dir)
+    assert r2["committed_batches"] == 2 and r2["log_files"] == 1
+
+    # a live lease is visible
+    fs = HadoopFS(spark, state_dir)
+    fs.create_exclusive(state_dir + "/_lock", '{"writer": "w1"}')
+    r3 = state_report(spark, state_dir)
+    assert r3["lease"]["writer"] == "w1" and r3["lease"]["age_ms"] >= 0
+    # pinned payloads are summarized, not dumped
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_semantic,
+    )
+
+    IC.break_lease(spark, state_dir)
+    ingest_batch_semantic(
+        spark,
+        spark.createDataFrame(
+            [(1, [float(j) for j in range(64)])], "vec_id long, embedding array<double>"
+        ),
+        state_dir,
+        _sem_centroids_fixture(),
+    )
+    r4 = state_report(spark, state_dir)
+    assert r4["legs"]["semantic"]["meta"]["centroids"].startswith("<4 pinned")
