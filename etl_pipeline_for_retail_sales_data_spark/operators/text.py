@@ -819,3 +819,292 @@ def unicode_nfc_report(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_chars_raw long, n_chars_nfc long",
         )
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Skip-gram PMI association mining — the word2vec statistic (SGNS
+    factorizes the shifted-PMI matrix, Levy & Goldberg 2014): unordered
+    token pairs co-occurring within ``window`` positions, ranked by
+    PMI(a,b) = ln(#(a,b)·|D| / (#(a)·#(b))) with pair-multiset
+    marginals (#(a) = Σ_b #(a,b), |D| = total pairs — the word2vec
+    convention).
+
+    Scale shape: pair generation is IN-ROW (one flatten of per-offset
+    transforms over the token array — no self-join, no positional
+    explode), so the corpus pass is map-only into ONE (a, b) hash
+    aggregate; marginals re-aggregate the pair counts (pair-magnitude
+    data, not corpus-magnitude); the top-k is a single bounded sort.
+    Float discipline: every ln argument is an exact int64; each term
+    floors to 1e-6 micro-units and the PMI RANKING key is the exact
+    int64 micro-unit sum (no float ties) — final value floors 1e-4
+    (drift-family ln choreography).
+
+    Output: top ``top`` rows (tok_a, tok_b, n_pair, pmi), pairs with
+    n_pair >= min_count, ordered by pmi desc then lexicographic."""
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+
+    def _pair_at(dd: int):
+        # single-arg closure: a two-parameter lambda would make
+        # F.transform bind the second parameter to the ELEMENT INDEX
+        def pair(i):
+            return F.struct(
+                F.least(
+                    F.element_at(F.col("__toks"), i + 1),
+                    F.element_at(F.col("__toks"), i + 1 + dd),
+                ).alias("a"),
+                F.greatest(
+                    F.element_at(F.col("__toks"), i + 1),
+                    F.element_at(F.col("__toks"), i + 1 + dd),
+                ).alias("b"),
+            )
+
+        return pair
+
+    per_offset = []
+    for d in range(1, window + 1):
+        # sequence(0, n-1-d) is DESCENDING when n-1-d < 0 — guard short docs
+        idx = F.when(
+            F.size(F.col("__toks")) > d,
+            F.sequence(F.lit(0), F.size(F.col("__toks")) - 1 - d),
+        ).otherwise(F.array().cast("array<int>"))
+        per_offset.append(F.transform(idx, _pair_at(d)))
+    pairs = (
+        df.na.drop(subset=[text_col])
+        .select(toks.alias("__toks"))
+        .select(F.explode(F.flatten(F.array(*per_offset))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    # pair-multiset marginals: each pair contributes its count to BOTH
+    # sides' marginals (a self-pair contributes twice, the convention
+    # that keeps Σ marg = 2|D|)
+    sides = pairs.select(F.col("a").alias("tok"), "n_pair").unionAll(
+        pairs.select(F.col("b").alias("tok"), "n_pair")
+    )
+    marg = sides.groupBy("tok").agg(F.sum("n_pair").alias("m"))
+    total = pairs.agg(F.sum("n_pair").alias("D"))
+    lnu = lambda c: F.floor(F.log(c) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    scored = (
+        pairs.filter(F.col("n_pair") >= min_count)
+        .join(marg.withColumnRenamed("tok", "a").withColumnRenamed("m", "ma"), "a")
+        .join(marg.withColumnRenamed("tok", "b").withColumnRenamed("m", "mb"), "b")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__pmi_u",
+            lnu(F.col("n_pair")) + lnu(F.col("D")) - lnu(F.col("ma")) - lnu(F.col("mb")),
+        )
+    )
+    w = Window.orderBy(F.col("__pmi_u").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= top)
+        .select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            F.col("n_pair").cast("long").alias("n_pair"),
+            (F.floor(F.col("__pmi_u").cast("double") / 1e6 * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "pmi"
+            ),
+        )
+    )
+
+
+def source_token_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pairwise corpus-slice divergence over token distributions — the
+    domain-mixing diagnostic a pre-training data team runs before
+    setting source weights: for every source pair, total variation
+    distance (exact) and Jensen-Shannon divergence (nats).
+
+    Float discipline, the part that makes this cross-engine exact:
+    - TVD = Σ_t |c_p·N_q − c_q·N_p| / (2·N_p·N_q) — the numerator sum is
+      EXACT int64 (counts × totals; at 100 TB promote to decimal), one
+      final division, floor 1e-6. Pure rational arithmetic, order-free.
+    - JSD = H(m) − (H(p)+H(q))/2 with every entropy in the ln-of-int
+      form: H(m) works on the INTEGER mixture numerators
+      n_t = c_p·N_q + c_q·N_p over the constant denominator 2·N_p·N_q,
+      so ln never sees a computed ratio — only exact int64 arguments
+      (the drift-family choreography: per-term 1e-6 floors into int64
+      micro-unit sums, final floor 1e-4).
+
+    Scale shape: one (source, token) hash aggregate over the corpus;
+    the source list is a bounded driver collect (sources are a handful,
+    the repo's capped-collect discipline) inlined as literals, so each
+    token row fans out IN-ROW to its source pairs — no self-join, no
+    cartesian, vocabulary-magnitude data end-to-end; output is one row
+    per source pair. Output: (source_a, source_b, n_tokens_a,
+    n_tokens_b, vocab_union, tvd, jsd)."""
+    st = (
+        df.na.drop(subset=[text_col, "source"])
+        .select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = {
+        r["source"]: int(r["n"])
+        for r in st.groupBy("source").agg(F.sum("c").alias("n")).collect()
+    }
+    sources = sorted(totals)
+    spark = df.sparkSession
+    if len(sources) < 2:
+        return spark.createDataFrame(
+            [],
+            "source_a string, source_b string, n_tokens_a long, n_tokens_b long, "
+            "vocab_union long, tvd double, jsd double",
+        )
+    per_tok = st.groupBy("tok").agg(
+        F.map_from_entries(F.collect_list(F.struct("source", "c"))).alias("m")
+    )
+    arms = []
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1:]:
+            arms.append(
+                F.struct(
+                    F.lit(sa).alias("source_a"),
+                    F.lit(sb).alias("source_b"),
+                    F.coalesce(F.col("m")[sa], F.lit(0)).cast("long").alias("ca"),
+                    F.coalesce(F.col("m")[sb], F.lit(0)).cast("long").alias("cb"),
+                    F.lit(totals[sa]).alias("na"),
+                    F.lit(totals[sb]).alias("nb"),
+                )
+            )
+    vocab = (
+        per_tok.select(F.explode(F.array(*arms)).alias("p"))
+        .select("p.*")
+        .filter((F.col("ca") > 0) | (F.col("cb") > 0))
+    )
+    lnu = lambda c: F.floor(F.log(c) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    num = F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")  # mixture numerator
+    terms = vocab.select(
+        "source_a", "source_b", "na", "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("__tv_num"),
+        (num * lnu(num)).alias("__m_u"),
+        F.when(F.col("ca") > 0, F.col("ca") * lnu(F.col("ca")))
+        .otherwise(F.lit(0)).alias("__p_u"),
+        F.when(F.col("cb") > 0, F.col("cb") * lnu(F.col("cb")))
+        .otherwise(F.lit(0)).alias("__q_u"),
+    )
+    g = terms.groupBy("source_a", "source_b", "na", "nb").agg(
+        F.count("*").alias("vocab_union"),
+        F.sum("__tv_num").alias("tvn"),
+        F.sum("__m_u").alias("smu"),
+        F.sum("__p_u").alias("spu"),
+        F.sum("__q_u").alias("squ"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    denom = 2.0 * na * nb
+    h_m = F.log(denom) - (F.col("smu").cast("double") / 1e6) / denom
+    h_p = F.log(na) - (F.col("spu").cast("double") / 1e6) / na
+    h_q = F.log(nb) - (F.col("squ").cast("double") / 1e6) / nb
+    jsd = h_m - (h_p + h_q) / 2.0
+    tvd = F.col("tvn").cast("double") / denom
+    return g.select(
+        "source_a",
+        "source_b",
+        F.col("na").cast("long").alias("n_tokens_a"),
+        F.col("nb").cast("long").alias("n_tokens_b"),
+        F.col("vocab_union").cast("long").alias("vocab_union"),
+        (F.floor(tvd * 1e6 + F.lit(0.5)) / 1e6).alias("tvd"),
+        (F.floor(jsd * 1e4 + F.lit(0.5)) / 1e4).alias("jsd"),
+    )
+
+
+def heaps_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps'/Herdan's-law vocabulary growth fit V(N) = K·N^β — the
+    corpus-health companion to :func:`zipf_fit` (natural text: β ≈
+    0.4-0.6; β collapsing toward 0 means a closed/templated vocabulary,
+    β near 1 means decode garbage or id-like tokens): OLS of ln V(N) on
+    ln N at power-of-two checkpoints of the token stream, read in
+    doc_id order.
+
+    Scale shape: one tokenize pass → per-token FIRST global position
+    (min over one hash aggregate; global positions come from a
+    cumulative doc-length window — a range-partitioned sort over DOC
+    rows, not tokens, the zipf_fit acceptance); checkpoint counts are
+    one in-row explode of the bounded checkpoint list over VOCABULARY
+    rows. The corpus total is a bounded scalar collect (the repo's
+    capped-collect discipline). Float discipline: ln only on exact
+    int64 checkpoints/counts, 1e-6 floors, final 1e-4 (drift-family).
+
+    Output: one row (n_tokens, n_vocab, n_checkpoints, heaps_beta,
+    heaps_lnk); empty corpora yield zeros with null fit."""
+    from pyspark.sql import Window
+
+    base = (
+        df.na.drop(subset=[text_col])
+        .select(
+            "doc_id",
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0).alias(
+                "__toks"
+            ),
+        )
+    )
+    n_total = int(
+        base.agg(F.coalesce(F.sum(F.size("__toks")), F.lit(0))).collect()[0][0]
+    )
+    cps = sorted(
+        {1 << i for i in range(1, 63) if (1 << i) < n_total}
+        | ({n_total} if n_total else set())
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    offs = base.select(
+        "doc_id", "__toks", F.coalesce(F.sum(F.size("__toks")).over(w), F.lit(0)).alias("__off")
+    )
+    first = (
+        offs.select(
+            F.col("__off"),
+            F.posexplode("__toks").alias("__p", "tok"),
+        )
+        .select("tok", (F.col("__off") + F.col("__p") + 1).alias("gp"))
+        .groupBy("tok")
+        .agg(F.min("gp").alias("fp"))
+    )
+    spark = df.sparkSession
+    if not cps:
+        return spark.createDataFrame(
+            [(0, 0, 0, None, None)],
+            "n_tokens long, n_vocab long, n_checkpoints long, "
+            "heaps_beta double, heaps_lnk double",
+        )
+    cp_arr = F.array(*[F.lit(c).cast("long") for c in cps])
+    vc = (
+        first.select("fp", F.explode(cp_arr).alias("cp"))
+        .filter(F.col("fp") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count("*").alias("v"))
+    )
+    x = F.floor(F.log(F.col("cp")) * 1e6 + F.lit(0.5)) / 1e6
+    y = F.floor(F.log(F.col("v")) * 1e6 + F.lit(0.5)) / 1e6
+    m = vc.select(x.alias("x"), y.alias("y"), "cp", "v").agg(
+        F.count("*").alias("k"),
+        F.max(F.when(F.col("cp") == n_total, F.col("v"))).alias("nv"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        den, F.lit(0.0)
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return m.select(
+        F.lit(n_total).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("nv"), F.lit(0)).cast("long").alias("n_vocab"),
+        F.col("k").cast("long").alias("n_checkpoints"),
+        (F.floor(slope * 1e4 + F.lit(0.5)) / 1e4).alias("heaps_beta"),
+        (F.floor(intercept * 1e4 + F.lit(0.5)) / 1e4).alias("heaps_lnk"),
+    )

@@ -439,6 +439,43 @@ def compact_ingest_log(spark: SparkSession, state_dir: str) -> int:
         return len(entries)
 
 
+def prune_epochs(spark: SparkSession, state_dir: str, keep_per_ns: int = 1024) -> int:
+    """Bound the ``_epochs`` marker count for long-lived streaming
+    states (the same unbounded-tiny-files concern
+    :func:`compact_ingest_log` solves for ``_commits``): keep the
+    HIGHEST ``keep_per_ns`` epoch markers per namespace and delete the
+    rest. Safe because epoch delivery is MONOTONE per namespace — a
+    namespace is one streaming checkpoint (streaming/ingest.py), and
+    Structured Streaming only ever redelivers the in-flight tail batch,
+    never an epoch below one that already committed; a deleted (old)
+    checkpoint gets a NEW namespace, so its restarted batch 0 is
+    unaffected by pruned history. Callers driving the batch API with
+    hand-rolled NON-monotone epoch ids should not prune. Returns the
+    number of markers removed; runs under the writer lease."""
+    if keep_per_ns < 1:
+        raise ValueError(f"keep_per_ns must be >= 1, got {keep_per_ns}")
+    with _writer_lease(spark, state_dir):
+        fs = HadoopFS(spark, state_dir)
+        edir = _epochs_dir(state_dir)
+        groups: dict[str, list[tuple[int, str]]] = {}
+        for name in fs.list_names(edir):
+            if name.endswith(".tmp"):
+                continue
+            ns, _, tail = name.rpartition("-")
+            try:
+                seq = int(tail)
+            except ValueError:
+                continue  # not sequence-shaped: never pruned
+            groups.setdefault(ns, []).append((seq, name))
+        removed = 0
+        for items in groups.values():
+            items.sort()
+            for _, name in items[: max(0, len(items) - keep_per_ns)]:
+                fs.delete(_join(edir, name), False)
+                removed += 1
+        return removed
+
+
 _LEG_ROOTS = {
     "exact": ("corpus", "fingerprints"),
     "neardup": ("corpus_neardup", "neardup_bands"),

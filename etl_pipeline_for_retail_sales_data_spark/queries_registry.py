@@ -9042,6 +9042,198 @@ def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heaps_law_fit",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    offs AS (
+        SELECT doc_id, toks,
+               COALESCE(SUM(len(toks)) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS off
+        FROM base
+    ),
+    tp AS (
+        SELECT t.el.t AS tok, off + t.el.p + 1 AS gp
+        FROM offs, UNNEST(list_transform(range(len(toks)),
+             i -> {'p': i, 't': toks[i + 1]})) AS t(el)
+    ),
+    firstpos AS (SELECT tok, MIN(gp) AS fp FROM tp GROUP BY tok),
+    nt AS (SELECT COALESCE(SUM(len(toks)), 0) AS n FROM base),
+    cps AS (
+        SELECT DISTINCT cp FROM (
+            SELECT UNNEST(list_transform(range(1, 63),
+                          i -> (1::BIGINT << i))) AS cp
+            UNION ALL SELECT n FROM nt
+        ), nt WHERE cp <= n AND cp > 0
+    ),
+    vc AS (
+        SELECT c.cp, COUNT(*) AS v
+        FROM firstpos f JOIN cps c ON f.fp <= c.cp
+        GROUP BY c.cp
+    ),
+    terms AS (
+        SELECT FLOOR(ln(cp) * 1e6 + 0.5) / 1e6 AS x,
+               FLOOR(ln(v) * 1e6 + 0.5) / 1e6 AS y, cp, v
+        FROM vc
+    ),
+    m AS (
+        SELECT COUNT(*) AS k,
+               MAX(CASE WHEN cp = (SELECT n FROM nt) THEN v END) AS nv,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM terms
+    )
+    SELECT CAST((SELECT n FROM nt) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(nv, 0) AS BIGINT) AS n_vocab,
+           CAST(k AS BIGINT) AS n_checkpoints,
+           FLOOR((k * sxy - sx * sy) / NULLIF(k * sxx - sx * sx, 0.0) * 1e4 + 0.5)
+               / 1e4 AS heaps_beta,
+           FLOOR((sy - (k * sxy - sx * sy) / NULLIF(k * sxx - sx * sx, 0.0) * sx)
+                 / k * 1e4 + 0.5) / 1e4 AS heaps_lnk
+    FROM m
+    """,
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) = K·N^β over the token
+    stream in doc order (β ≈ 0.4-0.6 for natural text; the
+    corpus-health companion to zipf_law_fit) —
+    operators/text.heaps_fit. First-occurrence positions from one hash
+    aggregate (global positions via a doc-magnitude cumulative window);
+    checkpoint vocabulary counts from one in-row explode of the
+    power-of-two checkpoint list over VOCABULARY rows; closed-form OLS
+    on floored ln terms (drift-family choreography)."""
+    return TX.heaps_fit(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "pmi_cooccurrence",
+    oracle=r"""
+    WITH base AS (
+        SELECT regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    prs AS (
+        SELECT UNNEST(flatten([
+            list_transform(range(len(toks) - 1),
+                i -> {'a': least(toks[i + 1], toks[i + 2]),
+                      'b': greatest(toks[i + 1], toks[i + 2])}),
+            list_transform(range(len(toks) - 2),
+                i -> {'a': least(toks[i + 1], toks[i + 3]),
+                      'b': greatest(toks[i + 1], toks[i + 3])}),
+            list_transform(range(len(toks) - 3),
+                i -> {'a': least(toks[i + 1], toks[i + 4]),
+                      'b': greatest(toks[i + 1], toks[i + 4])})
+        ])) AS p FROM base
+    ),
+    pc AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS n_pair FROM prs GROUP BY 1, 2),
+    marg AS (SELECT tok, SUM(n_pair) AS m FROM (
+                 SELECT a AS tok, n_pair FROM pc
+                 UNION ALL SELECT b AS tok, n_pair FROM pc) GROUP BY tok),
+    tot AS (SELECT SUM(n_pair) AS d FROM pc),
+    sc AS (
+        SELECT pc.a, pc.b, pc.n_pair,
+               CAST(FLOOR(ln(pc.n_pair) * 1e6 + 0.5) AS BIGINT)
+               + CAST(FLOOR(ln(tot.d) * 1e6 + 0.5) AS BIGINT)
+               - CAST(FLOOR(ln(ma.m) * 1e6 + 0.5) AS BIGINT)
+               - CAST(FLOOR(ln(mb.m) * 1e6 + 0.5) AS BIGINT) AS pmi_u
+        FROM pc
+        JOIN marg ma ON ma.tok = pc.a
+        JOIN marg mb ON mb.tok = pc.b
+        CROSS JOIN tot
+        WHERE pc.n_pair >= 5
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_u DESC, a ASC, b ASC) AS rn
+          FROM sc)
+    SELECT a AS tok_a, b AS tok_b, CAST(n_pair AS BIGINT) AS n_pair,
+           FLOOR(CAST(pmi_u AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS pmi
+    FROM r WHERE rn <= 50
+    """,
+)
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram PMI association mining (window 3, min count 5, top 50) —
+    the word2vec statistic (SGNS factorizes shifted PMI, Levy & Goldberg
+    2014), operators/text.pmi_pairs. Pair generation is IN-ROW (flatten
+    of per-offset transforms — no self-join, no positional explode), so
+    the corpus pass is map-only into one (a, b) hash aggregate;
+    marginals re-aggregate pair counts. Ranking key is the exact int64
+    micro-unit PMI (no float ties); every ln argument is an exact int64
+    (drift-family choreography)."""
+    return TX.pmi_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "source_token_divergence",
+    oracle=r"""
+    WITH st AS (
+        SELECT source, tok, COUNT(*) AS c FROM (
+            SELECT source, UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+            FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+        GROUP BY 1, 2
+    ),
+    tt AS (SELECT source, SUM(c) AS n FROM st GROUP BY source),
+    pairsrc AS (
+        SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb
+        FROM tt a JOIN tt b ON a.source < b.source
+    ),
+    v AS (
+        SELECT p.source_a, p.source_b, p.na, p.nb,
+               COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+        FROM pairsrc p
+        CROSS JOIN (SELECT DISTINCT tok FROM st) t
+        LEFT JOIN st ca ON ca.source = p.source_a AND ca.tok = t.tok
+        LEFT JOIN st cb ON cb.source = p.source_b AND cb.tok = t.tok
+        WHERE COALESCE(ca.c, 0) > 0 OR COALESCE(cb.c, 0) > 0
+    ),
+    terms AS (
+        SELECT source_a, source_b, na, nb,
+               ABS(ca * nb - cb * na) AS tv_num,
+               (ca * nb + cb * na)
+                   * CAST(FLOOR(ln(ca * nb + cb * na) * 1e6 + 0.5) AS BIGINT) AS m_u,
+               CASE WHEN ca > 0
+                    THEN ca * CAST(FLOOR(ln(ca) * 1e6 + 0.5) AS BIGINT)
+                    ELSE 0 END AS p_u,
+               CASE WHEN cb > 0
+                    THEN cb * CAST(FLOOR(ln(cb) * 1e6 + 0.5) AS BIGINT)
+                    ELSE 0 END AS q_u
+        FROM v
+    ),
+    g AS (
+        SELECT source_a, source_b, na, nb, COUNT(*) AS vocab_union,
+               SUM(tv_num) AS tvn, SUM(m_u) AS smu,
+               SUM(p_u) AS spu, SUM(q_u) AS squ
+        FROM terms GROUP BY 1, 2, 3, 4
+    )
+    SELECT source_a, source_b,
+           CAST(na AS BIGINT) AS n_tokens_a,
+           CAST(nb AS BIGINT) AS n_tokens_b,
+           CAST(vocab_union AS BIGINT) AS vocab_union,
+           FLOOR(CAST(tvn AS DOUBLE) / (2.0 * na * nb) * 1e6 + 0.5) / 1e6 AS tvd,
+           FLOOR((
+               (ln(2.0 * na * nb) - (CAST(smu AS DOUBLE) / 1e6) / (2.0 * na * nb))
+               - ((ln(CAST(na AS DOUBLE)) - (CAST(spu AS DOUBLE) / 1e6) / na)
+                  + (ln(CAST(nb AS DOUBLE)) - (CAST(squ AS DOUBLE) / 1e6) / nb)) / 2.0
+           ) * 1e4 + 0.5) / 1e4 AS jsd
+    FROM g
+    """,
+)
+def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-slice token-distribution divergence — the
+    domain-mixing diagnostic (how different are my corpus sources?)
+    before setting source weights: exact total-variation distance (pure
+    int64 rational arithmetic — Σ|c_p·N_q − c_q·N_p| over 2·N_p·N_q)
+    and Jensen-Shannon divergence whose every ln argument is an exact
+    int64 (the mixture entropy works on integer numerators
+    c_p·N_q + c_q·N_p over the constant pair denominator), per the
+    drift-family choreography. operators/text.source_token_divergence;
+    one corpus hash aggregate, then vocabulary-magnitude in-row pair
+    fan-out from a bounded driver-collected source list."""
+    return TX.source_token_divergence(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "shard_assignment",
     oracle="""
     WITH k AS (

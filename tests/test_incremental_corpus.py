@@ -1019,3 +1019,28 @@ def test_state_report_snapshot(spark, state_dir):
     )
     r4 = state_report(spark, state_dir)
     assert r4["legs"]["semantic"]["meta"]["centroids"].startswith("<4 pinned")
+
+
+def test_prune_epochs_keeps_tail_per_namespace(spark, state_dir):
+    """Epoch markers prune to the highest keep_per_ns PER NAMESPACE
+    (delivery is monotone per checkpoint, so only the tail can ever be
+    redelivered); bare-int epochs form the '' namespace."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        prune_epochs,
+    )
+
+    fs = HadoopFS(spark, state_dir)
+    fs.mkdirs(state_dir)
+    for e in ["a-0", "a-1", "a-2", "a-3", "b-0", "b-1", 0, 1, 2]:
+        IC._record_epoch(fs, state_dir, e)
+    removed = prune_epochs(spark, state_dir, keep_per_ns=2)
+    assert removed == 3  # a-0, a-1, and bare 0
+    assert IC.epoch_committed(spark, state_dir, "a-3")
+    assert IC.epoch_committed(spark, state_dir, "a-2")
+    assert not IC.epoch_committed(spark, state_dir, "a-0")
+    assert IC.epoch_committed(spark, state_dir, "b-0")  # within its ns tail
+    assert IC.epoch_committed(spark, state_dir, 1) and not IC.epoch_committed(
+        spark, state_dir, 0
+    )
+    with pytest.raises(ValueError):
+        prune_epochs(spark, state_dir, keep_per_ns=0)
