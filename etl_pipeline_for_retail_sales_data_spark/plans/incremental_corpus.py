@@ -626,7 +626,10 @@ def recover_state(spark: SparkSession, state_dir: str) -> dict[str, int]:
        ``._compact_tmp`` / ``._compact_old`` state machine (same
        contract as sinks.recover_merge).
 
-    Returns counts per action for logging/tests."""
+    Locking: ingest/compaction call this INSIDE their writer lease; a
+    caller invoking it standalone (ops tooling) mutates state and must
+    ensure no live writer — :func:`state_report` is the read-only
+    alternative. Returns counts per action for logging/tests."""
     fs = HadoopFS(spark, state_dir)
     actions = {"rolled_forward": 0, "rolled_back": 0, "compact_settled": 0}
 

@@ -342,3 +342,78 @@ def test_packed_sequences_bpe_mode_runs_and_conserves(spark):
     assert sum(r.n_tokens for r in out) == n_bpe
     for r in sorted(out, key=lambda x: x.seq_id)[:-1]:
         assert r.n_tokens == 16
+
+
+# --- round 9: corpus statistics (PMI, source divergence, Heaps) -----------
+
+
+def test_pmi_pairs_hand_computed(spark):
+    """Known-answer anchor for the differential oracle: corpus of one
+    doc 'x y x y' with window 3. Pairs (unordered, offsets 1-3):
+    d=1: (x,y),(x,y),(x,y); d=2: (x,x),(y,y); d=3: (x,y). So
+    n(x,y)=4, n(x,x)=1, n(y,y)=1, |D|=6; marg(x)=4+2*1=6, marg(y)=6.
+    PMI(x,y)=ln(4*6/36)=ln(2/3); self-pairs ln(6/36)=ln(1/6)."""
+    import math
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.text import pmi_pairs
+
+    docs = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    got = {
+        (r.tok_a, r.tok_b): (r.n_pair, r.pmi)
+        for r in pmi_pairs(docs, min_count=1, top=10).collect()
+    }
+    assert got[("x", "y")][0] == 4
+    assert abs(got[("x", "y")][1] - math.log(2 / 3)) < 2e-4
+    assert got[("x", "x")][0] == 1
+    assert abs(got[("x", "x")][1] - math.log(1 / 6)) < 2e-4
+    # ranking: the positive-association pair outranks the self-pairs
+    top = pmi_pairs(docs, min_count=1, top=1).collect()[0]
+    assert (top.tok_a, top.tok_b) == ("x", "y")
+
+
+def test_source_token_divergence_identical_and_disjoint(spark):
+    """TVD/JSD extremes: identical token mixes -> 0/0; disjoint
+    vocabularies -> TVD 1.0 and JSD ln 2 (the JS upper bound)."""
+    import math
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.text import (
+        source_token_divergence,
+    )
+
+    same = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    r = source_token_divergence(same).collect()[0]
+    assert r.tvd == 0.0 and r.jsd == 0.0
+    assert r.vocab_union == 3 and r.n_tokens_a == 3
+
+    disj = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "c d d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    d = source_token_divergence(disj).collect()[0]
+    assert d.tvd == 1.0
+    assert abs(d.jsd - math.log(2)) < 2e-4
+    # fewer than two sources: empty result, stable schema
+    one = spark.createDataFrame([(1, "a", "s1")], "doc_id long, text string, source string")
+    assert source_token_divergence(one).count() == 0
+
+
+def test_heaps_fit_monotone_vocab_and_exact_counts(spark):
+    """Heaps fit on a stream whose vocabulary growth is known exactly:
+    doc i contributes tokens {t0..t_i} (one new type per doc). n_vocab
+    equals the true type count and beta lands in (0, 1)."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.text import heaps_fit
+
+    rows = [(i, " ".join(f"t{j}" for j in range(i + 1))) for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = heaps_fit(docs).collect()[0]
+    assert r.n_tokens == sum(range(1, 25)) == 300
+    assert r.n_vocab == 24
+    assert r.n_checkpoints == 9  # 2,4,...,256 plus N=300
+    assert 0.0 < r.heaps_beta < 1.0
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    e = heaps_fit(empty).collect()[0]
+    assert e.n_tokens == 0 and e.n_vocab == 0 and e.heaps_beta is None

@@ -63,7 +63,13 @@ PROBES = ["sales_summary", "q1_pricing_summary", "q3_shipping_priority",
           # the duplicated-span dedup scan
           "hashed_classifier_score", "maxmatch_segmentation",
           "fim_transform_spec", "quantile_normalized_quality",
-          "ppjoin_jaccard", "exact_substring_report"]
+          "ppjoin_jaccard", "exact_substring_report",
+          # round-9 corpus statistics: token-tagged replicas keep PMI
+          # pairs within-replica (linear pair growth), multiply the
+          # per-source vocab for the divergence's vocabulary-magnitude
+          # stage, and lengthen the heaps token stream — all three probe
+          # the single-hash-aggregate plans, not manufactured dups
+          "pmi_cooccurrence", "source_token_divergence", "heaps_law_fit"]
 TABLES = ["lineitem", "orders", "customer", "part", "region", "nation", "supplier",
           "events", "documents", "embeddings"]
 KEYED = {  # key columns to offset per replica so key cardinality scales
@@ -169,6 +175,9 @@ def main() -> None:
         "(drops JIT warmup), persisted frames cleared between reps so operators",
         "that cache a corpus-sized frame measure the plan, not stale-copy",
         "eviction thrash in the local 8g heap.",
+        "Absolute times vary with the box/boot (cross-round comparison needs",
+        "a same-box control run — NOTES.md round 9); the x16/x1 RATIOS are",
+        "the judged signal.",
         "Generated by `tools/scale_probe.py` on local[32] from",
         "sf0.1 (~600k lineitem rows at x1, ~9.6M at x16); each multiple runs in",
         "its OWN fresh process (round 7: a shared session accumulates JVM state",
