@@ -76,20 +76,37 @@ class HadoopFS:
     def create_exclusive(self, p: str, content: str = "") -> bool:
         """Atomically create ``p`` iff it does not already exist (the
         lock-file primitive: Hadoop ``create(path, overwrite=false)`` is
-        atomic on HDFS and local filesystems). Returns False when the
-        path already exists — the caller lost the race."""
+        atomic on HDFS and local filesystems). Returns False ONLY when
+        the path already exists — the caller lost the race; any other
+        failure (ACLs, quota, connectivity) propagates, so a permission
+        error is never misreported as a held lock."""
         if self.exists(p):
             return False
         try:
             out = self._fs.create(self._Path(p), False)
-        except Exception:
-            return False  # FileAlreadyExists from a concurrent creator
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}".lower()
+            if "alreadyexists" in msg or "already exists" in msg:
+                return False  # a concurrent creator won the race
+            raise
         try:
             if content:
                 out.write(bytearray(content.encode("utf-8")))
         finally:
             out.close()
         return True
+
+    def read_text_or_none(self, p: str) -> str | None:
+        """``read_text`` that returns None when ``p`` vanishes between a
+        listing and the read — the guard lock-free readers need against
+        a concurrent compaction's deletes."""
+        try:
+            return self.read_text(p)
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}".lower()
+            if "filenotfound" in msg or "does not exist" in msg or "no such file" in msg:
+                return None
+            raise
 
     def touch_atomic(self, p: str, content: str = "") -> None:
         """Create a small marker file whose VISIBILITY is atomic: write

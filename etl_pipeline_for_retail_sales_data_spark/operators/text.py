@@ -926,14 +926,16 @@ def source_token_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Float discipline, the part that makes this cross-engine exact:
     - TVD = Σ_t |c_p·N_q − c_q·N_p| / (2·N_p·N_q) — the numerator sum is
-      EXACT int64 (counts × totals; at 100 TB promote to decimal), one
-      final division, floor 1e-6. Pure rational arithmetic, order-free.
+      EXACT (decimal(38,0) arithmetic end-to-end, so counts × totals
+      never wrap an int64 even at web-corpus token totals), one final
+      division, floor 1e-6. Pure rational arithmetic, order-free.
     - JSD = H(m) − (H(p)+H(q))/2 with every entropy in the ln-of-int
-      form: H(m) works on the INTEGER mixture numerators
+      form: H(m) works on the exact INTEGER mixture numerators
       n_t = c_p·N_q + c_q·N_p over the constant denominator 2·N_p·N_q,
-      so ln never sees a computed ratio — only exact int64 arguments
-      (the drift-family choreography: per-term 1e-6 floors into int64
-      micro-unit sums, final floor 1e-4).
+      so ln never sees a computed ratio — only exact integer arguments
+      (the drift-family choreography: per-term 1e-6 floors into
+      decimal(38,0) micro-unit sums — DuckDB's integer sums widen to
+      HUGEINT, Spark's to decimal — final floor 1e-4).
 
     Scale shape: one (source, token) hash aggregate over the corpus;
     the source list is a bounded driver collect (sources are a handful,
@@ -987,15 +989,23 @@ def source_token_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
         .filter((F.col("ca") > 0) | (F.col("cb") > 0))
     )
     lnu = lambda c: F.floor(F.log(c) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
-    num = F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")  # mixture numerator
+    # all cross products and their sums run in decimal(38,0): the
+    # entropy micro-unit terms overflow int64 around ~1e9 tokens/source
+    # (num ~ c·N ~ 1e15 times lnu ~ 3.5e7), and the factors themselves
+    # would overflow a long first at extreme counts — decimal end-to-end
+    # matches DuckDB, whose integer SUM/products widen to HUGEINT
+    dec = "decimal(38,0)"
+    ca_d, cb_d = F.col("ca").cast(dec), F.col("cb").cast(dec)
+    na_d, nb_d = F.col("na").cast(dec), F.col("nb").cast(dec)
+    num = ca_d * nb_d + cb_d * na_d  # mixture numerator, exact decimal
     terms = vocab.select(
         "source_a", "source_b", "na", "nb",
-        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("__tv_num"),
-        (num * lnu(num)).alias("__m_u"),
-        F.when(F.col("ca") > 0, F.col("ca") * lnu(F.col("ca")))
-        .otherwise(F.lit(0)).alias("__p_u"),
-        F.when(F.col("cb") > 0, F.col("cb") * lnu(F.col("cb")))
-        .otherwise(F.lit(0)).alias("__q_u"),
+        F.abs(ca_d * nb_d - cb_d * na_d).alias("__tv_num"),
+        (num * lnu(num).cast(dec)).alias("__m_u"),
+        F.when(F.col("ca") > 0, ca_d * lnu(F.col("ca")).cast(dec))
+        .otherwise(F.lit(0).cast(dec)).alias("__p_u"),
+        F.when(F.col("cb") > 0, cb_d * lnu(F.col("cb")).cast(dec))
+        .otherwise(F.lit(0).cast(dec)).alias("__q_u"),
     )
     g = terms.groupBy("source_a", "source_b", "na", "nb").agg(
         F.count("*").alias("vocab_union"),
@@ -1031,10 +1041,13 @@ def heaps_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     doc_id order.
 
     Scale shape: one tokenize pass → per-token FIRST global position
-    (min over one hash aggregate; global positions come from a
-    cumulative doc-length window — a range-partitioned sort over DOC
-    rows, not tokens, the zipf_fit acceptance); checkpoint counts are
-    one in-row explode of the bounded checkpoint list over VOCABULARY
+    (min over one hash aggregate). Global positions come from a
+    cumulative doc-length prefix sum whose unpartitioned window (a
+    global prefix sum needs a total order) sees ONLY slim
+    (doc_id, length) rows — 16 bytes per document, joined back
+    afterwards — so the single window partition holds doc-count
+    scalars, never the tokenized corpus. Checkpoint counts are one
+    in-row explode of the bounded checkpoint list over VOCABULARY
     rows. The corpus total is a bounded scalar collect (the repo's
     capped-collect discipline). Float discipline: ln only on exact
     int64 checkpoints/counts, 1e-6 floors, final 1e-4 (drift-family).
@@ -1059,10 +1072,16 @@ def heaps_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
         {1 << i for i in range(1, 63) if (1 << i) < n_total}
         | ({n_total} if n_total else set())
     )
+    # the cumulative-offset window is unpartitioned (a global prefix sum
+    # needs a total order), so it runs over SLIM (doc_id, length) rows
+    # ONLY — 16 bytes per document — and joins back; putting the token
+    # arrays through it would funnel the whole tokenized corpus into the
+    # single window partition
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    offs = base.select(
-        "doc_id", "__toks", F.coalesce(F.sum(F.size("__toks")).over(w), F.lit(0)).alias("__off")
+    offs_slim = base.select("doc_id", F.size("__toks").alias("__len")).select(
+        "doc_id", F.coalesce(F.sum("__len").over(w), F.lit(0)).alias("__off")
     )
+    offs = base.join(offs_slim, "doc_id")
     first = (
         offs.select(
             F.col("__off"),

@@ -348,7 +348,14 @@ def _writer_lease(spark: SparkSession, state_dir: str):
                 f"(age {age_ms} ms <= TTL {LEASE_TTL_MS} ms); the contract is "
                 f"ONE writer per state_dir — retry after expiry or break_lease()"
             )
-        fs.delete(lock, False)  # expired: reclaim (one creator wins the race)
+        # expired: CLAIM it by atomic rename to a private name before
+        # removing — a raw delete could remove a rival reclaimer's
+        # freshly created lock and let two writers both acquire (the
+        # exact double-writer the lease exists to prevent). Exactly one
+        # reclaimer wins the rename; losers loop and see the fresh lock.
+        claimed = lock + ".expired-" + token
+        if fs.rename(lock, claimed):
+            fs.delete(claimed, False)
     if not acquired:
         raise ConcurrentWriter(f"could not acquire the writer lease on {state_dir}")
     try:
@@ -376,14 +383,20 @@ def _retire_marker(fs: HadoopFS, state_dir: str, token: str) -> None:
 def _read_log_entries(fs: HadoopFS, state_dir: str) -> tuple[dict, list[str]]:
     """All commit-log entries keyed by token (deduped — a crash between
     a compaction's segment write and its marker deletes can leave a
-    token in both forms), plus the list of file names read."""
+    token in both forms), plus the list of file names read. Lock-free
+    readers (ingest_log / state_report) race compact_ingest_log's
+    deletes: a file that vanishes between the listing and the read is
+    skipped (its entry lives in the new segment — the concurrent view
+    may be momentarily partial, never a crash)."""
     cdir = _commits_dir(state_dir)
     entries: dict[str, dict] = {}
     names: list[str] = []
     for name in fs.list_names(cdir):
         if name.endswith(".tmp"):
             continue
-        text = fs.read_text(_join(cdir, name)) or ""
+        text = fs.read_text_or_none(_join(cdir, name))
+        if text is None:
+            continue  # deleted by a concurrent compaction after the listing
         if name.startswith("segment-"):
             for line in text.splitlines():
                 if line.strip():
@@ -530,14 +543,17 @@ def state_report(spark: SparkSession, state_dir: str) -> dict:
     lease = None
     lock = _lease_path(state_dir)
     if fs.exists(lock):
+        # the holder may release between exists() and these reads — a
+        # vanished lock reports as no lease, never a crash (read-only
+        # endpoint contract)
         try:
             holder = json.loads(fs.read_text(lock) or "{}").get("writer")
+            lease = {
+                "writer": holder,
+                "age_ms": int(time.time() * 1000) - fs.mtime(lock),
+            }
         except Exception:
-            holder = None
-        lease = {
-            "writer": holder,
-            "age_ms": int(time.time() * 1000) - fs.mtime(lock),
-        }
+            lease = None
     return {
         "legs": legs,
         "committed_batches": len(entries),
@@ -1015,10 +1031,13 @@ def ingest_batch_semantic(
 
     ``centroids`` (the key function) and ``threshold`` PIN into
     ``_meta`` on first ingest — later calls may omit both; mismatching
-    values raise :class:`StateParamMismatch`. Null vectors produce no
-    assignment and are always accepted. Crash-atomic via the shared
-    journal commit; ``epoch_id`` rides the marker; replays classify
-    100% historical (their own members are in the state).
+    values raise :class:`StateParamMismatch`. Null-embedding rows form
+    their own exact-dup class via a sentinel member cell (first null
+    accepted, later nulls classify as dups — the exact leg's null-text
+    semantics; the LSH legs instead document-and-accept signature-less
+    rows), so replays classify 100% historical for EVERY row and blind
+    crash-retries never double-append. Crash-atomic via the shared
+    journal commit; ``epoch_id`` rides the marker.
 
     Returns ``{"n_batch", "n_hist_semdup", "n_within_semdup",
     "n_accepted"}`` — or ``None`` on a redelivered committed epoch."""
@@ -1057,20 +1076,34 @@ def ingest_batch_semantic(
         corpus_root = _join(state_dir, "corpus_semantic")
 
         n_batch = batch.count()
-        keys = assign_to_centroids(batch, eff["centroids"], id_col, vec_col)
+        # null-vector rows join the member state under the SENTINEL cell
+        # -1 (cosine is undefined for them but equality is not: a second
+        # null-embedding doc IS a duplicate of the first — the exact
+        # leg's null-text sentinel in embedding form). Without this, a
+        # replay or blind crash-retry would re-accept every null row and
+        # double-append it to the corpus.
+        assigned = assign_to_centroids(batch, eff["centroids"], id_col, vec_col)
+        nulls = batch.filter(F.col(vec_col).isNull()).select(
+            F.col(id_col),
+            F.lit(-1).alias("cluster"),
+            F.lit(None).cast("array<double>").alias("uv"),
+        )
+        keys = assigned.unionByName(nulls)
+        is_sentinel = F.col("A.cluster") == F.lit(-1)
         with scoped_cache(keys):
             state = _ensure_state_table(
                 spark, state_root, keys, ["cluster"], n_buckets
             )
             # historical: EXACT rounded cosine ≥ thr against the same
             # centroid cell's members — equi-key is the cluster (state
-            # side bucketed, no Exchange), the cosine is a join filter
+            # side bucketed, no Exchange), the cosine is a join filter;
+            # sentinel rows match on cell equality alone
             a, s = keys.alias("A"), state.alias("S")
             hist_ids = (
                 a.join(
                     s,
                     (F.col("A.cluster") == F.col("S.cluster"))
-                    & (round6(dot(F.col("A.uv"), F.col("S.uv"))) >= thr),
+                    & (is_sentinel | (round6(dot(F.col("A.uv"), F.col("S.uv"))) >= thr)),
                     "left_semi",
                 )
                 .select(id_col)
@@ -1086,7 +1119,7 @@ def ingest_batch_semantic(
                     b2,
                     (F.col("A.cluster") == F.col("B.cluster"))
                     & (F.col(f"B.{id_col}") < F.col(f"A.{id_col}"))
-                    & (round6(dot(F.col("A.uv"), F.col("B.uv"))) >= thr),
+                    & (is_sentinel | (round6(dot(F.col("A.uv"), F.col("B.uv"))) >= thr)),
                     "left_semi",
                 )
                 .select(id_col)

@@ -6415,7 +6415,11 @@ def q_incremental_semantic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame
     (operators/clustering.assign_to_centroids), so the funnel is fully
     oracled. The real append-only member-state transitions (crash
     atomicity, replay, bucketed no-exchange verify join) are covered by
-    tests/test_incremental_corpus.py.
+    tests/test_incremental_corpus.py. Scope: this twin covers non-null
+    vectors (the corpus tables have none); the stateful loop's
+    null-embedding sentinel class (first null accepted, later nulls
+    dups) is pinned by its unit test, same scoping as the exact leg's
+    null-text sentinel vs its md5 funnel twin.
 
     Scale shape: the pair predicate runs ONLY within a centroid cell —
     one cluster-keyed repartition exchange feeds both aliased self-join
@@ -9188,15 +9192,17 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE COALESCE(ca.c, 0) > 0 OR COALESCE(cb.c, 0) > 0
     ),
     terms AS (
+        -- HUGEINT products mirror the Spark side's decimal(38,0): the
+        -- entropy micro-unit terms overflow int64 at web-corpus totals
         SELECT source_a, source_b, na, nb,
-               ABS(ca * nb - cb * na) AS tv_num,
-               (ca * nb + cb * na)
-                   * CAST(FLOOR(ln(ca * nb + cb * na) * 1e6 + 0.5) AS BIGINT) AS m_u,
+               ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na) AS tv_num,
+               (CAST(ca AS HUGEINT) * nb + CAST(cb AS HUGEINT) * na)
+                   * CAST(FLOOR(ln(ca * nb + cb * na) * 1e6 + 0.5) AS HUGEINT) AS m_u,
                CASE WHEN ca > 0
-                    THEN ca * CAST(FLOOR(ln(ca) * 1e6 + 0.5) AS BIGINT)
+                    THEN CAST(ca AS HUGEINT) * CAST(FLOOR(ln(ca) * 1e6 + 0.5) AS HUGEINT)
                     ELSE 0 END AS p_u,
                CASE WHEN cb > 0
-                    THEN cb * CAST(FLOOR(ln(cb) * 1e6 + 0.5) AS BIGINT)
+                    THEN CAST(cb AS HUGEINT) * CAST(FLOOR(ln(cb) * 1e6 + 0.5) AS HUGEINT)
                     ELSE 0 END AS q_u
         FROM v
     ),

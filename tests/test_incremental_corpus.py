@@ -861,17 +861,25 @@ def test_semantic_ingest_replay_crash_meta_and_compaction(spark, state_dir):
     s1 = ingest_batch_semantic(spark, batch, state_dir, cents)
     assert s1["n_batch"] == 4 and s1["n_hist_semdup"] == 0
     assert s1["n_within_semdup"] == 1  # vec 2 verifies against vec 1
-    assert s1["n_accepted"] == 3  # 1, 3, and the null row
+    assert s1["n_accepted"] == 3  # 1, 3, and the first null row
 
-    # replay WITHOUT centroids: loaded from _meta, all bucketed vectors
-    # historical, null row accepted again
+    # replay WITHOUT centroids: loaded from _meta; EVERY row classifies
+    # historical — including the null row (sentinel cell), so replays
+    # and blind retries never re-append it
     s2 = ingest_batch_semantic(spark, batch, state_dir)
     assert s2 == {
         "n_batch": 4,
-        "n_hist_semdup": 3,
+        "n_hist_semdup": 4,
         "n_within_semdup": 0,
-        "n_accepted": 1,
+        "n_accepted": 0,
     }
+    assert spark.read.parquet(state_dir + "/corpus_semantic").count() == 3
+    # a second null-embedding doc in a LATER batch is a dup of the first
+    null2 = spark.createDataFrame(
+        [(20, None)], "vec_id long, embedding array<double>"
+    )
+    sn = ingest_batch_semantic(spark, null2, state_dir)
+    assert sn["n_hist_semdup"] == 1 and sn["n_accepted"] == 0
     other = [[-x for x in c] for c in cents]
     with pytest.raises(IC.StateParamMismatch):
         ingest_batch_semantic(spark, batch, state_dir, other)
@@ -894,7 +902,7 @@ def test_semantic_ingest_replay_crash_meta_and_compaction(spark, state_dir):
     n = compact_semantic_state(spark, state_dir)
     assert n == spark.read.parquet(state_dir + "/semantic_members").count()
     s3 = ingest_batch_semantic(spark, batch, state_dir)
-    assert s3["n_hist_semdup"] == 3 and s3["n_accepted"] == 1
+    assert s3["n_hist_semdup"] == 4 and s3["n_accepted"] == 0
 
 
 def test_semantic_verify_join_no_exchange_on_state_side(spark, state_dir):
