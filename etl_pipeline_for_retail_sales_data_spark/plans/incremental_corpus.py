@@ -1040,7 +1040,15 @@ def ingest_batch_semantic(
     journal commit; ``epoch_id`` rides the marker.
 
     Returns ``{"n_batch", "n_hist_semdup", "n_within_semdup",
-    "n_accepted"}`` — or ``None`` on a redelivered committed epoch."""
+    "n_accepted"}`` — or ``None`` on a redelivered committed epoch.
+
+    Deliberately NOT routed through :func:`_ingest_keyed`: that engine's
+    classification shape is key EQUALITY + the bucket-min trick for
+    within-batch; this leg needs a predicate join (equality on the cell
+    AND a cosine verify) and a pairwise within-batch join — hooks for
+    both would turn the shared engine into configuration soup. The
+    commit protocol pieces (lease, recovery, meta, staged commit) ARE
+    the shared primitives both paths call."""
     from ..operators.clustering import assign_to_centroids
     from ..operators.similarity import dot, round6
 

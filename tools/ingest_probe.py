@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Stateful-loop scaling probe (r8 verdict #2): measure PER-BATCH ingest
-cost for the four incremental legs (exact fingerprints, MinHash text
-LSH, hyperplane embedding LSH, Bloom bits) as the persistent STATE
-grows — constant batch (5k docs / 2k vectors) against state built from
+cost for the five incremental legs (exact fingerprints, MinHash text
+LSH, hyperplane embedding LSH, Bloom bits, fixed-centroid semantic
+verify) as the persistent STATE grows — constant batch (5k docs / 2k vectors) against state built from
 x1 / x4 / x16 that batch volume.
 
 What the curve is allowed to show, precisely: the classification join
