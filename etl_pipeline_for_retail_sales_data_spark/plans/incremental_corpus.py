@@ -489,6 +489,41 @@ def prune_epochs(spark: SparkSession, state_dir: str, keep_per_ns: int = 1024) -
         return removed
 
 
+def maintain_state(
+    spark: SparkSession,
+    state_dir: str,
+    keep_epochs_per_ns: int = 1024,
+) -> dict[str, int]:
+    """The nightly maintenance pass, one call: settle any crashed
+    batch/compaction (:func:`recover_state`), compact every leg's state
+    that has ever ingested (collapse replay-duplicated rows, rewrite
+    bucketed), roll the commit log into one segment
+    (:func:`compact_ingest_log`), and prune epoch markers to the last
+    ``keep_epochs_per_ns`` per namespace (:func:`prune_epochs`).
+    Each sub-step takes the writer lease itself (sequential acquisition
+    — the lease is not reentrant), so the pass must not overlap a live
+    ingest, same as any other writer. Returns per-step counts."""
+    out: dict[str, int] = {}
+    recovered = recover_state(spark, state_dir)
+    out["recovered_forward"] = recovered["rolled_forward"]
+    out["recovered_back"] = recovered["rolled_back"]
+    compactors = {
+        "exact": compact_fingerprints,
+        "neardup": compact_neardup_state,
+        "embdup": compact_embdup_state,
+        "bloom": compact_bloom_state,
+        "semantic": compact_semantic_state,
+    }
+    for leg, fn in compactors.items():
+        # only legs with pinned meta have ever ingested; compacting the
+        # rest would just stat empty roots
+        if state_meta(spark, state_dir, leg):
+            out[f"compacted_{leg}"] = fn(spark, state_dir)
+    out["log_entries"] = compact_ingest_log(spark, state_dir)
+    out["epochs_pruned"] = prune_epochs(spark, state_dir, keep_epochs_per_ns)
+    return out
+
+
 _LEG_ROOTS = {
     "exact": ("corpus", "fingerprints"),
     "neardup": ("corpus_neardup", "neardup_bands"),

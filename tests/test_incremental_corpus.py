@@ -1052,3 +1052,32 @@ def test_prune_epochs_keeps_tail_per_namespace(spark, state_dir):
     )
     with pytest.raises(ValueError):
         prune_epochs(spark, state_dir, keep_per_ns=0)
+
+
+def test_maintain_state_one_call_nightly_pass(spark, state_dir):
+    """maintain_state = recover + compact every ingested leg + roll the
+    commit log + prune epochs, in one call with per-step counts."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_neardup,
+        maintain_state,
+    )
+
+    batch = _docs(spark, [(1, "one two three four five six")])
+    ingest_batch_neardup(spark, batch, state_dir, epoch_id="ns-0")
+    ingest_batch_neardup(spark, batch, state_dir, epoch_id="ns-1")  # replay: dup band rows
+    ingest_batch(spark, _docs(spark, [(2, "x")]), state_dir, epoch_id="ns-2")
+
+    out = maintain_state(spark, state_dir, keep_epochs_per_ns=1)
+    assert out["compacted_neardup"] == 4  # 1 doc x 4 bands, dups collapsed
+    assert out["compacted_exact"] == 1
+    assert "compacted_bloom" not in out  # never ingested on this state
+    assert out["log_entries"] == 3
+    assert out["epochs_pruned"] == 2  # ns-0, ns-1 pruned; ns-2 kept
+    fs = HadoopFS(spark, state_dir)
+    names = fs.list_names(state_dir + "/_commits")
+    assert len(names) == 1 and names[0].startswith("segment-")
+    assert IC.epoch_committed(spark, state_dir, "ns-2")
+    assert not IC.epoch_committed(spark, state_dir, "ns-0")
+    # classification intact after the full pass
+    s = ingest_batch_neardup(spark, batch, state_dir)
+    assert s["n_hist_neardup"] == 1 and s["n_accepted"] == 0

@@ -557,3 +557,50 @@ def test_stream_bloom_ingest_epoch_guard(spark, tmp_path):
     bits = spark.read.parquet(state + "/bloom_bits").count()
     ingest(batch, 0)
     assert spark.read.parquet(state + "/bloom_bits").count() == bits
+
+
+def test_stream_semantic_ingest_end_to_end(spark, tmp_path):
+    """The fifth leg through a real availableNow streaming query: novel
+    and near-duplicate vectors classify against the persistent member
+    state across two runs with distinct checkpoints."""
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import (
+        _sem_centroids,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        stream_ingest_semantic,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cents = _sem_centroids()
+    spark.createDataFrame(
+        [
+            (1, [float(j) for j in range(64)]),
+            (2, [float(j) + 0.001 for j in range(64)]),  # near-dup of 1
+        ],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    q = stream_ingest_semantic(
+        spark.readStream.schema("vec_id long, embedding array<double>").parquet(src),
+        state, cents, "sem_ingest_smoke", str(tmp_path / "cp1"),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(state + "/corpus_semantic").count() == 1
+
+    # run 2, fresh checkpoint (batch ids restart at 0): one historical
+    # near-dup + one novel vector — the novel one must land
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [
+            (10, [float(j) + 0.002 for j in range(64)]),  # hist near-dup
+            (11, [(-1.0) ** j * (j + 1.0) for j in range(64)]),  # novel
+        ],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src2)
+    q2 = stream_ingest_semantic(
+        spark.readStream.schema("vec_id long, embedding array<double>").parquet(src2),
+        state, None, "sem_ingest_smoke2", str(tmp_path / "cp2"),
+    )
+    q2.awaitTermination(120)
+    got = {r.vec_id for r in spark.read.parquet(state + "/corpus_semantic").collect()}
+    assert got == {1, 11}
