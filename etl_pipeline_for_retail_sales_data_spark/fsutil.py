@@ -75,13 +75,38 @@ class HadoopFS:
 
     def create_exclusive(self, p: str, content: str = "") -> bool:
         """Atomically create ``p`` iff it does not already exist (the
-        lock-file primitive: Hadoop ``create(path, overwrite=false)`` is
-        atomic on HDFS and local filesystems). Returns False ONLY when
-        the path already exists — the caller lost the race; any other
-        failure (ACLs, quota, connectivity) propagates, so a permission
-        error is never misreported as a held lock."""
-        if self.exists(p):
-            return False
+        lock-file primitive). Returns False ONLY when the path already
+        exists — the caller lost the race; any other failure (ACLs,
+        quota, connectivity) propagates, so a permission error is never
+        misreported as a held lock.
+
+        Atomicity: on HDFS, ``create(path, overwrite=false)`` is an
+        atomic namespace operation. On ``file://`` the Hadoop local
+        client is check-then-create (RawLocalFileSystem opens with no
+        O_EXCL), so two local drivers could both "win" — this method
+        instead creates through the OS ``O_CREAT|O_EXCL`` primitive,
+        which is atomic on POSIX local filesystems. Other schemes
+        (S3A's PUT-if-absent races) are out of contract, as the module
+        docstring documents for rename."""
+        try:
+            scheme = self._fs.getScheme()
+        except Exception:
+            scheme = None
+        if scheme == "file":
+            import os
+            from urllib.parse import urlparse
+
+            local = urlparse(p).path if p.startswith("file:") else p
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                if content:
+                    os.write(fd, content.encode("utf-8"))
+            finally:
+                os.close(fd)
+            return True
         try:
             out = self._fs.create(self._Path(p), False)
         except Exception as e:

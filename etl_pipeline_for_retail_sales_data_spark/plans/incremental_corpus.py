@@ -262,7 +262,16 @@ def _resolve_meta(
     every later call raises :class:`StateParamMismatch` on any explicit
     value that contradicts the pinned one and returns the pinned set —
     so a retry after a config change can never silently compute
-    incomparable keys against the existing state."""
+    incomparable keys against the existing state.
+
+    Pre-upgrade states (data on disk, no ``_meta`` — built before
+    pinning existed): the first-pin path REFUSES to fill omitted
+    parameters from defaults when the leg's roots already hold visible
+    files — a pre-upgrade state built with a non-default ``n_buckets``
+    whose caller now omits it would get the default pinned, and every
+    later bucketed write/scan would silently misattribute rows against
+    the existing bucket files. The caller must pass every parameter
+    explicitly (matching the original build) to pin such a state."""
     path = _join(_meta_dir(state_dir), leg + ".json")
     if fs.exists(path):
         pinned = json.loads(fs.read_text(path) or "{}")
@@ -286,6 +295,17 @@ def _resolve_meta(
             if k not in out:
                 out[k] = v if v is not None else defaults.get(k)
         return out
+    missing = sorted(k for k, v in given.items() if v is None)
+    if missing:
+        rels = _LEG_ROOTS.get(leg, ())
+        if any(fs.has_visible_files(_join(state_dir, rel)) for rel in rels):
+            raise StateParamMismatch(
+                f"{leg} state at {state_dir} already holds data but has no "
+                f"pinned _meta (built before parameter pinning); defaulting "
+                f"{missing} silently could desync from how the existing "
+                f"files were written — pass every parameter explicitly, "
+                f"matching the original build, to pin them now"
+            )
     out = {k: (v if v is not None else defaults.get(k)) for k, v in given.items()}
     if extra:
         out.update(extra)
@@ -361,10 +381,26 @@ def _writer_lease(spark: SparkSession, state_dir: str):
     try:
         yield
     finally:
+        # Release via the same CLAIM protocol as reclaim (a bare
+        # read-then-delete is a TOCTOU: a writer that overran the TTL
+        # can read its own token just before a rival reclaims, then
+        # delete the rival's fresh lock). Rename the lock to a private
+        # name — exactly one renamer of a given file succeeds — verify
+        # the token INSIDE the renamed file, and only then delete. A
+        # failed rename means the lease was already reclaimed; a foreign
+        # token means we renamed away the reclaimer's lock (we overran
+        # the TTL) and must put it back.
         try:
-            held = json.loads(fs.read_text(lock) or "{}")
-            if held.get("writer") == token:
-                fs.delete(lock, False)
+            rel = lock + ".release-" + token
+            if fs.rename(lock, rel):
+                held = json.loads(fs.read_text(rel) or "{}")
+                if held.get("writer") == token:
+                    fs.delete(rel, False)
+                elif not fs.rename(rel, lock):
+                    # a third writer locked meanwhile; drop our copy of
+                    # the reclaimer's lock (double-TTL-overrun territory
+                    # — already outside the finish-within-TTL contract)
+                    fs.delete(rel, False)
         except Exception:
             pass  # lock already gone (reclaimed after our expiry)
 
@@ -500,11 +536,19 @@ def maintain_state(
     bucketed), roll the commit log into one segment
     (:func:`compact_ingest_log`), and prune epoch markers to the last
     ``keep_epochs_per_ns`` per namespace (:func:`prune_epochs`).
-    Each sub-step takes the writer lease itself (sequential acquisition
-    — the lease is not reentrant), so the pass must not overlap a live
-    ingest, same as any other writer. Returns per-step counts."""
+    Every mutating sub-step runs under the writer lease — the leading
+    recovery sweep under its own acquisition here, and each compaction/
+    prune under its own (sequential acquisitions; the lease is not
+    reentrant) — so a live ingest makes the pass raise
+    :class:`ConcurrentWriter` instead of racing it: a lease-free
+    recovery sweep could delete the live ingest's pre-marker
+    ``.staged-*`` dirs, and its marker would then commit an epoch whose
+    corpus rows are gone. Between acquisitions another writer may slip
+    in; each sub-step is individually safe against a settled state, so
+    the pass simply resumes. Returns per-step counts."""
     out: dict[str, int] = {}
-    recovered = recover_state(spark, state_dir)
+    with _writer_lease(spark, state_dir):
+        recovered = recover_state(spark, state_dir)
     out["recovered_forward"] = recovered["rolled_forward"]
     out["recovered_back"] = recovered["rolled_back"]
     compactors = {
@@ -1505,13 +1549,20 @@ def _compact_state(
                 f"bucket files from the table spec — omit n_buckets to use "
                 f"the pinned value"
             )
-        n_buckets = int(pinned) if pinned is not None else (
-            DEFAULT_BUCKETS if n_buckets is None else int(n_buckets)
-        )
         root = _join(state_dir, rel)
         _recover_swap(fs, root)
         if not fs.has_visible_files(root):
             return 0
+        if pinned is None and n_buckets is None:
+            # same pre-upgrade refusal as _resolve_meta: rewriting an
+            # unpinned state with the default count could desync the
+            # bucket files from how the data was originally written
+            raise StateParamMismatch(
+                f"{leg} state at {state_dir} holds data but has no pinned "
+                f"_meta; pass n_buckets explicitly (matching the original "
+                f"build) to compact it"
+            )
+        n_buckets = int(pinned) if pinned is not None else int(n_buckets)
         tmp, old = root + "._compact_tmp", root + "._compact_old"
         compacted = spark.read.parquet(root).distinct()
         # the rewrite goes through the bucketed writer so the swapped-in

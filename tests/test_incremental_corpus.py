@@ -1081,3 +1081,121 @@ def test_maintain_state_one_call_nightly_pass(spark, state_dir):
     # classification intact after the full pass
     s = ingest_batch_neardup(spark, batch, state_dir)
     assert s["n_hist_neardup"] == 1 and s["n_accepted"] == 0
+
+def test_maintain_state_respects_writer_lease(spark, state_dir):
+    """r9 verdict #1: the nightly pass's leading recovery sweep runs
+    UNDER the writer lease — a live ingest's lease makes maintain_state
+    raise ConcurrentWriter instead of racing it (a lease-free sweep
+    could delete the live ingest's pre-marker .staged-* dirs and
+    silently lose the batch's corpus rows); an EXPIRED lease (crashed
+    writer) still lets the pass proceed."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        maintain_state,
+    )
+
+    ingest_batch(spark, _docs(spark, [(1, "a")]), state_dir, epoch_id="m-0")
+    fs = HadoopFS(spark, state_dir)
+    lock = state_dir + "/_lock"
+
+    # model the exact race: a live writer holds the lease with staged
+    # dirs on disk that have not journaled yet
+    staged = state_dir + "/corpus/.staged-livewriter"
+    fs.mkdirs(staged)
+    assert fs.create_exclusive(lock, '{"writer": "live"}')
+    with pytest.raises(IC.ConcurrentWriter):
+        maintain_state(spark, state_dir)
+    assert fs.exists(staged)  # the live writer's staged dir survived
+    assert fs.exists(lock)  # and its lease was not touched
+
+    # a crashed writer's expired lease is reclaimed and the pass runs;
+    # the now-ownerless staged dir rolls back as usual
+    import time as _t
+
+    fs.set_mtime(lock, int(_t.time() * 1000) - IC.LEASE_TTL_MS - 60_000)
+    out = maintain_state(spark, state_dir)
+    assert out["recovered_back"] == 1
+    assert not fs.exists(staged)
+    assert not fs.exists(lock)
+
+
+def test_lease_release_claims_before_delete(spark, state_dir):
+    """ADVICE r9: release goes through the same rename-claim protocol as
+    reclaim — a writer that overran the TTL must NOT delete the lock a
+    rival reclaimed in the meantime (the old read-then-delete TOCTOU)."""
+    import json as _json
+    import time as _t
+
+    fs = HadoopFS(spark, state_dir)
+    lock = state_dir + "/_lock"
+
+    cm_a = IC._writer_lease(spark, state_dir)
+    cm_a.__enter__()
+    token_a = _json.loads(fs.read_text(lock))["writer"]
+
+    # A overruns the TTL; B reclaims the expired lease
+    fs.set_mtime(lock, int(_t.time() * 1000) - IC.LEASE_TTL_MS - 60_000)
+    cm_b = IC._writer_lease(spark, state_dir)
+    cm_b.__enter__()
+    token_b = _json.loads(fs.read_text(lock))["writer"]
+    assert token_b != token_a
+
+    # A's (late) release must leave B's lock in place
+    cm_a.__exit__(None, None, None)
+    assert fs.exists(lock)
+    assert _json.loads(fs.read_text(lock))["writer"] == token_b
+
+    # B's own release removes it
+    cm_b.__exit__(None, None, None)
+    assert not fs.exists(lock)
+
+
+def test_create_exclusive_local_semantics(spark, tmp_path):
+    """ADVICE r9: on file:// the lock primitive goes through the OS
+    O_CREAT|O_EXCL open (RawLocalFileSystem's create(overwrite=false) is
+    check-then-create). Behavioral contract: exactly one creator wins,
+    content lands, Hadoop-side stat/read/delete interoperate."""
+    fs = HadoopFS(spark, str(tmp_path))
+    p = str(tmp_path / "locks" / "_lock")
+    fs.mkdirs(str(tmp_path / "locks"))
+    assert fs.create_exclusive(p, '{"writer": "w1"}')
+    assert not fs.create_exclusive(p, '{"writer": "w2"}')  # loser
+    assert '"w1"' in fs.read_text(p)
+    assert fs.mtime(p) > 0
+    assert fs.delete(p, False)
+    assert fs.create_exclusive(p)  # recreate after delete
+    # a missing parent propagates (never misreported as a held lock)
+    with pytest.raises(Exception):
+        fs.create_exclusive(str(tmp_path / "absent_dir" / "_lock"))
+
+
+def test_first_pin_refuses_silent_defaults_over_existing_state(spark, state_dir):
+    """ADVICE r9 (medium): a pre-upgrade state (data on disk, no _meta)
+    must not get defaults pinned when the caller omits parameters — the
+    existing bucket files may have been written with different ones.
+    Explicit parameters pin it; compaction refuses the same way."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        compact_fingerprints,
+        ingest_batch_neardup,
+    )
+
+    ingest_batch(spark, _docs(spark, [(1, "a")]), state_dir, n_buckets=4)
+    fs = HadoopFS(spark, state_dir)
+    assert fs.delete(state_dir + "/_meta", True)  # simulate pre-upgrade state
+
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch(spark, _docs(spark, [(2, "b")]), state_dir)  # omitted
+    with pytest.raises(IC.StateParamMismatch):
+        compact_fingerprints(spark, state_dir)  # unpinned compaction too
+
+    # explicit (correct) parameters re-pin and the loop resumes
+    s = ingest_batch(spark, _docs(spark, [(2, "b")]), state_dir, n_buckets=4)
+    assert s["n_accepted"] == 1
+    assert IC.state_meta(spark, state_dir, "exact")["n_buckets"] == 4
+    assert compact_fingerprints(spark, state_dir) == 2
+
+    # a FRESH state (no data) still defaults silently — steady-state
+    # first ingests pass nothing
+    fresh = state_dir + "_fresh"
+    s2 = ingest_batch_neardup(spark, _docs(spark, [(1, "one two three")]), fresh)
+    assert s2["n_accepted"] == 1
+    assert IC.state_meta(spark, fresh, "neardup")["n_buckets"] == IC.DEFAULT_BUCKETS
