@@ -157,9 +157,15 @@ def ngram_jaccard_pairs(
     max_df bounds the per-shingle fan-out. This UNDERCOUNTS intersections
     (Jaccard becomes a lower bound; sizes stay exact), so it is a
     documented recall/cost lever — ON by default (256) so direct callers
-    are skew-safe; pass ``max_df=None`` for the exact uncapped form, or
-    use ``ngram_jaccard_pairs_salted`` for exact results with bounded
-    per-reduce-key fan-out.
+    are skew-safe. ``max_df=None`` — the EXACT form — now routes through
+    :func:`ngram_jaccard_pairs_salted` (r9 verdict #6): identical
+    output, but hot shingles take the salted skew join, so one
+    stop-phrase shingle can no longer pin a single reducer at web
+    scale. EVERY default path is therefore skew-safe; the plain
+    (skew-exposed) shape remains reachable for A/B measurement as
+    ``ngram_jaccard_pairs_salted(hot_df=<huge>)`` — a threshold no
+    document frequency reaches sends everything down the cold
+    inverted-index path (SCALING.md).
 
     The per-doc set size rides along on every shingle row (computed
     locally in the Arrow pass, 8 extra bytes/row in the join shuffle) so
@@ -167,6 +173,12 @@ def ngram_jaccard_pairs(
     joins removed vs the textbook inverted-index formulation, measured
     ~15% on the sf0.1 bench."""
     from pyspark.sql import Window
+
+    if max_df is None:
+        # exact + skew-safe: the salted twin is output-identical to the
+        # uncapped inverted-index join (same oracle) with the hot-key
+        # fan-out spread over n_salts reduce keys
+        return ngram_jaccard_pairs_salted(df, text_col=text_col, n=n, threshold=threshold)
 
     sh = doc_shingles_arrow(df, text_col, n, with_size=True).repartition("shingle")
     if max_df is not None:

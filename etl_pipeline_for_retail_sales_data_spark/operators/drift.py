@@ -187,12 +187,22 @@ def ks_drift(
     squares so no sqrt is evaluated) touch floats, far from any
     rounding boundary.
 
-    Scale shape: one scan → per-(value) step counts (groupBy), one
-    global-ordered window over DISTINCT values only (range-partitioned
-    sort of the value domain, not the fact table), one max-agg.
+    Scale shape: one scan → per-(value) step counts (groupBy); the
+    ECDF prefix sums use NO unpartitioned window over the distinct
+    values (r9 verdict #2 sweep — continuous values make the distinct
+    domain row-count-magnitude, so one task would sort it all): values
+    range-bucket by a monotone truncation (bucket width from one
+    bounded min/max collect — the repo's capped-collect discipline),
+    per-bucket step totals collapse to a ``n_buckets``-row frame whose
+    exclusive prefix sum is the only unpartitioned window, and each
+    value's cumulative count = its bucket's offset + a within-bucket
+    running sum (window PARTITIONED by bucket). All sums stay exact
+    integers, so D·n_a·n_b is unchanged. One max-agg ends it. ``value``
+    must be numeric (the ECDF domain).
     """
     from pyspark.sql import Window
 
+    n_buckets = 256
     steps = (
         df.select(sample.alias("s"), value.alias("v"))
         .filter(F.col("v").isNotNull())
@@ -202,9 +212,37 @@ def ks_drift(
             F.sum((F.col("s") == "b").cast("long")).alias("db"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cums = steps.select(
-        F.sum("da").over(w).alias("cum_a"), F.sum("db").over(w).alias("cum_b")
+    lo, hi = df.select(
+        F.min(value.cast("double")), F.max(value.cast("double"))
+    ).collect()[0]
+    width = ((hi - lo) / n_buckets) if (lo is not None and hi != lo) else 0.0
+    bucket = (
+        F.least(
+            F.floor((F.col("v").cast("double") - F.lit(lo)) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ).cast("long")
+        if width > 0
+        else F.lit(0).cast("long")
+    )
+    bsteps = steps.withColumn("__bucket", bucket)
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        bsteps.groupBy("__bucket")
+        .agg(F.sum("da").alias("__ba"), F.sum("db").alias("__bb"))
+        .select(
+            "__bucket",
+            F.coalesce(F.sum("__ba").over(wb), F.lit(0)).alias("__offa"),
+            F.coalesce(F.sum("__bb").over(wb), F.lit(0)).alias("__offb"),
+        )
+    )
+    ww = (
+        Window.partitionBy("__bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = bsteps.join(F.broadcast(boff), "__bucket").select(
+        (F.col("__offa") + F.sum("da").over(ww)).alias("cum_a"),
+        (F.col("__offb") + F.sum("db").over(ww)).alias("cum_b"),
     )
     totals = steps.agg(F.sum("da").alias("n_a"), F.sum("db").alias("n_b"))
     agg = (

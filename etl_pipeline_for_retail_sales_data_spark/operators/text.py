@@ -839,7 +839,11 @@ def pmi_pairs(
     transforms over the token array — no self-join, no positional
     explode), so the corpus pass is map-only into ONE (a, b) hash
     aggregate; marginals re-aggregate the pair counts (pair-magnitude
-    data, not corpus-magnitude); the top-k is a single bounded sort.
+    data, not corpus-magnitude); the top-k is orderBy + limit, which
+    plans as TakeOrderedAndProject — a per-partition bounded top-k
+    merged on the driver, so no task ever holds more than ``top`` rows
+    (ADVICE r9: the previous unpartitioned row_number window funneled
+    every surviving pair through one task).
     Float discipline: every ln argument is an exact int64; each term
     floors to 1e-6 micro-units and the PMI RANKING key is the exact
     int64 micro-unit sum (no float ties) — final value floors 1e-4
@@ -847,8 +851,6 @@ def pmi_pairs(
 
     Output: top ``top`` rows (tok_a, tok_b, n_pair, pmi), pairs with
     n_pair >= min_count, ordered by pmi desc then lexicographic."""
-    from pyspark.sql import Window
-
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
 
     def _pair_at(dd: int):
@@ -903,10 +905,9 @@ def pmi_pairs(
             lnu(F.col("n_pair")) + lnu(F.col("D")) - lnu(F.col("ma")) - lnu(F.col("mb")),
         )
     )
-    w = Window.orderBy(F.col("__pmi_u").desc(), F.col("a").asc(), F.col("b").asc())
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= top)
+        scored.orderBy(F.col("__pmi_u").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(top)
         .select(
             F.col("a").alias("tok_a"),
             F.col("b").alias("tok_b"),
@@ -918,7 +919,9 @@ def pmi_pairs(
     )
 
 
-def source_token_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
+def source_token_divergence(
+    df: DataFrame, text_col: str = "text", max_sources: int = 64
+) -> DataFrame:
     """Pairwise corpus-slice divergence over token distributions — the
     domain-mixing diagnostic a pre-training data team runs before
     setting source weights: for every source pair, total variation
@@ -938,12 +941,20 @@ def source_token_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
       HUGEINT, Spark's to decimal — final floor 1e-4).
 
     Scale shape: one (source, token) hash aggregate over the corpus;
-    the source list is a bounded driver collect (sources are a handful,
-    the repo's capped-collect discipline) inlined as literals, so each
-    token row fans out IN-ROW to its source pairs — no self-join, no
-    cartesian, vocabulary-magnitude data end-to-end; output is one row
-    per source pair. Output: (source_a, source_b, n_tokens_a,
-    n_tokens_b, vocab_union, tvd, jsd)."""
+    the source list is a bounded driver collect (hard-checked against
+    ``max_sources`` — the repo's capped-collect discipline), and each
+    token row fans out IN-ROW to its source pairs by exploding ONE
+    constant-folded literal array of (source_a, source_b, na, nb)
+    structs, with the per-source counts looked up from the row's token
+    map AFTER the explode — no self-join, no cartesian,
+    vocabulary-magnitude data end-to-end. (ADVICE r9: the previous
+    form inlined one struct arm per pair into a single projection —
+    O(S²) expressions blew whole-stage codegen's 64 KB method limit at
+    ~20 sources and silently fell back to interpreted evaluation; the
+    literal array folds to one constant, so codegen sees two
+    element_at lookups however many sources there are.) Output: one
+    row per source pair — (source_a, source_b, n_tokens_a, n_tokens_b,
+    vocab_union, tvd, jsd)."""
     st = (
         df.na.drop(subset=[text_col, "source"])
         .select(
@@ -967,25 +978,47 @@ def source_token_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
             "source_a string, source_b string, n_tokens_a long, n_tokens_b long, "
             "vocab_union long, tvd double, jsd double",
         )
+    if len(sources) > max_sources:
+        raise ValueError(
+            f"source_token_divergence fans every token row out to all "
+            f"{len(sources) * (len(sources) - 1) // 2} source pairs "
+            f"(sources={len(sources)} > max_sources={max_sources}); the "
+            f"O(S²) pair blow-up is a deliberate hard check — raise "
+            f"max_sources explicitly if the fan-out cost is intended"
+        )
     per_tok = st.groupBy("tok").agg(
         F.map_from_entries(F.collect_list(F.struct("source", "c"))).alias("m")
     )
-    arms = []
-    for i, sa in enumerate(sources):
-        for sb in sources[i + 1:]:
-            arms.append(
-                F.struct(
-                    F.lit(sa).alias("source_a"),
-                    F.lit(sb).alias("source_b"),
-                    F.coalesce(F.col("m")[sa], F.lit(0)).cast("long").alias("ca"),
-                    F.coalesce(F.col("m")[sb], F.lit(0)).cast("long").alias("cb"),
-                    F.lit(totals[sa]).alias("na"),
-                    F.lit(totals[sb]).alias("nb"),
-                )
+    # ONE literal array of pair structs (constant-folded by Catalyst into
+    # a single Literal), exploded per vocabulary row; the per-source
+    # counts are two element_at map lookups AFTER the explode — codegen
+    # stays O(1) in source count (docstring / ADVICE r9)
+    pair_lits = F.array(
+        *[
+            F.struct(
+                F.lit(sa).alias("source_a"),
+                F.lit(sb).alias("source_b"),
+                F.lit(totals[sa]).alias("na"),
+                F.lit(totals[sb]).alias("nb"),
             )
+            for i, sa in enumerate(sources)
+            for sb in sources[i + 1:]
+        ]
+    )
     vocab = (
-        per_tok.select(F.explode(F.array(*arms)).alias("p"))
-        .select("p.*")
+        per_tok.select("m", F.explode(pair_lits).alias("p"))
+        .select(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+            F.coalesce(F.element_at("m", F.col("p.source_a")), F.lit(0))
+            .cast("long")
+            .alias("ca"),
+            F.coalesce(F.element_at("m", F.col("p.source_b")), F.lit(0))
+            .cast("long")
+            .alias("cb"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+        )
         .filter((F.col("ca") > 0) | (F.col("cb") > 0))
     )
     lnu = lambda c: F.floor(F.log(c) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
@@ -1032,7 +1065,7 @@ def source_token_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def heaps_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+def heaps_fit(df: DataFrame, text_col: str = "text", n_buckets: int = 256) -> DataFrame:
     """Heaps'/Herdan's-law vocabulary growth fit V(N) = K·N^β — the
     corpus-health companion to :func:`zipf_fit` (natural text: β ≈
     0.4-0.6; β collapsing toward 0 means a closed/templated vocabulary,
@@ -1042,15 +1075,22 @@ def heaps_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale shape: one tokenize pass → per-token FIRST global position
     (min over one hash aggregate). Global positions come from a
-    cumulative doc-length prefix sum whose unpartitioned window (a
-    global prefix sum needs a total order) sees ONLY slim
-    (doc_id, length) rows — 16 bytes per document, joined back
-    afterwards — so the single window partition holds doc-count
-    scalars, never the tokenized corpus. Checkpoint counts are one
-    in-row explode of the bounded checkpoint list over VOCABULARY
-    rows. The corpus total is a bounded scalar collect (the repo's
-    capped-collect discipline). Float discipline: ln only on exact
-    int64 checkpoints/counts, 1e-6 floors, final 1e-4 (drift-family).
+    cumulative doc-length prefix sum computed with NO unpartitioned
+    window over per-document rows (r9 verdict #2 — at billions of
+    documents one task would sort the whole doc_id domain): documents
+    range-bucket by doc_id (integer width from one bounded min/max
+    collect), per-bucket token totals collapse to an ``n_buckets``-row
+    frame whose exclusive prefix sum is the only unpartitioned window
+    (tiny by construction), and each document's global offset = its
+    bucket's offset + a within-bucket running sum (window PARTITIONED
+    by bucket) — the selection.token_budget_select pattern. Ordering
+    across buckets agrees with ordering within them because the bucket
+    key is a monotone integer truncation of doc_id. Checkpoint counts
+    are one in-row explode of the bounded checkpoint list over
+    VOCABULARY rows. The corpus total is a bounded scalar collect (the
+    repo's capped-collect discipline). Float discipline: ln only on
+    exact int64 checkpoints/counts, 1e-6 floors, final 1e-4
+    (drift-family).
 
     Output: one row (n_tokens, n_vocab, n_checkpoints, heaps_beta,
     heaps_lnk); empty corpora yield zeros with null fit."""
@@ -1065,21 +1105,47 @@ def heaps_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
-    n_total = int(
-        base.agg(F.coalesce(F.sum(F.size("__toks")), F.lit(0))).collect()[0][0]
-    )
+    stats = base.agg(
+        F.coalesce(F.sum(F.size("__toks")), F.lit(0)),
+        F.min("doc_id"),
+        F.max("doc_id"),
+    ).collect()[0]
+    n_total = int(stats[0])
+    dmin = int(stats[1]) if stats[1] is not None else 0
+    dmax = int(stats[2]) if stats[2] is not None else 0
     cps = sorted(
         {1 << i for i in range(1, 63) if (1 << i) < n_total}
         | ({n_total} if n_total else set())
     )
-    # the cumulative-offset window is unpartitioned (a global prefix sum
-    # needs a total order), so it runs over SLIM (doc_id, length) rows
-    # ONLY — 16 bytes per document — and joins back; putting the token
-    # arrays through it would funnel the whole tokenized corpus into the
-    # single window partition
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    offs_slim = base.select("doc_id", F.size("__toks").alias("__len")).select(
-        "doc_id", F.coalesce(F.sum("__len").over(w), F.lit(0)).alias("__off")
+    # bucketed two-phase global prefix sum over slim (doc_id, length)
+    # rows (docstring): integer-width range buckets keep the bucket key
+    # exact and monotone in doc_id; DIV is integer division (diff >= 0)
+    width = max(1, (dmax - dmin) // max(1, n_buckets) + 1)
+    slim = base.select("doc_id", F.size("__toks").alias("__len")).withColumn(
+        "__bucket", F.expr(f"(doc_id - {dmin}) DIV {width}")
+    )
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        slim.groupBy("__bucket")
+        .agg(F.sum("__len").alias("__btok"))
+        .select(
+            "__bucket",
+            F.coalesce(F.sum("__btok").over(wb), F.lit(0)).alias("__boff"),
+        )
+    )
+    ww = (
+        Window.partitionBy("__bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs_slim = (
+        slim.join(F.broadcast(boff), "__bucket")
+        .select(
+            "doc_id",
+            (
+                F.col("__boff") + F.coalesce(F.sum("__len").over(ww), F.lit(0))
+            ).alias("__off"),
+        )
     )
     offs = base.join(offs_slim, "doc_id")
     first = (
