@@ -6340,12 +6340,12 @@ def _sem_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
 
 
-def _semantic_funnel_oracle(threshold: float = 0.92) -> str:
-    """SQL twin of incremental semantic ingestion: the same unit-centroid
-    literals (normalized with the same Python expression order as
-    operators/clustering.assign_to_centroids, so repr() round-trips the
-    identical doubles), the same rounded-argmax assignment (sim DESC,
-    centroid index ASC), and the same rounded-cosine pair predicate —
+def _sem_asg_sql() -> str:
+    """Shared CTE prefix of the semantic funnel oracles: unit vectors,
+    the same unit-centroid literals (normalized with the same Python
+    expression order as operators/clustering.assign_to_centroids, so
+    repr() round-trips the identical doubles), the rounded-argmax
+    assignment (sim DESC, centroid index ASC), and the day split —
     every dot is list_dot_product, bit-identical to the Spark fold."""
     import math
 
@@ -6372,7 +6372,15 @@ def _semantic_funnel_oracle(threshold: float = 0.92) -> str:
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY vec_id ORDER BY sim DESC, c ASC) AS rn
                 FROM d) WHERE rn = 1),
-    w AS (SELECT vec_id, vec_id % 3 AS day, cluster, uv FROM asg),
+    w AS (SELECT vec_id, vec_id % 3 AS day, cluster, uv FROM asg)"""
+
+
+def _semantic_funnel_oracle(threshold: float = 0.92) -> str:
+    """SQL twin of incremental semantic ingestion under the default
+    "all" state mode (seen-semantics — every ingested vector serves the
+    historical check): shared assignment prefix (:func:`_sem_asg_sql`),
+    then the rounded-cosine pair predicate within cells."""
+    return _sem_asg_sql() + f""",
     pairs AS (
         SELECT a.vec_id AS id_a, a.day AS day_a, b.vec_id AS id_b, b.day AS day_b
         FROM w a JOIN w b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
@@ -6470,6 +6478,171 @@ def q_incremental_semantic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(is_within, 1).otherwise(0)).cast("long").alias("n_within_semdup"),
         F.sum(F.when(is_acc, 1).otherwise(0)).cast("long").alias("n_accepted"),
     )
+
+
+def _semantic_keepers_oracle(threshold: float = 0.92) -> str:
+    """SQL twin of incremental semantic ingestion under the KEEPERS
+    state mode (plans/incremental_corpus.ingest_batch_semantic
+    state_mode='keepers'): the historical check joins only previously
+    ACCEPTED vectors, so the day recursion unrolls into chained CTEs
+    (day d's acceptance depends on days < d's keepers — the same
+    unrolling the bloom funnel oracle uses); within-batch stays
+    exists-semantics against ALL smaller-id same-day members. Decisions
+    may legitimately differ from the "all"-mode funnel on dup-of-dup
+    chains — this oracle pins exactly the keeper-replay semantics."""
+
+    def sim(x, y):
+        return (
+            f"FLOOR(list_dot_product({x}.uv, {y}.uv) * 1e6 + 0.5) / 1e6"
+            f" >= {threshold}"
+        )
+
+    return _sem_asg_sql() + f""",
+    w0 AS (SELECT * FROM w WHERE day = 0),
+    w1 AS (SELECT * FROM w WHERE day = 1),
+    w2 AS (SELECT * FROM w WHERE day = 2),
+    sm0 AS (SELECT DISTINCT a.vec_id FROM w0 a JOIN w0 b
+            ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND {sim('a', 'b')}),
+    acc0 AS (SELECT * FROM w0 WHERE vec_id NOT IN (SELECT vec_id FROM sm0)),
+    h1 AS (SELECT DISTINCT a.vec_id FROM w1 a JOIN acc0 s
+           ON a.cluster = s.cluster AND {sim('a', 's')}),
+    sm1 AS (SELECT DISTINCT a.vec_id FROM w1 a JOIN w1 b
+            ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND {sim('a', 'b')}),
+    acc1 AS (SELECT * FROM w1
+             WHERE vec_id NOT IN (SELECT vec_id FROM h1)
+               AND vec_id NOT IN (SELECT vec_id FROM sm1)),
+    st1 AS (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1),
+    h2 AS (SELECT DISTINCT a.vec_id FROM w2 a JOIN st1 s
+           ON a.cluster = s.cluster AND {sim('a', 's')}),
+    sm2 AS (SELECT DISTINCT a.vec_id FROM w2 a JOIN w2 b
+            ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND {sim('a', 'b')}),
+    counts AS (
+        SELECT 0 AS day,
+               (SELECT COUNT(*) FROM w0) AS n_vecs,
+               0 AS n_hist,
+               (SELECT COUNT(*) FROM sm0) AS n_within,
+               (SELECT COUNT(*) FROM w0) - (SELECT COUNT(*) FROM sm0) AS n_acc
+        UNION ALL
+        SELECT 1,
+               (SELECT COUNT(*) FROM w1),
+               (SELECT COUNT(*) FROM h1),
+               (SELECT COUNT(*) FROM sm1
+                WHERE vec_id NOT IN (SELECT vec_id FROM h1)),
+               (SELECT COUNT(*) FROM acc1)
+        UNION ALL
+        SELECT 2,
+               (SELECT COUNT(*) FROM w2),
+               (SELECT COUNT(*) FROM h2),
+               (SELECT COUNT(*) FROM sm2
+                WHERE vec_id NOT IN (SELECT vec_id FROM h2)),
+               (SELECT COUNT(*) FROM w2) - (SELECT COUNT(*) FROM (
+                    SELECT vec_id FROM h2 UNION SELECT vec_id FROM sm2))
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(n_hist AS BIGINT) AS n_hist_semdup,
+           CAST(n_within AS BIGINT) AS n_within_semdup,
+           CAST(n_acc AS BIGINT) AS n_accepted
+    FROM counts
+    """
+
+
+@query("incremental_semantic_keepers_funnel", oracle=_semantic_keepers_oracle())
+def q_incremental_semantic_keepers_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental semantic leg's KEEPERS state mode as a pure query
+    (r9 verdict #3, plans/incremental_corpus.ingest_batch_semantic
+    state_mode='keepers'): vectors arrive in simulated daily batches
+    (day = vec_id % 3) and the historical check runs against previously
+    ACCEPTED vectors only — the state follows the DEDUPED corpus
+    instead of gross ingested volume, which is what bounds the verify
+    join's lifetime growth on long-lived corpora. Within-batch stays
+    exists-semantics (any smaller-id same-day member in the cell at
+    rounded-cosine ≥ 0.92, regardless of that member's own
+    classification), so each day is non-recursive and the 3-day
+    recursion unrolls into a driver loop here and chained CTEs in the
+    oracle. Decisions may differ from incremental_semantic_funnel on
+    dup-of-dup chains (a vector near only a rejected dup classifies
+    novel here) — that delta IS the documented trade.
+
+    Scale shape: per day, one cluster-equi left-semi join against the
+    keeper state and one within-day cluster self-join — all candidate
+    volume bounded per centroid cell (Σ|cell|², the SemDeDup cost
+    model); one cluster-keyed repartition feeds every branch. The real
+    stateful loop's keeper appends are covered by
+    tests/test_incremental_corpus.py."""
+    from .operators.clustering import assign_to_centroids
+    from .operators.similarity import dot as _dot
+    from .operators.similarity import round6
+
+    thr = 0.92
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = (
+        assign_to_centroids(emb, _sem_centroids())
+        .withColumn("day", F.col("vec_id") % 3)
+        .repartition("cluster")
+    )
+    state = None
+    parts = []
+    for d in (0, 1, 2):
+        wd = asg.filter(F.col("day") == d)
+        a, b = wd.alias("A"), wd.alias("B")
+        within_ids = a.join(
+            b,
+            (F.col("A.cluster") == F.col("B.cluster"))
+            & (F.col("B.vec_id") < F.col("A.vec_id"))
+            & (round6(_dot(F.col("A.uv"), F.col("B.uv"))) >= thr),
+            "left_semi",
+        ).select("vec_id")
+        if state is None:
+            hist_ids = wd.select("vec_id").limit(0)
+        else:
+            s = state.alias("S")
+            hist_ids = a.join(
+                s,
+                (F.col("A.cluster") == F.col("S.cluster"))
+                & (round6(_dot(F.col("A.uv"), F.col("S.uv"))) >= thr),
+                "left_semi",
+            ).select("vec_id")
+        flagged = (
+            wd.select("vec_id")
+            .join(hist_ids.withColumn("__h", F.lit(1)), "vec_id", "left")
+            .join(within_ids.withColumn("__w", F.lit(1)), "vec_id", "left")
+        )
+        parts.append(
+            flagged.agg(
+                F.count("*").alias("n_vecs"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__h") == 1, 1).otherwise(0)), F.lit(0)
+                ).alias("n_hist_semdup"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__h").isNull() & (F.col("__w") == 1), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_within_semdup"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__h").isNull() & F.col("__w").isNull(), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_accepted"),
+            ).select(
+                F.lit(d).cast("long").alias("day"),
+                F.col("n_vecs").cast("long").alias("n_vecs"),
+                F.col("n_hist_semdup").cast("long").alias("n_hist_semdup"),
+                F.col("n_within_semdup").cast("long").alias("n_within_semdup"),
+                F.col("n_accepted").cast("long").alias("n_accepted"),
+            )
+        )
+        accepted = wd.join(hist_ids, "vec_id", "left_anti").join(
+            within_ids, "vec_id", "left_anti"
+        )
+        state = accepted if state is None else state.unionByName(accepted)
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
 def _bloom_funnel_oracle(m: int = 4096, k: int = 4) -> str:
@@ -6612,6 +6785,67 @@ def q_incremental_bloom_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rej").cast("long").alias("n_rejected_maybe_dup"),
         (F.col("n_keepers") - F.col("n_rej")).cast("long").alias("n_accepted"),
     )
+
+
+_ALL_LEGS_NORMALIZE = {
+    # leg -> (items_col, hist_col, within_col) in that leg's funnel twin;
+    # bloom's "hist" is its rejected-maybe-dup count (true dups + FPs —
+    # the leg cannot tell them apart; that IS its contract)
+    "exact": ("n_docs", "n_hist_dup", "n_within_dup"),
+    "neardup": ("n_docs", "n_hist_neardup", "n_within_neardup"),
+    "bloom": ("n_docs", "n_rejected_maybe_dup", "n_within_dup"),
+    "embdup": ("n_vecs", "n_hist_embdup", "n_within_embdup"),
+    "semantic": ("n_vecs", "n_hist_semdup", "n_within_semdup"),
+}
+
+
+def _all_legs_oracle() -> str:
+    """Composite oracle: each leg's already-registered funnel oracle as
+    a parenthesized subquery, normalized to (leg, day, n_items, n_hist,
+    n_within, n_accepted) and UNION ALL'd — the SQL contract of
+    plans/incremental_corpus.ingest_batch_all."""
+    parts = []
+    for leg, (items, hist, within) in _ALL_LEGS_NORMALIZE.items():
+        inner = ORACLES[f"incremental_{'ingest' if leg == 'exact' else leg}_funnel"]
+        parts.append(
+            f"SELECT '{leg}' AS leg, CAST(day AS BIGINT) AS day, "
+            f"{items} AS n_items, {hist} AS n_hist, {within} AS n_within, "
+            f"n_accepted FROM ({inner}) AS t_{leg}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("incremental_all_legs_funnel", oracle=_all_legs_oracle())
+def q_incremental_all_legs_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed five-leg ingest (plans/incremental_corpus.
+    ingest_batch_all — one lease, one recovery sweep, one shared scan
+    per batch frame) as a pure query: every leg's day-funnel normalized
+    to (leg, day, n_items, n_hist, n_within, n_accepted) and unioned.
+    The stateful composite's per-leg commits and crash-resume via
+    namespaced epochs are covered by tests/test_incremental_corpus.py;
+    this twin pins that the composed classification IS the five
+    individual classifications (no leg sees a different batch).
+
+    Scale shape: the five sub-funnels keep their own profiled shapes
+    (bucketed/banded equi-joins); the union is plan-level only."""
+    parts = []
+    for leg, (items, hist, within) in _ALL_LEGS_NORMALIZE.items():
+        name = f"incremental_{'ingest' if leg == 'exact' else leg}_funnel"
+        df = QUERIES[name](spark, sf_dir)
+        parts.append(
+            df.select(
+                F.lit(leg).alias("leg"),
+                F.col("day").cast("long").alias("day"),
+                F.col(items).cast("long").alias("n_items"),
+                F.col(hist).cast("long").alias("n_hist"),
+                F.col(within).cast("long").alias("n_within"),
+                F.col("n_accepted").cast("long").alias("n_accepted"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1199,3 +1199,302 @@ def test_first_pin_refuses_silent_defaults_over_existing_state(spark, state_dir)
     s2 = ingest_batch_neardup(spark, _docs(spark, [(1, "one two three")]), fresh)
     assert s2["n_accepted"] == 1
     assert IC.state_meta(spark, fresh, "neardup")["n_buckets"] == IC.DEFAULT_BUCKETS
+
+def test_semantic_keepers_ingest_matches_static_funnel(spark, state_dir, sf_smoke):
+    """r9 verdict #3: replaying embeddings as day batches through the
+    STATEFUL semantic loop in state_mode='keepers' reproduces the
+    oracled keepers funnel exactly — and the member state holds ONE row
+    per ACCEPTED vector (corpus keepers), not per ingested vector."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_semantic,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    expected = {
+        int(r["day"]): (r["n_vecs"], r["n_hist_semdup"], r["n_within_semdup"], r["n_accepted"])
+        for r in QUERIES["incremental_semantic_keepers_funnel"](spark, sf_smoke).collect()
+    }
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    cents = _sem_centroids_fixture()
+    total_accepted = 0
+    for day in (0, 1, 2):
+        batch = emb.filter(emb.vec_id % 3 == day)
+        got = ingest_batch_semantic(
+            spark, batch, state_dir, cents, state_mode="keepers"
+        )
+        assert (
+            got["n_batch"],
+            got["n_hist_semdup"],
+            got["n_within_semdup"],
+            got["n_accepted"],
+        ) == expected[day], (day, got, expected[day])
+        total_accepted += got["n_accepted"]
+
+    members = spark.read.parquet(state_dir + "/semantic_members")
+    assert members.count() == total_accepted  # keepers only, not gross
+    assert spark.read.parquet(state_dir + "/corpus_semantic").count() == total_accepted
+
+    # the mode is pinned: a later call passing 'all' refuses
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_semantic(spark, emb.limit(1), state_dir, state_mode="all")
+    # and an omitted mode defaults from the pinned meta
+    assert IC.state_meta(spark, state_dir, "semantic")["state_mode"] == "keepers"
+
+
+def test_semantic_keepers_replay_appends_nothing(spark, state_dir):
+    """Keepers-mode replay/crash-retry stability: re-ingesting a batch
+    classifies identically (keepers in state -> historical; dups still
+    match within-batch) and appends zero rows to state AND corpus."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_semantic,
+    )
+
+    cents = _sem_centroids_fixture()
+    batch = spark.createDataFrame(
+        [
+            (1, [float(j) for j in range(64)]),
+            (2, [float(j) + 0.001 for j in range(64)]),  # dup of 1
+            (3, [(-1.0) ** j * (j + 1.0) for j in range(64)]),
+            (4, None),  # null: sentinel class, first accepted
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    s1 = ingest_batch_semantic(spark, batch, state_dir, cents, state_mode="keepers")
+    assert s1 == {
+        "n_batch": 4,
+        "n_hist_semdup": 0,
+        "n_within_semdup": 1,
+        "n_accepted": 3,
+    }
+    members = spark.read.parquet(state_dir + "/semantic_members")
+    assert members.count() == 3  # keepers only — vec 2's row not stored
+
+    s2 = ingest_batch_semantic(spark, batch, state_dir)
+    # replay: keepers (1, 3, null) are historical; dup 2 still matches
+    # keeper 1 (in state) -> historical too
+    assert s2["n_accepted"] == 0 and s2["n_hist_semdup"] + s2["n_within_semdup"] == 4
+    assert spark.read.parquet(state_dir + "/semantic_members").count() == 3
+    assert spark.read.parquet(state_dir + "/corpus_semantic").count() == 3
+
+    # a later null is a dup of the stored sentinel keeper
+    sn = ingest_batch_semantic(
+        spark, spark.createDataFrame([(20, None)], "vec_id long, embedding array<double>"),
+        state_dir,
+    )
+    assert sn["n_hist_semdup"] == 1 and sn["n_accepted"] == 0
+
+def _recentroid_fixture(spark, state_dir):
+    """A small semantic state with two well-separated groups: vectors
+    1/2 near e0-ish direction, 3 orthogonal-ish, plus a null sentinel."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_semantic,
+    )
+
+    cents = _sem_centroids_fixture()
+    batch = spark.createDataFrame(
+        [
+            (1, [float(j) for j in range(64)]),
+            (2, [float(j) + 0.001 for j in range(64)]),  # dup of 1
+            (3, [(-1.0) ** j * (j + 1.0) for j in range(64)]),
+            (4, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    s = ingest_batch_semantic(spark, batch, state_dir, cents)
+    assert s["n_accepted"] == 3
+    return cents, batch
+
+
+def test_recentroid_state_migrates_members_and_meta(spark, state_dir):
+    """r9 verdict #4: recentroid_state rewrites semantic_members under
+    NEW centroids (stored uv reassigned by the same rounded argmax,
+    sentinel rows keep cell -1), re-pins _meta atomically, and the loop
+    keeps classifying correctly against the migrated state."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_semantic,
+        recentroid_state,
+        state_report,
+    )
+
+    cents, batch = _recentroid_fixture(spark, state_dir)
+    before = IC.state_meta(spark, state_dir, "semantic")
+
+    # state_report exposes the occupancy the runbook watches
+    rep = state_report(spark, state_dir)
+    cells = rep["legs"]["semantic"]["cells"]
+    assert cells["n_cells"] >= 2 and cells["sum_sq"] >= cells["max_cell"] ** 2
+    assert cells["top"][0][1] == cells["max_cell"]
+
+    new_cents = [[-x for x in c] for c in _sem_centroids_fixture()] + [
+        [1.0] * 64
+    ]  # different key function, one extra cell
+    out = recentroid_state(spark, state_dir, new_cents)
+    assert out["n_members"] == 4  # 3 keepers + null sentinel row... see below
+    after = IC.state_meta(spark, state_dir, "semantic")
+    assert after["centroids_digest"] != before["centroids_digest"]
+    assert after["threshold"] == before["threshold"]
+    assert after["n_buckets"] == before["n_buckets"]
+
+    # identical-centroid migration refuses
+    with pytest.raises(ValueError, match="identical"):
+        recentroid_state(spark, state_dir, new_cents)
+
+    # sentinel rows survived the rewrite as cell -1 (checked BEFORE the
+    # replay below, which in "all" mode appends its rows again)
+    members = spark.read.parquet(state_dir + "/semantic_members")
+    assert members.filter("cluster = -1").count() == 1
+
+    # replay classifies 100% historical against the migrated state —
+    # centroids now come from the NEW meta, assignments match the
+    # rewritten member cells
+    s = ingest_batch_semantic(spark, batch, state_dir)
+    assert s["n_hist_semdup"] == 4 and s["n_accepted"] == 0
+    # and passing the OLD centroids now mismatches the new pin
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_semantic(spark, batch, state_dir, cents)
+
+
+@pytest.mark.parametrize(
+    "crash", ["after_next", "after_stage", "mid_swap", "before_finalize"]
+)
+def test_recentroid_crash_recovery_settles_both_ways(spark, state_dir, crash):
+    """A recentroid migration crashed at any point settles to a
+    CONSISTENT (members, meta) pair on the next recovery: rolled back
+    (old centroids, old members) before the swap commits, rolled
+    forward (new centroids, new members) after — never a mix. The next
+    ingest's classification proves which side won."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_semantic,
+        recentroid_state,
+        recover_state,
+    )
+
+    cents, batch = _recentroid_fixture(spark, state_dir)
+    old_digest = IC.state_meta(spark, state_dir, "semantic")["centroids_digest"]
+    new_cents = [[-x for x in c] for c in _sem_centroids_fixture()]
+
+    with pytest.raises(IC.SimulatedCrash):
+        recentroid_state(spark, state_dir, new_cents, _crash=crash)
+    actions = recover_state(spark, state_dir)
+    assert actions["recentroid_settled"] in (0, 1)
+
+    meta = IC.state_meta(spark, state_dir, "semantic")
+    fs = HadoopFS(spark, state_dir)
+    assert not fs.exists(state_dir + "/_meta/semantic.json.next")
+    assert not fs.exists(state_dir + "/semantic_members.recentroid-stage")
+    assert not fs.exists(state_dir + "/semantic_members._compact_tmp")
+    assert not fs.exists(state_dir + "/semantic_members._compact_old")
+
+    if crash in ("after_next", "after_stage"):
+        assert meta["centroids_digest"] == old_digest  # rolled back
+    else:
+        assert meta["centroids_digest"] != old_digest  # rolled forward
+
+    # whichever side won, the state is self-consistent: a replay of the
+    # original batch classifies 100% historical, appends nothing
+    s = ingest_batch_semantic(spark, batch, state_dir)
+    assert s["n_hist_semdup"] == 4 and s["n_accepted"] == 0
+    assert spark.read.parquet(state_dir + "/corpus_semantic").count() == 3
+
+def test_ingest_batch_all_composes_five_legs(spark, state_dir, sf_smoke):
+    """r9 verdict #8: the composed ingest classifies EXACTLY like the
+    five individually-chained legs (the oracled composite funnel), under
+    ONE lease acquisition and one shared scan per batch frame."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_all,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    expected = {
+        (r["leg"], int(r["day"])): (r["n_items"], r["n_hist"], r["n_within"], r["n_accepted"])
+        for r in QUERIES["incremental_all_legs_funnel"](spark, sf_smoke).collect()
+    }
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    tables = _lsh_tables_fixture()
+    cents = _sem_centroids_fixture()
+    hist_keys = {
+        "exact": "n_hist_dup",
+        "neardup": "n_hist_neardup",
+        "bloom": "n_rejected_maybe_dup",
+        "embdup": "n_hist_embdup",
+        "semantic": "n_hist_semdup",
+    }
+    within_keys = {
+        "exact": "n_within_dup",
+        "neardup": "n_within_neardup",
+        "bloom": "n_within_dup",
+        "embdup": "n_within_embdup",
+        "semantic": "n_within_semdup",
+    }
+    for day in (0, 1, 2):
+        out = ingest_batch_all(
+            spark,
+            state_dir,
+            docs=docs.filter(docs.doc_id % 3 == day),
+            vecs=emb.filter(emb.vec_id % 3 == day),
+            tables=tables if day == 0 else None,
+            centroids=cents if day == 0 else None,
+        )
+        assert set(out) == {"exact", "neardup", "bloom", "embdup", "semantic"}
+        for leg, stats in out.items():
+            n_items = stats["n_batch"]
+            got = (
+                n_items,
+                stats[hist_keys[leg]],
+                stats[within_keys[leg]],
+                stats["n_accepted"],
+            )
+            # bloom's default m_bits differs from its funnel twin's 4096,
+            # so compare the twin only on the legs with pinned-identical
+            # parameters; bloom still must satisfy its own invariants
+            if leg == "bloom":
+                assert got[0] == expected[("bloom", day)][0]
+                assert stats["n_accepted"] + stats["n_rejected_maybe_dup"] + stats["n_within_dup"] == got[0]
+                continue
+            assert got == expected[(leg, day)], (leg, day, got, expected[(leg, day)])
+
+
+def test_ingest_batch_all_single_lease_and_epoch_resume(spark, state_dir):
+    """The composite takes ONE lease (a held lock blocks the whole call
+    before any leg runs) and namespaces its epoch per leg, so a crash
+    mid-composite retried blindly SKIPS committed legs and resumes."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_all,
+    )
+
+    docs = _docs(spark, [(1, "alpha text"), (2, "alpha text")])
+    fs = HadoopFS(spark, state_dir)
+    fs.mkdirs(state_dir)
+    lock = state_dir + "/_lock"
+    assert fs.create_exclusive(lock, '{"writer": "other"}')
+    with pytest.raises(IC.ConcurrentWriter):
+        ingest_batch_all(spark, state_dir, docs=docs, epoch_id="d0")
+    assert not fs.exists(state_dir + "/corpus")  # nothing ran
+    IC.break_lease(spark, state_dir)
+
+    with pytest.raises(ValueError, match="docs and/or vecs"):
+        ingest_batch_all(spark, state_dir)
+
+    out = ingest_batch_all(spark, state_dir, docs=docs, epoch_id="d0")
+    assert out["exact"]["n_accepted"] == 1
+    assert out["neardup"]["n_accepted"] == 2  # too short for 3-gram bands
+    assert out["bloom"]["n_accepted"] == 1
+    # per-leg namespaced epochs all committed
+    for leg in ("exact", "neardup", "bloom"):
+        assert IC.epoch_committed(spark, state_dir, f"d0-{leg}")
+
+    # blind redelivery of the whole composite: every leg skips
+    again = ingest_batch_all(spark, state_dir, docs=docs, epoch_id="d0")
+    assert again == {"exact": None, "neardup": None, "bloom": None}
+
+    # simulate a crash AFTER the exact leg committed (drop the other
+    # legs' markers): the retry skips exact, re-runs the rest
+    fs.delete(state_dir + "/_epochs/d0-neardup", False)
+    fs.delete(state_dir + "/_epochs/d0-bloom", False)
+    resumed = ingest_batch_all(spark, state_dir, docs=docs, epoch_id="d0")
+    assert resumed["exact"] is None  # skipped — already committed
+    assert resumed["neardup"] is not None and resumed["bloom"] is not None
+    # replay classifications: everything historical, nothing re-appended
+    assert resumed["bloom"]["n_accepted"] == 0
+    assert spark.read.parquet(state_dir + "/corpus").count() == 1

@@ -604,3 +604,106 @@ def test_stream_semantic_ingest_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r.vec_id for r in spark.read.parquet(state + "/corpus_semantic").collect()}
     assert got == {1, 11}
+
+def test_maintain_state_between_streaming_runs(spark, tmp_path):
+    """r9 verdict #5: the nightly maintain_state pass runs BETWEEN two
+    availableNow runs of stream_ingest_semantic — epochs prune
+    per-namespace (highest kept), the member state compacts, the commit
+    log rolls into one segment — and the stream continues on the SAME
+    checkpoint afterwards: the surviving tail epoch still skips on
+    redelivery, and the next batch classifies correctly against the
+    compacted state."""
+    from etl_pipeline_for_retail_sales_data_spark.plans import (
+        incremental_corpus as IC,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_semantic,
+        maintain_state,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import (
+        _sem_centroids,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        _checkpoint_namespace,
+        stream_ingest_semantic,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    cents = _sem_centroids()
+    schema = "vec_id long, embedding array<double>"
+
+    # run 1 (batch 0): one novel + one near-dup
+    spark.createDataFrame(
+        [
+            (1, [float(j) for j in range(64)]),
+            (2, [float(j) + 0.001 for j in range(64)]),  # near-dup of 1
+        ],
+        schema,
+    ).write.parquet(src)
+    q = stream_ingest_semantic(
+        spark.readStream.schema(schema).parquet(src), state, cents,
+        "sem_maint", cp,
+    )
+    q.awaitTermination(120)
+    # run 2 (batch 1, SAME checkpoint): one more novel vector
+    spark.createDataFrame(
+        [(3, [(-1.0) ** j * (j + 1.0) for j in range(64)])], schema
+    ).write.mode("append").parquet(src)
+    q2 = stream_ingest_semantic(
+        spark.readStream.schema(schema).parquet(src), state, None,
+        "sem_maint2", cp,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(state + "/corpus_semantic").count() == 2
+
+    ns = _checkpoint_namespace(spark, cp)
+    assert IC.epoch_committed(spark, state, f"{ns}-0")
+    assert IC.epoch_committed(spark, state, f"{ns}-1")
+
+    # the nightly pass between runs: prune epochs to the tail, compact
+    out = maintain_state(spark, state, keep_epochs_per_ns=1)
+    assert out["epochs_pruned"] == 1
+    assert out["compacted_semantic"] == 3  # vectors 1, 2, 3 — one row each
+    assert out["log_entries"] == 2
+    assert not IC.epoch_committed(spark, state, f"{ns}-0")  # pruned
+    assert IC.epoch_committed(spark, state, f"{ns}-1")  # tail kept
+
+    # redelivery-skip survives for the tail epoch (Structured Streaming
+    # only ever redelivers the in-flight tail): the batch API with the
+    # same namespaced epoch id returns None = skipped wholesale
+    redeliver = spark.createDataFrame(
+        [(3, [(-1.0) ** j * (j + 1.0) for j in range(64)])], schema
+    )
+    assert (
+        ingest_batch_semantic(spark, redeliver, state, epoch_id=f"{ns}-1") is None
+    )
+    # a PRUNED epoch re-classifies instead of skipping — harmless: all
+    # historical, nothing appended (idempotent by classification)
+    s = ingest_batch_semantic(
+        spark,
+        spark.createDataFrame(
+            [(1, [float(j) for j in range(64)])], schema
+        ),
+        state,
+        epoch_id=f"{ns}-0",
+    )
+    assert s["n_hist_semdup"] == 1 and s["n_accepted"] == 0
+
+    # and the stream continues on the same checkpoint: batch 2 ingests
+    # one novel + skips one historical against the COMPACTED state
+    spark.createDataFrame(
+        [
+            (10, [float(j) + 0.002 for j in range(64)]),  # hist near-dup
+            (11, [1.0 if j % 7 == 0 else -2.0 for j in range(64)]),  # novel
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    q3 = stream_ingest_semantic(
+        spark.readStream.schema(schema).parquet(src), state, None,
+        "sem_maint3", cp,
+    )
+    q3.awaitTermination(120)
+    got = {r.vec_id for r in spark.read.parquet(state + "/corpus_semantic").collect()}
+    assert got == {1, 3, 11}

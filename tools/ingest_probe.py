@@ -65,6 +65,28 @@ def synth_docs(spark, n: int, tag: str, id_offset: int = 0):
     )
 
 
+def synth_dup_vecs(spark, n: int, tag: str, id_offset: int = 0, copies: int = 4):
+    """n vectors where each DISTINCT vector appears ``copies`` times
+    (components keyed by id // copies): the duplicate-heavy history that
+    separates the semantic leg's state modes — "all" stores n rows,
+    "keepers" stores ~n/copies."""
+    comps = [
+        (
+            F.pmod(
+                F.xxhash64(F.lit(f"{tag}:{j}"), (F.col("id") / copies).cast("long")),
+                F.lit(2001),
+            ).cast("double")
+            / 1000.0
+            - 1.0
+        )
+        for j in range(DIM)
+    ]
+    return spark.range(n).select(
+        (F.col("id") + F.lit(id_offset)).alias("vec_id"),
+        F.array(*comps).alias("embedding"),
+    )
+
+
 def synth_vecs(spark, n: int, tag: str, id_offset: int = 0):
     """n unit-free random-ish vectors derived from xxhash64 (deterministic,
     no RNG): distinct vectors bucket near-uniformly across hyperplanes."""
@@ -117,6 +139,18 @@ def run_mult(mult: int) -> None:
         IC.compact_bloom_state(spark, dirs["bloom"])
         IC.ingest_batch_semantic(spark, hist_vecs, dirs["semantic"], cents)
         IC.compact_semantic_state(spark, dirs["semantic"])
+        # r9 verdict #3 A/B: the SAME duplicate-heavy history (every
+        # distinct vector x4) under both state modes — "keepers" state
+        # is ~4x smaller, so the verify join's growing component drops
+        hist_dup = synth_dup_vecs(spark, BATCH_VECS * mult, "hist")
+        dirs["sem_dup_all"] = os.path.join(tmp, "sem_dup_all")
+        dirs["sem_dup_keep"] = os.path.join(tmp, "sem_dup_keep")
+        IC.ingest_batch_semantic(spark, hist_dup, dirs["sem_dup_all"], cents)
+        IC.compact_semantic_state(spark, dirs["sem_dup_all"])
+        IC.ingest_batch_semantic(
+            spark, hist_dup, dirs["sem_dup_keep"], cents, state_mode="keepers"
+        )
+        IC.compact_semantic_state(spark, dirs["sem_dup_keep"])
 
         # ---- time a constant novel batch per leg, min of 3 fresh batches
         def timed(fn) -> float:
@@ -160,6 +194,25 @@ def run_mult(mult: int) -> None:
                 dirs["semantic"],
             )
         )
+        times["sem_dup_all"] = timed(
+            lambda r: IC.ingest_batch_semantic(
+                spark, synth_dup_vecs(spark, BATCH_VECS, f"p{r}", off * (r + 1)),
+                dirs["sem_dup_all"],
+            )
+        )
+        times["sem_dup_keep"] = timed(
+            lambda r: IC.ingest_batch_semantic(
+                spark, synth_dup_vecs(spark, BATCH_VECS, f"p{r}", off * (r + 1)),
+                dirs["sem_dup_keep"],
+            )
+        )
+        # r9 verdict #7: the nightly maintenance pass rewrites every
+        # leg's full state — one wall-clock number per multiple so the
+        # runbook can size the window (sum over the five standard legs)
+        t0 = time.perf_counter()
+        for leg in ("exact", "neardup", "embdup", "bloom", "semantic"):
+            IC.maintain_state(spark, dirs[leg])
+        times["maintenance"] = round(time.perf_counter() - t0, 3)
         # state row counts for the table (scan-size context)
         sizes = {
             "exact": spark.read.parquet(dirs["exact"] + "/fingerprints").count(),
@@ -169,7 +222,16 @@ def run_mult(mult: int) -> None:
             "semantic": spark.read.parquet(
                 dirs["semantic"] + "/semantic_members"
             ).count(),
+            "sem_dup_all": spark.read.parquet(
+                dirs["sem_dup_all"] + "/semantic_members"
+            ).count(),
+            "sem_dup_keep": spark.read.parquet(
+                dirs["sem_dup_keep"] + "/semantic_members"
+            ).count(),
         }
+        sizes["maintenance"] = sum(
+            sizes[k] for k in ("exact", "neardup", "embdup", "bloom", "semantic")
+        )
     print("RESULT " + json.dumps({"times": times, "sizes": sizes}), flush=True)
     spark.stop()
 
@@ -210,7 +272,24 @@ def main() -> None:
         "| Leg | state x1 rows | x16 rows | batch @x1 (s) | @x4 (s) | @x16 (s) | x16/x1 |",
         "|---|---|---|---|---|---|---|",
     ]
-    for leg in ("exact", "neardup", "embdup", "bloom", "semantic"):
+    lines[-2:] = [
+        "",
+        "`sem_dup_all` / `sem_dup_keep`: the same duplicate-heavy history",
+        "(every distinct vector x4) under the two semantic state modes —",
+        "keepers-state holds ~1/4 the rows at every multiple, so the",
+        "verify join's growing component drops with it (r9 verdict #3).",
+        "`maintenance` is one full nightly pass (recover + compact all",
+        "five legs + log roll + epoch prune) per multiple: it REWRITES",
+        "every leg's state, so it grows with total state rows — the",
+        "number that sizes the maintenance window (r9 verdict #7).",
+        "",
+        lines[-2],
+        lines[-1],
+    ]
+    for leg in (
+        "exact", "neardup", "embdup", "bloom", "semantic",
+        "sem_dup_all", "sem_dup_keep", "maintenance",
+    ):
         t = [results[m]["times"][leg] for m in MULTS]
         s1 = results[1]["sizes"][leg]
         s16 = results[16]["sizes"][leg]
