@@ -282,6 +282,14 @@ def main() -> None:
         "five legs + log roll + epoch prune) per multiple: it REWRITES",
         "every leg's state, so it grows with total state rows — the",
         "number that sizes the maintenance window (r9 verdict #7).",
+        "Honesty note on the semantic rows: at this probe's scale the",
+        "semantic legs sit on a fixed per-batch floor (~10 s of assignment +",
+        "verify-join job overhead), so their TIME columns are noise-dominated",
+        "— the state-row columns carry the scale signal (sem_dup_keep stores",
+        "1/4 the rows of sem_dup_all at every multiple, and the verify join's",
+        "candidate volume |batch-cell|x|state-cell| scales with exactly those",
+        "rows). The maintenance row's growth IS visible (it rewrites every",
+        "state row).",
         "",
         lines[-2],
         lines[-1],
