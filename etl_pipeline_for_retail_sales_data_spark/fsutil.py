@@ -94,9 +94,8 @@ class HadoopFS:
             scheme = None
         if scheme == "file":
             import os
-            from urllib.parse import urlparse
 
-            local = urlparse(p).path if p.startswith("file:") else p
+            local = self._local_path(p)
             try:
                 fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
@@ -135,7 +134,11 @@ class HadoopFS:
 
     def touch_atomic(self, p: str, content: str = "") -> None:
         """Create a small marker file whose VISIBILITY is atomic: write
-        to a dot-tmp sibling, then rename into place."""
+        to a dot-tmp sibling, then rename into place. NOTE: the rename
+        REFUSES when ``p`` already exists (treated as "a concurrent or
+        previous publisher already placed the marker") — right for
+        write-once markers, silently wrong for UPDATING a file; use
+        :meth:`replace_atomic` for that."""
         tmp = self._Path(p + ".tmp")
         out = self._fs.create(tmp, True)
         try:
@@ -146,6 +149,60 @@ class HadoopFS:
         if not self._fs.rename(tmp, self._Path(p)):
             # a concurrent/previous publisher already placed the marker
             self._fs.delete(tmp, False)
+
+    def _local_path(self, p: str) -> str:
+        from urllib.parse import urlparse
+
+        return urlparse(p).path if p.startswith("file:") else p
+
+    def rename_replace(self, src: str, dst: str) -> None:
+        """Rename ``src`` over ``dst``, REPLACING any existing file —
+        atomically on file:// (POSIX ``os.replace`` rename-over; the
+        Hadoop local client's rename refuses existing destinations).
+        Other schemes fall back to delete-then-rename; the gap is only
+        reachable by documented lock-free read-only snapshots, since
+        every caller runs under the writer lease."""
+        try:
+            scheme = self._fs.getScheme()
+        except Exception:
+            scheme = None
+        if scheme == "file":
+            import os
+
+            lsrc, ldst = self._local_path(src), self._local_path(dst)
+
+            def crc(p: str) -> str:
+                # LocalFileSystem is a ChecksumFileSystem: every file it
+                # writes has a ".<name>.crc" sidecar the os-level rename
+                # bypasses — a stale sidecar makes every later Hadoop
+                # read fail checksum. Remove the destination's first
+                # (reads of a crc-less file skip verification), replace
+                # the main file, then move the source's sidecar in.
+                d, b = os.path.split(p)
+                return os.path.join(d, f".{b}.crc")
+
+            if os.path.exists(crc(ldst)):
+                os.remove(crc(ldst))
+            os.replace(lsrc, ldst)
+            if os.path.exists(crc(lsrc)):
+                os.replace(crc(lsrc), crc(ldst))
+            return
+        self._fs.delete(self._Path(dst), False)
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise IOError(f"rename_replace {src} -> {dst} failed")
+
+    def replace_atomic(self, p: str, content: str = "") -> None:
+        """:meth:`touch_atomic` for files that may already exist: write
+        a tmp sibling, then rename OVER the destination (atomic on
+        file://). The update primitive for pinned metadata."""
+        tmp = p + ".tmp"
+        out = self._fs.create(self._Path(tmp), True)
+        try:
+            if content:
+                out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        self.rename_replace(tmp, p)
 
     def read_text(self, p: str) -> str:
         # JVM-side copy into a byte array: a Python bytearray passed to

@@ -300,8 +300,10 @@ def _resolve_meta(
             # a parameter ADDED after this state was first pinned (an
             # upgrade) pins on its first post-upgrade call — persisting
             # it prevents the flip-flop where an explicit value applies
-            # for one call and the next call silently defaults back
-            fs.touch_atomic(path, json.dumps(out, sort_keys=True))
+            # for one call and the next call silently defaults back.
+            # replace_atomic, not touch_atomic: the file EXISTS, and
+            # touch_atomic's rename refuses existing destinations
+            fs.replace_atomic(path, json.dumps(out, sort_keys=True))
         return out
     missing = sorted(k for k, v in given.items() if v is None)
     if missing:
@@ -1376,10 +1378,9 @@ def _recover_recentroid(spark: SparkSession, fs: HadoopFS, state_dir: str) -> in
     want = json.loads(fs.read_text(nxt) or "{}").get("centroids_digest")
     tags = [n for n in fs.list_names(root) if n.startswith("_centroids-")]
     if want and any(n == f"_centroids-{want}" for n in tags):
-        cur = _join(_meta_dir(state_dir), "semantic.json")
-        fs.delete(cur, False)
-        if not fs.rename(nxt, cur):
-            fs.delete(nxt, False)  # a concurrent retry already finalized
+        # atomic rename-over: no window where the meta file is absent
+        # (lock-free readers resolve n_buckets through it)
+        fs.rename_replace(nxt, _join(_meta_dir(state_dir), "semantic.json"))
     else:
         fs.delete(nxt, False)
     _refresh_state_table(spark, root)
@@ -1496,11 +1497,11 @@ def recentroid_state(
         if _crash == "before_finalize":
             raise SimulatedCrash("before_finalize")
 
-        # 4. finalize the meta (idempotent under _recover_recentroid)
-        cur = _join(_meta_dir(state_dir), "semantic.json")
-        fs.delete(cur, False)
-        if not fs.rename(_sem_next_meta_path(state_dir), cur):
-            raise IOError("recentroid: meta finalize rename failed")
+        # 4. finalize the meta: atomic rename-over (no absent-meta window)
+        fs.rename_replace(
+            _sem_next_meta_path(state_dir),
+            _join(_meta_dir(state_dir), "semantic.json"),
+        )
         _refresh_state_table(spark, root)
         n_cells = spark.read.parquet(root).select("cluster").distinct().count()
     return {"n_members": n, "n_cells": n_cells}

@@ -1498,3 +1498,45 @@ def test_ingest_batch_all_single_lease_and_epoch_resume(spark, state_dir):
     # replay classifications: everything historical, nothing re-appended
     assert resumed["bloom"]["n_accepted"] == 0
     assert spark.read.parquet(state_dir + "/corpus").count() == 1
+
+def test_upgrade_added_param_persists_into_meta(spark, state_dir):
+    """A parameter ADDED to a leg after its state was first pinned (an
+    upgrade — e.g. semantic state_mode) must PERSIST into _meta on its
+    first post-upgrade resolution. Regression: touch_atomic refuses
+    existing destinations, so the persist was a silent no-op — an
+    explicit value would apply for one call and the next call would
+    silently default back (the flip-flop the pin exists to prevent)."""
+    import json as _json
+
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_semantic,
+    )
+
+    cents = _sem_centroids_fixture()
+    batch = spark.createDataFrame(
+        [(1, [float(j) for j in range(64)])], "vec_id long, embedding array<double>"
+    )
+    ingest_batch_semantic(spark, batch, state_dir, cents)
+    fs = HadoopFS(spark, state_dir)
+    meta_path = state_dir + "/_meta/semantic.json"
+
+    # simulate a pre-upgrade pin: strip the state_mode key
+    meta = _json.loads(fs.read_text(meta_path))
+    assert meta.pop("state_mode") == "all"
+    fs.replace_atomic(meta_path, _json.dumps(meta, sort_keys=True))
+    assert "state_mode" not in IC.state_meta(spark, state_dir, "semantic")
+
+    # first post-upgrade call pins the mode EXPLICITLY and persists it
+    ingest_batch_semantic(
+        spark,
+        spark.createDataFrame(
+            [(2, [(-1.0) ** j * (j + 1.0) for j in range(64)])],
+            "vec_id long, embedding array<double>",
+        ),
+        state_dir,
+        state_mode="keepers",
+    )
+    assert IC.state_meta(spark, state_dir, "semantic")["state_mode"] == "keepers"
+    # and a later omitted-mode call keeps it (no flip-flop back to all)
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_semantic(spark, batch, state_dir, state_mode="all")
