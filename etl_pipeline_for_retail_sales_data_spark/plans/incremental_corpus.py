@@ -1905,11 +1905,16 @@ def ingest_batch_all(
 
     Commit granularity is PER LEG — each leg keeps its own atomic
     staged-journal commit, and when ``epoch_id`` is set it is
-    namespaced per leg (``<epoch>-exact``, ``<epoch>-neardup``, …), so
-    a crash mid-composite retried blindly SKIPS the legs that already
-    committed and resumes at the first uncommitted one (without an
-    epoch_id the retry is still safe: every leg is idempotent by
-    classification). A composite all-or-nothing commit would need a
+    namespaced per leg with the LEG AS PREFIX (``exact-<epoch>``,
+    ``neardup-<epoch>``, …), so a crash mid-composite retried blindly
+    SKIPS the legs that already committed and resumes at the first
+    uncommitted one (without an epoch_id the retry is still safe:
+    every leg is idempotent by classification). The prefix form keeps
+    the markers PRUNABLE: prune_epochs namespaces on everything before
+    the last dash, so ``exact-5`` prunes within the ``exact``
+    namespace exactly like a streaming checkpoint's ``<qid>-<batch>``
+    (epoch-suffix form would never prune — the leg name is not
+    sequence-shaped). A composite all-or-nothing commit would need a
     cross-root transaction — a table format's job, out of contract
     (module docstring).
 
@@ -1928,7 +1933,7 @@ def ingest_batch_all(
     def leg_epoch(leg: str):
         if epoch_id is None:
             return None
-        return f"{_epoch_key(epoch_id)}-{leg}"
+        return f"{leg}-{_epoch_key(epoch_id)}"
 
     with _writer_lease(spark, state_dir):
         recover_state(spark, state_dir)

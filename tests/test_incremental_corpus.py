@@ -1480,9 +1480,10 @@ def test_ingest_batch_all_single_lease_and_epoch_resume(spark, state_dir):
     assert out["exact"]["n_accepted"] == 1
     assert out["neardup"]["n_accepted"] == 2  # too short for 3-gram bands
     assert out["bloom"]["n_accepted"] == 1
-    # per-leg namespaced epochs all committed
+    # per-leg namespaced epochs all committed (leg-prefix form, so
+    # numeric epochs prune per leg-namespace)
     for leg in ("exact", "neardup", "bloom"):
-        assert IC.epoch_committed(spark, state_dir, f"d0-{leg}")
+        assert IC.epoch_committed(spark, state_dir, f"{leg}-d0")
 
     # blind redelivery of the whole composite: every leg skips
     again = ingest_batch_all(spark, state_dir, docs=docs, epoch_id="d0")
@@ -1490,8 +1491,8 @@ def test_ingest_batch_all_single_lease_and_epoch_resume(spark, state_dir):
 
     # simulate a crash AFTER the exact leg committed (drop the other
     # legs' markers): the retry skips exact, re-runs the rest
-    fs.delete(state_dir + "/_epochs/d0-neardup", False)
-    fs.delete(state_dir + "/_epochs/d0-bloom", False)
+    fs.delete(state_dir + "/_epochs/neardup-d0", False)
+    fs.delete(state_dir + "/_epochs/bloom-d0", False)
     resumed = ingest_batch_all(spark, state_dir, docs=docs, epoch_id="d0")
     assert resumed["exact"] is None  # skipped — already committed
     assert resumed["neardup"] is not None and resumed["bloom"] is not None
