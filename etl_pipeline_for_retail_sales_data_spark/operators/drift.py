@@ -25,6 +25,9 @@ aggregates (cf. q6/sales revenue cents discipline).
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -191,8 +194,10 @@ def ks_drift(
     ECDF prefix sums use NO unpartitioned window over the distinct
     values (r9 verdict #2 sweep — continuous values make the distinct
     domain row-count-magnitude, so one task would sort it all): values
-    range-bucket by a monotone truncation (bucket width from one
-    bounded min/max collect — the repo's capped-collect discipline),
+    bucket by QUANTILE cutpoints (one bounded percentile_approx
+    collect — quantile, not fixed-width, so heavy-tailed value
+    distributions still spread ~evenly; sketch imprecision moves only
+    bucket boundaries, never the exact integer sums),
     per-bucket step totals collapse to a ``n_buckets``-row frame whose
     exclusive prefix sum is the only unpartitioned window, and each
     value's cumulative count = its bucket's offset + a within-bucket
@@ -202,7 +207,7 @@ def ks_drift(
     """
     from pyspark.sql import Window
 
-    n_buckets = 256
+    n_buckets = 128  # 127 comparisons: inside codegen's 64 KB method limit
     steps = (
         df.select(sample.alias("s"), value.alias("v"))
         .filter(F.col("v").isNotNull())
@@ -212,19 +217,23 @@ def ks_drift(
             F.sum((F.col("s") == "b").cast("long")).alias("db"),
         )
     )
-    lo, hi = df.select(
-        F.min(value.cast("double")), F.max(value.cast("double"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(value.cast("double"), qs, 10_000).alias("cuts")
     ).collect()[0]
-    width = ((hi - lo) / n_buckets) if (lo is not None and hi != lo) else 0.0
-    bucket = (
-        F.least(
-            F.floor((F.col("v").cast("double") - F.lit(lo)) / F.lit(width)),
-            F.lit(n_buckets - 1),
-        ).cast("long")
-        if width > 0
-        else F.lit(0).cast("long")
+    cuts = sorted({float(c) for c in (cuts_row["cuts"] or [])})
+    # count-of-cutpoints-below as a plain sum of comparisons, NOT a
+    # higher-order-function lambda: the downstream join on the derived
+    # bucket makes InferFiltersFromConstraints substitute the defining
+    # expression across the deduped self-join branches, and a lambda's
+    # outer reference does not re-map — Spark 4.1 binds it to an
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution
+    bucket = reduce(
+        operator.add,
+        [(F.col("v").cast("double") > F.lit(c)).cast("long") for c in cuts],
+        F.lit(0).cast("long"),
     )
-    bsteps = steps.withColumn("__bucket", bucket)
+    bsteps = steps.withColumn("__bucket", bucket).repartition("__bucket")
     wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     boff = (
         bsteps.groupBy("__bucket")

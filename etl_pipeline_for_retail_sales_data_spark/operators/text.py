@@ -1065,7 +1065,7 @@ def source_token_divergence(
     )
 
 
-def heaps_fit(df: DataFrame, text_col: str = "text", n_buckets: int = 256) -> DataFrame:
+def heaps_fit(df: DataFrame, text_col: str = "text", n_buckets: int = 128) -> DataFrame:
     """Heaps'/Herdan's-law vocabulary growth fit V(N) = K·N^β — the
     corpus-health companion to :func:`zipf_fit` (natural text: β ≈
     0.4-0.6; β collapsing toward 0 means a closed/templated vocabulary,
@@ -1078,14 +1078,20 @@ def heaps_fit(df: DataFrame, text_col: str = "text", n_buckets: int = 256) -> Da
     cumulative doc-length prefix sum computed with NO unpartitioned
     window over per-document rows (r9 verdict #2 — at billions of
     documents one task would sort the whole doc_id domain): documents
-    range-bucket by doc_id (integer width from one bounded min/max
-    collect), per-bucket token totals collapse to an ``n_buckets``-row
-    frame whose exclusive prefix sum is the only unpartitioned window
-    (tiny by construction), and each document's global offset = its
-    bucket's offset + a within-bucket running sum (window PARTITIONED
-    by bucket) — the selection.token_budget_select pattern. Ordering
-    across buckets agrees with ordering within them because the bucket
-    key is a monotone integer truncation of doc_id. Checkpoint counts
+    bucket by QUANTILE cutpoints of doc_id (percentile_approx riding
+    the same bounded stats collect — quantile, not fixed-width, so an
+    adversarial id distribution with a narrow cluster plus outliers
+    still spreads ~evenly; sketch imprecision moves only bucket
+    BOUNDARIES, never sums), per-bucket token totals collapse to an
+    ``n_buckets``-row frame whose exclusive prefix sum is the only
+    unpartitioned window (tiny by construction), and each document's
+    global offset = its bucket's offset + a within-bucket running sum
+    (window PARTITIONED by bucket) — the selection.token_budget_select
+    pattern. Ordering across buckets agrees with ordering within them
+    because the bucket key (count of cutpoints < doc_id) is monotone
+    in doc_id. ``n_buckets`` defaults to 127 comparisons — measured to
+    stay inside whole-stage codegen's 64 KB method limit (255 blew it
+    and fell back to per-operator codegen); raise it with care. Checkpoint counts
     are one in-row explode of the bounded checkpoint list over
     VOCABULARY rows. The corpus total is a bounded scalar collect (the
     repo's capped-collect discipline). Float discipline: ln only on
@@ -1105,24 +1111,35 @@ def heaps_fit(df: DataFrame, text_col: str = "text", n_buckets: int = 256) -> Da
             ),
         )
     )
+    qs = [i / n_buckets for i in range(1, max(2, n_buckets))]
     stats = base.agg(
-        F.coalesce(F.sum(F.size("__toks")), F.lit(0)),
-        F.min("doc_id"),
-        F.max("doc_id"),
+        F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("n"),
+        F.percentile_approx("doc_id", qs, 10_000).alias("cuts"),
     ).collect()[0]
-    n_total = int(stats[0])
-    dmin = int(stats[1]) if stats[1] is not None else 0
-    dmax = int(stats[2]) if stats[2] is not None else 0
+    n_total = int(stats["n"])
+    cuts = sorted({int(c) for c in (stats["cuts"] or [])})
     cps = sorted(
         {1 << i for i in range(1, 63) if (1 << i) < n_total}
         | ({n_total} if n_total else set())
     )
     # bucketed two-phase global prefix sum over slim (doc_id, length)
-    # rows (docstring): integer-width range buckets keep the bucket key
-    # exact and monotone in doc_id; DIV is integer division (diff >= 0)
-    width = max(1, (dmax - dmin) // max(1, n_buckets) + 1)
+    # rows (docstring): bucket = count of quantile cutpoints < doc_id —
+    # monotone in doc_id, ~even under any id distribution. A plain sum
+    # of comparisons, NOT a higher-order-function lambda: the join on
+    # the derived bucket makes constraint inference substitute the
+    # defining expression across branches, and a lambda's outer
+    # reference does not re-map (Spark 4.1 INTERNAL_ERROR — see
+    # drift.ks_drift)
+    import operator
+    from functools import reduce
+
+    bucket = reduce(
+        operator.add,
+        [(F.col("doc_id") > F.lit(c).cast("long")).cast("long") for c in cuts],
+        F.lit(0).cast("long"),
+    )
     slim = base.select("doc_id", F.size("__toks").alias("__len")).withColumn(
-        "__bucket", F.expr(f"(doc_id - {dmin}) DIV {width}")
+        "__bucket", bucket
     )
     wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     boff = (
