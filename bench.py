@@ -68,6 +68,9 @@ HEADLINE = [
     "packed_sequences",
     "record_linkage_parts",
     "canonical_dedup_pipeline",
+    # r11 verdict #4: the df-capped candidate-policy twin, timed next to
+    # the exact-salted pipeline so the A/B is in the recorded numbers
+    "canonical_dedup_pipeline_capped",
     "multimodal_decode_real",
     # r4 second-session additions: diversified retrieval + quantile sketch
     "mmr_diversified_topk",

@@ -138,6 +138,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 256,
+    hot_df: int | str = "p99",
+    n_salts: int = 16,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all co-occurring doc pairs via
     inverted-index self-join (no cross join anywhere). The shingle frame
@@ -161,11 +163,16 @@ def ngram_jaccard_pairs(
     :func:`ngram_jaccard_pairs_salted` (r9 verdict #6): identical
     output, but hot shingles take the salted skew join, so one
     stop-phrase shingle can no longer pin a single reducer at web
-    scale. EVERY default path is therefore skew-safe; the plain
-    (skew-exposed) shape remains reachable for A/B measurement as
-    ``ngram_jaccard_pairs_salted(hot_df=<huge>)`` — a threshold no
-    document frequency reaches sends everything down the cold
-    inverted-index path (SCALING.md).
+    scale. ``hot_df``/``n_salts`` forward to the salted twin on that
+    path (ignored when ``max_df`` is set — the cap already bounds the
+    fan-out). NOTE: the salted path's default ``hot_df="p99"`` runs one
+    bounded eager Spark job at plan-construction time (the
+    document-frequency percentile probe); pass an integer ``hot_df`` to
+    keep construction fully lazy. EVERY default path is therefore
+    skew-safe; the plain (skew-exposed) shape remains reachable for A/B
+    measurement as ``ngram_jaccard_pairs_salted(hot_df=<huge>)`` — a
+    threshold no document frequency reaches sends everything down the
+    cold inverted-index path (SCALING.md).
 
     The per-doc set size rides along on every shingle row (computed
     locally in the Arrow pass, 8 extra bytes/row in the join shuffle) so
@@ -178,7 +185,14 @@ def ngram_jaccard_pairs(
         # exact + skew-safe: the salted twin is output-identical to the
         # uncapped inverted-index join (same oracle) with the hot-key
         # fan-out spread over n_salts reduce keys
-        return ngram_jaccard_pairs_salted(df, text_col=text_col, n=n, threshold=threshold)
+        return ngram_jaccard_pairs_salted(
+            df,
+            text_col=text_col,
+            n=n,
+            threshold=threshold,
+            hot_df=hot_df,
+            n_salts=n_salts,
+        )
 
     sh = doc_shingles_arrow(df, text_col, n, with_size=True).repartition("shingle")
     if max_df is not None:

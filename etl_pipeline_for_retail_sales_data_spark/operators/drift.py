@@ -170,6 +170,35 @@ def psi_drift(
     return out.withColumn("drift", F.col("psi") > F.lit(threshold))
 
 
+def monotone_double_key(df: DataFrame, expr: Column, context: str):
+    """A strictly monotone double keying FUNCTION for ``expr``'s resolved
+    type — what the quantile-bucketed two-phase windows (ks_drift here,
+    heaps_fit in operators/text.py) use for their percentile probe and
+    bucket comparisons. ADVICE r10: bucketing must not narrow the
+    accepted types versus the pre-bucketing single-window plans, which
+    took any orderable column — dates and timestamps map through
+    unix_date / unix_micros (monotone, so bucket boundaries respect the
+    value order; the EXACT integer sums never touch the key). Returns a
+    Column→Column callable so callers can key both the raw column and a
+    grouped alias; raises TypeError up front for types with no monotone
+    numeric image (strings, arrays) instead of failing later inside an
+    ANSI cast."""
+    from pyspark.sql import types as T
+
+    dtype = df.select(expr.alias("__k")).schema[0].dataType
+    if isinstance(dtype, T.NumericType):
+        return lambda c: c.cast("double")
+    if isinstance(dtype, T.DateType):
+        return lambda c: F.unix_date(c).cast("double")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return lambda c: F.unix_micros(c.cast("timestamp")).cast("double")
+    raise TypeError(
+        f"{context}: column type {dtype.simpleString()} has no monotone "
+        f"numeric image for quantile bucketing — pass a numeric, date, or "
+        f"timestamp column"
+    )
+
+
 def ks_drift(
     df: DataFrame,
     sample: Column,
@@ -203,11 +232,15 @@ def ks_drift(
     value's cumulative count = its bucket's offset + a within-bucket
     running sum (window PARTITIONED by bucket). All sums stay exact
     integers, so D·n_a·n_b is unchanged. One max-agg ends it. ``value``
-    must be numeric (the ECDF domain).
+    may be any numeric, date, or timestamp column (the ECDF domain needs
+    only an order; bucketing keys non-numerics through their monotone
+    numeric image — :func:`monotone_double_key`). NOTE: plan
+    construction runs one bounded eager job (the percentile probe).
     """
     from pyspark.sql import Window
 
     n_buckets = 128  # 127 comparisons: inside codegen's 64 KB method limit
+    key = monotone_double_key(df, value, "ks_drift")
     steps = (
         df.select(sample.alias("s"), value.alias("v"))
         .filter(F.col("v").isNotNull())
@@ -219,7 +252,7 @@ def ks_drift(
     )
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts_row = df.select(
-        F.percentile_approx(value.cast("double"), qs, 10_000).alias("cuts")
+        F.percentile_approx(key(value), qs, 10_000).alias("cuts")
     ).collect()[0]
     cuts = sorted({float(c) for c in (cuts_row["cuts"] or [])})
     # count-of-cutpoints-below as a plain sum of comparisons, NOT a
@@ -230,7 +263,7 @@ def ks_drift(
     # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution
     bucket = reduce(
         operator.add,
-        [(F.col("v").cast("double") > F.lit(c)).cast("long") for c in cuts],
+        [(key(F.col("v")) > F.lit(c)).cast("long") for c in cuts],
         F.lit(0).cast("long"),
     )
     bsteps = steps.withColumn("__bucket", bucket).repartition("__bucket")

@@ -115,6 +115,12 @@ class ConcurrentWriter(RuntimeError):
     writer holds (module docstring: single-writer contract, enforced)."""
 
 
+class _LeaseGone(Exception):
+    """Internal control flow for :func:`_writer_lease` release: the lock
+    no longer carries our token (reclaimed after a TTL overrun), so the
+    release must not touch it."""
+
+
 class StateParamMismatch(ValueError):
     """An ingest/compaction passed a parameter that contradicts the
     value pinned in ``state_dir/_meta`` at first ingest — proceeding
@@ -233,6 +239,10 @@ def _meta_dir(state_dir: str) -> str:
     return _join(state_dir, "_meta")
 
 
+def _composites_dir(state_dir: str) -> str:
+    return _join(state_dir, "_composites")
+
+
 # ---------------------------------------------------------------------------
 # parameter pinning: first ingest writes _meta/<leg>.json, later calls
 # validate explicit values against it and default the rest from it
@@ -241,10 +251,21 @@ def _meta_dir(state_dir: str) -> str:
 
 def state_meta(spark: SparkSession, state_dir: str, leg: str) -> dict:
     """The parameters pinned for ``leg`` ('exact' | 'neardup' | 'embdup'
-    | 'bloom') at this state_dir, or {} before the first ingest."""
+    | 'bloom') at this state_dir, or {} before the first ingest.
+
+    Lock-free-reader hardening (r10 ADVICE): on non-file schemes
+    ``replace_atomic``'s rename_replace is delete-then-rename, so the
+    main file is briefly ABSENT mid-update while the fully-written
+    ``.tmp`` sibling still holds the payload (on file:// the
+    ``os.replace`` path has no such window). An absent main file falls
+    back to the sibling, so a reader never sees "no meta" for a pinned
+    state."""
     fs = HadoopFS(spark, state_dir)
     p = _join(_meta_dir(state_dir), leg + ".json")
-    return json.loads(fs.read_text(p) or "{}") if fs.exists(p) else {}
+    text = fs.read_text_or_none(p)
+    if text is None:
+        text = fs.read_text_or_none(p + ".tmp")
+    return json.loads(text or "{}") if text is not None else {}
 
 
 def _resolve_meta(
@@ -327,11 +348,32 @@ def _resolve_meta(
 def _meta_buckets(spark: SparkSession, state_dir: str, leg: str, n_buckets) -> int:
     """Read-path resolution of n_buckets: pinned meta wins, then the
     caller's value, then the local-test default (read-only — never
-    writes meta; the write happens on the first INGEST)."""
+    writes meta; the write happens on the first INGEST).
+
+    When the leg already holds data but no meta is readable (a
+    pre-upgrade state, or a non-file store losing BOTH the main file
+    and its .tmp sibling) and the caller gave no explicit value,
+    defaulting would scan with a possibly-wrong bucket count and
+    silently drop rows — raise instead (r10 ADVICE; mirrors
+    :func:`_resolve_meta`'s write-path refusal)."""
     pinned = state_meta(spark, state_dir, leg).get("n_buckets")
     if pinned is not None:
         return int(pinned)
-    return DEFAULT_BUCKETS if n_buckets is None else int(n_buckets)
+    if n_buckets is not None:
+        return int(n_buckets)
+    fs = HadoopFS(spark, state_dir)
+    if any(
+        fs.has_visible_files(_join(state_dir, rel))
+        for rel in _LEG_ROOTS.get(leg, ())
+    ):
+        raise StateParamMismatch(
+            f"{leg} state at {state_dir} holds data but no pinned _meta is "
+            f"readable and no n_buckets was passed — defaulting to "
+            f"{DEFAULT_BUCKETS} could scan with the wrong bucket count and "
+            f"silently drop rows; pass n_buckets explicitly (matching the "
+            f"original build)"
+        )
+    return DEFAULT_BUCKETS
 
 
 # ---------------------------------------------------------------------------
@@ -394,13 +436,22 @@ def _writer_lease(spark: SparkSession, state_dir: str):
         # Release via the same CLAIM protocol as reclaim (a bare
         # read-then-delete is a TOCTOU: a writer that overran the TTL
         # can read its own token just before a rival reclaims, then
-        # delete the rival's fresh lock). Rename the lock to a private
-        # name — exactly one renamer of a given file succeeds — verify
-        # the token INSIDE the renamed file, and only then delete. A
-        # failed rename means the lease was already reclaimed; a foreign
-        # token means we renamed away the reclaimer's lock (we overran
-        # the TTL) and must put it back.
+        # delete the rival's fresh lock). First READ the lock and skip
+        # the release entirely when the token is foreign — a holder
+        # that overran the TTL and was reclaimed then never touches the
+        # reclaimer's live lock (one overrun alone is harmless; r10
+        # ADVICE). The read is advisory: if a rival reclaims between
+        # the read and the rename, the rename-then-verify below is the
+        # authoritative check. Rename the lock to a private name —
+        # exactly one renamer of a given file succeeds — verify the
+        # token INSIDE the renamed file, and only then delete. A failed
+        # rename means the lease was already reclaimed; a foreign token
+        # means we renamed away the reclaimer's lock (overrun AND lost
+        # the read race) and must put it back.
         try:
+            cur = json.loads(fs.read_text_or_none(lock) or "{}")
+            if cur.get("writer") != token:
+                raise _LeaseGone()
             rel = lock + ".release-" + token
             if fs.rename(lock, rel):
                 held = json.loads(fs.read_text(rel) or "{}")
@@ -411,6 +462,8 @@ def _writer_lease(spark: SparkSession, state_dir: str):
                     # the reclaimer's lock (double-TTL-overrun territory
                     # — already outside the finish-within-TTL contract)
                     fs.delete(rel, False)
+        except _LeaseGone:
+            pass  # reclaimed after our TTL overrun — nothing of ours left
         except Exception:
             pass  # lock already gone (reclaimed after our expiry)
 
@@ -600,7 +653,10 @@ def state_report(spark: SparkSession, state_dir: str) -> dict:
       grows, run :func:`compact_ingest_log`);
     - ``pending_journal``: marker tokens awaiting roll-forward — empty
       except between a crash and the next touch;
-    - ``epochs_recorded`` and ``lease`` (holder + age, or None).
+    - ``epochs_recorded`` and ``lease`` (holder + age, or None);
+    - ``composed_batches`` / ``composed_recent`` (r10 verdict #6): one
+      audit record per :func:`ingest_batch_all` call with every leg's
+      funnel side by side — count plus the 8 most recent records.
 
     READ-ONLY: takes no lease and performs no recovery, so it can run
     while a writer is live (counts may be mid-commit approximations in
@@ -671,12 +727,24 @@ def state_report(spark: SparkSession, state_dir: str) -> dict:
             }
         except Exception:
             lease = None
+    # composed-batch history (r10 verdict #6): one record per
+    # ingest_batch_all call, every leg's funnel side by side. Sequence-
+    # prefixed names make lexical order the ingest order; the report
+    # carries the count plus the 8 most recent records (bounded).
+    comp_names = sorted(fs.list_names(_composites_dir(state_dir)))
+    composed_recent = []
+    for name in comp_names[-8:]:
+        text = fs.read_text_or_none(_join(_composites_dir(state_dir), name))
+        if text:
+            composed_recent.append(json.loads(text))
     return {
         "legs": legs,
         "committed_batches": len(entries),
         "log_files": len(names),
         "pending_journal": fs.list_names(_journal_dir(state_dir)),
         "epochs_recorded": len(fs.list_names(_epochs_dir(state_dir))),
+        "composed_batches": len(comp_names),
+        "composed_recent": composed_recent,
         "lease": lease,
     }
 
@@ -893,9 +961,15 @@ def ingest_batch(
         if epoch_id is not None and epoch_committed(spark, state_dir, epoch_id):
             return None
         fs = HadoopFS(spark, state_dir)
+        # the exact leg is INHERENTLY keeper-state: only novel digests
+        # append, and a dup's digest equals its keeper's digest by
+        # definition, so "all" vs "keepers" cannot differ — recorded in
+        # _meta at first pin (via extra, NOT given: it is not a caller
+        # parameter, so a pre-upgrade re-pin must not demand it)
         eff = _resolve_meta(
             fs, state_dir, "exact",
             {"n_buckets": n_buckets}, {"n_buckets": DEFAULT_BUCKETS},
+            extra={"state_mode": "keepers"},
         )
         n_buckets = int(eff["n_buckets"])
         corpus_root = _join(state_dir, "corpus")
@@ -961,6 +1035,7 @@ def ingest_batch_neardup(
     bands: int | None = None,
     n: int | None = None,
     n_buckets: int | None = None,
+    state_mode: str | None = None,
     epoch_id=None,
     _crash: str | None = None,
     _locked: bool = False,
@@ -977,8 +1052,12 @@ def ingest_batch_neardup(
     not chosen; the pure-query oracled twin is
     ``incremental_neardup_funnel`` in the registry).
 
-    State = (doc_id, band, bk) rows for EVERY ingested doc (seen-
-    semantics, append-only), BUCKETED on (band, bk): ~bands·36 bytes per
+    State = (doc_id, band, bk) rows, BUCKETED on (band, bk) — for EVERY
+    ingested doc under the default ``state_mode="all"`` (seen-semantics,
+    append-only), or for ACCEPTED docs only under
+    ``state_mode="keepers"`` (state follows the deduped corpus; oracled
+    twin ``incremental_neardup_keepers_funnel`` — see
+    :func:`_ingest_keyed` for the dup-of-dup trade): ~bands·36 bytes per
     historical document — the 100 TB corpus collapses to a compact
     fingerprint table, and the per-batch check is one (band, bk)
     equi-join that never shuffles the state side, never scans the
@@ -1020,6 +1099,7 @@ def ingest_batch_neardup(
         leg="neardup",
         given={"k": k, "bands": bands, "n": n, "n_buckets": n_buckets},
         defaults={**DEFAULT_MINHASH, "n_buckets": DEFAULT_BUCKETS},
+        state_mode=state_mode,
         epoch_id=epoch_id,
         _crash=_crash,
         _locked=_locked,
@@ -1043,6 +1123,7 @@ def ingest_batch_embdup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_buckets: int | None = None,
+    state_mode: str | None = None,
     epoch_id=None,
     _crash: str | None = None,
     _locked: bool = False,
@@ -1055,7 +1136,10 @@ def ingest_batch_embdup(
     historical near-dup iff ANY of its per-table buckets was already
     seen; within the batch, sharing a bucket with a smaller-id member.
     Exists-semantics, append-only, same SQL-expressible contract as the
-    text loop (oracled twin ``incremental_embdup_funnel``); state rows
+    text loop (oracled twin ``incremental_embdup_funnel``;
+    ``state_mode="keepers"`` appends only accepted vectors' buckets —
+    twin ``incremental_embdup_keepers_funnel``, trade documented on
+    :func:`_ingest_keyed`); state rows
     are ~n_tables·(id + small strings) per vector and the per-batch check
     is one bucketed (tbl, bucket) equi-join — the state side never
     shuffles, the corpus is never rescanned. Null vectors produce no
@@ -1100,6 +1184,7 @@ def ingest_batch_embdup(
         given={"tables_digest": tables_digest, "n_buckets": n_buckets},
         defaults={"n_buckets": DEFAULT_BUCKETS},
         meta_extra={"tables": tables} if tables is not None else None,
+        state_mode=state_mode,
         epoch_id=epoch_id,
         _crash=_crash,
         _locked=_locked,
@@ -1522,6 +1607,7 @@ def _ingest_keyed(
     epoch_id,
     _crash: str | None,
     meta_extra: dict | None = None,
+    state_mode: str | None = None,
     _locked: bool = False,
 ) -> tuple[int, int, int, int] | None:
     """Shared engine of the LSH-keyed incremental loops: classify a batch
@@ -1531,14 +1617,39 @@ def _ingest_keyed(
     builds the key frame AFTER the leg's parameters resolve against the
     pinned ``_meta`` (so the key function provably matches the stored
     state). Returns (n_batch, n_hist, n_within, n_accepted), or None on
-    a redelivered committed epoch."""
+    a redelivered committed epoch.
+
+    ``state_mode`` (r10 verdict #3 — the semantic leg's r10 feature,
+    propagated to the keyed legs): ``"all"`` (default) appends EVERY
+    batch row's keys — seen-semantics, state grows with gross ingested
+    volume; ``"keepers"`` appends only ACCEPTED rows' keys, so the
+    per-batch history join's candidate volume follows the DEDUPED
+    corpus. Under exists-semantics the modes agree whenever a dup's
+    match chain passes through a keeper and may legitimately differ on
+    dup-of-dup chains (a new row whose only shared key belongs to a
+    REJECTED dup classifies novel in keepers mode) — the oracled twins
+    ``incremental_{neardup,embdup}_keepers_funnel`` pin exactly that
+    semantics. Within-batch stays exists-semantics against ALL
+    smaller-id batch members; replay stability is unchanged (a replayed
+    batch's keepers are in state, its dups still match, nothing
+    re-appends). Pinned into ``_meta`` like every other leg parameter."""
+    if state_mode is not None and state_mode not in ("all", "keepers"):
+        raise ValueError(f"state_mode must be 'all' or 'keepers', got {state_mode!r}")
     with nullcontext() if _locked else _writer_lease(spark, state_dir):
         if not _locked:
             recover_state(spark, state_dir)
         if epoch_id is not None and epoch_committed(spark, state_dir, epoch_id):
             return None
         fs = HadoopFS(spark, state_dir)
-        eff = _resolve_meta(fs, state_dir, leg, given, defaults, extra=meta_extra)
+        eff = _resolve_meta(
+            fs,
+            state_dir,
+            leg,
+            {**given, "state_mode": state_mode},
+            {**defaults, "state_mode": "all"},
+            extra=meta_extra,
+        )
+        keepers_only = eff["state_mode"] == "keepers"
         n_buckets = int(eff["n_buckets"])
         keys = keys_of(eff)
         state_root = _join(state_dir, state_rel)
@@ -1576,13 +1687,20 @@ def _ingest_keyed(
                 if n_accepted:
                     accepted.write.parquet(_staged_dir(corpus_root, token))
                     staged.append(corpus_rel)
-                # seen-semantics: append EVERY batch row's keys (replays of
-                # the same batch then classify 100% historical and append
-                # again — harmless duplicates in an existence-checked state;
-                # compaction collapses them)
-                if n_batch:
+                # "all": seen-semantics — append EVERY batch row's keys
+                # (replays then classify 100% historical and append again:
+                # harmless duplicates in an existence-checked state;
+                # compaction collapses them). "keepers": only accepted
+                # rows' keys append (docstring — state follows the
+                # deduped corpus)
+                state_keys = (
+                    keys.join(accepted.select(id_col), id_col, "left_semi")
+                    if keepers_only
+                    else keys
+                )
+                if (n_accepted if keepers_only else n_batch) > 0:
                     _staged_bucketed_write(
-                        keys.select(id_col, *kc),
+                        state_keys.select(id_col, *kc),
                         _staged_dir(state_root, token),
                         kc,
                         n_buckets,
@@ -1892,6 +2010,8 @@ def ingest_batch_all(
     tables: list | None = None,
     centroids: list | None = None,
     state_mode: str | None = None,
+    m_bits: int | None = None,
+    bloom_k: int | None = None,
     epoch_id=None,
 ) -> dict[str, dict | None]:
     """The five-leg funnel as ONE composed ingest (r9 verdict #8):
@@ -1921,11 +2041,16 @@ def ingest_batch_all(
     Legs run only for the inputs given: pass ``docs`` and/or ``vecs``.
     First composite ingest must carry ``tables`` (embdup) and
     ``centroids`` (semantic) when ``vecs`` is given, exactly like the
-    individual legs. Returns ``{"exact": stats, "neardup": stats,
-    "bloom": stats, "embdup": stats, "semantic": stats}`` with None for
-    a leg whose namespaced epoch already committed, and the leg absent
-    when its input frame was not provided. The pure-query oracled twin
-    is ``incremental_all_legs_funnel``."""
+    individual legs; ``m_bits``/``bloom_k`` size the Bloom leg on a
+    compose-first state (r10 builder lead — previously compose-first
+    callers could only inherit the defaults) and ``state_mode``
+    applies to every mode-switchable leg (neardup, embdup, semantic —
+    the exact leg is inherently keepers, bloom's state is bounded by
+    ``m_bits`` regardless). Returns ``{"exact": stats, "neardup":
+    stats, "bloom": stats, "embdup": stats, "semantic": stats}`` with
+    None for a leg whose namespaced epoch already committed, and the
+    leg absent when its input frame was not provided. The pure-query
+    oracled twin is ``incremental_all_legs_funnel``."""
     if docs is None and vecs is None:
         raise ValueError("ingest_batch_all needs docs and/or vecs")
     out: dict[str, dict | None] = {}
@@ -1946,15 +2071,18 @@ def ingest_batch_all(
                 )
                 out["neardup"] = ingest_batch_neardup(
                     spark, docs, state_dir, text_col, doc_id_col,
+                    state_mode=state_mode,
                     epoch_id=leg_epoch("neardup"), _locked=True,
                 )
                 out["bloom"] = ingest_batch_bloom(
                     spark, docs, state_dir, text_col, doc_id_col,
+                    m_bits=m_bits, k=bloom_k,
                     epoch_id=leg_epoch("bloom"), _locked=True,
                 )
             if vecs is not None:
                 out["embdup"] = ingest_batch_embdup(
                     spark, vecs, state_dir, tables, vec_col, vec_id_col,
+                    state_mode=state_mode,
                     epoch_id=leg_epoch("embdup"), _locked=True,
                 )
                 out["semantic"] = ingest_batch_semantic(
@@ -1963,4 +2091,30 @@ def ingest_batch_all(
                     state_mode=state_mode,
                     epoch_id=leg_epoch("semantic"), _locked=True,
                 )
+        # composite audit record (r10 verdict #6): ONE record per
+        # composed batch — all leg funnels side by side — so
+        # state_report shows composed-batch history without joining
+        # five per-leg logs. Written under the SAME lease after every
+        # leg committed; names carry a zero-padded sequence (writers
+        # are lease-serialized, so lexical order IS ingest order) plus
+        # the epoch key. Best-effort audit, per-leg commits stay the
+        # source of truth: a crash before this write loses only the
+        # composite view, and a redelivered epoch (whose legs all
+        # return None) does not clobber the original record.
+        fs = HadoopFS(spark, state_dir)
+        comp_dir = _composites_dir(state_dir)
+        fs.mkdirs(comp_dir)
+        names = fs.list_names(comp_dir)
+        suffix = _epoch_key(epoch_id) if epoch_id is not None else uuid.uuid4().hex[:8]
+        if epoch_id is None or not any(n.endswith("-" + suffix) for n in names):
+            fs.touch_atomic(
+                _join(comp_dir, f"{len(names):012d}-{suffix}"),
+                json.dumps(
+                    {
+                        "epoch": suffix if epoch_id is not None else None,
+                        "legs": out,
+                    },
+                    sort_keys=True,
+                ),
+            )
     return out

@@ -5280,6 +5280,95 @@ def q_canonical_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_EDGES_CAPPED_SQL = r"""
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    dfc AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 4),
+    shc AS (SELECT sh.* FROM sh JOIN dfc USING (shingle)),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e6 + 0.5) / 1e6 >= 0.5
+    )
+"""
+
+
+@query(
+    "canonical_dedup_pipeline_capped",
+    oracle=rf"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_CC_EDGES_CAPPED_SQL},
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    )
+    SELECT a AS doc_id, MIN(b) AS component,
+           TRUE AS exactly_one_keeper_in_component,
+           TRUE AS keeper_in_same_component
+    FROM reach GROUP BY a
+    """,
+)
+def q_canonical_dedup_pipeline_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canonical_dedup_pipeline with the DF-CAPPED candidate stage (r10
+    verdict #4): near-dup CANDIDATE generation drops shingles with
+    document frequency > max_df (4 here — small enough to bite at the
+    test SFs) before the inverted-index join. For candidates,
+    stop-phrase shingles carry no signal — two docs sharing only a
+    phrase that thousands of docs share are not near-dups — so the cap
+    is both CHEAPER than the exact-salted default (sf0.1 A/B in
+    SCALING.md: capped 1.19s vs salted 3.67s candidate stage) and
+    skew-immune BY CONSTRUCTION (no key's fan-out exceeds max_df², vs
+    salting which spreads but keeps the d² total). The trade is recall:
+    intersections undercount, so borderline pairs can drop below the
+    threshold — the edge set legitimately differs from the exact
+    pipeline's, and THIS oracle pins exactly the capped edge set with
+    its own recursive-CTE closure. Policy guidance: exact-salted when
+    the downstream keeper decision must see every true pair (legal
+    dedup, eval decontamination); capped for candidate generation at
+    web scale where stop-phrase fan-out dominates cost. Same
+    components/PageRank/keeper machinery as the exact pipeline."""
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=4).select("doc_a", "doc_b")
+    sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    incident = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    with scoped_cache(pairs):
+        pr = pagerank(incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4)
+        out = D.canonical_dedup(docs, pairs, pr)
+    per_comp = out.groupBy("component").agg(
+        F.sum(F.col("is_keeper").cast("long")).alias("__nk")
+    )
+    keeper_rows = out.filter("is_keeper").select(
+        F.col("component"), F.col("doc_id").alias("keeper_id"),
+        F.lit(True).alias("__keeper_exists"),
+    )
+    return (
+        out.join(per_comp, "component")
+        .join(keeper_rows, ["component", "keeper_id"], "left")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("__nk") == 1).alias("exactly_one_keeper_in_component"),
+            F.coalesce(F.col("__keeper_exists"), F.lit(False)).alias(
+                "keeper_in_same_component"
+            ),
+        )
+    )
+
+
 @query(
     "weighted_sample_docs",
     oracle="""
@@ -6231,6 +6320,184 @@ def q_incremental_neardup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_keepers_oracle(k: int = 16, bands: int = 4) -> str:
+    """SQL twin of incremental near-dup ingestion under the KEEPERS
+    state mode (plans/incremental_corpus.ingest_batch_neardup
+    state_mode='keepers', r10 verdict #3): the historical check joins
+    only previously ACCEPTED docs' band keys, so the day recursion
+    unrolls into chained CTEs (the semantic-keepers pattern);
+    within-batch stays exists-semantics against ALL smaller-id same-day
+    members. Decisions may legitimately differ from the "all"-mode
+    funnel on dup-of-dup chains — this oracle pins exactly the
+    keeper-replay semantics."""
+    rpb = k // bands
+    mins = ",\n               ".join(
+        f"MIN(md5('{j}:' || shingle)) AS h{j}" for j in range(k)
+    )
+    bkeys = ",\n               ".join(
+        "md5(" + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    bunion = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bk FROM sigb" for b in range(bands)
+    )
+    return rf"""
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    sigb AS (SELECT *, {bkeys} FROM sig),
+    bandrows AS ({bunion}),
+    w AS (SELECT doc_id, doc_id % 3 AS day, band, bk FROM bandrows),
+    alld AS (SELECT doc_id, doc_id % 3 AS day FROM documents),
+    w0 AS (SELECT * FROM w WHERE day = 0),
+    w1 AS (SELECT * FROM w WHERE day = 1),
+    w2 AS (SELECT * FROM w WHERE day = 2),
+    d0 AS (SELECT doc_id FROM alld WHERE day = 0),
+    d1 AS (SELECT doc_id FROM alld WHERE day = 1),
+    d2 AS (SELECT doc_id FROM alld WHERE day = 2),
+    sm0 AS (SELECT DISTINCT a.doc_id FROM w0 a JOIN w0 b
+            ON a.band = b.band AND a.bk = b.bk AND b.doc_id < a.doc_id),
+    acc0 AS (SELECT doc_id FROM d0
+             WHERE doc_id NOT IN (SELECT doc_id FROM sm0)),
+    st0 AS (SELECT w0.* FROM w0 JOIN acc0 USING (doc_id)),
+    h1 AS (SELECT DISTINCT a.doc_id FROM w1 a JOIN st0 s
+           ON a.band = s.band AND a.bk = s.bk),
+    sm1 AS (SELECT DISTINCT a.doc_id FROM w1 a JOIN w1 b
+            ON a.band = b.band AND a.bk = b.bk AND b.doc_id < a.doc_id),
+    acc1 AS (SELECT doc_id FROM d1
+             WHERE doc_id NOT IN (SELECT doc_id FROM h1)
+               AND doc_id NOT IN (SELECT doc_id FROM sm1)),
+    st1 AS (SELECT * FROM st0
+            UNION ALL SELECT w1.* FROM w1 JOIN acc1 USING (doc_id)),
+    h2 AS (SELECT DISTINCT a.doc_id FROM w2 a JOIN st1 s
+           ON a.band = s.band AND a.bk = s.bk),
+    sm2 AS (SELECT DISTINCT a.doc_id FROM w2 a JOIN w2 b
+            ON a.band = b.band AND a.bk = b.bk AND b.doc_id < a.doc_id),
+    counts AS (
+        SELECT 0 AS day,
+               (SELECT COUNT(*) FROM d0) AS n_docs,
+               0 AS n_hist,
+               (SELECT COUNT(*) FROM sm0) AS n_within,
+               (SELECT COUNT(*) FROM d0) - (SELECT COUNT(*) FROM sm0) AS n_acc
+        UNION ALL
+        SELECT 1,
+               (SELECT COUNT(*) FROM d1),
+               (SELECT COUNT(*) FROM h1),
+               (SELECT COUNT(*) FROM sm1
+                WHERE doc_id NOT IN (SELECT doc_id FROM h1)),
+               (SELECT COUNT(*) FROM acc1)
+        UNION ALL
+        SELECT 2,
+               (SELECT COUNT(*) FROM d2),
+               (SELECT COUNT(*) FROM h2),
+               (SELECT COUNT(*) FROM sm2
+                WHERE doc_id NOT IN (SELECT doc_id FROM h2)),
+               (SELECT COUNT(*) FROM d2) - (SELECT COUNT(*) FROM (
+                    SELECT doc_id FROM h2 UNION SELECT doc_id FROM sm2))
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_hist AS BIGINT) AS n_hist_neardup,
+           CAST(n_within AS BIGINT) AS n_within_neardup,
+           CAST(n_acc AS BIGINT) AS n_accepted
+    FROM counts
+    """
+
+
+@query("incremental_neardup_keepers_funnel", oracle=_neardup_keepers_oracle())
+def q_incremental_neardup_keepers_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup leg's KEEPERS state mode as a pure query
+    (r10 verdict #3, plans/incremental_corpus.ingest_batch_neardup
+    state_mode='keepers'): documents arrive in simulated daily batches
+    (day = doc_id % 3) and the historical check runs against previously
+    ACCEPTED docs' band keys only — the state follows the DEDUPED
+    corpus instead of gross ingested volume. Within-batch stays
+    exists-semantics (any smaller-id same-day member sharing a band
+    key, regardless of that member's own classification), so each day
+    is non-recursive and the 3-day recursion unrolls into a driver loop
+    here and chained CTEs in the oracle. Decisions may differ from
+    incremental_neardup_funnel on dup-of-dup chains — that delta IS the
+    documented trade. Docs with no band keys (< n tokens) never collide
+    and are accepted.
+
+    Scale shape: per day, one (band, bk) equi left-semi join against
+    the keeper key state and one within-day equi self-join — inverted-
+    index joins only, one (band, bk)-keyed repartition feeds every
+    branch. The real stateful loop's keeper appends are covered by
+    tests/test_incremental_corpus.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        D.minhash_band_keys(docs)
+        .withColumn("day", F.col("doc_id") % 3)
+        .repartition("band", "bk")
+    )
+    alld = docs.select("doc_id", (F.col("doc_id") % 3).alias("day"))
+    state = None
+    parts = []
+    for d in (0, 1, 2):
+        wd = b.filter(F.col("day") == d)
+        a, c = wd.alias("A"), wd.alias("B")
+        within_ids = (
+            a.join(
+                c,
+                (F.col("A.band") == F.col("B.band"))
+                & (F.col("A.bk") == F.col("B.bk"))
+                & (F.col("B.doc_id") < F.col("A.doc_id")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        if state is None:
+            hist_ids = wd.select("doc_id").limit(0)
+        else:
+            hist_ids = (
+                a.join(
+                    state.alias("S"),
+                    (F.col("A.band") == F.col("S.band"))
+                    & (F.col("A.bk") == F.col("S.bk")),
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+        dd = alld.filter(F.col("day") == d).select("doc_id")
+        flagged = dd.join(
+            hist_ids.withColumn("__h", F.lit(1)), "doc_id", "left"
+        ).join(within_ids.withColumn("__w", F.lit(1)), "doc_id", "left")
+        parts.append(
+            flagged.agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__h") == 1, 1).otherwise(0)), F.lit(0)
+                ).alias("n_hist_neardup"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__h").isNull() & (F.col("__w") == 1), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_within_neardup"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__h").isNull() & F.col("__w").isNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_accepted"),
+            ).select(
+                F.lit(d).cast("long").alias("day"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_hist_neardup").cast("long").alias("n_hist_neardup"),
+                F.col("n_within_neardup").cast("long").alias("n_within_neardup"),
+                F.col("n_accepted").cast("long").alias("n_accepted"),
+            )
+        )
+        acc_ids = dd.join(hist_ids, "doc_id", "left_anti").join(
+            within_ids, "doc_id", "left_anti"
+        )
+        keep_keys = wd.join(acc_ids, "doc_id", "left_semi")
+        state = keep_keys if state is None else state.unionByName(keep_keys)
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
 def _embdup_funnel_oracle() -> str:
     tables = _lsh_tables()
     per_table = []
@@ -6326,6 +6593,182 @@ def q_incremental_embdup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_within, 1).otherwise(0)).cast("long").alias("n_within_embdup"),
         F.sum(F.when(is_acc, 1).otherwise(0)).cast("long").alias("n_accepted"),
     )
+
+
+def _embdup_keepers_oracle() -> str:
+    """SQL twin of incremental embedding near-dup ingestion under the
+    KEEPERS state mode (plans/incremental_corpus.ingest_batch_embdup
+    state_mode='keepers', r10 verdict #3): the historical check joins
+    only previously ACCEPTED vectors' (tbl, bucket) keys — the 3-day
+    recursion unrolls into chained CTEs (the semantic-keepers pattern);
+    within-batch stays exists-semantics against ALL smaller-id same-day
+    members. Decisions may legitimately differ from the "all"-mode
+    funnel on dup-of-dup chains."""
+    tables = _lsh_tables()
+    per_table = []
+    for t, planes in enumerate(tables):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        per_table.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
+    buckets = "\nUNION ALL\n".join(per_table)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    b AS (
+        {buckets}
+    ),
+    w AS (SELECT vec_id, vec_id % 3 AS day, tbl, bucket FROM b),
+    allv AS (SELECT vec_id, vec_id % 3 AS day FROM embeddings),
+    w0 AS (SELECT * FROM w WHERE day = 0),
+    w1 AS (SELECT * FROM w WHERE day = 1),
+    w2 AS (SELECT * FROM w WHERE day = 2),
+    d0 AS (SELECT vec_id FROM allv WHERE day = 0),
+    d1 AS (SELECT vec_id FROM allv WHERE day = 1),
+    d2 AS (SELECT vec_id FROM allv WHERE day = 2),
+    sm0 AS (SELECT DISTINCT a.vec_id FROM w0 a JOIN w0 b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id),
+    acc0 AS (SELECT vec_id FROM d0
+             WHERE vec_id NOT IN (SELECT vec_id FROM sm0)),
+    st0 AS (SELECT w0.* FROM w0 JOIN acc0 USING (vec_id)),
+    h1 AS (SELECT DISTINCT a.vec_id FROM w1 a JOIN st0 s
+           ON a.tbl = s.tbl AND a.bucket = s.bucket),
+    sm1 AS (SELECT DISTINCT a.vec_id FROM w1 a JOIN w1 b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id),
+    acc1 AS (SELECT vec_id FROM d1
+             WHERE vec_id NOT IN (SELECT vec_id FROM h1)
+               AND vec_id NOT IN (SELECT vec_id FROM sm1)),
+    st1 AS (SELECT * FROM st0
+            UNION ALL SELECT w1.* FROM w1 JOIN acc1 USING (vec_id)),
+    h2 AS (SELECT DISTINCT a.vec_id FROM w2 a JOIN st1 s
+           ON a.tbl = s.tbl AND a.bucket = s.bucket),
+    sm2 AS (SELECT DISTINCT a.vec_id FROM w2 a JOIN w2 b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id),
+    counts AS (
+        SELECT 0 AS day,
+               (SELECT COUNT(*) FROM d0) AS n_vecs,
+               0 AS n_hist,
+               (SELECT COUNT(*) FROM sm0) AS n_within,
+               (SELECT COUNT(*) FROM d0) - (SELECT COUNT(*) FROM sm0) AS n_acc
+        UNION ALL
+        SELECT 1,
+               (SELECT COUNT(*) FROM d1),
+               (SELECT COUNT(*) FROM h1),
+               (SELECT COUNT(*) FROM sm1
+                WHERE vec_id NOT IN (SELECT vec_id FROM h1)),
+               (SELECT COUNT(*) FROM acc1)
+        UNION ALL
+        SELECT 2,
+               (SELECT COUNT(*) FROM d2),
+               (SELECT COUNT(*) FROM h2),
+               (SELECT COUNT(*) FROM sm2
+                WHERE vec_id NOT IN (SELECT vec_id FROM h2)),
+               (SELECT COUNT(*) FROM d2) - (SELECT COUNT(*) FROM (
+                    SELECT vec_id FROM h2 UNION SELECT vec_id FROM sm2))
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(n_hist AS BIGINT) AS n_hist_embdup,
+           CAST(n_within AS BIGINT) AS n_within_embdup,
+           CAST(n_acc AS BIGINT) AS n_accepted
+    FROM counts
+    """
+
+
+@query("incremental_embdup_keepers_funnel", oracle=_embdup_keepers_oracle())
+def q_incremental_embdup_keepers_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental embedding-LSH leg's KEEPERS state mode as a pure
+    query (r10 verdict #3, plans/incremental_corpus.ingest_batch_embdup
+    state_mode='keepers'): vectors arrive in simulated daily batches
+    (day = vec_id % 3) and the historical check runs against previously
+    ACCEPTED vectors' (tbl, bucket) sign-bit keys only — the state
+    follows the DEDUPED corpus instead of gross ingested volume.
+    Within-batch stays exists-semantics, so each day is non-recursive
+    and the 3-day recursion unrolls (driver loop here, chained CTEs in
+    the oracle). Decisions may differ from incremental_embdup_funnel on
+    dup-of-dup chains — the documented trade. Null-embedding vectors
+    produce no buckets and are accepted.
+
+    Scale shape: per day, one (tbl, bucket) equi left-semi join against
+    the keeper key state and one within-day equi self-join; one
+    (tbl, bucket)-keyed repartition feeds every branch. The real
+    stateful loop's keeper appends are covered by
+    tests/test_incremental_corpus.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = (
+        SIM.multitable_buckets(emb, _lsh_tables())
+        .withColumn("day", F.col("vec_id") % 3)
+        .repartition("tbl", "bucket")
+    )
+    allv = emb.select("vec_id", (F.col("vec_id") % 3).alias("day"))
+    state = None
+    parts = []
+    for d in (0, 1, 2):
+        wd = b.filter(F.col("day") == d)
+        a, c = wd.alias("A"), wd.alias("B")
+        within_ids = (
+            a.join(
+                c,
+                (F.col("A.tbl") == F.col("B.tbl"))
+                & (F.col("A.bucket") == F.col("B.bucket"))
+                & (F.col("B.vec_id") < F.col("A.vec_id")),
+                "left_semi",
+            )
+            .select("vec_id")
+            .distinct()
+        )
+        if state is None:
+            hist_ids = wd.select("vec_id").limit(0)
+        else:
+            hist_ids = (
+                a.join(
+                    state.alias("S"),
+                    (F.col("A.tbl") == F.col("S.tbl"))
+                    & (F.col("A.bucket") == F.col("S.bucket")),
+                    "left_semi",
+                )
+                .select("vec_id")
+                .distinct()
+            )
+        dd = allv.filter(F.col("day") == d).select("vec_id")
+        flagged = dd.join(
+            hist_ids.withColumn("__h", F.lit(1)), "vec_id", "left"
+        ).join(within_ids.withColumn("__w", F.lit(1)), "vec_id", "left")
+        parts.append(
+            flagged.agg(
+                F.count("*").alias("n_vecs"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__h") == 1, 1).otherwise(0)), F.lit(0)
+                ).alias("n_hist_embdup"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__h").isNull() & (F.col("__w") == 1), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_within_embdup"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__h").isNull() & F.col("__w").isNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_accepted"),
+            ).select(
+                F.lit(d).cast("long").alias("day"),
+                F.col("n_vecs").cast("long").alias("n_vecs"),
+                F.col("n_hist_embdup").cast("long").alias("n_hist_embdup"),
+                F.col("n_within_embdup").cast("long").alias("n_within_embdup"),
+                F.col("n_accepted").cast("long").alias("n_accepted"),
+            )
+        )
+        acc_ids = dd.join(hist_ids, "vec_id", "left_anti").join(
+            within_ids, "vec_id", "left_anti"
+        )
+        keep_keys = wd.join(acc_ids, "vec_id", "left_semi")
+        state = keep_keys if state is None else state.unionByName(keep_keys)
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
 def _sem_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:

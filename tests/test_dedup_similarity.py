@@ -405,6 +405,32 @@ def test_salted_jaccard_equals_uncapped_exact(spark):
     assert salted == exact and len(exact) > 0
 
 
+def test_exact_form_forwards_salt_kwargs(spark):
+    """ADVICE r10: ngram_jaccard_pairs(max_df=None) must pass
+    hot_df/n_salts through to the salted twin — an integer hot_df both
+    keeps plan construction fully lazy (no p99 probe job) and produces
+    the same exact output."""
+    stop = "the quick brown fox jumps over the lazy dog again and again "
+    docs = _docs(
+        spark,
+        [(i, stop + f"unique filler {i} content block {i * 7}") for i in range(1, 7)]
+        + [(100, stop + "rare shared tail marker alpha beta"),
+           (101, stop + "rare shared tail marker alpha beta")],
+    )
+    ref = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0, max_df=None).collect()
+    }
+    jobs_before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    fwd_df = D.ngram_jaccard_pairs(
+        docs, threshold=0.0, max_df=None, hot_df=3, n_salts=4
+    )
+    jobs_after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(jobs_after) == len(jobs_before)  # integer hot_df: no probe job
+    fwd = {(r.doc_a, r.doc_b): (r.n_inter, r.jaccard) for r in fwd_df.collect()}
+    assert fwd == ref and len(ref) > 0
+
+
 def test_salted_jaccard_bounds_per_key_fanout(spark):
     """With hot_df=h and n_salts=g, no (shingle, salt) reduce key on the
     hot path carries more than ceil(d_max/g) left rows — the d² fan-out

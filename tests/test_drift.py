@@ -115,6 +115,29 @@ def test_ks_ties_handled_at_distinct_values(spark):
     assert r["d_scaled"] == 18 and r["ks"] == 0.5
 
 
+def test_ks_accepts_temporal_columns_and_rejects_strings(spark):
+    """ADVICE r10: the bucketed ECDF must keep taking any orderable
+    column the pre-bucketing plan took — dates and timestamps key
+    through their monotone numeric image; strings raise a typed error
+    up front instead of failing inside an ANSI cast."""
+    import datetime as dt
+
+    rows = [("a", dt.date(2024, 1, d)) for d in range(1, 9)] + [
+        ("b", dt.date(2024, 1, d + 4)) for d in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "s string, v date")
+    r = ks_drift(df, F.col("s"), F.col("v")).collect()[0]
+    # shift by 4 of 8: D = 4/8 → d_scaled = 0.5·8·8 = 32
+    assert r["n_a"] == 8 and r["n_b"] == 8 and r["d_scaled"] == 32
+
+    ts = df.select("s", F.col("v").cast("timestamp").alias("v"))
+    r2 = ks_drift(ts, F.col("s"), F.col("v")).collect()[0]
+    assert r2["d_scaled"] == 32  # same order → same exact statistic
+
+    with pytest.raises(TypeError, match="monotone numeric image"):
+        ks_drift(df.select("s", F.lit("x").alias("v")), F.col("s"), F.col("v"))
+
+
 def test_ks_matches_scipy_when_available(spark):
     try:
         from scipy.stats import ks_2samp

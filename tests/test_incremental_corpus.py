@@ -1149,6 +1149,41 @@ def test_lease_release_claims_before_delete(spark, state_dir):
     assert not fs.exists(lock)
 
 
+def test_lease_release_never_renames_foreign_live_lock(spark, state_dir, monkeypatch):
+    """ADVICE r10: a single TTL overrun must not even TRANSIENTLY rename
+    the reclaimer's live lock away (the rename-claim-verify-put-back
+    dance leaves a gap where a third writer's create_exclusive can win).
+    Release reads the lock first and walks away on a foreign token — so
+    A's late release performs no rename of the lock at all."""
+    import json as _json
+    import time as _t
+
+    fs = HadoopFS(spark, state_dir)
+    lock = state_dir + "/_lock"
+
+    cm_a = IC._writer_lease(spark, state_dir)
+    cm_a.__enter__()
+    fs.set_mtime(lock, int(_t.time() * 1000) - IC.LEASE_TTL_MS - 60_000)
+    cm_b = IC._writer_lease(spark, state_dir)
+    cm_b.__enter__()
+    token_b = _json.loads(fs.read_text(lock))["writer"]
+
+    renames = []
+    orig_rename = HadoopFS.rename
+
+    def spy(self, src, dst):
+        renames.append(src)
+        return orig_rename(self, src, dst)
+
+    monkeypatch.setattr(HadoopFS, "rename", spy)
+    cm_a.__exit__(None, None, None)
+    assert lock not in renames  # B's live lock never left its name
+    assert _json.loads(fs.read_text(lock))["writer"] == token_b
+    monkeypatch.undo()
+    cm_b.__exit__(None, None, None)
+    assert not fs.exists(lock)
+
+
 def test_create_exclusive_local_semantics(spark, tmp_path):
     """ADVICE r9: on file:// the lock primitive goes through the OS
     O_CREAT|O_EXCL open (RawLocalFileSystem's create(overwrite=false) is
@@ -1200,6 +1235,38 @@ def test_first_pin_refuses_silent_defaults_over_existing_state(spark, state_dir)
     assert s2["n_accepted"] == 1
     assert IC.state_meta(spark, fresh, "neardup")["n_buckets"] == IC.DEFAULT_BUCKETS
 
+def test_meta_readers_survive_replace_window_and_refuse_blind_default(spark, state_dir):
+    """ADVICE r10: (a) state_meta falls back to the fully-written .tmp
+    sibling when the main _meta file is absent (the non-file
+    rename_replace delete-then-rename window — on HDFS an upgrade-persist
+    briefly leaves only the sibling); (b) the read path (_meta_buckets /
+    fingerprint_state) raises instead of silently defaulting when leg
+    data exists but no meta is readable and no explicit n_buckets was
+    given — a wrong bucket count drops rows silently."""
+    ingest_batch(spark, _docs(spark, [(1, "a")]), state_dir, n_buckets=4)
+    fs = HadoopFS(spark, state_dir)
+    meta_p = state_dir + "/_meta/exact.json"
+
+    # model the delete-then-rename window: main absent, .tmp holds payload
+    txt = fs.read_text(meta_p)
+    assert fs.delete(meta_p, False)
+    assert fs.create_exclusive(meta_p + ".tmp", txt)
+    assert IC.state_meta(spark, state_dir, "exact")["n_buckets"] == 4
+    assert IC._meta_buckets(spark, state_dir, "exact", None) == 4
+
+    # no meta in ANY form + data on disk + omitted n_buckets -> refuse
+    fs.delete(meta_p + ".tmp", False)
+    with pytest.raises(IC.StateParamMismatch):
+        IC._meta_buckets(spark, state_dir, "exact", None)
+    # explicit value still resolves (pre-upgrade compatibility)
+    assert IC._meta_buckets(spark, state_dir, "exact", 4) == 4
+    # a state with no data still defaults (steady-state first read)
+    assert (
+        IC._meta_buckets(spark, state_dir + "_fresh2", "exact", None)
+        == IC.DEFAULT_BUCKETS
+    )
+
+
 def test_semantic_keepers_ingest_matches_static_funnel(spark, state_dir, sf_smoke):
     """r9 verdict #3: replaying embeddings as day batches through the
     STATEFUL semantic loop in state_mode='keepers' reproduces the
@@ -1239,6 +1306,92 @@ def test_semantic_keepers_ingest_matches_static_funnel(spark, state_dir, sf_smok
         ingest_batch_semantic(spark, emb.limit(1), state_dir, state_mode="all")
     # and an omitted mode defaults from the pinned meta
     assert IC.state_meta(spark, state_dir, "semantic")["state_mode"] == "keepers"
+
+
+def test_neardup_keepers_ingest_matches_static_funnel(spark, state_dir, sf_smoke):
+    """r10 verdict #3: replaying documents as day batches through the
+    STATEFUL near-dup loop in state_mode='keepers' reproduces the
+    oracled keepers funnel exactly — and the band-key state holds only
+    ACCEPTED docs' keys (the deduped corpus), not every ingested doc's."""
+    from etl_pipeline_for_retail_sales_data_spark.operators import dedup as D
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_neardup,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    expected = {
+        int(r["day"]): (r["n_docs"], r["n_hist_neardup"], r["n_within_neardup"], r["n_accepted"])
+        for r in QUERIES["incremental_neardup_keepers_funnel"](spark, sf_smoke).collect()
+    }
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    total_accepted = 0
+    for day in (0, 1, 2):
+        batch = docs.filter(docs.doc_id % 3 == day)
+        got = ingest_batch_neardup(spark, batch, state_dir, state_mode="keepers")
+        assert (
+            got["n_batch"],
+            got["n_hist_neardup"],
+            got["n_within_neardup"],
+            got["n_accepted"],
+        ) == expected[day], (day, got, expected[day])
+        total_accepted += got["n_accepted"]
+
+    corpus = spark.read.parquet(state_dir + "/corpus_neardup")
+    assert corpus.count() == total_accepted
+    # state = exactly the accepted docs' band keys, nothing else
+    state_rows = spark.read.parquet(state_dir + "/neardup_bands").count()
+    assert state_rows == D.minhash_band_keys(corpus).count()
+
+    # pinned: a later call passing 'all' refuses; omitted mode defaults
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_neardup(spark, docs.limit(1), state_dir, state_mode="all")
+    assert IC.state_meta(spark, state_dir, "neardup")["state_mode"] == "keepers"
+
+    # replay stability: re-ingesting day 0 classifies everything
+    # hist/within and appends nothing
+    before = state_rows
+    replay = ingest_batch_neardup(
+        spark, docs.filter(docs.doc_id % 3 == 0), state_dir, state_mode="keepers"
+    )
+    assert replay["n_accepted"] == 0
+    assert spark.read.parquet(state_dir + "/neardup_bands").count() == before
+
+
+def test_embdup_keepers_ingest_matches_static_funnel(spark, state_dir, sf_smoke):
+    """r10 verdict #3 (embedding leg): keepers-mode stateful replay
+    reproduces the oracled keepers funnel; the bucket state holds only
+    accepted vectors' (tbl, bucket) keys."""
+    from etl_pipeline_for_retail_sales_data_spark.operators import similarity as SIM
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_embdup,
+    )
+    from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
+
+    expected = {
+        int(r["day"]): (r["n_vecs"], r["n_hist_embdup"], r["n_within_embdup"], r["n_accepted"])
+        for r in QUERIES["incremental_embdup_keepers_funnel"](spark, sf_smoke).collect()
+    }
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    tables = _lsh_tables_fixture()
+    total_accepted = 0
+    for day in (0, 1, 2):
+        batch = emb.filter(emb.vec_id % 3 == day)
+        got = ingest_batch_embdup(spark, batch, state_dir, tables, state_mode="keepers")
+        assert (
+            got["n_batch"],
+            got["n_hist_embdup"],
+            got["n_within_embdup"],
+            got["n_accepted"],
+        ) == expected[day], (day, got, expected[day])
+        total_accepted += got["n_accepted"]
+
+    corpus = spark.read.parquet(state_dir + "/corpus_embdup")
+    assert corpus.count() == total_accepted
+    state_rows = spark.read.parquet(state_dir + "/embdup_buckets").count()
+    assert state_rows == SIM.multitable_buckets(corpus, tables).count()
+    with pytest.raises(IC.StateParamMismatch):
+        ingest_batch_embdup(spark, emb.limit(1), state_dir, state_mode="all")
+    assert IC.state_meta(spark, state_dir, "embdup")["state_mode"] == "keepers"
 
 
 def test_semantic_keepers_replay_appends_nothing(spark, state_dir):
@@ -1499,6 +1652,23 @@ def test_ingest_batch_all_single_lease_and_epoch_resume(spark, state_dir):
     # replay classifications: everything historical, nothing re-appended
     assert resumed["bloom"]["n_accepted"] == 0
     assert spark.read.parquet(state_dir + "/corpus").count() == 1
+
+    # composite audit record (r10 verdict #6): ONE record for the d0
+    # composite — redeliveries never clobber or duplicate it — with all
+    # leg funnels side by side, surfaced by state_report
+    rep = IC.state_report(spark, state_dir)
+    assert rep["composed_batches"] == 1
+    rec = rep["composed_recent"][0]
+    assert rec["epoch"] == "d0"
+    assert rec["legs"]["exact"]["n_accepted"] == 1
+    assert rec["legs"]["neardup"]["n_accepted"] == 2
+
+    # an epoch-less composite appends a second record, in ingest order
+    ingest_batch_all(spark, state_dir, docs=_docs(spark, [(3, "beta text")]))
+    rep2 = IC.state_report(spark, state_dir)
+    assert rep2["composed_batches"] == 2
+    assert rep2["composed_recent"][0]["epoch"] == "d0"
+    assert rep2["composed_recent"][-1]["epoch"] is None
 
 def test_upgrade_added_param_persists_into_meta(spark, state_dir):
     """A parameter ADDED to a leg after its state was first pinned (an

@@ -13,6 +13,15 @@ Rules:
   crosses the Python boundary via Arrow (ArrowEvalPython / mapInPandas /
   applyInPandas / applyInArrow).
 
+- No ``Exchange SinglePartition`` feeding a ``Window`` (r10 verdict #2)
+  — that shape funnels the window's ENTIRE input through one task, the
+  scale-killer class that bit heaps_fit (r9), ks_drift (r10) and
+  zipf_fit (r10 verdict): three rounds running a human missed an
+  instance, so the check is automated. A query may appear on the
+  allowlist below ONLY with a comment naming the argument that BOUNDS
+  the window's input; everything else must use the quantile-bucketed
+  two-phase pattern (operators/text.heaps_fit) or a partitioned window.
+
 ``BroadcastNestedLoopJoin`` is deliberately NOT forbidden: with a 1-row
 broadcast build side it is exactly the right plan for attaching scalar
 aggregates, and the interval join requires it (test_plans.py asserts it
@@ -23,10 +32,36 @@ import pytest
 
 pytestmark = pytest.mark.slow  # heavy sweep: excluded from the fast lane (pytest -m "not slow")
 
+from etl_pipeline_for_retail_sales_data_spark.planlint import (
+    single_partition_window_feeds,
+)
 from etl_pipeline_for_retail_sales_data_spark.queries_registry import QUERIES
 
 # Python UDTFs evaluate through BatchEvalPython by API design
 ROW_PYTHON_OK = {"udtf_char_bigrams"}
+
+# Queries whose single-partition window input is BOUNDED by construction
+# — each entry names the bounding argument (r11 sweep: every current hit
+# is a bucket-offset or calendar frame, never per-row data):
+SINGLE_PARTITION_WINDOW_OK = {
+    # quantile-bucketed two-phase prefix sums: the ordered-only window
+    # runs over the ≤ n_buckets-row bucket-totals frame (heaps_law_fit
+    # is NOT here: r11 moved its bucket offsets to a bounded driver
+    # probe, so it has no ordered-only window left)
+    "ks_drift_totalprice": "n_buckets=128 ECDF bucket frames (__ba/__bb)",
+    "zipf_law_fit": "n_buckets=128 rank-offset bucket frame (__bm)",
+    "token_budget_selection": "n_buckets score-bucket totals (__btok)",
+    "quantile_normalized_quality": "n_buckets score-bucket counts (__bn)",
+    "contrastive_triplets": "n_buckets bucket-counts frame (__c over __b)",
+    "packed_sequences": "n_buckets bucket-counts frames (__c/__s over __b)",
+    "shard_assignment": "n_buckets bucket-counts frame (__c over __b)",
+    "curriculum_order": "numPartitions per-partition-counts frame (__pid)",
+    # calendar frames: one row per period after a groupBy(period)
+    "cusum_revenue_changepoint": "O(periods) monthly-revenue frame",
+    "ewma_monthly_revenue": "O(months) monthly frame",
+    "chisq_drift_priority": "O(periods) lag over per-period totals",
+    "psi_drift_priority": "O(periods) lag over per-period totals",
+}
 
 
 # Sharded (round 5): keeps each slice under the 120s budget and a flake
@@ -50,5 +85,13 @@ def test_no_cartesian_product_and_no_row_python_registry_wide(spark, sf_smoke, s
             failures.append(f"{name}: CartesianProduct in plan")
         if "BatchEvalPython" in txt and name not in ROW_PYTHON_OK:
             failures.append(f"{name}: row-at-a-time BatchEvalPython in plan")
+        if name not in SINGLE_PARTITION_WINDOW_OK:
+            wins = single_partition_window_feeds(txt)
+            if wins:
+                failures.append(
+                    f"{name}: Exchange SinglePartition feeds a Window "
+                    f"(single-task funnel — bucket it or allowlist with the "
+                    f"bounding argument): {wins[0][:140]}"
+                )
         spark.catalog.clearCache()
     assert not failures, "plan lint violations:\n" + "\n".join(failures)

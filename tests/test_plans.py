@@ -319,10 +319,14 @@ def test_source_overlap_matrix_has_no_corpus_self_join(spark, sf_smoke):
 
 
 def test_heaps_prefix_sum_windows_are_bucketed(spark, sf_smoke):
-    """r9 verdict #2: heaps_law_fit's global prefix sum must not plan an
-    unpartitioned Window over per-document rows — the per-doc running
-    sum is PARTITIONED by the doc_id range bucket; the only ordered-only
-    window runs over the n_buckets-row bucket-totals frame (__btok)."""
+    """r9 verdict #2 + r10 verdict #5: heaps_law_fit's global prefix sum
+    must not plan an unpartitioned Window over per-document rows — the
+    per-doc running sum is PARTITIONED by the doc_id range bucket, and
+    since r11 the bucket offsets come from a bounded driver-side probe
+    (no ordered-only window remains AT ALL). The returned plan must also
+    tokenize the corpus exactly ONCE (the former shape re-ran
+    regexp_extract_all in a second branch and joined the tokenized
+    corpus back by doc_id)."""
     import re
 
     df = QUERIES["heaps_law_fit"](spark, sf_smoke)
@@ -330,10 +334,33 @@ def test_heaps_prefix_sum_windows_are_bucketed(spark, sf_smoke):
     wins = re.findall(r"Window \[[^\n]*", txt)
     assert wins, txt
     for line in wins:
-        if "__len" in line:  # the per-document running sum
+        assert re.search(r"windowspecdefinition\(__bucket#\d+L?, ", line), line
+    assert txt.count("regexp_extract_all") == 1, txt
+
+
+def test_zipf_rank_windows_are_bucketed(spark, sf_smoke):
+    """r10 verdict #1: zipf_law_fit's global vocabulary rank must not
+    plan an unpartitioned Window over per-token (or per-class) rows —
+    the class-offset running sum is PARTITIONED by the frequency-range
+    bucket; the only ordered-only window runs over the ≤ n_buckets-row
+    bucket-totals frame (__bm). Ranks themselves are ENUMERATED per
+    frequency class (sequence-explode), so no Window ever sees the
+    vocabulary."""
+    import re
+
+    df = QUERIES["zipf_law_fit"](spark, sf_smoke)
+    txt = plan_of(df)
+    wins = re.findall(r"Window \[[^\n]*", txt)
+    assert wins, txt
+    for line in wins:
+        if "sum(m#" in line:  # the per-class running offset
             assert re.search(r"windowspecdefinition\(__bucket#\d+L?, ", line), line
         else:  # the bucket-offset window: input must be the tiny frame
-            assert "__btok" in line, line
+            assert "__bm" in line, line
+    # no rank window over the vocabulary at all — ranks come from
+    # sequence() chunks
+    assert "row_number" not in txt, txt
+    assert "Generate explode(sequence" in txt or "explode(sequence" in txt, txt
 
 
 def test_ks_drift_ecdf_windows_are_bucketed(spark, sf_smoke):

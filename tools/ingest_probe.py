@@ -87,6 +87,26 @@ def synth_dup_vecs(spark, n: int, tag: str, id_offset: int = 0, copies: int = 4)
     )
 
 
+def synth_dup_docs(spark, n: int, tag: str, id_offset: int = 0, copies: int = 4):
+    """n documents where each DISTINCT text appears ``copies`` times
+    (tokens keyed by id // copies): the duplicate-heavy history that
+    separates the keyed legs' state modes (r10 verdict #3) — "all"
+    stores every doc's band keys, "keepers" only the accepted ~n/copies
+    docs'."""
+    words = [
+        F.md5(
+            F.concat(
+                F.lit(f"{tag}:{j}:"), (F.col("id") / copies).cast("long").cast("string")
+            )
+        )
+        for j in range(WORDS)
+    ]
+    return spark.range(n).select(
+        (F.col("id") + F.lit(id_offset)).alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"),
+    )
+
+
 def synth_vecs(spark, n: int, tag: str, id_offset: int = 0):
     """n unit-free random-ish vectors derived from xxhash64 (deterministic,
     no RNG): distinct vectors bucket near-uniformly across hyperplanes."""
@@ -151,6 +171,20 @@ def run_mult(mult: int) -> None:
             spark, hist_dup, dirs["sem_dup_keep"], cents, state_mode="keepers"
         )
         IC.compact_semantic_state(spark, dirs["sem_dup_keep"])
+        # r10 verdict #3: the SAME duplicate-heavy history under both
+        # state modes for the KEYED legs — keepers-state holds ~1/4 the
+        # key rows, so the history join's scan follows the deduped corpus
+        hist_dup_docs = synth_dup_docs(spark, BATCH_DOCS * mult, "hist")
+        for name, mode in (("nd_dup_all", "all"), ("nd_dup_keep", "keepers")):
+            dirs[name] = os.path.join(tmp, name)
+            IC.ingest_batch_neardup(spark, hist_dup_docs, dirs[name], state_mode=mode)
+            IC.compact_neardup_state(spark, dirs[name])
+        for name, mode in (("emb_dup_all", "all"), ("emb_dup_keep", "keepers")):
+            dirs[name] = os.path.join(tmp, name)
+            IC.ingest_batch_embdup(
+                spark, hist_dup, dirs[name], tables, state_mode=mode
+            )
+            IC.compact_embdup_state(spark, dirs[name])
 
         # ---- time a constant novel batch per leg, min of 3 fresh batches
         def timed(fn) -> float:
@@ -206,6 +240,38 @@ def run_mult(mult: int) -> None:
                 dirs["sem_dup_keep"],
             )
         )
+        times["nd_dup_all"] = timed(
+            lambda r: IC.ingest_batch_neardup(
+                spark, synth_dup_docs(spark, BATCH_DOCS, f"p{r}", off * (r + 1)),
+                dirs["nd_dup_all"],
+            )
+        )
+        times["nd_dup_keep"] = timed(
+            lambda r: IC.ingest_batch_neardup(
+                spark, synth_dup_docs(spark, BATCH_DOCS, f"p{r}", off * (r + 1)),
+                dirs["nd_dup_keep"],
+            )
+        )
+        times["emb_dup_all"] = timed(
+            lambda r: IC.ingest_batch_embdup(
+                spark, synth_dup_vecs(spark, BATCH_VECS, f"p{r}", off * (r + 1)),
+                dirs["emb_dup_all"],
+            )
+        )
+        times["emb_dup_keep"] = timed(
+            lambda r: IC.ingest_batch_embdup(
+                spark, synth_dup_vecs(spark, BATCH_VECS, f"p{r}", off * (r + 1)),
+                dirs["emb_dup_keep"],
+            )
+        )
+        # r10 verdict #8: centroid-migration cost vs member count — one
+        # recentroid_state pass per multiple (rewrites every member row
+        # under new centroids), so the migration window can be sized
+        # like maintenance
+        new_cents = _sem_centroids(k=48)
+        t0 = time.perf_counter()
+        IC.recentroid_state(spark, dirs["semantic"], new_cents)
+        times["recentroid"] = round(time.perf_counter() - t0, 3)
         # r9 verdict #7: the nightly maintenance pass rewrites every
         # leg's full state — one wall-clock number per multiple so the
         # runbook can size the window (sum over the five standard legs)
@@ -228,10 +294,23 @@ def run_mult(mult: int) -> None:
             "sem_dup_keep": spark.read.parquet(
                 dirs["sem_dup_keep"] + "/semantic_members"
             ).count(),
+            "nd_dup_all": spark.read.parquet(
+                dirs["nd_dup_all"] + "/neardup_bands"
+            ).count(),
+            "nd_dup_keep": spark.read.parquet(
+                dirs["nd_dup_keep"] + "/neardup_bands"
+            ).count(),
+            "emb_dup_all": spark.read.parquet(
+                dirs["emb_dup_all"] + "/embdup_buckets"
+            ).count(),
+            "emb_dup_keep": spark.read.parquet(
+                dirs["emb_dup_keep"] + "/embdup_buckets"
+            ).count(),
         }
         sizes["maintenance"] = sum(
             sizes[k] for k in ("exact", "neardup", "embdup", "bloom", "semantic")
         )
+        sizes["recentroid"] = sizes["semantic"]
     print("RESULT " + json.dumps({"times": times, "sizes": sizes}), flush=True)
     spark.stop()
 
@@ -278,6 +357,14 @@ def main() -> None:
         "(every distinct vector x4) under the two semantic state modes —",
         "keepers-state holds ~1/4 the rows at every multiple, so the",
         "verify join's growing component drops with it (r9 verdict #3).",
+        "`nd_dup_*` / `emb_dup_*` (r10 verdict #3): the same A/B for the",
+        "KEYED legs — x4-duplicated texts/vectors under state_mode all vs",
+        "keepers; the keepers state holds ~1/4 the key rows, so the",
+        "history join's scan follows the DEDUPED corpus. `recentroid` is",
+        "one centroid-migration pass (recentroid_state, 64 -> 48 cells)",
+        "per multiple: it rewrites every semantic member row, so it",
+        "scales with member count — the number that sizes the migration",
+        "window (r10 verdict #8).",
         "`maintenance` is one full nightly pass (recover + compact all",
         "five legs + log roll + epoch prune) per multiple: it REWRITES",
         "every leg's state, so it grows with total state rows — the",
@@ -296,7 +383,9 @@ def main() -> None:
     ]
     for leg in (
         "exact", "neardup", "embdup", "bloom", "semantic",
-        "sem_dup_all", "sem_dup_keep", "maintenance",
+        "sem_dup_all", "sem_dup_keep",
+        "nd_dup_all", "nd_dup_keep", "emb_dup_all", "emb_dup_keep",
+        "maintenance", "recentroid",
     ):
         t = [results[m]["times"][leg] for m in MULTS]
         s1 = results[1]["sizes"][leg]
