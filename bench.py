@@ -71,6 +71,11 @@ HEADLINE = [
     # r11 verdict #4: the df-capped candidate-policy twin, timed next to
     # the exact-salted pipeline so the A/B is in the recorded numbers
     "canonical_dedup_pipeline_capped",
+    # r11: both corpus-stat fits were re-planned this round (zipf:
+    # per-class rank enumeration; heaps: single-tokenize + driver-side
+    # bucket offsets) — timed so shape regressions are visible
+    "zipf_law_fit",
+    "heaps_law_fit",
     "multimodal_decode_real",
     # r4 second-session additions: diversified retrieval + quantile sketch
     "mmr_diversified_topk",

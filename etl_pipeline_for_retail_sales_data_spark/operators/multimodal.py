@@ -1,14 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas iterators.
 
-TWO real stdlib codecs are implemented byte-for-byte — BMP (24-bit
-BI_RGB, hand-parsed headers + row-padding math) and WAV (RIFF/PCM via
-the stdlib ``wave`` module) — so the decode path exercises genuine
-binary parsing end-to-end (encode → bytes → sniff → parse, oracled in
-the registry). Codecs beyond those (JPEG/PNG/MP4 …) need image/audio
-libs absent from this container: ``default_decoder`` falls back to
-NotImplementedError for them, and ``fake_decoder`` remains the
-deterministic stand-in for plumbing tests.
+FOUR real codecs are implemented with no third-party libs — BMP
+(24-bit BI_RGB, hand-parsed headers + row-padding math), WAV (RIFF/PCM
+via the stdlib ``wave`` module), PNG (full chunk walk with CRC32
+verification, zlib inflate, and all five scanline filters unfiltered
+by hand — 8-bit RGB), and baseline JPEG (operators/jpeg.py: numpy
+FDCT/IDCT, canonical Huffman tables read from the stream's own
+DQT/DHT, 0xFF byte stuffing — 4:4:4 JFIF) — so the decode path
+exercises genuine binary parsing end-to-end (encode → bytes → sniff →
+parse, oracled in the registry; JPEG is lossy, so its oracle pins a
+deterministic reconstruction-error bound instead of byte equality).
+Video (MP4/H.264) needs ffmpeg-class libs absent from this container:
+``default_decoder`` falls back to NotImplementedError for it, and
+``fake_decoder`` remains the deterministic stand-in for plumbing
+tests.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 from typing import Callable
 
@@ -130,25 +137,210 @@ def parse_wav(payload: bytes) -> tuple[int, int, int]:
         return (w.getnchannels(), w.getframerate(), w.getnframes())
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_pixels(width: int, height: int) -> list[bytes]:
+    """Deterministic RGB rows, same coordinate formula as encode_bmp so
+    tests can compare cross-codec content."""
+    return [
+        bytes(
+            v
+            for x in range(width)
+            for v in ((x * 7 + y) % 256, (y * 11 + x) % 256, (x ^ y) % 256)
+        )
+        for y in range(height)
+    ]
+
+
+def encode_png(width: int, height: int, filters: str = "cycle") -> bytes:
+    """A real, spec-valid 8-bit RGB PNG (signature, IHDR, one IDAT,
+    IEND — correct big-endian lengths and CRC32s; any PNG viewer opens
+    the output), deterministic pixel fill derived from coordinates.
+
+    ``filters``: ``"none"`` writes every scanline with filter 0;
+    ``"cycle"`` (default) filters row y with type y % 5 — None / Sub /
+    Up / Average / Paeth — so a decoder must implement ALL FIVE
+    unfilters to read the bytes back (the encoder applies the exact
+    inverse transforms). Real encoders choose per-row filters for
+    compression; cycling gives full filter coverage deterministically."""
+    if width < 1 or height < 1:
+        raise ValueError(f"PNG dimensions must be positive, got {width}x{height}")
+    bpp = 3
+    rows = _png_pixels(width, height)
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y, row in enumerate(rows):
+        f = 0 if filters == "none" else y % 5
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:  # Sub: delta vs the pixel to the left
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(row))
+            )
+        elif f == 2:  # Up: delta vs the row above
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        elif f == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(len(row))
+            )
+        else:  # Paeth
+            out = bytearray()
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((row[i] - pr) & 0xFF)
+            raw += out
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 3) -> bytes:
+    """Reverse the per-scanline PNG filters (spec §4.5): each row starts
+    with a filter-type byte; Sub/Up/Average/Paeth reconstruct from the
+    left pixel, the row above, or both."""
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, expected {(stride + 1) * height}"
+        )
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Full PNG decode: signature, chunk walk with CRC32 VERIFICATION on
+    every chunk, IHDR validation (8-bit RGB, no interlace — the shape
+    every real photo writer emits), zlib inflate of the concatenated
+    IDATs, and scanline unfiltering. Returns (width, height, rgb_bytes)
+    with rgb_bytes row-major top-down, 3 bytes per pixel."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    saw_end = False
+    while pos + 12 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {tag!r} chunk CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or ilace != 0:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color_type={ctype} "
+                    f"interlace={ilace} (8-bit RGB non-interlaced only)"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            saw_end = True
+            break
+        pos += 12 + ln
+    if width is None or not idat or not saw_end:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    rgb = _png_unfilter(zlib.decompress(bytes(idat)), width, height)
+    return (width, height, rgb)
+
+
+def parse_png(payload: bytes) -> tuple[int, int, int]:
+    """PNG decode to the metadata slots: (width, height, 1) — the full
+    pixel reconstruction runs (CRC + inflate + unfilter), so a corrupt
+    payload fails here rather than poisoning downstream stages."""
+    width, height, _ = decode_png_pixels(payload)
+    return (width, height, 1)
+
+
 def stdlib_decoder(payload: bytes) -> tuple[int, int, int]:
-    """Sniff-and-parse over the real stdlib codecs: BMP by the ``BM``
-    magic, WAV by ``RIFF....WAVE``. Unknown formats raise ValueError so
-    callers can route them to a library-backed decoder."""
+    """Sniff-and-parse over the real no-third-party-lib codecs: BMP by
+    the ``BM`` magic, WAV by ``RIFF....WAVE``, PNG by its 8-byte
+    signature. Unknown formats raise ValueError so callers can route
+    them to a library-backed decoder."""
     if payload[:2] == b"BM":
         return parse_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return parse_wav(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import parse_jpeg
+
+        return parse_jpeg(payload)
     raise ValueError(f"unrecognized media magic: {payload[:4]!r}")
 
 
 def default_decoder(payload: bytes) -> tuple[int, int, int]:
-    """BMP and WAV decode for real (stdlib byte parsing); every other
-    format needs PIL/ffmpeg, which this container does not ship."""
+    """BMP, WAV, PNG, and baseline-JPEG decode for real (hand-rolled
+    byte parsing + stdlib wave/zlib + the numpy DCT pipeline in
+    operators/jpeg.py); video (MP4/H.264) needs ffmpeg, which this
+    container does not ship. Only an UNRECOGNIZED magic maps to
+    NotImplementedError — a recognized-but-corrupt payload surfaces its
+    parse error (a truncated PNG is data corruption, not a missing
+    codec)."""
     try:
         return stdlib_decoder(payload)
-    except ValueError:
-        pass
-    raise NotImplementedError("media decode beyond BMP/WAV requires image/audio libs not present in this environment")
+    except ValueError as e:
+        if "unrecognized media magic" not in str(e):
+            raise
+    raise NotImplementedError("media decode beyond BMP/WAV/PNG/JPEG (video) requires ffmpeg-class libs not present in this environment")
 
 
 def fake_decoder(payload: bytes) -> tuple[int, int, int]:
@@ -196,6 +388,265 @@ def attach_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         enc_batches, schema
+    )
+
+
+PNG_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("pixels_match", T.BooleanType()),
+    ]
+)
+
+
+def png_roundtrip_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Executor-side PNG encode → decode → pixel-equality verify, one
+    row per document: geometry derives from the id alone (width =
+    id % 29 + 1, height = id*5 % 19 + 1) so an oracle can predict what
+    a correct round trip must report without seeing the bytes.
+    ``filters="cycle"`` makes the encoder emit every scanline filter
+    type (None/Sub/Up/Average/Paeth), so the decode exercises ALL FIVE
+    unfilter paths plus CRC verification and zlib inflate on every row;
+    ``pixels_match`` is byte equality of the reconstructed RGB stream
+    against the generating formula — one flipped byte anywhere in the
+    filter/unfilter algebra turns it FALSE. Arrow-batched on executors;
+    payloads never pass through the driver (the CPU-bound media-feature
+    mapInPandas shape)."""
+
+    def rt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, nb, ok = [], [], [], [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = i % 29 + 1, (i * 5) % 19 + 1
+                dw, dh, rgb = decode_png_pixels(encode_png(w, h, filters="cycle"))
+                ids.append(i)
+                ws.append(dw)
+                hs.append(dh)
+                nb.append(len(rgb))
+                ok.append((dw, dh) == (w, h) and rgb == b"".join(_png_pixels(w, h)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "n_frames": [1] * len(ids),
+                    "n_pixel_bytes": nb,
+                    "pixels_match": ok,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        rt_batches, PNG_ROUNDTRIP_SCHEMA
+    )
+
+
+JPEG_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("within_tolerance", T.BooleanType()),
+    ]
+)
+
+
+def _jpeg_gradient(width: int, height: int):
+    """Smooth deterministic RGB test image (monotone gradients, no
+    modulo cliffs): JPEG is lossy and rings hard on step edges, so the
+    round-trip tolerance is meaningful only on the natural-image-like
+    content the quantization tables were designed for."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    r = (x * 255) // max(width - 1, 1)
+    g = (y * 255) // max(height - 1, 1)
+    b = ((x + y) * 255) // max(width + height - 2, 1)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def jpeg_roundtrip_report(
+    df: DataFrame, id_col: str = "doc_id", max_err: int = 24
+) -> DataFrame:
+    """Executor-side baseline-JPEG encode → decode → tolerance verify,
+    one row per document (the lossy sibling of
+    :func:`png_roundtrip_report`): geometry derives from the id alone
+    (width = id % 25 + 8, height = id*3 % 17 + 8 — min dim 8 so one
+    full DCT block exists and the gradient stays gentle); the payload is a
+    spec-valid 4:4:4 JFIF stream (operators/jpeg.py) and the decode
+    runs the full marker walk, Huffman entropy decode, dequantize,
+    IDCT, and color transform. ``within_tolerance`` asserts exact
+    decoded dimensions AND max per-channel reconstruction error ≤
+    ``max_err`` on a smooth gradient image — a broken Huffman table,
+    zigzag order, or DCT normalization blows the bound by an order of
+    magnitude. Arrow-batched on executors."""
+    from .jpeg import decode_jpeg_pixels, encode_jpeg
+
+    def rt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, nb, ok = [], [], [], [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = i % 25 + 8, (i * 3) % 17 + 8
+                rgb = _jpeg_gradient(w, h)
+                dw, dh, out = decode_jpeg_pixels(encode_jpeg(rgb))
+                err = int(np.abs(out.astype(np.int64) - rgb.astype(np.int64)).max())
+                ids.append(i)
+                ws.append(dw)
+                hs.append(dh)
+                nb.append(out.size)
+                ok.append((dw, dh) == (w, h) and err <= max_err)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "n_frames": [1] * len(ids),
+                    "n_pixel_bytes": nb,
+                    "within_tolerance": ok,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        rt_batches, JPEG_ROUNDTRIP_SCHEMA
+    )
+
+
+IMAGE_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("self_near_dup", T.BooleanType()),
+        T.StructField("cross_separated", T.BooleanType()),
+    ]
+)
+
+
+def _phash_field(i: int, size: int = 64) -> "object":
+    """Deterministic dense-spectrum grayscale image for doc ``i``: an
+    md5-keyed 32x32 random field upscaled by pixel repetition. DENSE
+    spectrum matters — a sparse synthetic (a few sinusoids) leaves most
+    low-frequency DCT coefficients hugging the median, where any
+    perturbation flips bits; an iid field puts every coefficient
+    generically far from the threshold, which is what real photographs
+    look like to a pHash."""
+    import hashlib
+
+    import numpy as np
+
+    vals: list[int] = []
+    k = 0
+    while len(vals) < 1024:
+        vals.extend(hashlib.md5(f"img:{i}:{k}".encode()).digest())
+        k += 1
+    grid = np.array(vals[:1024], dtype=np.float64).reshape(32, 32)
+    rep = size // 32
+    return np.repeat(np.repeat(grid, rep, axis=0), rep, axis=1).astype(np.uint8)
+
+
+def image_phash_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image perceptual hashing over the REAL PNG codec — the
+    LAION-style image-dedup primitive, end to end on executors: per
+    document, (1) build a deterministic dense-spectrum grayscale image
+    and a perturbed twin (+2 global brightness and a +4 local patch —
+    the edits image dedup must survive), (2) round each through PNG
+    encode → CRC-verified decode (operators/multimodal PNG codec), (3)
+    pHash the DECODED pixels — block-mean downscale to 32x32, 32-point
+    DCT-II, top-left 8x8 low-frequency block minus DC, median
+    threshold, 63-bit signature — and (4) report Hamming separability:
+    ``self_near_dup`` (twin within 4 bits; measured ≤ 2) and
+    ``cross_separated`` (the NEXT doc's image at least 10 bits away;
+    measured ≥ 22 — margins are generous because exact bit patterns
+    ride float DCT and are not SQL-portable, so the oracle pins the
+    separability verdicts, not raw hashes). Per-row work only — hashes
+    of the neighbor regenerate deterministically, so the plan has no
+    shuffle at all."""
+    import numpy as np
+
+    c32 = np.zeros((32, 32))
+    for k in range(32):
+        for n in range(32):
+            c32[k, n] = np.cos((2 * n + 1) * k * np.pi / 64)
+    c32[0] *= np.sqrt(1 / 32)
+    c32[1:] *= np.sqrt(2 / 32)
+
+    def phash_of(gray: "np.ndarray") -> int:
+        h, w = gray.shape
+        bh, bw = h // 32, w // 32
+        small = gray[: bh * 32, : bw * 32].reshape(32, bh, 32, bw).mean(axis=(1, 3))
+        d = c32 @ small @ c32.T
+        block = d[:8, :8].flatten()[1:]
+        med = float(np.median(block))
+        v = 0
+        for b in block:
+            v = (v << 1) | int(b > med)
+        return v
+
+    def png_cycle(gray: "np.ndarray") -> "np.ndarray":
+        # honest round trip through the real codec: grayscale → RGB PNG
+        # bytes → CRC-verified decode → back to one channel
+        h, w = gray.shape
+        rows = [
+            bytes(v for px in row for v in (px, px, px)) for row in gray.tolist()
+        ]
+        # splice the content into a PNG via the same chunk writer the
+        # codec uses (encode_png generates coordinate pixels; here the
+        # pixel CONTENT is the operator's input)
+        raw = bytearray()
+        for row in rows:
+            raw.append(0)
+            raw += row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b"")
+        )
+        dw, dh, rgb = decode_png_pixels(payload)
+        return np.frombuffer(rgb, dtype=np.uint8).reshape(dh, dw, 3)[..., 0]
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    def rp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sn, cs = [], [], [], [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                base = _phash_field(i)
+                twin = np.clip(base.astype(np.int64) + 2, 0, 255)
+                twin[10:18, 20:28] = np.clip(twin[10:18, 20:28] + 4, 0, 255)
+                twin = twin.astype(np.uint8)
+                h_base = phash_of(png_cycle(base))
+                h_twin = phash_of(png_cycle(twin))
+                h_next = phash_of(png_cycle(_phash_field(i + 1)))
+                ids.append(i)
+                ws.append(base.shape[1])
+                hs.append(base.shape[0])
+                sn.append(ham(h_base, h_twin) <= 4)
+                cs.append(ham(h_base, h_next) >= 10)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "self_near_dup": sn,
+                    "cross_separated": cs,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        rp_batches, IMAGE_PHASH_SCHEMA
     )
 
 

@@ -49,14 +49,161 @@ def test_wav_roundtrip_frames_and_rate():
 def test_stdlib_decoder_sniffs_and_routes():
     assert MM.stdlib_decoder(MM.encode_bmp(5, 2)) == (5, 2, 1)
     assert MM.stdlib_decoder(MM.encode_wav(9)) == (1, 8000, 9)
+    assert MM.stdlib_decoder(MM.encode_png(6, 4)) == (6, 4, 1)
     with pytest.raises(ValueError, match="unrecognized"):
-        MM.stdlib_decoder(b"\x89PNG\r\n\x1a\n")
+        MM.stdlib_decoder(b"\x00\x00\x00\x18ftypmp42")  # MP4 ftyp box
 
 
-def test_default_decoder_real_for_bmp_wav_stub_beyond():
+def test_default_decoder_real_for_bmp_wav_png_stub_beyond():
     assert MM.default_decoder(MM.encode_bmp(3, 3)) == (3, 3, 1)
+    assert MM.default_decoder(MM.encode_png(3, 3)) == (3, 3, 1)
     with pytest.raises(NotImplementedError):
+        MM.default_decoder(b"\x00\x00\x00\x18ftypmp42")  # video stays stubbed
+    # a recognized-but-corrupt payload surfaces its parse error, it is
+    # NOT misreported as a missing codec
+    with pytest.raises(ValueError, match="missing IHDR"):
         MM.default_decoder(b"\x89PNG\r\n\x1a\n")
+
+
+def test_png_roundtrip_all_filters_pixel_exact():
+    """encode(filters='cycle') emits every scanline filter type; decode
+    must CRC-verify, inflate, unfilter all five, and reproduce the
+    generating pixels byte-for-byte."""
+    for w, h in [(1, 1), (3, 2), (29, 19), (17, 11)]:
+        for filters in ("none", "cycle"):
+            p = MM.encode_png(w, h, filters=filters)
+            assert p[:8] == b"\x89PNG\r\n\x1a\n"
+            dw, dh, rgb = MM.decode_png_pixels(p)
+            assert (dw, dh) == (w, h)
+            assert rgb == b"".join(MM._png_pixels(w, h))
+            assert MM.parse_png(p) == (w, h, 1)
+
+
+def test_png_rejects_corruption():
+    good = MM.encode_png(8, 8)
+    # flipped byte inside IHDR data -> CRC mismatch
+    bad = bytearray(good)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        MM.parse_png(bytes(bad))
+    # truncated chunk
+    with pytest.raises(ValueError):
+        MM.parse_png(good[:30])
+    # unsupported shape: 16-bit depth in IHDR (with a VALID re-computed
+    # CRC, so the depth check itself must fire)
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 8, 8, 16, 2, 0, 0, 0)
+    chunk = _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr + _s.pack(
+        ">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        MM.parse_png(b"\x89PNG\r\n\x1a\n" + chunk + good[len(b"\x89PNG\r\n\x1a\n") + len(chunk):])
+
+
+def _grad(w, h):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 255) // max(w - 1, 1)
+    g = (y * 255) // max(h - 1, 1)
+    b = ((x + y) * 255) // max(w + h - 2, 1)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_within_tolerance():
+    """Baseline JPEG encode→decode: exact dims, bounded reconstruction
+    error on smooth content, near-exact on flat color (DC-only blocks)."""
+    import numpy as np
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import jpeg as J
+
+    for w, h in [(8, 8), (16, 16), (29, 19), (9, 25), (64, 48)]:
+        rgb = _grad(w, h)
+        payload = J.encode_jpeg(rgb)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        dw, dh, out = J.decode_jpeg_pixels(payload)
+        assert (dw, dh) == (w, h)
+        assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 24
+        assert J.parse_jpeg(payload) == (w, h, 1)
+
+    flat = np.full((24, 16, 3), 120, dtype=np.uint8)
+    _, _, out = J.decode_jpeg_pixels(J.encode_jpeg(flat))
+    assert int(np.abs(out.astype(int) - 120).max()) == 0
+
+
+def test_jpeg_byte_stuffing_exercised_and_rejections():
+    """At least one encoded payload must contain a stuffed 0xFF 0x00 in
+    its entropy segment (else the stuffing path is dead code), and the
+    decoder rejects non-JPEG, truncated, and progressive streams with
+    typed errors."""
+    import numpy as np
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import jpeg as J
+
+    stuffed = False
+    for i in range(40):
+        w, h = i % 25 + 8, (i * 3) % 17 + 8
+        payload = J.encode_jpeg(_grad(w, h))
+        scan = payload[payload.index(b"\xff\xda") : -2]
+        if b"\xff\x00" in scan:
+            stuffed = True
+            break
+    assert stuffed
+
+    with pytest.raises(ValueError, match="no SOI"):
+        J.decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n")
+    good = J.encode_jpeg(_grad(16, 16))
+    with pytest.raises(ValueError):
+        J.decode_jpeg_pixels(good[:100])  # truncated mid-tables
+    # flip SOF0 -> SOF2 (progressive): typed scoping error, not garbage
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg_pixels(prog)
+    # stdlib_decoder sniffs JPEG by SOI magic now
+    assert MM.stdlib_decoder(good) == (16, 16, 1)
+    assert MM.default_decoder(good) == (16, 16, 1)
+
+
+def test_jpeg_decoder_reads_tables_from_stream():
+    """The decoder must honor the DHT/DQT carried by the stream, not
+    assume the encoder's constants: doubling the luma quant table in
+    the stream (and fixing nothing else) changes reconstruction in a
+    way consistent with coarser quantization — decode still succeeds
+    because the table rides the DQT segment."""
+    import numpy as np
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import jpeg as J
+
+    rgb = _grad(32, 32)
+    payload = J.encode_jpeg(rgb)
+    _, _, base = J.decode_jpeg_pixels(payload)
+    # locate DQT body: marker FFDB, length, then table 0 in zigzag order
+    i = payload.index(b"\xff\xdb")
+    body_at = i + 5  # skip marker(2) + length(2) + Pq/Tq(1)
+    doubled = bytearray(payload)
+    for k in range(64):
+        doubled[body_at + k] = min(255, doubled[body_at + k] * 2)
+    _, _, coarse = J.decode_jpeg_pixels(bytes(doubled))
+    # same shape, different (coarser) values: the stream table was used
+    assert coarse.shape == base.shape
+    assert int(np.abs(coarse.astype(int) - base.astype(int)).max()) > 0
+
+
+def test_image_phash_separability_on_spark(spark, sf_smoke):
+    """The pHash-over-decoded-PNG pipeline: every doc's perturbed twin
+    classifies near-dup and every neighbor image classifies separated —
+    and the plan is shuffle-free (per-row regeneration, no join)."""
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rep = MM.image_phash_report(docs)
+    txt = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in txt, txt
+    rows = rep.collect()
+    assert len(rows) == docs.count()
+    assert all(r.self_near_dup and r.cross_separated for r in rows)
 
 
 def test_spark_encode_decode_real_end_to_end(spark, sf_smoke):

@@ -359,8 +359,14 @@ def main() -> None:
         "verify join's growing component drops with it (r9 verdict #3).",
         "`nd_dup_*` / `emb_dup_*` (r10 verdict #3): the same A/B for the",
         "KEYED legs — x4-duplicated texts/vectors under state_mode all vs",
-        "keepers; the keepers state holds ~1/4 the key rows, so the",
-        "history join's scan follows the DEDUPED corpus. `recentroid` is",
+        "keepers; the keepers state holds ~1/4 the key rows (neardup:",
+        "exactly 1/4), so the history join's scan follows the DEDUPED",
+        "corpus. emb_dup_keep collapses much further (24 rows at every",
+        "multiple): with 4-bit buckets there are only 16 per table, so",
+        "exists-semantics reject almost every vector as a bucket",
+        "collision and the keeper set saturates at one per occupied",
+        "bucket — the honest illustration of how aggressively keeper",
+        "mode narrows when the key function is coarse. `recentroid` is",
         "one centroid-migration pass (recentroid_state, 64 -> 48 cells)",
         "per multiple: it rewrites every semantic member row, so it",
         "scales with member count — the number that sizes the migration",
