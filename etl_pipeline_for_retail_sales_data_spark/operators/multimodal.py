@@ -11,10 +11,15 @@ DQT/DHT, 0xFF byte stuffing — 4:4:4 JFIF) — so the decode path
 exercises genuine binary parsing end-to-end (encode → bytes → sniff →
 parse, oracled in the registry; JPEG is lossy, so its oracle pins a
 deterministic reconstruction-error bound instead of byte equality).
-Video (MP4/H.264) needs ffmpeg-class libs absent from this container:
-``default_decoder`` falls back to NotImplementedError for it, and
-``fake_decoder`` remains the deterministic stand-in for plumbing
-tests.
+For video, the ISO-BMFF (MP4) CONTAINER is parsed for real too —
+recursive box walk, 16.16 fixed-point track geometry, frame count from
+the stts time-to-sample table (:func:`encode_mp4_skeleton` /
+:func:`parse_mp4`) — which is the manifest surface a video corpus
+pipeline schedules from; only the coded H.264 frame PIXELS remain
+stubbed (ffmpeg-class libs absent from this container):
+``default_decoder`` falls back to NotImplementedError for formats with
+no codec here (e.g. GIF), and ``fake_decoder`` remains the
+deterministic stand-in for plumbing tests.
 """
 
 from __future__ import annotations
@@ -324,6 +329,8 @@ def stdlib_decoder(payload: bytes) -> tuple[int, int, int]:
         from .jpeg import parse_jpeg
 
         return parse_jpeg(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return parse_mp4(payload)
     raise ValueError(f"unrecognized media magic: {payload[:4]!r}")
 
 
@@ -517,6 +524,178 @@ def jpeg_roundtrip_report(
 
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         rt_batches, JPEG_ROUNDTRIP_SCHEMA
+    )
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def encode_mp4_skeleton(
+    width: int, height: int, n_frames: int, fps: int = 30
+) -> bytes:
+    """A structurally-valid ISO-BMFF (MP4) container with one video
+    track: ftyp, moov (mvhd → trak → tkhd/mdia → mdhd/hdlr/minf →
+    stbl → stsd[avc1]/stts/stsc/stsz/stco) and an empty mdat — real
+    box framing, real 16.16 fixed-point track dimensions, real
+    time-to-sample table carrying the frame count. The CODED FRAMES are
+    absent by design (H.264 payloads need an encoder this container
+    does not ship); what a training-data pipeline reads for manifests —
+    geometry, frame count, duration — is all here and all parsed back
+    by :func:`parse_mp4` from the bytes."""
+    if width < 1 or height < 1 or n_frames < 1:
+        raise ValueError(
+            f"MP4 geometry must be positive, got {width}x{height}x{n_frames}"
+        )
+    timescale = fps
+    duration = n_frames  # one tick per frame at timescale=fps
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH2x", 0x00010000, 0x0100)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3B", 0, 0, 0, 7)  # version 0, flags: enabled+in-movie
+        + struct.pack(">IIII", 0, 0, 1, 0)  # times, track id 1, reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _box(b"hdlr", struct.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"video\x00")
+    # stsd with a minimal avc1 sample entry carrying the pixel box
+    avc1 = _box(
+        b"avc1",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data reference index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame count per sample
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1),  # depth, color table
+    )
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + avc1)
+    stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, n_frames, 1))
+    stsc = _box(b"stsc", struct.pack(">B3xI", 0, 0))
+    stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, 0))
+    stco = _box(b"stco", struct.pack(">B3xI", 0, 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _box(b"vmhd", struct.pack(">B3B", 0, 0, 0, 1) + b"\x00" * 8)
+    dref = _box(b"dref", struct.pack(">B3xI", 0, 1) + _box(b"url ", struct.pack(">B3B", 0, 0, 0, 1)))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    mdat = _box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
+
+
+def _walk_boxes(data: bytes, start: int, end: int, found: dict) -> None:
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed MP4 box {tag!r} at offset {pos}")
+        if tag in _MP4_CONTAINERS:
+            _walk_boxes(data, pos + 8, pos + size, found)
+        else:
+            found.setdefault(tag, data[pos + 8 : pos + size])
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> tuple[int, int, int]:
+    """Real ISO-BMFF container parse: recursive box walk (size/type
+    framing validated at every level), track geometry from tkhd's
+    16.16 fixed-point width/height, frame count summed from the stts
+    time-to-sample table. Returns (width, height, n_frames). Raises
+    ValueError for non-MP4 bytes, malformed/truncated boxes, or a
+    container with no video track — the CODED frame payloads are not
+    decoded (H.264 needs ffmpeg-class libs; this is the manifest
+    surface)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (no ftyp)")
+    found: dict = {}
+    _walk_boxes(payload, 0, len(payload), found)
+    if b"tkhd" not in found or b"stts" not in found:
+        raise ValueError("MP4 container has no video track (tkhd/stts missing)")
+    tkhd = found[b"tkhd"]
+    version = tkhd[0]
+    if version != 0:
+        raise ValueError("only version-0 tkhd boxes are supported")
+    w_fixed, h_fixed = struct.unpack_from(">II", tkhd, len(tkhd) - 8)
+    stts = found[b"stts"]
+    (n_entries,) = struct.unpack_from(">I", stts, 4)
+    if len(stts) < 8 + 8 * n_entries:
+        raise ValueError("truncated stts table")
+    n_frames = sum(
+        struct.unpack_from(">II", stts, 8 + 8 * i)[0] for i in range(n_entries)
+    )
+    width, height = w_fixed >> 16, h_fixed >> 16
+    if width < 1 or height < 1 or n_frames < 1:
+        raise ValueError(f"degenerate MP4 track: {width}x{height}x{n_frames}")
+    return (width, height, n_frames)
+
+
+def attach_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real MP4 container payloads, one video track per document:
+    width = (id % 64 + 1)·16, height = (id % 36 + 1)·16, n_frames =
+    id % 900 + 1 — geometry derived from the id alone so an oracle can
+    predict what a correct container parse must recover. Encoding runs
+    in an Arrow batch on executors (payloads never pass through the
+    driver); the container is a 580-byte skeleton whose coded frames
+    are absent by design (:func:`encode_mp4_skeleton`)."""
+
+    def enc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                payloads.append(
+                    encode_mp4_skeleton(
+                        (i % 64 + 1) * 16, (i % 36 + 1) * 16, i % 900 + 1
+                    )
+                )
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": ["video/mp4"] * len(ids),
+                    "payload": payloads,
+                    "payload_len": [len(p) for p in payloads],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("payload_len", T.LongType()),
+        ]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        enc_batches, schema
     )
 
 

@@ -1052,6 +1052,40 @@ def q_image_phash_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp4_frame_plan",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id,
+               doc_id % 900 + 1 AS n_frames,
+               GREATEST(1, CAST(CEIL((doc_id % 900 + 1) / 4.0) AS BIGINT)) AS step
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(UNNEST(range(0, n_frames, step)) AS INTEGER) AS frame_idx
+    FROM v
+    """,
+)
+def q_multimodal_mp4_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-manifest pipeline end to end on REAL MP4 containers:
+    executors build a structurally-valid ISO-BMFF file per document
+    (ftyp → moov → trak → stbl, 16.16 fixed-point track geometry, a
+    real time-to-sample table — operators/multimodal.encode_mp4_skeleton),
+    the decode pass parses the ACTUAL boxes back (recursive size/type
+    walk, frame count summed from stts), and frame_sample plans the
+    evenly-spaced per-frame work units JVM-side. The oracle pins, per
+    document, the parsed frame count AND every sampled frame index — a
+    broken box length, fixed-point shift, or stts sum shifts a value
+    and the hash catches it. The coded H.264 frames are absent by
+    design (the one remaining stub: frame PIXEL decode needs
+    ffmpeg-class libs); the manifest surface a video corpus pipeline
+    schedules from is fully real."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = MM.decode_media(MM.attach_video_media(docs), MM.stdlib_decoder)
+    return MM.frame_sample(decoded, max_frames=4)
+
+
+@query(
     "streaming_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,

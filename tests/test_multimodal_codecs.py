@@ -51,14 +51,14 @@ def test_stdlib_decoder_sniffs_and_routes():
     assert MM.stdlib_decoder(MM.encode_wav(9)) == (1, 8000, 9)
     assert MM.stdlib_decoder(MM.encode_png(6, 4)) == (6, 4, 1)
     with pytest.raises(ValueError, match="unrecognized"):
-        MM.stdlib_decoder(b"\x00\x00\x00\x18ftypmp42")  # MP4 ftyp box
+        MM.stdlib_decoder(b"GIF89a\x00\x00")  # no GIF codec
 
 
 def test_default_decoder_real_for_bmp_wav_png_stub_beyond():
     assert MM.default_decoder(MM.encode_bmp(3, 3)) == (3, 3, 1)
     assert MM.default_decoder(MM.encode_png(3, 3)) == (3, 3, 1)
     with pytest.raises(NotImplementedError):
-        MM.default_decoder(b"\x00\x00\x00\x18ftypmp42")  # video stays stubbed
+        MM.default_decoder(b"GIF89a\x00\x00")  # GIF stays stubbed
     # a recognized-but-corrupt payload surfaces its parse error, it is
     # NOT misreported as a missing codec
     with pytest.raises(ValueError, match="missing IHDR"):
@@ -189,6 +189,25 @@ def test_jpeg_decoder_reads_tables_from_stream():
     # same shape, different (coarser) values: the stream table was used
     assert coarse.shape == base.shape
     assert int(np.abs(coarse.astype(int) - base.astype(int)).max()) > 0
+
+
+def test_mp4_container_roundtrip_and_rejections():
+    """ISO-BMFF skeleton: box framing, 16.16 track geometry, and the
+    stts frame count survive the recursive parse; malformed inputs get
+    typed rejections."""
+    for w, h, n in [(640, 480, 300), (1920, 1080, 1), (16, 16, 7)]:
+        p = MM.encode_mp4_skeleton(w, h, n)
+        assert p[4:8] == b"ftyp"
+        assert MM.parse_mp4(p) == (w, h, n)
+        assert MM.stdlib_decoder(p) == (w, h, n)  # sniffed by ftyp
+    with pytest.raises(ValueError, match="no ftyp"):
+        MM.parse_mp4(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="malformed MP4 box"):
+        MM.parse_mp4(MM.encode_mp4_skeleton(8, 8, 2)[:60])
+    # a container with no video track (ftyp only + empty moov)
+    ftyp = MM._box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    with pytest.raises(ValueError, match="no video track"):
+        MM.parse_mp4(ftyp + MM._box(b"moov", b""))
 
 
 def test_image_phash_separability_on_spark(spark, sf_smoke):
