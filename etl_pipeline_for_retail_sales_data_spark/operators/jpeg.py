@@ -1,16 +1,18 @@
 """Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy + stdlib — no
 PIL, no libjpeg.
 
-Scope: baseline sequential DCT, 8-bit, 3 components (YCbCr), 4:4:4
-sampling (no chroma subsampling), Huffman entropy coding with the
+Scope: baseline sequential DCT, 8-bit, 3 components (YCbCr), sampling
+factors 1 and 2 — 4:4:4, 4:2:2, and 4:2:0, the last being what cameras
+and web encoders actually emit — with Huffman entropy coding in the
 Annex-K table shapes. The encoder emits a spec-valid interchange-format
 stream (SOI / APP0-JFIF / DQT / SOF0 / DHT / SOS / entropy-coded data
-with 0xFF byte stuffing / EOI) that any JPEG viewer opens; the decoder
-reads the quantization and Huffman tables FROM THE STREAM (as every
-conforming decoder must), so it decodes any baseline 4:4:4 JPEG, not
-just its own output, and raises a typed error for progressive or
-subsampled streams (honest scoping — those need a fuller DCT pipeline,
-not different libraries).
+with 0xFF byte stuffing / EOI) in 4:4:4 or 4:2:0; the decoder reads the
+quantization and Huffman tables FROM THE STREAM (as every conforming
+decoder must) and walks the general interleaved MCU layout, so it
+decodes any baseline JPEG with factors ≤ 2, not just its own output,
+and raises a typed error for progressive or restart-interval streams
+(honest scoping — those need a fuller scan machine, not different
+libraries).
 
 JPEG is lossy: round-trip tests pin exact dimensions plus a mean/max
 reconstruction-error bound (the quantization tables' guarantee), unlike
@@ -280,29 +282,64 @@ def _from_blocks(blocks: np.ndarray, bh: int, bw: int, h: int, w: int) -> np.nda
 # ---------------------------------------------------------------------------
 
 
-def encode_jpeg(rgb: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:4:4 JFIF
-    JPEG. Tables are written into DQT/DHT, so ANY conforming decoder
-    (including :func:`decode_jpeg_pixels`) reconstructs from the stream
-    alone."""
+def _quantized_zigzag(plane: np.ndarray, quant: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(n_blocks, 64) quantized zigzag coefficients for one component
+    plane, plus its block-grid shape."""
+    blocks, bh, bw = _to_blocks(plane)
+    coefs = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    q = np.round(coefs / quant).astype(np.int64)
+    # clamp to the categories the Annex-K tables can express
+    np.clip(q, -1023, 1023, out=q)
+    return q[:, ZIGZAG // 8, ZIGZAG % 8], bh, bw
+
+
+def _emit_block(bw_: _BitWriter, zz, pred: list, ci: int, tsel: int, dc_codes, ac_codes) -> None:
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    t = _category(diff)
+    code, ln = dc_codes[tsel][t]
+    bw_.write(code, ln)
+    if t:
+        bw_.write(_value_bits(diff, t), t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[tsel][0xF0]  # ZRL
+            bw_.write(code, ln)
+            run -= 16
+        t = _category(v)
+        code, ln = ac_codes[tsel][(run << 4) | t]
+        bw_.write(code, ln)
+        bw_.write(_value_bits(v, t), t)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[tsel][0x00]  # EOB
+        bw_.write(code, ln)
+
+
+def encode_jpeg(rgb: np.ndarray, subsampling: str = "444") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG —
+    ``subsampling="444"`` (one Y/Cb/Cr block per MCU) or ``"420"``
+    (2x2 chroma subsampling: 4 Y blocks + 1 Cb + 1 Cr per 16x16 MCU,
+    chroma planes are 2x2 block means — what cameras and web encoders
+    actually emit). Tables are written into DQT/DHT, so ANY conforming
+    decoder (including :func:`decode_jpeg_pixels`) reconstructs from
+    the stream alone."""
     rgb = np.asarray(rgb)
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise ValueError("encode_jpeg expects an (h, w, 3) uint8 array")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     h, w = rgb.shape[:2]
     if h < 1 or w < 1 or h > 65535 or w > 65535:
         raise ValueError(f"JPEG dimensions out of range: {w}x{h}")
 
-    ycc = _rgb_to_ycbcr(rgb.astype(np.float64))
-    quants = (QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA)
-    comp_coefs = []
-    for ci in range(3):
-        blocks, bh, bw = _to_blocks(ycc[..., ci] - 128.0)
-        coefs = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
-        q = np.round(coefs / quants[ci]).astype(np.int64)
-        # clamp to the categories the Annex-K tables can express
-        np.clip(q, -1023, 1023, out=q)
-        comp_coefs.append(q[:, ZIGZAG // 8, ZIGZAG % 8])  # zigzag per block
-
+    ycc = _rgb_to_ycbcr(rgb.astype(np.float64)) - 128.0
     dc_codes = (
         _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
         _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
@@ -311,40 +348,44 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
         _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
         _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
     )
-
     bw_ = _BitWriter()
     pred = [0, 0, 0]
-    n_blocks = comp_coefs[0].shape[0]
-    for bi in range(n_blocks):
-        for ci in range(3):
-            tsel = 0 if ci == 0 else 1
-            zz = comp_coefs[ci][bi]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            t = _category(diff)
-            code, ln = dc_codes[tsel][t]
-            bw_.write(code, ln)
-            if t:
-                bw_.write(_value_bits(diff, t), t)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[tsel][0xF0]  # ZRL
-                    bw_.write(code, ln)
-                    run -= 16
-                t = _category(v)
-                code, ln = ac_codes[tsel][(run << 4) | t]
-                bw_.write(code, ln)
-                bw_.write(_value_bits(v, t), t)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[tsel][0x00]  # EOB
-                bw_.write(code, ln)
+
+    if subsampling == "444":
+        samp = [0x11, 0x11, 0x11]
+        quants = (QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA)
+        coefs = [
+            _quantized_zigzag(ycc[..., ci], quants[ci])[0] for ci in range(3)
+        ]
+        for bi in range(coefs[0].shape[0]):
+            for ci in range(3):
+                _emit_block(
+                    bw_, coefs[ci][bi], pred, ci, 0 if ci == 0 else 1,
+                    dc_codes, ac_codes,
+                )
+    else:
+        samp = [0x22, 0x11, 0x11]
+        # pad to 16-pixel MCU alignment (edge replicate), then chroma =
+        # 2x2 block means of the padded plane
+        ph, pw = (-h) % 16, (-w) % 16
+        padded = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        yq, ybh, ybw = _quantized_zigzag(padded[..., 0], QUANT_LUMA)
+        hh, ww = padded.shape[0] // 2, padded.shape[1] // 2
+        chroma = padded.reshape(hh, 2, ww, 2, 3).mean(axis=(1, 3))
+        cbq, cbh, cbw = _quantized_zigzag(chroma[..., 1], QUANT_CHROMA)
+        crq, _, _ = _quantized_zigzag(chroma[..., 2], QUANT_CHROMA)
+        mcux, mcuy = ybw // 2, ybh // 2
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        _emit_block(
+                            bw_,
+                            yq[(my * 2 + by) * ybw + (mx * 2 + bx)],
+                            pred, 0, 0, dc_codes, ac_codes,
+                        )
+                _emit_block(bw_, cbq[my * cbw + mx], pred, 1, 1, dc_codes, ac_codes)
+                _emit_block(bw_, crq[my * cbw + mx], pred, 2, 1, dc_codes, ac_codes)
     bw_.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -359,7 +400,7 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, samp[0], 0, 2, samp[1], 1, 3, samp[2], 1]),
     )
     dht = seg(
         0xFFC4,
@@ -380,10 +421,13 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
 
 
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline 4:4:4 JPEG to (width, height, (h, w, 3) uint8
-    RGB). Tables come from the stream's DQT/DHT segments; progressive
-    (SOF2), subsampled, or restart-interval streams raise ValueError
-    with the reason (scoping, not corruption)."""
+    """Decode a baseline JPEG to (width, height, (h, w, 3) uint8 RGB).
+    Sampling factors 1 and 2 are supported — 4:4:4, 4:2:2, and 4:2:0
+    (the camera/web default); the MCU walk interleaves each component's
+    h×v blocks and subsampled chroma upsamples by pixel repetition.
+    Tables come from the stream's DQT/DHT segments; progressive (SOF2)
+    or restart-interval streams raise ValueError with the reason
+    (scoping, not corruption)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -419,9 +463,13 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
             frame = (fh, fw)
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError("chroma-subsampled JPEG unsupported (4:4:4 only)")
-                comps.append((cid, tq, -1))
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        f"sampling factor {hi}x{vi} unsupported (1 or 2 only — "
+                        f"covers 4:4:4, 4:2:2, and 4:2:0)"
+                    )
+                comps.append((cid, tq, hi, vi))
         elif marker == 0xFFC4:
             bp = 0
             while bp < len(body):
@@ -442,42 +490,64 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             fh, fw = frame
-            bh, bw = (fh + 7) // 8, (fw + 7) // 8
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
             reader = _BitReader(payload, pos + 2 + ln)
-            n_blocks = bh * bw
+            # per-component block grids (mcuy*vi rows x mcux*hi cols)
             comp_zz = [
-                np.zeros((n_blocks, 64), dtype=np.int64) for _ in range(len(comps))
+                np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.int64)
+                for (_cid, _tq, hi, vi) in comps
             ]
             pred = [0] * len(comps)
-            for bi in range(n_blocks):
-                for ci, (cid, _tq, _) in enumerate(comps):
-                    td, ta = sel[cid]
-                    t = _huff_decode(reader, huff_dc[td])
-                    diff = _extend(reader.bits(t), t) if t else 0
-                    pred[ci] += diff
-                    zz = comp_zz[ci][bi]
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, huff_ac[ta])
-                        run, t = rs >> 4, rs & 0x0F
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC coefficient index overran the block")
-                        zz[k] = _extend(reader.bits(t), t)
-                        k += 1
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (cid, _tq, hi, vi) in enumerate(comps):
+                        td, ta = sel[cid]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                t = _huff_decode(reader, huff_dc[td])
+                                diff = _extend(reader.bits(t), t) if t else 0
+                                pred[ci] += diff
+                                row = my * vi + by
+                                col = mx * hi + bx
+                                zz = comp_zz[ci][row * (mcux * hi) + col]
+                                zz[0] = pred[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _huff_decode(reader, huff_ac[ta])
+                                    run, t = rs >> 4, rs & 0x0F
+                                    if rs == 0x00:  # EOB
+                                        break
+                                    if rs == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    k += run
+                                    if k > 63:
+                                        raise ValueError(
+                                            "AC coefficient index overran the block"
+                                        )
+                                    zz[k] = _extend(reader.bits(t), t)
+                                    k += 1
             planes = []
-            for ci, (cid, tq, _) in enumerate(comps):
-                blocks = np.zeros((n_blocks, 8, 8), dtype=np.float64)
+            for ci, (cid, tq, hi, vi) in enumerate(comps):
+                bh_i, bw_i = mcuy * vi, mcux * hi
+                blocks = np.zeros((bh_i * bw_i, 8, 8), dtype=np.float64)
                 blocks[:, ZIGZAG // 8, ZIGZAG % 8] = comp_zz[ci]
                 blocks *= quant[tq]
                 spatial = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
-                planes.append(_from_blocks(spatial, bh, bw, fh, fw))
+                full = (
+                    spatial.reshape(bh_i, bw_i, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(bh_i * 8, bw_i * 8)
+                )
+                # nearest-neighbor chroma upsample back to full resolution
+                if hi != hmax or vi != vmax:
+                    full = np.repeat(
+                        np.repeat(full, vmax // vi, axis=0), hmax // hi, axis=1
+                    )
+                planes.append(full[:fh, :fw])
             rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
             out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
             return (fw, fh, out)

@@ -479,20 +479,23 @@ def _jpeg_gradient(width: int, height: int):
 
 
 def jpeg_roundtrip_report(
-    df: DataFrame, id_col: str = "doc_id", max_err: int = 24
+    df: DataFrame, id_col: str = "doc_id", max_err: int = 24, max_err_420: int = 44
 ) -> DataFrame:
     """Executor-side baseline-JPEG encode → decode → tolerance verify,
     one row per document (the lossy sibling of
     :func:`png_roundtrip_report`): geometry derives from the id alone
     (width = id % 25 + 8, height = id*3 % 17 + 8 — min dim 8 so one
-    full DCT block exists and the gradient stays gentle); the payload is a
-    spec-valid 4:4:4 JFIF stream (operators/jpeg.py) and the decode
-    runs the full marker walk, Huffman entropy decode, dequantize,
-    IDCT, and color transform. ``within_tolerance`` asserts exact
-    decoded dimensions AND max per-channel reconstruction error ≤
-    ``max_err`` on a smooth gradient image — a broken Huffman table,
-    zigzag order, or DCT normalization blows the bound by an order of
-    magnitude. Arrow-batched on executors."""
+    full DCT block exists and the gradient stays gentle); EVEN ids
+    encode 4:4:4 and ODD ids 4:2:0 (the camera/web default), so both
+    MCU layouts — and the decoder's chroma upsample — are oracled. The
+    decode runs the full marker walk, Huffman entropy decode,
+    dequantize, IDCT, and color transform. ``within_tolerance`` asserts
+    exact decoded dimensions AND max per-channel reconstruction error ≤
+    ``max_err`` (4:4:4; measured 19) / ``max_err_420`` (4:2:0 halves
+    chroma detail; measured 38) on a smooth gradient image — a broken
+    Huffman table, zigzag order, MCU interleave, or DCT normalization
+    blows the bound by an order of magnitude. Arrow-batched on
+    executors."""
     from .jpeg import decode_jpeg_pixels, encode_jpeg
 
     def rt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -503,14 +506,16 @@ def jpeg_roundtrip_report(
             for doc_id in pdf[id_col]:
                 i = int(doc_id)
                 w, h = i % 25 + 8, (i * 3) % 17 + 8
+                sub = "444" if i % 2 == 0 else "420"
+                bound = max_err if sub == "444" else max_err_420
                 rgb = _jpeg_gradient(w, h)
-                dw, dh, out = decode_jpeg_pixels(encode_jpeg(rgb))
+                dw, dh, out = decode_jpeg_pixels(encode_jpeg(rgb, subsampling=sub))
                 err = int(np.abs(out.astype(np.int64) - rgb.astype(np.int64)).max())
                 ids.append(i)
                 ws.append(dw)
                 hs.append(dh)
                 nb.append(out.size)
-                ok.append((dw, dh) == (w, h) and err <= max_err)
+                ok.append((dw, dh) == (w, h) and err <= bound)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

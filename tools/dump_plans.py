@@ -107,6 +107,25 @@ SHOWCASE = {
         "on a fraction of the postings and stop-phrase shingles drop out of "
         "long docs' prefixes — skew handled with zero recall loss"
     ),
+    "zipf_law_fit": (
+        "r11 rank rewrite: NO row_number anywhere — ranks are ENUMERATED "
+        "per frequency class from chunked sequence() Generates (hash-"
+        "repartitioned descriptors spread a giant hapax class), class "
+        "offsets from the quantile-bucketed two-phase prefix sum whose "
+        "only ordered window sees the ≤ n_buckets bucket-totals frame"
+    ),
+    "heaps_law_fit": (
+        "r11 single-tokenize: exactly ONE regexp_extract_all in the plan; "
+        "per-doc offsets = broadcast driver-probed bucket offsets + a "
+        "bucket-PARTITIONED running sum; no ordered-only window remains "
+        "and the former corpus join-back by doc_id is gone"
+    ),
+    "canonical_dedup_pipeline_capped": (
+        "df-capped candidate policy: the window count that enforces "
+        "max_df inherits the shingle repartition (no extra exchange); "
+        "per-key join fan-out bounded at max_df² by construction — "
+        "compare the exact-salted pipeline's hot-key replication"
+    ),
 }
 
 
