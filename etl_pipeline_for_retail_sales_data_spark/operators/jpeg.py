@@ -6,7 +6,8 @@ factors 1 and 2 — 4:4:4, 4:2:2, and 4:2:0, the last being what cameras
 and web encoders actually emit — with Huffman entropy coding in the
 Annex-K table shapes. The encoder emits a spec-valid interchange-format
 stream (SOI / APP0-JFIF / DQT / SOF0 / DHT / SOS / entropy-coded data
-with 0xFF byte stuffing / EOI) in 4:4:4 or 4:2:0; the decoder reads the
+with 0xFF byte stuffing / EOI) in any of the three samplings; the
+decoder reads the
 quantization and Huffman tables FROM THE STREAM (as every conforming
 decoder must) and walks the general interleaved MCU layout, so it
 decodes any baseline JPEG with factors ≤ 2, not just its own output,
@@ -324,17 +325,21 @@ def _emit_block(bw_: _BitWriter, zz, pred: list, ci: int, tsel: int, dc_codes, a
 
 def encode_jpeg(rgb: np.ndarray, subsampling: str = "444") -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG —
-    ``subsampling="444"`` (one Y/Cb/Cr block per MCU) or ``"420"``
-    (2x2 chroma subsampling: 4 Y blocks + 1 Cb + 1 Cr per 16x16 MCU,
-    chroma planes are 2x2 block means — what cameras and web encoders
-    actually emit). Tables are written into DQT/DHT, so ANY conforming
-    decoder (including :func:`decode_jpeg_pixels`) reconstructs from
-    the stream alone."""
+    ``subsampling="444"`` (one Y/Cb/Cr block per MCU), ``"422"``
+    (horizontal-only chroma halving: 2 Y + 1 Cb + 1 Cr per 16x8 MCU —
+    the broadcast/video-frame convention), or ``"420"`` (2x2 chroma
+    subsampling: 4 Y + 1 Cb + 1 Cr per 16x16 MCU, chroma planes are
+    2x2 block means — what cameras and web encoders actually emit).
+    Tables are written into DQT/DHT, so ANY conforming decoder
+    (including :func:`decode_jpeg_pixels`) reconstructs from the
+    stream alone."""
     rgb = np.asarray(rgb)
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise ValueError("encode_jpeg expects an (h, w, 3) uint8 array")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(
+            f"subsampling must be '444', '422', or '420', got {subsampling!r}"
+        )
     h, w = rgb.shape[:2]
     if h < 1 or w < 1 or h > 65535 or w > 65535:
         raise ValueError(f"JPEG dimensions out of range: {w}x{h}")
@@ -364,24 +369,26 @@ def encode_jpeg(rgb: np.ndarray, subsampling: str = "444") -> bytes:
                     dc_codes, ac_codes,
                 )
     else:
-        samp = [0x22, 0x11, 0x11]
-        # pad to 16-pixel MCU alignment (edge replicate), then chroma =
-        # 2x2 block means of the padded plane
-        ph, pw = (-h) % 16, (-w) % 16
+        # subsampled chroma: pad to MCU alignment (edge replicate),
+        # chroma planes = hy x hx block means of the padded plane, Y
+        # blocks interleaved hy x hx per MCU followed by one Cb + one Cr
+        hx, hy = (2, 2) if subsampling == "420" else (2, 1)
+        samp = [(hx << 4) | hy, 0x11, 0x11]
+        ph, pw = (-h) % (8 * hy), (-w) % (8 * hx)
         padded = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
         yq, ybh, ybw = _quantized_zigzag(padded[..., 0], QUANT_LUMA)
-        hh, ww = padded.shape[0] // 2, padded.shape[1] // 2
-        chroma = padded.reshape(hh, 2, ww, 2, 3).mean(axis=(1, 3))
+        hh, ww = padded.shape[0] // hy, padded.shape[1] // hx
+        chroma = padded.reshape(hh, hy, ww, hx, 3).mean(axis=(1, 3))
         cbq, cbh, cbw = _quantized_zigzag(chroma[..., 1], QUANT_CHROMA)
         crq, _, _ = _quantized_zigzag(chroma[..., 2], QUANT_CHROMA)
-        mcux, mcuy = ybw // 2, ybh // 2
+        mcux, mcuy = ybw // hx, ybh // hy
         for my in range(mcuy):
             for mx in range(mcux):
-                for by in range(2):
-                    for bx in range(2):
+                for by in range(hy):
+                    for bx in range(hx):
                         _emit_block(
                             bw_,
-                            yq[(my * 2 + by) * ybw + (mx * 2 + bx)],
+                            yq[(my * hy + by) * ybw + (mx * hx + bx)],
                             pred, 0, 0, dc_codes, ac_codes,
                         )
                 _emit_block(bw_, cbq[my * cbw + mx], pred, 1, 1, dc_codes, ac_codes)
@@ -489,6 +496,21 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
                 sel[cid] = (tt >> 4, tt & 0x0F)
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            # validate table references UP FRONT so a corrupt stream
+            # surfaces the documented typed ValueError, never a bare
+            # KeyError from deep inside the scan loop (r11 review)
+            for cid, tq, _hi, _vi in comps:
+                if tq not in quant:
+                    raise ValueError(
+                        f"JPEG component {cid} references undefined "
+                        f"quantization table {tq}"
+                    )
+                td, ta = sel.get(cid, (None, None))
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError(
+                        f"JPEG scan references undefined Huffman tables "
+                        f"(component {cid}: dc={td}, ac={ta})"
+                    )
             fh, fw = frame
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)

@@ -7,7 +7,8 @@ via the stdlib ``wave`` module), PNG (full chunk walk with CRC32
 verification, zlib inflate, and all five scanline filters unfiltered
 by hand — 8-bit RGB), and baseline JPEG (operators/jpeg.py: numpy
 FDCT/IDCT, canonical Huffman tables read from the stream's own
-DQT/DHT, 0xFF byte stuffing — 4:4:4 JFIF) — so the decode path
+DQT/DHT, 0xFF byte stuffing, sampling factors ≤ 2 — 4:4:4 / 4:2:2 /
+4:2:0 JFIF) — so the decode path
 exercises genuine binary parsing end-to-end (encode → bytes → sniff →
 parse, oracled in the registry; JPEG is lossy, so its oracle pins a
 deterministic reconstruction-error bound instead of byte equality).
@@ -167,10 +168,17 @@ def _png_pixels(width: int, height: int) -> list[bytes]:
     ]
 
 
-def encode_png(width: int, height: int, filters: str = "cycle") -> bytes:
+def encode_png(
+    width: int,
+    height: int,
+    filters: str = "cycle",
+    rows: list[bytes] | None = None,
+) -> bytes:
     """A real, spec-valid 8-bit RGB PNG (signature, IHDR, one IDAT,
     IEND — correct big-endian lengths and CRC32s; any PNG viewer opens
-    the output), deterministic pixel fill derived from coordinates.
+    the output). ``rows`` supplies the pixel CONTENT (height scanlines
+    of width*3 RGB bytes); omitted, the deterministic coordinate fill
+    is used (the roundtrip-oracle fixture).
 
     ``filters``: ``"none"`` writes every scanline with filter 0;
     ``"cycle"`` (default) filters row y with type y % 5 — None / Sub /
@@ -181,7 +189,10 @@ def encode_png(width: int, height: int, filters: str = "cycle") -> bytes:
     if width < 1 or height < 1:
         raise ValueError(f"PNG dimensions must be positive, got {width}x{height}")
     bpp = 3
-    rows = _png_pixels(width, height)
+    if rows is None:
+        rows = _png_pixels(width, height)
+    elif len(rows) != height or any(len(r) != width * bpp for r in rows):
+        raise ValueError("rows must be height scanlines of width*3 bytes")
     raw = bytearray()
     prev = bytes(width * bpp)
     for y, row in enumerate(rows):
@@ -478,24 +489,25 @@ def _jpeg_gradient(width: int, height: int):
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
-def jpeg_roundtrip_report(
-    df: DataFrame, id_col: str = "doc_id", max_err: int = 24, max_err_420: int = 44
-) -> DataFrame:
+JPEG_MODE_BOUNDS = {"444": 24, "422": 32, "420": 44}  # measured 19/28/38
+
+
+def jpeg_roundtrip_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Executor-side baseline-JPEG encode → decode → tolerance verify,
     one row per document (the lossy sibling of
     :func:`png_roundtrip_report`): geometry derives from the id alone
     (width = id % 25 + 8, height = id*3 % 17 + 8 — min dim 8 so one
-    full DCT block exists and the gradient stays gentle); EVEN ids
-    encode 4:4:4 and ODD ids 4:2:0 (the camera/web default), so both
-    MCU layouts — and the decoder's chroma upsample — are oracled. The
-    decode runs the full marker walk, Huffman entropy decode,
-    dequantize, IDCT, and color transform. ``within_tolerance`` asserts
-    exact decoded dimensions AND max per-channel reconstruction error ≤
-    ``max_err`` (4:4:4; measured 19) / ``max_err_420`` (4:2:0 halves
-    chroma detail; measured 38) on a smooth gradient image — a broken
-    Huffman table, zigzag order, MCU interleave, or DCT normalization
-    blows the bound by an order of magnitude. Arrow-batched on
-    executors."""
+    full DCT block exists and the gradient stays gentle); the
+    subsampling mode CYCLES by id % 3 through 4:4:4, 4:2:2 and 4:2:0,
+    so every interleaved MCU layout the decoder supports — and both
+    chroma-upsample axes — are oracled. The decode runs the full marker
+    walk, Huffman entropy decode, dequantize, IDCT, and color
+    transform. ``within_tolerance`` asserts exact decoded dimensions
+    AND max per-channel reconstruction error within the per-mode bound
+    (JPEG_MODE_BOUNDS; measured 19/28/38 — subsampling legitimately
+    loses chroma detail) on a smooth gradient image — a broken Huffman
+    table, zigzag order, MCU interleave, or DCT normalization blows the
+    bound by an order of magnitude. Arrow-batched on executors."""
     from .jpeg import decode_jpeg_pixels, encode_jpeg
 
     def rt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -506,8 +518,8 @@ def jpeg_roundtrip_report(
             for doc_id in pdf[id_col]:
                 i = int(doc_id)
                 w, h = i % 25 + 8, (i * 3) % 17 + 8
-                sub = "444" if i % 2 == 0 else "420"
-                bound = max_err if sub == "444" else max_err_420
+                sub = ("444", "422", "420")[i % 3]
+                bound = JPEG_MODE_BOUNDS[sub]
                 rgb = _jpeg_gradient(w, h)
                 dw, dh, out = decode_jpeg_pixels(encode_jpeg(rgb, subsampling=sub))
                 err = int(np.abs(out.astype(np.int64) - rgb.astype(np.int64)).max())
@@ -777,25 +789,14 @@ def image_phash_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def png_cycle(gray: "np.ndarray") -> "np.ndarray":
         # honest round trip through the real codec: grayscale → RGB PNG
-        # bytes → CRC-verified decode → back to one channel
+        # bytes (encode_png with supplied pixel content — one codec, no
+        # duplicated chunk assembly; r11 review) → CRC-verified decode →
+        # back to one channel
         h, w = gray.shape
         rows = [
             bytes(v for px in row for v in (px, px, px)) for row in gray.tolist()
         ]
-        # splice the content into a PNG via the same chunk writer the
-        # codec uses (encode_png generates coordinate pixels; here the
-        # pixel CONTENT is the operator's input)
-        raw = bytearray()
-        for row in rows:
-            raw.append(0)
-            raw += row
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-        payload = (
-            _PNG_SIG
-            + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-            + _png_chunk(b"IEND", b"")
-        )
+        payload = encode_png(w, h, filters="none", rows=rows)
         dw, dh, rgb = decode_png_pixels(payload)
         return np.frombuffer(rgb, dtype=np.uint8).reshape(dh, dw, 3)[..., 0]
 
@@ -803,6 +804,17 @@ def image_phash_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return bin(a ^ b).count("1")
 
     def rp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-batch memo: each doc's base hash is also its PREDECESSOR's
+        # neighbor hash, so contiguous ids compute one PNG cycle per
+        # image instead of two (r11 review — the pipeline is the
+        # dominant per-row cost)
+        base_memo: dict[int, int] = {}
+
+        def base_hash(i: int) -> int:
+            if i not in base_memo:
+                base_memo[i] = phash_of(png_cycle(_phash_field(i)))
+            return base_memo[i]
+
         for pdf in batches:
             ids, ws, hs, sn, cs = [], [], [], [], []
             for doc_id in pdf[id_col]:
@@ -811,9 +823,9 @@ def image_phash_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 twin = np.clip(base.astype(np.int64) + 2, 0, 255)
                 twin[10:18, 20:28] = np.clip(twin[10:18, 20:28] + 4, 0, 255)
                 twin = twin.astype(np.uint8)
-                h_base = phash_of(png_cycle(base))
+                h_base = base_hash(i)
                 h_twin = phash_of(png_cycle(twin))
-                h_next = phash_of(png_cycle(_phash_field(i + 1)))
+                h_next = base_hash(i + 1)
                 ids.append(i)
                 ws.append(base.shape[1])
                 hs.append(base.shape[0])

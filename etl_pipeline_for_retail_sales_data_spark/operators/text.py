@@ -731,14 +731,15 @@ def zipf_fit(
        (count → class size m) hash aggregate over the vocabulary — the
        distinct-frequency frame, O(sqrt(n_tokens)) rows.
     2. Each class's rank offset a = Σ m over classes with larger c, via
-       the repo's quantile-bucketed two-phase prefix sum (heaps_fit
-       pattern): cutpoints of c ride a bounded eager stats collect
-       (NOTE: plan construction triggers one small Spark job — the
-       drift-family probe discipline); bucket = count of cutpoints
-       above c (monotone along the c-desc sort order); per-bucket sums
-       collapse to an ≤``n_buckets``-row frame whose exclusive prefix
-       sum is the only unpartitioned window; within-bucket windows are
-       PARTITIONED by bucket and see distinct c values only (no ties).
+       quantile buckets of c whose EXCLUSIVE offsets ride TWO bounded
+       eager probes (NOTE: plan construction triggers two small Spark
+       jobs — the drift-family probe discipline): (1) cutpoints of c,
+       (2) exact per-bucket class-size totals (≤ ``n_buckets`` rows
+       collected, prefix-summed driver-side and broadcast back as a
+       literal frame — no ordered-only window remains at all, r11
+       review). Bucket = count of cutpoints above c (monotone along
+       the c-desc sort order); the within-bucket running sum is a
+       window PARTITIONED by bucket over distinct c values (no ties).
     3. Ranks a+1..a+m explode from bounded ``sequence`` chunks of
        ``rank_chunk``; chunk descriptors are hash-repartitioned first so
        a giant class (hapaxes) fans out across the cluster instead of
@@ -779,25 +780,37 @@ def zipf_fit(
         [(F.col("c") < F.lit(cut).cast("long")).cast("long") for cut in cuts],
         F.lit(0).cast("long"),
     )
-    cls_b = classes.withColumn("__bucket", bucket)
-    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    boff = (
-        cls_b.groupBy("__bucket")
+    # probe 2 (bounded: ≤ n_buckets rows): exact per-bucket class-size
+    # totals, prefix-summed DRIVER-side into exclusive offsets — a
+    # Spark-side boff branch would re-derive the whole corpus→classes
+    # lineage a second time in the main plan (r11 review; the heaps_fit
+    # pattern)
+    btotals = (
+        classes.select(bucket.alias("__bucket"), "m")
+        .groupBy("__bucket")
         .agg(F.sum("m").alias("__bm"))
-        .select(
-            "__bucket",
-            F.coalesce(F.sum("__bm").over(wb), F.lit(0)).alias("__boff"),
-        )
+        .collect()
     )
+    spark = df.sparkSession
+    run = 0
+    boff_rows = []
+    for r in sorted(btotals, key=lambda r: r["__bucket"]):
+        boff_rows.append((int(r["__bucket"]), run))
+        run += int(r["__bm"])
+    boff = spark.createDataFrame(boff_rows, "__bucket long, __boff long")
     ww = (
         Window.partitionBy("__bucket")
         .orderBy(F.col("c").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    classes_off = cls_b.join(F.broadcast(boff), "__bucket").select(
-        "c",
-        "m",
-        (F.col("__boff") + F.coalesce(F.sum("m").over(ww), F.lit(0))).alias("__a"),
+    classes_off = (
+        classes.withColumn("__bucket", bucket)
+        .join(F.broadcast(boff), "__bucket")
+        .select(
+            "c",
+            "m",
+            (F.col("__boff") + F.coalesce(F.sum("m").over(ww), F.lit(0))).alias("__a"),
+        )
     )
     # chunked rank enumeration: ceil(m / rank_chunk) descriptor rows per
     # class, spread by hash so one task never generates a whole class

@@ -27,8 +27,19 @@ import re
 
 # node kinds that sit between a window and its shuffle without changing
 # what flows through the single partition: the planner's Sort, AQE's
-# shuffle-read wrappers, and codegen boundary adapters
+# shuffle-read wrappers, and codegen boundary adapters. Matched as WORD
+# prefixes ("Sort " / "Sort["), never bare startswith — "Sort" would
+# also swallow SortAggregate and SortMergeJoin, which are CONSUMERS
+# that bound their output (a scalar SortAggregate over a
+# single-partition exchange is normal Spark, not a window funnel).
 _PASS_THROUGH = ("Sort", "AQEShuffleRead", "ShuffleQueryStage", "InputAdapter")
+
+
+def _is_pass_through(node: str) -> bool:
+    for kind in _PASS_THROUGH:
+        if node == kind or node.startswith((kind + " ", kind + "[")):
+            return True
+    return False
 
 _CODEGEN = re.compile(r"^\*?\(\d+\)\s*")
 
@@ -91,7 +102,7 @@ def single_partition_window_feeds(plan_text: str) -> list[str]:
             if pn.startswith("Window"):
                 hits.append(pn)
                 break
-            if pn.startswith(_PASS_THROUGH):
+            if _is_pass_through(pn):
                 d = pd
                 continue
             break  # scalar agg, limit, join build side… — not a window

@@ -2106,7 +2106,12 @@ def ingest_batch_all(
         fs.mkdirs(comp_dir)
         names = fs.list_names(comp_dir)
         suffix = _epoch_key(epoch_id) if epoch_id is not None else uuid.uuid4().hex[:8]
-        if epoch_id is None or not any(n.endswith("-" + suffix) for n in names):
+        # redelivery check compares the EXACT epoch part (everything
+        # after the sequence prefix's first dash) — epoch keys may
+        # themselves contain '-' (streaming '<qid>-<batch>'), so an
+        # endswith test would false-match across epochs (r11 review)
+        seen = {n.split("-", 1)[1] for n in names if "-" in n}
+        if epoch_id is None or suffix not in seen:
             fs.touch_atomic(
                 _join(comp_dir, f"{len(names):012d}-{suffix}"),
                 json.dumps(

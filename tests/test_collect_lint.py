@@ -35,7 +35,7 @@ BOUNDED_COLLECTS = {
     ("operators/similarity.py", "knn_bruteforce"): "limit(max_queries + 1) with an explicit raise beyond",
     ("operators/sketches.py", "qdigest_build"): "limit(hist_cap + 1) with an explicit raise beyond",
     ("operators/text.py", "heaps_fit"): "stats probe: 1 row (total + ≤ n_buckets cutpoints); offsets probe: ≤ n_buckets rows",
-    ("operators/text.py", "zipf_fit"): "percentile_approx cutpoints: 1 row of ≤ n_buckets values",
+    ("operators/text.py", "zipf_fit"): "cutpoints probe: 1 row of ≤ n_buckets values; offsets probe: ≤ n_buckets rows",
     ("operators/text.py", "source_token_divergence"): "one row per SOURCE label (max_sources-guarded)",
     ("plans/corpus.py", "release_corpus"): "scalar funnel counters (1 row)",
     ("plans/incremental_corpus.py", "_ensure_state_table"): "DESCRIBE FORMATTED output (O(columns + properties))",

@@ -1670,6 +1670,19 @@ def test_ingest_batch_all_single_lease_and_epoch_resume(spark, state_dir):
     assert rep2["composed_recent"][0]["epoch"] == "d0"
     assert rep2["composed_recent"][-1]["epoch"] is None
 
+    # r11 review: a dashed epoch key ('<qid>-<batch>' streaming style)
+    # must not mask a LATER epoch whose key is its dash-suffix — the
+    # redelivery check compares the exact epoch part, not endswith
+    ingest_batch_all(
+        spark, state_dir, docs=_docs(spark, [(4, "gamma text")]), epoch_id="stream-7"
+    )
+    ingest_batch_all(
+        spark, state_dir, docs=_docs(spark, [(5, "delta text")]), epoch_id="7"
+    )
+    rep3 = IC.state_report(spark, state_dir)
+    assert rep3["composed_batches"] == 4
+    assert [r["epoch"] for r in rep3["composed_recent"][-2:]] == ["stream-7", "7"]
+
 def test_upgrade_added_param_persists_into_meta(spark, state_dir):
     """A parameter ADDED to a leg after its state was first pinned (an
     upgrade — e.g. semantic state_mode) must PERSIST into _meta on its

@@ -133,30 +133,32 @@ def test_jpeg_roundtrip_within_tolerance():
     assert int(np.abs(out.astype(int) - 120).max()) == 0
 
 
-def test_jpeg_420_subsampling_roundtrip():
-    """4:2:0 (the camera/web default): the encoder interleaves 4 Y + Cb
-    + Cr blocks per 16x16 MCU with 2x2-mean chroma planes, and the
-    decoder's general MCU walk + nearest-neighbor chroma upsample
-    recovers exact dims within the measured bound (worst 38 over the
-    id-derived geometry range — chroma detail is legitimately halved;
-    a broken MCU order or predictor sequencing blows up to full-range
-    garbage). Flat color is exact even subsampled (constant chroma)."""
+def test_jpeg_subsampled_roundtrips():
+    """4:2:0 (the camera/web default: 4 Y + Cb + Cr per 16x16 MCU,
+    2x2-mean chroma) and 4:2:2 (broadcast convention: 2 Y + Cb + Cr per
+    16x8 MCU, horizontal-only halving): the decoder's general MCU walk
+    + per-axis nearest-neighbor chroma upsample recovers exact dims
+    within the measured bounds (4:2:2 worst 28, 4:2:0 worst 38 — chroma
+    detail legitimately drops; a broken MCU order or predictor
+    sequencing blows up to full-range garbage). Flat color is exact
+    even subsampled (constant chroma)."""
     import numpy as np
 
     from etl_pipeline_for_retail_sales_data_spark.operators import jpeg as J
 
-    for w, h in [(16, 16), (29, 19), (33, 17), (9, 9), (64, 48)]:
-        rgb = _grad(w, h)
-        p = J.encode_jpeg(rgb, subsampling="420")
-        dw, dh, out = J.decode_jpeg_pixels(p)
-        assert (dw, dh) == (w, h)
-        assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 44
+    for sub, bound in (("422", 32), ("420", 44)):
+        for w, h in [(16, 16), (29, 19), (33, 17), (9, 9), (64, 48)]:
+            rgb = _grad(w, h)
+            p = J.encode_jpeg(rgb, subsampling=sub)
+            dw, dh, out = J.decode_jpeg_pixels(p)
+            assert (dw, dh) == (w, h), (sub, w, h)
+            assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= bound
 
-    flat = np.full((24, 16, 3), 120, dtype=np.uint8)
-    _, _, out = J.decode_jpeg_pixels(J.encode_jpeg(flat, subsampling="420"))
-    assert int(np.abs(out.astype(int) - 120).max()) == 0
+        flat = np.full((24, 16, 3), 120, dtype=np.uint8)
+        _, _, out = J.decode_jpeg_pixels(J.encode_jpeg(flat, subsampling=sub))
+        assert int(np.abs(out.astype(int) - 120).max()) == 0
     with pytest.raises(ValueError, match="subsampling"):
-        J.encode_jpeg(_grad(8, 8), subsampling="422")
+        J.encode_jpeg(_grad(8, 8), subsampling="411")
 
 
 def test_jpeg_byte_stuffing_exercised_and_rejections():

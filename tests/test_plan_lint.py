@@ -46,10 +46,9 @@ ROW_PYTHON_OK = {"udtf_char_bigrams"}
 SINGLE_PARTITION_WINDOW_OK = {
     # quantile-bucketed two-phase prefix sums: the ordered-only window
     # runs over the ≤ n_buckets-row bucket-totals frame (heaps_law_fit
-    # is NOT here: r11 moved its bucket offsets to a bounded driver
-    # probe, so it has no ordered-only window left)
+    # and zipf_law_fit are NOT here: r11 moved their bucket offsets to
+    # bounded driver probes, so no ordered-only window is left)
     "ks_drift_totalprice": "n_buckets=128 ECDF bucket frames (__ba/__bb)",
-    "zipf_law_fit": "n_buckets=128 rank-offset bucket frame (__bm)",
     "token_budget_selection": "n_buckets score-bucket totals (__btok)",
     "quantile_normalized_quality": "n_buckets score-bucket counts (__bn)",
     "contrastive_triplets": "n_buckets bucket-counts frame (__c over __b)",

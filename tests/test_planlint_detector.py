@@ -66,6 +66,35 @@ JOIN_LEFT_CHILD = """\
 """
 
 
+# review catch (r11): a SORT-BASED final aggregate over a single-
+# partition exchange is normal Spark, exactly like its hash sibling —
+# "Sort" as a bare prefix would swallow SortAggregate/SortMergeJoin and
+# climb through a BOUNDING consumer to a window above it
+SORT_AGGREGATE = """\
+Window [sum(s#9L) windowspecdefinition(k#1L, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS o#12L], [k#1L]
++- SortAggregate(key=[], functions=[collect_list(v#2L, 0, 0)])
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=6]
+      +- SortAggregate(key=[], functions=[partial_collect_list(v#2L, 0, 0)])
+         +- FileScan parquet [v#2L]
+"""
+
+SORT_MERGE_JOIN = """\
+Window [sum(v#2L) windowspecdefinition(k#1L, t#3 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS s#7L], [k#1L], [t#3 ASC NULLS FIRST]
++- *(4) SortMergeJoin [k#1L], [k#11L], Inner
+   :- *(1) Sort [k#1L ASC NULLS FIRST], false, 0
+   :  +- Exchange hashpartitioning(k#1L, 32), ENSURE_REQUIREMENTS, [plan_id=3]
+   :     +- FileScan parquet [k#1L,v#2L,t#3]
+   +- *(2) Sort [k#11L ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+         +- FileScan parquet [k#11L]
+"""
+
+
+def test_sort_named_consumers_are_not_pass_through():
+    assert single_partition_window_feeds(SORT_AGGREGATE) == []
+    assert single_partition_window_feeds(SORT_MERGE_JOIN) == []
+
+
 def test_flags_unpartitioned_rank_window():
     hits = single_partition_window_feeds(OLD_ZIPF)
     assert len(hits) == 1 and "row_number" in hits[0]
