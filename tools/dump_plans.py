@@ -110,9 +110,9 @@ SHOWCASE = {
     "zipf_law_fit": (
         "r11 rank rewrite: NO row_number anywhere — ranks are ENUMERATED "
         "per frequency class from chunked sequence() Generates (hash-"
-        "repartitioned descriptors spread a giant hapax class), class "
-        "offsets from the quantile-bucketed two-phase prefix sum whose "
-        "only ordered window sees the ≤ n_buckets bucket-totals frame"
+        "repartitioned descriptors spread a giant hapax class); bucket "
+        "offsets ride a bounded driver probe, so ONE corpus lineage, one "
+        "bucket-PARTITIONED window, no ordered-only window at all"
     ),
     "heaps_law_fit": (
         "r11 single-tokenize: exactly ONE regexp_extract_all in the plan; "
