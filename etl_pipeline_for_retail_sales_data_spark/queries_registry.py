@@ -1055,6 +1055,34 @@ def q_image_phash_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_phash_candidates",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b
+      ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+    """,
+)
+def q_image_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE LAION-style image-dedup pipeline on real decoded
+    pixels, fully oracled: per doc, a dense-spectrum image (shared by
+    its id//4 group, differing only by a small non-clipping brightness
+    offset) round-trips through the real PNG codec, is pHashed
+    (block-mean downscale → 32-pt DCT → median threshold → 63-bit
+    signature), banded into 4 LSH key slices, equi-joined on
+    (band, key), and Hamming-verified (bit_count(xor) ≤ 4). Brightness
+    shifts only the dropped DC coefficient, so in-group signatures are
+    bit-identical — recall is 1 by construction and the output is
+    EXACTLY the within-group pair set the SQL oracle enumerates; any
+    chance cross-group band collision dies at the Hamming verify
+    (cross distances measured ≥ 22). The only shuffle is the band
+    equi-join (simhash_candidates' plan shape — no cross join, no
+    corpus shuffle). Signature stage:
+    operators/multimodal.image_phash_signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_phash_candidates(docs)
+
+
+@query(
     "multimodal_mp4_frame_plan",
     oracle="""
     WITH v AS (

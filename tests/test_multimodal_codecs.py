@@ -253,6 +253,30 @@ def test_image_phash_separability_on_spark(spark, sf_smoke):
     assert all(r.self_near_dup and r.cross_separated for r in rows)
 
 
+def test_image_phash_candidates_exact_pairs_and_plan(spark, sf_smoke):
+    """The full image-dedup pipeline (decoded-pixel pHash → banding →
+    Hamming verify) returns EXACTLY the within-group pair set — recall
+    1 because brightness-only in-group deltas leave the 63 AC bits
+    untouched — and the plan's only join is the band equi-join (no
+    cartesian)."""
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = {
+        (r.id_a, r.id_b) for r in MM.image_phash_candidates(docs).collect()
+    }
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    expected = {
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b and a // 4 == b // 4
+    }
+    assert got == expected and len(expected) > 0
+    txt = MM.image_phash_candidates(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt
+
+
 def test_spark_encode_decode_real_end_to_end(spark, sf_smoke):
     """The registry query's path: executors build real BMP/WAV bytes and
     the decode pass parses them back; geometry must match the id-derived
