@@ -1632,7 +1632,20 @@ def _ingest_keyed(
     semantics. Within-batch stays exists-semantics against ALL
     smaller-id batch members; replay stability is unchanged (a replayed
     batch's keepers are in state, its dups still match, nothing
-    re-appends). Pinned into ``_meta`` like every other leg parameter."""
+    re-appends). Pinned into ``_meta`` like every other leg parameter.
+
+    SIZING NOTE for coarse key functions (ingest-probe finding): keeper
+    narrowing compounds with key coarseness — under exists-semantics a
+    row is rejected if ANY key collides, so with few distinct keys per
+    table (e.g. 4-bit hyperplane buckets = 16 per table) the keeper set
+    saturates near one keeper per occupied bucket pattern however large
+    the corpus (`emb_dup_keep` holds 24 rows at every probe multiple).
+    That is correct by the mode's contract but usually NOT the dedup
+    intent: before enabling keepers on the embdup leg, size n_planes so
+    the bucket space comfortably exceeds the expected keeper
+    cardinality (the neardup leg's md5 band keys are effectively
+    unbounded, so it narrows only by true duplication — exactly 1/4 the
+    rows on the x4-duplicated probe)."""
     if state_mode is not None and state_mode not in ("all", "keepers"):
         raise ValueError(f"state_mode must be 'all' or 'keepers', got {state_mode!r}")
     with nullcontext() if _locked else _writer_lease(spark, state_dir):
