@@ -77,6 +77,10 @@ HEADLINE = [
     "zipf_law_fit",
     "heaps_law_fit",
     "multimodal_decode_real",
+    # r11 second session: the full coded-video path (H.264 I_PCM encode →
+    # MP4 sample tables → byte-exact decode) — timed so the per-row codec
+    # cost is regression-visible like the other real-codec queries
+    "multimodal_h264_roundtrip",
     # r4 second-session additions: diversified retrieval + quantile sketch
     "mmr_diversified_topk",
     "qdigest_quantiles",

@@ -12,15 +12,19 @@ DQT/DHT, 0xFF byte stuffing, sampling factors ≤ 2 — 4:4:4 / 4:2:2 /
 exercises genuine binary parsing end-to-end (encode → bytes → sniff →
 parse, oracled in the registry; JPEG is lossy, so its oracle pins a
 deterministic reconstruction-error bound instead of byte equality).
-For video, the ISO-BMFF (MP4) CONTAINER is parsed for real too —
+For video, BOTH layers are real: the ISO-BMFF (MP4) container —
 recursive box walk, 16.16 fixed-point track geometry, frame count from
 the stts time-to-sample table (:func:`encode_mp4_skeleton` /
-:func:`parse_mp4`) — which is the manifest surface a video corpus
-pipeline schedules from; only the coded H.264 frame PIXELS remain
-stubbed (ffmpeg-class libs absent from this container):
-``default_decoder`` falls back to NotImplementedError for formats with
-no codec here (e.g. GIF), and ``fake_decoder`` remains the
-deterministic stand-in for plumbing tests.
+:func:`parse_mp4`), the manifest surface a video corpus pipeline
+schedules from — AND coded frame pixels via the H.264 I_PCM subset
+(operators/h264.py): :func:`encode_mp4_h264` packs spec-conformant
+IDR slices AVCC-style into mdat with an avcC config box and real
+sample tables, and :func:`decode_mp4_frames` recovers the 4:2:0
+planes byte-exactly. Transform-coded H.264 (intra prediction +
+CAVLC/CABAC residuals) stays out of scope — that is ffmpeg-class
+machinery: ``default_decoder`` falls back to NotImplementedError for
+formats with no codec here (e.g. GIF), and ``fake_decoder`` remains
+the deterministic stand-in for plumbing tests.
 """
 
 from __future__ import annotations
@@ -346,19 +350,20 @@ def stdlib_decoder(payload: bytes) -> tuple[int, int, int]:
 
 
 def default_decoder(payload: bytes) -> tuple[int, int, int]:
-    """BMP, WAV, PNG, and baseline-JPEG decode for real (hand-rolled
-    byte parsing + stdlib wave/zlib + the numpy DCT pipeline in
-    operators/jpeg.py); video (MP4/H.264) needs ffmpeg, which this
-    container does not ship. Only an UNRECOGNIZED magic maps to
-    NotImplementedError — a recognized-but-corrupt payload surfaces its
-    parse error (a truncated PNG is data corruption, not a missing
+    """BMP, WAV, PNG, baseline-JPEG, and MP4/H.264-I_PCM decode for
+    real (hand-rolled byte parsing + stdlib wave/zlib + the numpy DCT
+    pipeline in operators/jpeg.py + the I_PCM bitstream machinery in
+    operators/h264.py); transform-coded H.264 residuals need ffmpeg,
+    which this container does not ship. Only an UNRECOGNIZED magic maps
+    to NotImplementedError — a recognized-but-corrupt payload surfaces
+    its parse error (a truncated PNG is data corruption, not a missing
     codec)."""
     try:
         return stdlib_decoder(payload)
     except ValueError as e:
         if "unrecognized media magic" not in str(e):
             raise
-    raise NotImplementedError("media decode beyond BMP/WAV/PNG/JPEG (video) requires ffmpeg-class libs not present in this environment")
+    raise NotImplementedError("media decode beyond BMP/WAV/PNG/JPEG/MP4 requires ffmpeg-class libs not present in this environment")
 
 
 def fake_decoder(payload: bytes) -> tuple[int, int, int]:
@@ -556,14 +561,33 @@ def encode_mp4_skeleton(
     stbl → stsd[avc1]/stts/stsc/stsz/stco) and an empty mdat — real
     box framing, real 16.16 fixed-point track dimensions, real
     time-to-sample table carrying the frame count. The CODED FRAMES are
-    absent by design (H.264 payloads need an encoder this container
-    does not ship); what a training-data pipeline reads for manifests —
-    geometry, frame count, duration — is all here and all parsed back
-    by :func:`parse_mp4` from the bytes."""
+    absent (for containers WITH real coded I_PCM samples see
+    :func:`encode_mp4_h264`); what a training-data pipeline reads for
+    manifests — geometry, frame count, duration — is all here and all
+    parsed back by :func:`parse_mp4` from the bytes."""
+    return _encode_mp4(width, height, n_frames, fps, avcc=b"", samples=None)
+
+
+def _encode_mp4(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps: int,
+    avcc: bytes,
+    samples: list[bytes] | None,
+) -> bytes:
+    """Shared ISO-BMFF assembly for the skeleton and the coded-sample
+    container. With ``samples`` (AVCC length-prefixed NAL payloads, one
+    per frame) the sample tables are real — per-sample stsz sizes, a
+    single-chunk stsc, and an stco whose offset is patched to point at
+    the mdat payload (moov is built twice: its own length is part of
+    the offset it must carry)."""
     if width < 1 or height < 1 or n_frames < 1:
         raise ValueError(
             f"MP4 geometry must be positive, got {width}x{height}x{n_frames}"
         )
+    if samples is not None and len(samples) != n_frames:
+        raise ValueError(f"got {len(samples)} samples for {n_frames} frames")
     timescale = fps
     duration = n_frames  # one tick per frame at timescale=fps
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
@@ -605,23 +629,44 @@ def encode_mp4_skeleton(
         + struct.pack(">I", 0)
         + struct.pack(">H", 1)  # frame count per sample
         + b"\x00" * 32  # compressor name
-        + struct.pack(">Hh", 24, -1),  # depth, color table
+        + struct.pack(">Hh", 24, -1)  # depth, color table
+        + avcc,  # avcC decoder configuration (empty for the skeleton)
     )
     stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + avc1)
     stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, n_frames, 1))
-    stsc = _box(b"stsc", struct.pack(">B3xI", 0, 0))
-    stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, 0))
-    stco = _box(b"stco", struct.pack(">B3xI", 0, 0))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    vmhd = _box(b"vmhd", struct.pack(">B3B", 0, 0, 0, 1) + b"\x00" * 8)
-    dref = _box(b"dref", struct.pack(">B3xI", 0, 1) + _box(b"url ", struct.pack(">B3B", 0, 0, 0, 1)))
-    dinf = _box(b"dinf", dref)
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
-    mdat = _box(b"mdat", b"")
-    return ftyp + moov + mdat
+    if samples is None:
+        stsc = _box(b"stsc", struct.pack(">B3xI", 0, 0))
+        stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, 0))
+    else:
+        stsc = _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n_frames, 1))
+        stsz = _box(
+            b"stsz",
+            struct.pack(">B3xII", 0, 0, n_frames)
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+
+    def _moov(chunk_offset: int | None) -> bytes:
+        stco = _box(
+            b"stco",
+            struct.pack(">B3xI", 0, 0)
+            if chunk_offset is None
+            else struct.pack(">B3xII", 0, 1, chunk_offset),
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _box(b"vmhd", struct.pack(">B3B", 0, 0, 0, 1) + b"\x00" * 8)
+        dref = _box(b"dref", struct.pack(">B3xI", 0, 1) + _box(b"url ", struct.pack(">B3B", 0, 0, 0, 1)))
+        dinf = _box(b"dinf", dref)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    if samples is None:
+        return ftyp + _moov(None) + _box(b"mdat", b"")
+    # moov's own length is part of the chunk offset it carries; the
+    # offset field is fixed-width, so one rebuild converges.
+    offset = len(ftyp) + len(_moov(0)) + 8  # + mdat header
+    return ftyp + _moov(offset) + _box(b"mdat", b"".join(samples))
 
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
@@ -672,6 +717,199 @@ def parse_mp4(payload: bytes) -> tuple[int, int, int]:
     if width < 1 or height < 1 or n_frames < 1:
         raise ValueError(f"degenerate MP4 track: {width}x{height}x{n_frames}")
     return (width, height, n_frames)
+
+
+def encode_mp4_h264(
+    frames: list, profile_idc: int = 66, fps: int = 30
+) -> bytes:
+    """ISO-BMFF container with REAL coded video: each frame is encoded
+    as an H.264 I_PCM IDR slice (operators/h264.py — spec-conformant
+    NAL units, Exp-Golomb headers, emulation prevention), packed AVCC
+    style (4-byte length-prefixed NAL per sample) into mdat, with the
+    SPS/PPS carried in an ``avcC`` decoder-configuration box inside the
+    ``avc1`` sample entry and a REAL sample table: per-sample stsz
+    sizes, single-chunk stsc, stco pointing at the mdat payload.
+    ``frames`` are (y, cb, cr) uint8 4:2:0 planes; I_PCM is lossless,
+    so :func:`decode_mp4_frames` recovers them byte-exactly."""
+    from . import h264
+
+    y0, _, _ = frames[0]
+    height, width = y0.shape
+    sps = h264.nal_unit(h264.NAL_SPS, 3, h264.encode_sps(width // 16, height // 16, profile_idc))
+    pps = h264.nal_unit(h264.NAL_PPS, 3, h264.encode_pps())
+    avcc = _box(
+        b"avcC",
+        bytes([1, profile_idc, 0, 40, 0xFF, 0xE1])  # ver, profile, compat, level, lengthSizeMinusOne=3, 1 SPS
+        + struct.pack(">H", len(sps))
+        + sps
+        + bytes([1])  # 1 PPS
+        + struct.pack(">H", len(pps))
+        + pps,
+    )
+    samples = []
+    for i, (y, cb, cr) in enumerate(frames):
+        nal = h264.nal_unit(
+            h264.NAL_SLICE_IDR, 3, h264.encode_slice_idr(y, cb, cr, i % 2, profile_idc)
+        )
+        samples.append(struct.pack(">I", len(nal)) + nal)
+    return _encode_mp4(width, height, len(frames), fps, avcc=avcc, samples=samples)
+
+
+def decode_mp4_frames(payload: bytes):
+    """Full video decode from the container: box walk → ``avcC``
+    SPS/PPS → sample table (stsz sizes + stco chunk offset) → AVCC
+    length-prefixed NALs rewrapped as Annex-B → the I_PCM decoder.
+    Returns (width, height, profile_idc, frames) with frames as
+    (y, cb, cr) uint8 planes, cross-checked against the container's
+    own tkhd geometry and stts frame count. Raises ValueError for a
+    skeleton container (no coded samples) or any malformed layer —
+    container, sample table, or bitstream."""
+    from . import h264
+
+    width, height, n_frames = parse_mp4(payload)
+    found: dict = {}
+    _walk_boxes(payload, 0, len(payload), found)
+    if b"stsd" not in found or b"stsz" not in found or b"stco" not in found:
+        raise ValueError("MP4 container has no sample table")
+    # avcC lives inside the avc1 sample entry: stsd body is
+    # ver/flags + entry_count, then the avc1 box whose body is the
+    # 78-byte VisualSampleEntry followed by extension boxes.
+    stsd = found[b"stsd"]
+    (avc1_size,) = struct.unpack_from(">I", stsd, 8)
+    if stsd[12:16] != b"avc1" or avc1_size > len(stsd) - 8:
+        raise ValueError("stsd carries no avc1 sample entry")
+    avc1_body = stsd[16 : 8 + avc1_size]
+    ext: dict = {}
+    _walk_boxes(avc1_body, 78, len(avc1_body), ext)
+    if b"avcC" not in ext:
+        raise ValueError("avc1 sample entry carries no avcC configuration")
+    avcc = ext[b"avcC"]
+    if len(avcc) < 7 or avcc[0] != 1:
+        raise ValueError("malformed avcC configuration record")
+    if avcc[4] & 0x03 != 3:
+        raise ValueError("only 4-byte NAL length prefixes are supported")
+    pos = 6
+    annexb = bytearray()
+    n_sps = avcc[5] & 0x1F
+    for _ in range(n_sps):
+        (ln,) = struct.unpack_from(">H", avcc, pos)
+        annexb += b"\x00\x00\x00\x01" + avcc[pos + 2 : pos + 2 + ln]
+        pos += 2 + ln
+    n_pps = avcc[pos]
+    pos += 1
+    for _ in range(n_pps):
+        (ln,) = struct.unpack_from(">H", avcc, pos)
+        annexb += b"\x00\x00\x00\x01" + avcc[pos + 2 : pos + 2 + ln]
+        pos += 2 + ln
+    stsz = found[b"stsz"]
+    fixed_size, n_samples = struct.unpack_from(">II", stsz, 4)
+    if n_samples == 0:
+        raise ValueError("container has no coded samples (manifest-only skeleton)")
+    sizes = (
+        [fixed_size] * n_samples
+        if fixed_size
+        else [struct.unpack_from(">I", stsz, 12 + 4 * i)[0] for i in range(n_samples)]
+    )
+    stco = found[b"stco"]
+    (n_chunks,) = struct.unpack_from(">I", stco, 4)
+    if n_chunks != 1:
+        raise ValueError(f"only single-chunk layouts are supported, got {n_chunks}")
+    (offset,) = struct.unpack_from(">I", stco, 8)
+    if offset + sum(sizes) > len(payload):
+        raise ValueError("sample table points past the end of the file")
+    for size in sizes:
+        sample = payload[offset : offset + size]
+        spos = 0
+        while spos < len(sample):
+            (ln,) = struct.unpack_from(">I", sample, spos)
+            if spos + 4 + ln > len(sample):
+                raise ValueError("NAL length prefix overruns its sample")
+            annexb += b"\x00\x00\x00\x01" + sample[spos + 4 : spos + 4 + ln]
+            spos += 4 + ln
+        offset += size
+    dec_w, dec_h, profile, frames = h264.decode_h264(bytes(annexb))
+    if (dec_w, dec_h) != (width, height):
+        raise ValueError(
+            f"SPS geometry {dec_w}x{dec_h} contradicts tkhd {width}x{height}"
+        )
+    if len(frames) != n_frames:
+        raise ValueError(f"decoded {len(frames)} frames but stts declares {n_frames}")
+    return width, height, profile, frames
+
+
+H264_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("profile_idc", T.IntegerType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("pixels_match", T.BooleanType()),
+    ]
+)
+
+
+def h264_roundtrip_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per document: deterministic 4:2:0 frames from the doc_id →
+    encode_mp4_h264 (the full container, REAL coded I_PCM samples) →
+    decode_mp4_frames → byte-exact plane comparison. The profile
+    alternates by id parity: even ids use Baseline (66, samples 1..255
+    — zero PCM samples are forbidden there), odd ids use High (100)
+    with forced zero-runs so every odd document exercises the
+    emulation-prevention escape path for real. All work runs in Arrow
+    batches on executors; payloads never touch the driver."""
+
+    def rt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k.name: [] for k in H264_ROUNDTRIP_SCHEMA.fields}
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                width = (i % 4 + 1) * 16
+                height = ((i // 4) % 3 + 1) * 16
+                n_frames = i % 3 + 1
+                profile = 66 if i % 2 == 0 else 100
+                frames = []
+                for f in range(n_frames):
+                    r = np.arange(height, dtype=np.int64)[:, None]
+                    c = np.arange(width, dtype=np.int64)[None, :]
+                    if profile == 66:
+                        y = ((i * 7 + f * 11 + r * 3 + c * 5) % 255 + 1).astype(np.uint8)
+                    else:
+                        y = ((i * 7 + f * 11 + r * 3 + c * 5) % 256).astype(np.uint8)
+                        y[: min(3, height), :] = 0  # zero runs -> real escaping
+                    rc = np.arange(height // 2, dtype=np.int64)[:, None]
+                    cc = np.arange(width // 2, dtype=np.int64)[None, :]
+                    lo = 1 if profile == 66 else 0
+                    cb = ((i * 13 + f + rc * 2 + cc * 3) % (256 - lo) + lo).astype(np.uint8)
+                    cr = ((i * 17 + f + rc * 5 + cc * 7) % (256 - lo) + lo).astype(np.uint8)
+                    frames.append((y, cb, cr))
+                payload = encode_mp4_h264(frames, profile_idc=profile)
+                w2, h2, p2, decoded = decode_mp4_frames(payload)
+                match = (
+                    (w2, h2, p2) == (width, height, profile)
+                    and len(decoded) == n_frames
+                    and all(
+                        np.array_equal(a, x)
+                        and np.array_equal(b, yy)
+                        and np.array_equal(cplane, z)
+                        for (a, b, cplane), (x, yy, z) in zip(frames, decoded)
+                    )
+                )
+                rows["doc_id"].append(i)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["n_frames"].append(n_frames)
+                rows["profile_idc"].append(profile)
+                rows["n_pixel_bytes"].append(n_frames * width * height * 3 // 2)
+                rows["pixels_match"].append(bool(match))
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        rt_batches, H264_ROUNDTRIP_SCHEMA
+    )
 
 
 def attach_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -1018,8 +1018,9 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradient image (within_tolerance: ≤ 24/32/44; measured 19/28/38 —
     subsampling legitimately loses chroma detail; a broken zigzag,
     Huffman table, MCU interleave, or DCT normalization overshoots by
-    an order of magnitude). Only coded H.264 frame pixels remain
-    honestly stubbed (video decode needs ffmpeg-class libs)."""
+    an order of magnitude). Video frame pixels decode for real too via
+    the H.264 I_PCM subset (multimodal_h264_roundtrip); only
+    transform-coded H.264 residuals remain out of scope."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.jpeg_roundtrip_report(docs)
 
@@ -1083,6 +1084,45 @@ def q_image_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_h264_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 4 + 1) * 16 AS INTEGER) AS width,
+           CAST(((doc_id // 4) % 3 + 1) * 16 AS INTEGER) AS height,
+           CAST(doc_id % 3 + 1 AS INTEGER) AS n_frames,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 100 END AS INTEGER)
+               AS profile_idc,
+           CAST((doc_id % 3 + 1) * (doc_id % 4 + 1) * 16
+                * ((doc_id // 4) % 3 + 1) * 16 * 3 // 2 AS BIGINT)
+               AS n_pixel_bytes,
+           TRUE AS pixels_match
+    FROM documents
+    """,
+)
+def q_multimodal_h264_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL coded video, zero third-party libs — the last multimodal
+    stub closed to its honest floor: per document, deterministic 4:2:0
+    frames are H.264-encoded as I_PCM IDR slices (operators/h264.py —
+    spec-conformant SPS/PPS/slice NAL units, Exp-Golomb headers,
+    emulation-prevention escaping), packed AVCC-style into a full
+    ISO-BMFF container (avcC decoder config, real stsz/stsc/stco
+    sample tables), then decoded back through every layer: box walk →
+    avcC → sample table → Annex-B rewrap → SPS-driven I_PCM macroblock
+    parse. I_PCM is lossless, so the oracle pins BYTE-EXACT pixel
+    reconstruction plus geometry, frame count, and the profile the
+    stream itself carried (Baseline on even ids; High on odd ids with
+    forced zero-runs, so the emulation-prevention path is exercised for
+    real — zero PCM bytes are forbidden under Baseline by H.264
+    §7.4.5, which the encoder enforces). What remains out of scope is
+    transform-coded H.264 (intra prediction + CAVLC/CABAC residuals —
+    ffmpeg-class machinery); the coded-bitstream, container, and
+    sample-table layers a video corpus pipeline must traverse are all
+    real and all verified per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.h264_roundtrip_report(docs)
+
+
+@query(
     "multimodal_mp4_frame_plan",
     oracle="""
     WITH v AS (
@@ -1107,10 +1147,10 @@ def q_multimodal_mp4_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     evenly-spaced per-frame work units JVM-side. The oracle pins, per
     document, the parsed frame count AND every sampled frame index — a
     broken box length, fixed-point shift, or stts sum shifts a value
-    and the hash catches it. The coded H.264 frames are absent by
-    design (the one remaining stub: frame PIXEL decode needs
-    ffmpeg-class libs); the manifest surface a video corpus pipeline
-    schedules from is fully real."""
+    and the hash catches it. These containers are manifest-only
+    skeletons (no coded samples — what a scheduler sees before frames
+    are fetched); containers WITH real coded I_PCM frames and
+    byte-exact pixel decode are multimodal_h264_roundtrip."""
     docs = load_table(spark, sf_dir, "documents")
     decoded = MM.decode_media(MM.attach_video_media(docs), MM.stdlib_decoder)
     return MM.frame_sample(decoded, max_frames=4)

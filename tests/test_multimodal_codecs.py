@@ -296,3 +296,204 @@ def test_spark_encode_decode_real_end_to_end(spark, sf_smoke):
             assert (r.media_type, r.width, r.height, r.n_frames) == (
                 "audio/wav", 1, 8000, i % 500 + 1,
             )
+
+
+# ---------------------------------------------------------------------------
+# H.264 I_PCM subset (operators/h264.py) + MP4 coded-sample containers
+# ---------------------------------------------------------------------------
+
+
+def _pcm_frames(n, w, h, seed, zeros=False):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    lo = 0 if zeros else 1
+    frames = []
+    for _ in range(n):
+        y = rng.integers(lo, 256, (h, w), dtype=np.uint8)
+        if zeros:
+            y[: min(3, h), :] = 0  # long zero runs -> emulation prevention
+        cb = rng.integers(lo, 256, (h // 2, w // 2), dtype=np.uint8)
+        cr = rng.integers(lo, 256, (h // 2, w // 2), dtype=np.uint8)
+        frames.append((y, cb, cr))
+    return frames
+
+
+def test_expgolomb_roundtrip_edges():
+    """ue/se codes across edge values, incl. the 0 -> single '1' bit
+    form and multi-word values, survive a write->read cycle."""
+    from etl_pipeline_for_retail_sales_data_spark.operators.h264 import (
+        _BitReader,
+        _BitWriter,
+    )
+
+    ue_vals = [0, 1, 2, 3, 7, 8, 255, 256, 12345, 2**20]
+    se_vals = [0, 1, -1, 2, -2, 63, -64, 1000, -1000]
+    w = _BitWriter()
+    for v in ue_vals:
+        w.ue(v)
+    for v in se_vals:
+        w.se(v)
+    w.rbsp_trailing()
+    r = _BitReader(w.getvalue())
+    assert [r.ue() for _ in ue_vals] == ue_vals
+    assert [r.se() for _ in se_vals] == se_vals
+
+
+def test_emulation_prevention_property():
+    """EBSP never contains 00 00 00/01/02 patterns and de-escaping is
+    the exact inverse — the property a byte-stream parser relies on."""
+    import numpy as np
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import h264
+
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        rbsp = bytes(rng.integers(0, 4, int(rng.integers(1, 50))).astype(np.uint8))
+        ebsp = h264.rbsp_to_ebsp(rbsp)
+        assert h264.ebsp_to_rbsp(ebsp) == rbsp
+        for i in range(len(ebsp) - 2):
+            assert not (ebsp[i] == 0 and ebsp[i + 1] == 0 and ebsp[i + 2] < 3)
+
+
+def test_h264_annexb_roundtrip_both_profiles():
+    """Byte-exact plane recovery through the full Annex-B stream, and
+    the decoder reports the profile the SPS itself carried."""
+    import numpy as np
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import h264
+
+    for profile, zeros in [(66, False), (100, True)]:
+        frames = _pcm_frames(3, 48, 32, seed=profile, zeros=zeros)
+        stream = h264.encode_h264(frames, profile)
+        w, h, prof, dec = h264.decode_h264(stream)
+        assert (w, h, prof, len(dec)) == (48, 32, profile, 3)
+        for (a, b, c), (x, y, z) in zip(frames, dec):
+            assert (
+                np.array_equal(a, x)
+                and np.array_equal(b, y)
+                and np.array_equal(c, z)
+            )
+
+
+def test_h264_three_byte_start_codes_accepted():
+    """B.1.1 allows 3-byte start codes; a foreign muxer may emit them.
+    Rewrap the encoder's NALs with 00 00 01 and decode."""
+    import numpy as np
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import h264
+
+    frames = _pcm_frames(2, 32, 16, seed=5)
+    nals = h264.split_annexb(h264.encode_h264(frames, 66))
+    stream = b"".join(b"\x00\x00\x01" + n for n in nals)
+    w, h, prof, dec = h264.decode_h264(stream)
+    assert (w, h, len(dec)) == (32, 16, 2)
+    assert np.array_equal(dec[1][0], frames[1][0])
+
+
+def test_h264_baseline_rejects_zero_pcm_samples():
+    """H.264 7.4.5: PCM sample value 0 is forbidden under Baseline —
+    the encoder must refuse rather than emit a non-conforming stream."""
+    from etl_pipeline_for_retail_sales_data_spark.operators import h264
+
+    frames = _pcm_frames(1, 16, 16, seed=1, zeros=True)
+    with pytest.raises(ValueError, match="forbidden under Baseline"):
+        h264.encode_h264(frames, 66)
+
+
+def test_h264_decoder_typed_rejections():
+    """Out-of-subset constructs get NAMED errors: CABAC entropy mode,
+    non-I slices, non-I_PCM macroblocks, geometry violations,
+    truncation."""
+    from etl_pipeline_for_retail_sales_data_spark.operators import h264
+
+    frames = _pcm_frames(1, 16, 16, seed=2)
+    good = h264.encode_h264(frames, 66)
+
+    # CABAC PPS: entropy_coding_mode_flag=1
+    w = h264._BitWriter()
+    w.ue(0); w.ue(0); w.u(1, 1)
+    w.rbsp_trailing()
+    cabac_pps = b"\x00\x00\x00\x01" + h264.nal_unit(h264.NAL_PPS, 3, w.getvalue())
+    with pytest.raises(ValueError, match="CABAC"):
+        h264.decode_h264(good[: good.index(b"\x00\x00\x00\x01", 4)] + cabac_pps)
+
+    # P-slice header (slice_type=0) under an IDR NAL
+    w = h264._BitWriter()
+    w.ue(0); w.ue(0)  # first_mb_in_slice, slice_type=P
+    w.rbsp_trailing()
+    pslice = b"\x00\x00\x00\x01" + h264.nal_unit(h264.NAL_SLICE_IDR, 3, w.getvalue())
+    sps_pps = good[: good.index(bytes([0x65]), 4) - 4]  # up to first slice NAL
+    with pytest.raises(ValueError, match="only I slices"):
+        h264.decode_h264(sps_pps + pslice)
+
+    # non-I_PCM macroblock: patch the first mb_type symbol region by
+    # rebuilding a slice whose first symbol after the header is ue(0)
+    w = h264._BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(4, 0); w.ue(0); w.u(1, 0); w.u(1, 0); w.se(0)
+    w.ue(0)  # mb_type I_4x4 -> unsupported
+    w.rbsp_trailing()
+    intra = b"\x00\x00\x00\x01" + h264.nal_unit(h264.NAL_SLICE_IDR, 3, w.getvalue())
+    with pytest.raises(ValueError, match="only I_PCM macroblocks"):
+        h264.decode_h264(sps_pps + intra)
+
+    # truncated PCM payload
+    with pytest.raises(ValueError, match="truncated RBSP"):
+        h264.decode_h264(good[:-40])
+
+    # geometry must be MB-aligned
+    bad = _pcm_frames(1, 16, 16, seed=3)
+    y, cb, cr = bad[0]
+    with pytest.raises(ValueError, match="multiples of 16"):
+        h264.encode_h264([(y[:15, :], cb, cr)], 66)
+
+    # no start codes at all
+    with pytest.raises(ValueError, match="no start codes"):
+        h264.decode_h264(b"\xff" * 20)
+
+
+def test_mp4_h264_container_roundtrip_and_skeleton_rejection():
+    """The full container path: avcC config, real stsz/stco sample
+    tables, AVCC length prefixes — decode recovers every plane
+    byte-exactly and cross-checks SPS geometry against tkhd; the
+    manifest-only skeleton is rejected with a typed error, and
+    parse_mp4 (the manifest surface) still reads the coded container."""
+    import numpy as np
+
+    frames = _pcm_frames(4, 64, 48, seed=9, zeros=True)
+    p = MM.encode_mp4_h264(frames, profile_idc=100)
+    assert MM.parse_mp4(p) == (64, 48, 4)
+    w, h, prof, dec = MM.decode_mp4_frames(p)
+    assert (w, h, prof, len(dec)) == (64, 48, 100, 4)
+    for (a, b, c), (x, y, z) in zip(frames, dec):
+        assert (
+            np.array_equal(a, x) and np.array_equal(b, y) and np.array_equal(c, z)
+        )
+    with pytest.raises(ValueError, match="no avcC"):
+        MM.decode_mp4_frames(MM.encode_mp4_skeleton(64, 48, 4))
+    # truncation breaks box framing first — still a typed rejection
+    with pytest.raises(ValueError, match="malformed MP4 box"):
+        MM.decode_mp4_frames(p[:-200])
+    # a lying chunk offset is caught by the sample-table bounds math
+    i = p.index(b"stco")
+    lying = p[: i + 12] + struct.pack(">I", len(p)) + p[i + 16 :]
+    with pytest.raises(ValueError, match="past the end"):
+        MM.decode_mp4_frames(lying)
+
+
+def test_h264_spark_roundtrip_report(spark, sf_smoke):
+    """The registry query's path on executors: every row must report
+    byte-exact pixel recovery with the id-derived geometry/profile."""
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(24)
+    out = MM.h264_roundtrip_report(docs).collect()
+    assert len(out) == 24
+    for r in out:
+        i = r.doc_id
+        assert r.pixels_match, f"doc {i} failed pixel roundtrip"
+        assert r.width == (i % 4 + 1) * 16
+        assert r.height == ((i // 4) % 3 + 1) * 16
+        assert r.n_frames == i % 3 + 1
+        assert r.profile_idc == (66 if i % 2 == 0 else 100)
+        assert r.n_pixel_bytes == r.n_frames * r.width * r.height * 3 // 2
