@@ -298,3 +298,112 @@ def bloom_probe(
     return hits.groupBy(key).agg(
         F.min(F.coalesce(F.col("__set"), F.lit(0))).cast("boolean").alias("bloom_positive")
     )
+
+
+def kmv_group_sketches(
+    df: DataFrame, group_col: str, hv_col: str = "hv", k: int = 128
+) -> DataFrame:
+    """Per-group K-minimum-values sketch rows: the k smallest distinct
+    48-bit hash values of each group (``hv`` must already be the
+    portable md5-derived integer — callers hash their element key the
+    same way on the oracle side). ONE distinct aggregate over the
+    elements, then a group-partitioned rank — never a global sort; the
+    output is <= k rows per group regardless of group size, which is
+    the whole point: downstream set algebra runs over sketches, not
+    corpora."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(hv_col)
+    return (
+        df.select(group_col, hv_col)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_overlap_matrix(
+    sketches: DataFrame,
+    group_col: str,
+    hv_col: str = "hv",
+    k: int = 128,
+    space: int = 1 << 48,
+) -> DataFrame:
+    """Theta-sketch set algebra over per-group KMV sketches: for every
+    group pair, the union sketch (k smallest of the merged hash sets,
+    theta = its max) and the intersection estimate
+    n_common_below_theta / theta — Beyer et al. 2007 / the DataSketches
+    theta-intersection shape, entirely from sketch rows.
+
+    Scale rationale: cross-source overlap normally costs a full
+    distinct-element equi-join across every source pair
+    (source_overlap_matrix's exact shape). Here the corpus is touched
+    ONCE to build <= k-row sketches and all pair math runs on
+    |groups|·k rows — mergeable (a union sketch is itself a KMV
+    sketch), so per-day or per-shard partial sketches roll up without
+    revisiting elements. When a pair's union sketch holds fewer than k
+    values the sketches ARE the full sets and both estimates are exact
+    (the standard small-set escape).
+
+    Output per (grp_a < grp_b): k_union (rows in the union sketch),
+    theta_union, n_common (intersection sketch rows below theta), and
+    est_inter / est_union (FLOOR(x + 0.5) of one double division each,
+    the kmv_distinct_estimate float-parity pattern)."""
+    from pyspark.sql import Window
+
+    sk = sketches.select(
+        F.col(group_col).alias("__g"), F.col(hv_col).alias("__hv")
+    ).repartition("__g")
+    a = sk.select(F.col("__g").alias("grp_a"), F.col("__hv").alias("__hv"))
+    b = sk.select(F.col("__g").alias("grp_b"), F.col("__hv").alias("__hv"))
+    # union sketch per pair: replicate each group's sketch to its pairs
+    groups = sk.select(F.col("__g")).distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("grp_a"))
+        .join(F.broadcast(groups.select(F.col("__g").alias("grp_b"))))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    ua = pairs.join(a, "grp_a").select("grp_a", "grp_b", "__hv")
+    ub = pairs.join(b, "grp_b").select("grp_a", "grp_b", "__hv")
+    wu = Window.partitionBy("grp_a", "grp_b").orderBy("__hv")
+    usk = (
+        ua.unionByName(ub)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(wu))
+        .filter(F.col("__rn") <= k)
+    )
+    ustats = usk.groupBy("grp_a", "grp_b").agg(
+        F.count("*").cast("int").alias("k_union"),
+        F.max("__hv").alias("theta_union"),
+    )
+    common = (
+        a.join(b, "__hv")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .join(F.broadcast(ustats), ["grp_a", "grp_b"])
+        .filter(F.col("__hv") <= F.col("theta_union"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = ustats.join(common, ["grp_a", "grp_b"], "left").na.fill({"n_common": 0})
+    exact_mode = F.col("k_union") < k  # sketches hold the full sets
+    est_inter = F.when(exact_mode, F.col("n_common")).otherwise(
+        F.floor(
+            F.col("n_common") * F.lit(float(space)) / F.col("theta_union") + F.lit(0.5)
+        )
+    )
+    est_union = F.when(exact_mode, F.col("k_union")).otherwise(
+        F.floor(
+            (F.col("k_union") - 1) * F.lit(float(space)) / F.col("theta_union")
+            + F.lit(0.5)
+        )
+    )
+    return out.select(
+        "grp_a",
+        "grp_b",
+        "k_union",
+        "theta_union",
+        F.col("n_common").cast("long").alias("n_common"),
+        est_inter.cast("long").alias("est_inter"),
+        est_union.cast("long").alias("est_union"),
+    )

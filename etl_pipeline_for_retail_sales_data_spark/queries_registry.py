@@ -450,6 +450,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from .operators import audio as AUD  # noqa: E402
+from .operators import sketches as SK  # noqa: E402
 from .operators import dedup as D  # noqa: E402
 from .operators import multimodal as MM  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
@@ -6100,6 +6101,145 @@ def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv.crossJoin(F.broadcast(exact)).agg(
         est.alias("est_distinct"),
         F.min("true_distinct").alias("true_distinct"),
+    )
+
+
+@query(
+    "kmv_overlap_matrix",
+    oracle=r"""
+    WITH base AS (
+        SELECT source, regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '\S+')) >= 3
+    ),
+    sh AS (
+        SELECT source, UNNEST(list_transform(range(len(toks) - 2),
+               i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingle
+        FROM base
+    ),
+    el AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substring(md5(shingle), 1, 12)) AS BIGINT) AS hv
+        FROM sh
+    ),
+    sk AS (
+        SELECT source, hv FROM (
+            SELECT source, hv,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+            FROM el) WHERE rn <= 128
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM (SELECT DISTINCT source FROM sk) a
+        JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    ),
+    u AS (
+        SELECT p.src_a, p.src_b, s.hv
+        FROM pairs p JOIN sk s ON s.source = p.src_a
+        UNION
+        SELECT p.src_a, p.src_b, s.hv
+        FROM pairs p JOIN sk s ON s.source = p.src_b
+    ),
+    usk AS (
+        SELECT src_a, src_b, hv FROM (
+            SELECT src_a, src_b, hv,
+                   ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rn
+            FROM u) WHERE rn <= 128
+    ),
+    ustats AS (
+        SELECT src_a, src_b, CAST(COUNT(*) AS INTEGER) AS k_union,
+               MAX(hv) AS theta_union
+        FROM usk GROUP BY 1, 2
+    ),
+    common AS (
+        SELECT sa.source AS src_a, sb.source AS src_b, COUNT(*) AS n_common
+        FROM sk sa
+        JOIN sk sb ON sa.hv = sb.hv AND sa.source < sb.source
+        JOIN ustats us ON us.src_a = sa.source AND us.src_b = sb.source
+        WHERE sa.hv <= us.theta_union
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT ea.source AS src_a, eb.source AS src_b, COUNT(*) AS n_exact
+        FROM el ea JOIN el eb ON ea.hv = eb.hv AND ea.source < eb.source
+        GROUP BY 1, 2
+    )
+    SELECT us.src_a, us.src_b, us.k_union, us.theta_union,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           CAST(CASE WHEN us.k_union < 128 THEN COALESCE(c.n_common, 0)
+                ELSE FLOOR(COALESCE(c.n_common, 0) * CAST(281474976710656 AS DOUBLE)
+                           / us.theta_union + 0.5) END AS BIGINT) AS est_inter,
+           CAST(CASE WHEN us.k_union < 128 THEN us.k_union
+                ELSE FLOOR((us.k_union - 1) * CAST(281474976710656 AS DOUBLE)
+                           / us.theta_union + 0.5) END AS BIGINT) AS est_union,
+           CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS exact_inter
+    FROM ustats us
+    LEFT JOIN common c ON c.src_a = us.src_a AND c.src_b = us.src_b
+    LEFT JOIN ex e ON e.src_a = us.src_a AND e.src_b = us.src_b
+    """,
+)
+def q_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch source-overlap matrix (Beyer et al. 2007 / the
+    DataSketches theta-intersection shape): per-source KMV sketches of
+    the distinct 3-gram shingle universe (48-bit md5 values — fully
+    portable, the oracle replays every kept hash bit-for-bit), then
+    per-pair union sketches and intersection estimates computed from
+    SKETCH ROWS ONLY. This is the join-free counterpart of
+    source_overlap_matrix: the corpus is scanned once to build <= k
+    rows per source, pair algebra runs on |sources|·k rows, and the
+    sketches are MERGEABLE (a union sketch is itself a KMV sketch), so
+    per-shard partials roll up without revisiting elements — the
+    property that matters when 'sources' are 10k crawl snapshots on a
+    1000-executor cluster. est_inter = n_common_below_theta / theta,
+    est_union = (k-1)/theta, each one FLOOR(x+0.5) double division (the
+    kmv_distinct_estimate float-parity pattern); pairs whose union
+    sketch holds fewer than k values degrade to EXACT counts (the
+    standard small-set escape). The exact_inter column — a real
+    distinct-element pair join — rides along so estimate quality is
+    visible per pair (minhash_quality_report ethos); a production run
+    at scale drops that column and with it the only expensive join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    base = docs.select("source", toks.alias("__toks")).filter(
+        F.size("__toks") >= 3
+    )
+    sh = base.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 2), "
+                "i -> concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]))"
+            )
+        ).alias("shingle"),
+    )
+    el = sh.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    sk = SK.kmv_group_sketches(el, "source", "hv", k=128)
+    matrix = SK.kmv_overlap_matrix(sk, "source", "hv", k=128).select(
+        F.col("grp_a").alias("src_a"),
+        F.col("grp_b").alias("src_b"),
+        "k_union",
+        "theta_union",
+        "n_common",
+        "est_inter",
+        "est_union",
+    )
+    ea = el.select(F.col("source").alias("src_a"), "hv")
+    eb = el.select(F.col("source").alias("src_b"), "hv")
+    exact = (
+        ea.join(eb, "hv")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        matrix.join(exact, ["src_a", "src_b"], "left")
+        .na.fill({"exact_inter": 0})
+        .withColumn("exact_inter", F.col("exact_inter").cast("long"))
     )
 
 

@@ -488,3 +488,58 @@ def test_bloom_fpr_in_theory_regime(spark, sf_smoke):
     theory = (1 - math.exp(-k * n / m)) ** k
     assert fpr <= 3 * theory + 0.01
     assert theory / 3 - 0.01 <= fpr
+
+
+def test_kmv_overlap_estimates_and_mergeability(spark):
+    """Theta-sketch overlap (operators/sketches.kmv_overlap_matrix):
+    (1) on groups small enough that sketches hold the full sets the
+    estimates are EXACT (the small-set escape); (2) in the estimation
+    regime the intersection estimate lands within the KMV error
+    envelope of truth; (3) mergeability — the union sketch built from
+    two sketches equals the sketch of the concatenated element stream."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import sketches as SK
+
+    def hv(col):
+        return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast(
+            "long"
+        )
+
+    # (1) exact regime: 60 elements per group, k=128 -> k_union < k
+    rows = [("a", i) for i in range(60)] + [("b", i + 30) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, x long").select(
+        "g", hv(F.col("x")).alias("hv")
+    )
+    sk = SK.kmv_group_sketches(df, "g", k=128)
+    m = SK.kmv_overlap_matrix(sk, "g", k=128).collect()[0]
+    assert m.k_union == 90 and m.k_union < 128
+    assert m.est_inter == m.n_common == 30
+    assert m.est_union == 90
+
+    # (2) estimation regime: 4000-element groups with 2000 shared, k=128.
+    # KMV relative error ~ 1/sqrt(k-1) ~ 9%; assert a generous 3x band.
+    rows = [("a", i) for i in range(4000)] + [("b", i + 2000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, x long").select(
+        "g", hv(F.col("x")).alias("hv")
+    )
+    sk = SK.kmv_group_sketches(df, "g", k=128)
+    m = SK.kmv_overlap_matrix(sk, "g", k=128).collect()[0]
+    assert m.k_union == 128
+    assert abs(m.est_union - 6000) < 0.27 * 6000
+    assert abs(m.est_inter - 2000) < 0.27 * 6000  # error scales with union
+
+    # (3) mergeability: k-min of (sketch_a U sketch_b) == k-min of all
+    merged_from_sketches = {
+        r.hv
+        for r in SK.kmv_group_sketches(
+            sk.withColumn("g", F.lit("u")), "g", k=128
+        ).collect()
+    }
+    merged_from_stream = {
+        r.hv
+        for r in SK.kmv_group_sketches(
+            df.withColumn("g", F.lit("u")), "g", k=128
+        ).collect()
+    }
+    assert merged_from_sketches == merged_from_stream
