@@ -1158,6 +1158,46 @@ def q_audio_fingerprint_candidates(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "multimodal_dedup_components",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY doc_id // 8) AS component_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY doc_id // 8) AS is_keeper
+    FROM documents
+    """,
+)
+def q_multimodal_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL dedup capstone: image near-dup edges (real decoded
+    pixels → DCT pHash → LSH bands → Hamming verify, id//4 groups) and
+    audio near-dup edges (real WAV bytes → rfft constellation
+    landmarks → offset histogram, id//8 groups — the same recording
+    shared across twice as many documents, the 'same soundtrack,
+    different cuts' relation) UNION into one edge list, and connected
+    components close over BOTH relations at once. The modalities
+    legitimately disagree on granularity; the closure lands at the
+    coarsest join of the two equivalences (id//8), and min-label picks
+    one canonical keeper per component — which the oracle pins exactly,
+    row for row, because each modality's pair set is itself
+    exactly-constructed (recall 1, measured precision margins). Scale
+    shape: both candidate pipelines are inverted-index equi-joins (no
+    all-pairs), the component loop iterates only over edge-incident
+    nodes, and every shuffle keys on node id."""
+    docs = load_table(spark, sf_dir, "documents")
+    img = MM.image_phash_candidates(docs)
+    aud = AUD.audio_fingerprint_candidates(docs, group_size=8)
+    edges = (
+        img.unionByName(aud)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    comp = D.connected_components(edges, docs.select("doc_id"))
+    return comp.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
+    )
+
+
+@query(
     "multimodal_mp4_frame_plan",
     oracle="""
     WITH v AS (
