@@ -382,7 +382,18 @@ def split_annexb(data: bytes) -> list[bytes]:
 
 
 class _Sps:
-    __slots__ = ("profile_idc", "width_mb", "height_mb", "log2_max_frame_num")
+    __slots__ = (
+        "profile_idc",
+        "width_mb",
+        "height_mb",
+        "log2_max_frame_num",
+        "poc_type",
+        "log2_max_poc_lsb",
+    )
+
+
+class _Pps:
+    __slots__ = ("bottom_field_poc_present",)
 
 
 def parse_sps(rbsp: bytes) -> _Sps:
@@ -404,10 +415,11 @@ def parse_sps(rbsp: bytes) -> _Sps:
         if r.u(1):
             raise ValueError("scaling matrices are not supported (I_PCM subset)")
     sps.log2_max_frame_num = r.ue() + 4
-    poc_type = r.ue()
-    if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
-    elif poc_type == 1:
+    sps.poc_type = r.ue()
+    sps.log2_max_poc_lsb = 0
+    if sps.poc_type == 0:
+        sps.log2_max_poc_lsb = r.ue() + 4
+    elif sps.poc_type == 1:
         raise ValueError("pic_order_cnt_type 1 is not supported (I_PCM subset)")
     r.ue()  # max_num_ref_frames
     r.u(1)  # gaps_in_frame_num_value_allowed_flag
@@ -421,7 +433,7 @@ def parse_sps(rbsp: bytes) -> _Sps:
     return sps
 
 
-def parse_pps(rbsp: bytes) -> None:
+def parse_pps(rbsp: bytes) -> _Pps:
     r = _BitReader(rbsp)
     r.ue()  # pic_parameter_set_id
     r.ue()  # seq_parameter_set_id
@@ -429,13 +441,15 @@ def parse_pps(rbsp: bytes) -> None:
         raise ValueError(
             "CABAC streams are not supported (I_PCM subset decodes CAVLC-mode slice data only)"
         )
-    r.u(1)  # bottom_field_pic_order_in_frame_present_flag
+    pps = _Pps()
+    pps.bottom_field_poc_present = bool(r.u(1))
     if r.ue() != 0:  # num_slice_groups_minus1
         raise ValueError("slice groups (FMO) are not supported")
+    return pps
 
 
 def _decode_slice(
-    rbsp: bytes, sps: _Sps, idr: bool
+    rbsp: bytes, sps: _Sps, pps: _Pps, idr: bool, ref_idc: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     r = _BitReader(rbsp)
     if r.ue() != 0:  # first_mb_in_slice
@@ -449,12 +463,17 @@ def _decode_slice(
     r.u(sps.log2_max_frame_num)  # frame_num
     if idr:
         r.ue()  # idr_pic_id
-        r.u(1)  # no_output_of_prior_pics_flag
-        r.u(1)  # long_term_reference_flag
-    else:
-        # nal_ref_idc != 0 reference pictures would carry
-        # adaptive_ref_pic_marking; the all-IDR encoder never emits this
-        # path, but a foreign I_PCM stream may — one flag, mode 0 only.
+    if sps.poc_type == 0:
+        r.u(sps.log2_max_poc_lsb)  # pic_order_cnt_lsb
+        if pps.bottom_field_poc_present:
+            r.se()  # delta_pic_order_cnt_bottom (frame_mbs_only streams)
+    if idr:
+        r.u(1)  # dec_ref_pic_marking: no_output_of_prior_pics_flag
+        r.u(1)  # dec_ref_pic_marking: long_term_reference_flag
+    elif ref_idc != 0:
+        # a non-IDR reference picture carries dec_ref_pic_marking; the
+        # all-IDR encoder never emits this path, but a foreign I_PCM
+        # stream may — one flag, mode 0 only.
         if r.u(1):
             raise ValueError("adaptive reference marking is not supported")
     r.se()  # slice_qp_delta
@@ -494,21 +513,27 @@ def decode_h264(
     Raises ValueError (typed, with the offending construct named) for
     anything outside the I_PCM subset."""
     sps: _Sps | None = None
+    pps: _Pps | None = None
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for nal in split_annexb(data):
         header = nal[0]
         if header & 0x80:
             raise ValueError("forbidden_zero_bit set in NAL header")
         nal_type = header & 0x1F
+        ref_idc = (header >> 5) & 0x3
         rbsp = ebsp_to_rbsp(nal[1:])
         if nal_type == NAL_SPS:
             sps = parse_sps(rbsp)
         elif nal_type == NAL_PPS:
-            parse_pps(rbsp)
+            pps = parse_pps(rbsp)
         elif nal_type in (NAL_SLICE_NON_IDR, NAL_SLICE_IDR):
-            if sps is None:
-                raise ValueError("slice NAL before any SPS")
-            frames.append(_decode_slice(rbsp, sps, idr=nal_type == NAL_SLICE_IDR))
+            if sps is None or pps is None:
+                raise ValueError("slice NAL before SPS/PPS")
+            frames.append(
+                _decode_slice(
+                    rbsp, sps, pps, idr=nal_type == NAL_SLICE_IDR, ref_idc=ref_idc
+                )
+            )
         # other NAL types (SEI, AUD, filler) are legal to skip
     if sps is None or not frames:
         raise ValueError("stream carries no decodable picture")

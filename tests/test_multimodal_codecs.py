@@ -497,3 +497,50 @@ def test_h264_spark_roundtrip_report(spark, sf_smoke):
         assert r.n_frames == i % 3 + 1
         assert r.profile_idc == (66 if i % 2 == 0 else 100)
         assert r.n_pixel_bytes == r.n_frames * r.width * r.height * 3 // 2
+
+
+def test_h264_foreign_poc_type0_stream_decodes():
+    """A conforming I_PCM stream from a FOREIGN encoder may use
+    pic_order_cnt_type 0 (the common choice) and non-IDR I slices; the
+    decoder must honor the SPS-declared POC fields in the slice header
+    rather than assume its own encoder's type-2 shape."""
+    import numpy as np
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import h264
+
+    # SPS: baseline, poc_type 0 with log2_max_poc_lsb = 4
+    w = h264._BitWriter()
+    w.u(8, 66); w.u(8, 0); w.u(8, 40)
+    w.ue(0)        # sps id
+    w.ue(0)        # log2_max_frame_num_minus4
+    w.ue(0)        # pic_order_cnt_type = 0
+    w.ue(0)        # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(0)        # max_num_ref_frames
+    w.u(1, 0)      # gaps allowed
+    w.ue(0); w.ue(0)  # 1x1 macroblocks
+    w.u(1, 1); w.u(1, 1); w.u(1, 0); w.u(1, 0)
+    w.rbsp_trailing()
+    sps = h264._nal(h264.NAL_SPS, 3, w.getvalue())
+    pps = h264._nal(h264.NAL_PPS, 3, h264.encode_pps())
+
+    y = np.full((16, 16), 7, dtype=np.uint8)
+    cb = np.full((8, 8), 9, dtype=np.uint8)
+    cr = np.full((8, 8), 11, dtype=np.uint8)
+    w = h264._BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(7)        # slice_type I
+    w.ue(0)        # pps id
+    w.u(4, 1)      # frame_num
+    w.u(4, 2)      # pic_order_cnt_lsb (poc_type 0!)
+    # non-IDR, ref_idc=0 -> NO dec_ref_pic_marking
+    w.se(0)        # slice_qp_delta
+    w.ue(25)       # I_PCM
+    w.align_zero()
+    w.write_bytes(y.tobytes()); w.write_bytes(cb.tobytes()); w.write_bytes(cr.tobytes())
+    w.rbsp_trailing()
+    slice_nal = h264._nal(h264.NAL_SLICE_NON_IDR, 0, w.getvalue())
+
+    width, height, prof, frames = h264.decode_h264(sps + pps + slice_nal)
+    assert (width, height, prof, len(frames)) == (16, 16, 66, 1)
+    assert np.array_equal(frames[0][0], y)
+    assert np.array_equal(frames[0][2], cr)

@@ -69,7 +69,19 @@ PROBES = ["sales_summary", "q1_pricing_summary", "q3_shipping_priority",
           # per-source vocab for the divergence's vocabulary-magnitude
           # stage, and lengthen the heaps token stream — all three probe
           # the single-hash-aggregate plans, not manufactured dups
-          "pmi_cooccurrence", "source_token_divergence", "heaps_law_fit"]
+          "pmi_cooccurrence", "source_token_divergence", "heaps_law_fit",
+          # round-11 second session: the coded-video codec and the audio
+          # constellation pipeline are content-agnostic per-doc work
+          # (payloads derive from doc_id), so doc replication probes the
+          # Arrow stage + inverted-index join linearly — replica groups
+          # never collide (offset ids land in disjoint id//4 buckets).
+          # The KMV overlap matrix keeps k sketch rows per source while
+          # per-source element sets grow 16x — the probe shows the
+          # sketch algebra flat and the exact_inter truth join (the one
+          # corpus-sized stage, kept for estimate-quality display)
+          # absorbing the growth.
+          "multimodal_h264_roundtrip", "audio_fingerprint_candidates",
+          "kmv_overlap_matrix"]
 TABLES = ["lineitem", "orders", "customer", "part", "region", "nation", "supplier",
           "events", "documents", "embeddings"]
 KEYED = {  # key columns to offset per replica so key cardinality scales
