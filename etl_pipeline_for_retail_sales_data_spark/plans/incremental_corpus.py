@@ -93,6 +93,7 @@ STATE_ROOTS = (
     "bloom_bits",
     "corpus_semantic",
     "semantic_members",
+    "kmv_sketch",
 )
 DEFAULT_BUCKETS = 8  # local-test shape; size for the cluster in production
 # defaults pinned into _meta on first ingest (module docstring)
@@ -637,6 +638,7 @@ _LEG_ROOTS = {
     "embdup": ("corpus_embdup", "embdup_buckets"),
     "bloom": ("corpus_bloom", "bloom_bits"),
     "semantic": ("corpus_semantic", "semantic_members"),
+    "sketch": ("kmv_sketch",),
 }
 
 
@@ -664,9 +666,13 @@ def state_report(spark: SparkSession, state_dir: str) -> dict:
     half-published batch's files land one rename at a time)."""
     fs = HadoopFS(spark, state_dir)
     legs: dict[str, dict] = {}
-    for leg, (crel, srel) in _LEG_ROOTS.items():
+    for leg, rels in _LEG_ROOTS.items():
+        # two-root legs are (corpus, state); the sketch leg keeps no
+        # corpus of its own — its single root IS the state
+        crel, srel = rels if len(rels) == 2 else (None, rels[0])
+        probe_rel = crel if crel is not None else srel
         meta = state_meta(spark, state_dir, leg)
-        if not meta and not fs.has_visible_files(_join(state_dir, crel)):
+        if not meta and not fs.has_visible_files(_join(state_dir, probe_rel)):
             continue
         summary = dict(meta)
         for big in ("tables", "centroids"):
@@ -677,6 +683,8 @@ def state_report(spark: SparkSession, state_dir: str) -> dict:
                 )
         row = {"meta": summary}
         for key, rel in (("corpus_rows", crel), ("state_rows", srel)):
+            if rel is None:
+                continue
             root = _join(state_dir, rel)
             row[key] = (
                 spark.read.parquet(root).count()
@@ -2010,6 +2018,143 @@ def compact_fingerprints(
     return _compact_state(
         spark, state_dir, "fingerprints", ["digest"], "exact", n_buckets
     )
+
+
+DEFAULT_SKETCH_K = 128
+
+
+def kmv_sketch_state(
+    spark: SparkSession,
+    state_dir: str,
+    group_col: str = "source",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The mergeable-sketch state as its bucketed table (group, hv) —
+    at most ``k`` rows per group however large the ingested history.
+    ``n_buckets`` defaults from the pinned ``_meta``."""
+    like = spark.createDataFrame([], f"{group_col} string, hv long")
+    return _ensure_state_table(
+        spark, _join(state_dir, "kmv_sketch"), like, [group_col],
+        _meta_buckets(spark, state_dir, "sketch", n_buckets),
+    )
+
+
+def ingest_batch_sketch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int | None = None,
+    n_buckets: int | None = None,
+    epoch_id=None,
+    _crash: str | None = None,
+    _locked: bool = False,
+) -> dict[str, int] | None:
+    """Incremental MERGEABLE-SKETCH maintenance — a different state
+    algebra from the five dedup legs: instead of appending fingerprint
+    rows, each batch MERGES into a bounded per-group KMV sketch (the k
+    smallest distinct 48-bit shingle-hash values per ``group_col`` —
+    operators/sketches.kmv_group_sketches' shape), kept as a bucketed
+    ``state_dir/kmv_sketch`` table of at most k rows per group however
+    many batches arrive. The sketches answer per-source distinct-volume
+    and cross-source overlap questions (sketches.kmv_overlap_matrix)
+    over the ENTIRE ingested history without ever rescanning it — the
+    running counterpart of the one-shot ``kmv_overlap_matrix`` query.
+
+    Replay safety comes from ALGEBRA, not bookkeeping: k-min merge is
+    associative, commutative and IDEMPOTENT (k-min of a union), so a
+    crashed-and-retried or redelivered batch re-merges to the
+    bit-identical state. The state swap uses the compaction state
+    machine (stage bucketed → rename root away → rename stage in),
+    settled by :func:`_recover_swap` from any crash point; the epoch
+    marker records AFTER the swap — a crash between them replays the
+    merge as a no-op and then records. ``k``/``n_buckets`` pin into
+    ``_meta`` like every leg (a changed k would make sketches
+    incomparable: a k=64 sketch cannot be widened back to k=128).
+
+    Scale shape: the only corpus-sized work is the batch's distinct
+    (group, hv) projection; the merge unions it with a ≤ groups·k-row
+    state and ranks within group — the nightly rewrite touches
+    groups·k rows, not history. Returns ``{"n_batch", "n_groups",
+    "n_sketch_rows"}`` — or ``None`` on a redelivered committed epoch.
+
+    The pure-query oracled twin is ``incremental_kmv_funnel`` in the
+    registry (day-composed sketches == whole-history sketch, the
+    mergeability property, replayed by DuckDB)."""
+    from pyspark.sql import Window
+
+    with nullcontext() if _locked else _writer_lease(spark, state_dir):
+        if not _locked:
+            recover_state(spark, state_dir)
+        if epoch_id is not None and epoch_committed(spark, state_dir, epoch_id):
+            return None
+        fs = HadoopFS(spark, state_dir)
+        eff = _resolve_meta(
+            fs, state_dir, "sketch",
+            {"k": k, "n_buckets": n_buckets},
+            {"k": DEFAULT_SKETCH_K, "n_buckets": DEFAULT_BUCKETS},
+        )
+        k_eff, n_buckets = int(eff["k"]), int(eff["n_buckets"])
+        root = _join(state_dir, "kmv_sketch")
+
+        n_batch = batch.count()
+        toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        base = batch.select(F.col(group_col), toks.alias("__toks")).filter(
+            F.size("__toks") >= 3
+        )
+        sh = base.select(
+            group_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 2), "
+                    "i -> concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]))"
+                )
+            ).alias("__shingle"),
+        )
+        el = sh.select(
+            group_col,
+            F.conv(F.substring(F.md5(F.col("__shingle")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        ).distinct()
+        old = kmv_sketch_state(spark, state_dir, group_col, n_buckets).select(
+            group_col, "hv"
+        )
+        w = Window.partitionBy(group_col).orderBy("hv")
+        merged = (
+            old.unionByName(el)
+            .distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k_eff)
+            .drop("__rn")
+        )
+        tmp, old_dir = root + "._compact_tmp", root + "._compact_old"
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        _staged_bucketed_write(merged, tmp, [group_col], n_buckets)
+        if _crash == "after_stage":
+            raise SimulatedCrash("after_stage")
+        staged = spark.read.parquet(tmp)
+        n_rows = staged.count()
+        n_groups = staged.select(group_col).distinct().count()
+        if fs.exists(old_dir):
+            fs.delete(old_dir, True)
+        if fs.exists(root):
+            if not fs.rename(root, old_dir):
+                raise IOError(f"sketch swap: rename {root} -> {old_dir} failed")
+        if _crash == "mid_swap":
+            raise SimulatedCrash("mid_swap")
+        if not fs.rename(tmp, root):
+            raise IOError(f"sketch swap: rename {tmp} -> {root} failed")
+        fs.delete(old_dir, True)
+        if _crash == "before_epoch":
+            raise SimulatedCrash("before_epoch")
+        if epoch_id is not None:
+            _record_epoch(fs, state_dir, epoch_id)
+        _refresh_state_table(spark, root)
+    return {"n_batch": n_batch, "n_groups": n_groups, "n_sketch_rows": n_rows}
+
 
 def ingest_batch_all(
     spark: SparkSession,

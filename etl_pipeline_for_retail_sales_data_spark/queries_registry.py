@@ -6284,6 +6284,128 @@ def q_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_kmv_funnel",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id % 3 AS day, source,
+               regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '\S+')) >= 3
+    ),
+    el AS (
+        SELECT DISTINCT day, source,
+               CAST(('0x' || substring(md5(shingle), 1, 12)) AS BIGINT) AS hv
+        FROM (
+            SELECT day, source, UNNEST(list_transform(range(len(toks) - 2),
+                   i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingle
+            FROM base)
+    ),
+    days AS (SELECT UNNEST([0, 1, 2]) AS day_cut),
+    cum AS (
+        SELECT DISTINCT d.day_cut, e.source, e.hv
+        FROM days d JOIN el e ON e.day <= d.day_cut
+    ),
+    sk AS (
+        SELECT day_cut, source, hv FROM (
+            SELECT day_cut, source, hv,
+                   ROW_NUMBER() OVER (PARTITION BY day_cut, source ORDER BY hv) AS rn
+            FROM cum) WHERE rn <= 128
+    ),
+    agg AS (
+        SELECT day_cut, source, CAST(COUNT(*) AS INTEGER) AS n_sketch,
+               MAX(hv) AS theta_sketch
+        FROM sk GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT day_cut, source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+        FROM cum GROUP BY 1, 2
+    )
+    SELECT a.day_cut AS day, a.source, a.n_sketch, a.theta_sketch,
+           CAST(CASE WHEN a.n_sketch < 128 THEN a.n_sketch
+                ELSE FLOOR((a.n_sketch - 1) * CAST(281474976710656 AS DOUBLE)
+                           / a.theta_sketch + 0.5) END AS BIGINT) AS est_distinct,
+           e.exact_distinct
+    FROM agg a JOIN ex e ON e.day_cut = a.day_cut AND e.source = a.source
+    """,
+)
+def q_incremental_kmv_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch ingestion leg
+    (plans/incremental_corpus.ingest_batch_sketch) as a pure query:
+    documents arrive in simulated daily batches (day = doc_id % 3) and
+    each day's state is the k-min merge of the previous state with the
+    batch's distinct (source, shingle-hash) elements. Because k-min
+    merge is associative and idempotent, the state after day D equals
+    the k-min sketch over ALL days ≤ D — which is exactly what this
+    query (and its DuckDB oracle) computes per (day, source): sketch
+    size, theta, the KMV distinct estimate, and the exact distinct
+    truth alongside. The stateful loop's swap/recovery/epoch machinery
+    is covered by tests/test_incremental_corpus.py (crash matrix +
+    state-equals-direct-sketch); THIS query pins the day-composition
+    algebra the loop's replay safety rests on. The day×element range
+    join broadcasts the 3-row day frame; everything downstream runs on
+    group-partitioned windows over cumulative distinct elements."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    base = docs.select(
+        (F.col("doc_id") % 3).cast("int").alias("day"),
+        "source",
+        toks.alias("__toks"),
+    ).filter(F.size("__toks") >= 3)
+    sh = base.select(
+        "day",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 2), "
+                "i -> concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]))"
+            )
+        ).alias("__shingle"),
+    )
+    el = sh.select(
+        "day",
+        "source",
+        F.conv(F.substring(F.md5(F.col("__shingle")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    days = spark.range(3).select(F.col("id").cast("int").alias("day_cut"))
+    cum = (
+        F.broadcast(days)
+        .join(el, el["day"] <= F.col("day_cut"))
+        .select("day_cut", "source", "hv")
+        .distinct()
+    )
+    w = Window.partitionBy("day_cut", "source").orderBy("hv")
+    sk = cum.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 128)
+    agg = sk.groupBy("day_cut", "source").agg(
+        F.count("*").cast("int").alias("n_sketch"),
+        F.max("hv").alias("theta_sketch"),
+    )
+    ex = cum.groupBy("day_cut", "source").agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    est = F.when(F.col("n_sketch") < 128, F.col("n_sketch").cast("long")).otherwise(
+        F.floor(
+            (F.col("n_sketch") - 1) * F.lit(float(1 << 48)) / F.col("theta_sketch")
+            + F.lit(0.5)
+        )
+    )
+    return (
+        agg.join(ex, ["day_cut", "source"])
+        .select(
+            F.col("day_cut").alias("day"),
+            "source",
+            "n_sketch",
+            "theta_sketch",
+            est.cast("long").alias("est_distinct"),
+            "exact_distinct",
+        )
+    )
+
+
+@query(
     "value_anomaly_count",
     oracle="""
     WITH c AS (

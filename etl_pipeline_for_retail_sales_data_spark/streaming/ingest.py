@@ -58,6 +58,7 @@ from ..plans.incremental_corpus import (
     ingest_batch_embdup,
     ingest_batch_neardup,
     ingest_batch_semantic,
+    ingest_batch_sketch,
 )
 
 
@@ -116,6 +117,27 @@ def make_exact_ingestor(
 
     def fn(spark, batch_df, state_dir, epoch_id):
         return ingest_batch(spark, batch_df, state_dir, epoch_id=epoch_id, **ingest_kwargs)
+
+    return _make_ingestor(fn, state_dir, on_stats, checkpoint_location, epoch_ns)
+
+
+def make_sketch_ingestor(
+    state_dir: str,
+    on_stats=None,
+    checkpoint_location: str | None = None,
+    epoch_ns: str | None = None,
+    **ingest_kwargs,
+):
+    """foreachBatch callback: mergeable KMV-sketch maintenance per
+    micro-batch (plans/incremental_corpus.ingest_batch_sketch). The
+    epoch guard is belt-and-braces here — a redelivered batch would
+    re-merge idempotently even without it (k-min merge algebra) — but
+    keeping it makes delivery auditable like every other leg."""
+
+    def fn(spark, batch_df, state_dir, epoch_id):
+        return ingest_batch_sketch(
+            spark, batch_df, state_dir, epoch_id=epoch_id, **ingest_kwargs
+        )
 
     return _make_ingestor(fn, state_dir, on_stats, checkpoint_location, epoch_ns)
 

@@ -1724,3 +1724,132 @@ def test_upgrade_added_param_persists_into_meta(spark, state_dir):
     # and a later omitted-mode call keeps it (no flip-flop back to all)
     with pytest.raises(IC.StateParamMismatch):
         ingest_batch_semantic(spark, batch, state_dir, state_mode="all")
+
+
+# ---------------------------------------------------------------------------
+# mergeable-sketch leg (ingest_batch_sketch): k-min merge state
+# ---------------------------------------------------------------------------
+
+SK_SCHEMA = "doc_id long, source string, text string"
+
+
+def _sk_docs(spark, rows):
+    return spark.createDataFrame(rows, SK_SCHEMA)
+
+
+def _sk_rows(spark, state_dir):
+    return {
+        (r["source"], r["hv"])
+        for r in spark.read.parquet(state_dir + "/kmv_sketch").collect()
+    }
+
+
+def _direct_sketch(spark, docs, k=8):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import sketches as SK
+
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    base = docs.select("source", toks.alias("__toks")).filter(F.size("__toks") >= 3)
+    sh = base.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 2), "
+                "i -> concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]))"
+            )
+        ).alias("s"),
+    )
+    el = sh.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    return {
+        (r["source"], r["hv"])
+        for r in SK.kmv_group_sketches(el, "source", k=k).collect()
+    }
+
+
+_SK_BATCHES = [
+    [(1, "a", "one two three four"), (2, "b", "red green blue cyan")],
+    [(3, "a", "one two three five"), (4, "b", "red green blue cyan")],  # 4 = dup content
+    [(5, "a", "six seven eight nine"), (6, "c", "lone wolf text here")],
+]
+
+
+def test_sketch_ingest_merges_to_direct_sketch_and_replays_idempotently(
+    spark, state_dir
+):
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        StateParamMismatch,
+        ingest_batch_sketch,
+    )
+
+    for d, rows in enumerate(_SK_BATCHES):
+        r = ingest_batch_sketch(
+            spark, _sk_docs(spark, rows), state_dir, k=8, epoch_id=f"d{d}"
+        )
+        assert r is not None and r["n_batch"] == 2
+    assert r["n_groups"] == 3
+
+    all_docs = _sk_docs(spark, [x for b in _SK_BATCHES for x in b])
+    assert _sk_rows(spark, state_dir) == _direct_sketch(spark, all_docs, k=8)
+
+    # committed-epoch redelivery skips; an uncommitted replay of the same
+    # DATA re-merges to the bit-identical state (algebraic idempotence)
+    assert (
+        ingest_batch_sketch(spark, _sk_docs(spark, _SK_BATCHES[1]), state_dir,
+                            epoch_id="d1")
+        is None
+    )
+    before = _sk_rows(spark, state_dir)
+    ingest_batch_sketch(spark, _sk_docs(spark, _SK_BATCHES[1]), state_dir)
+    assert _sk_rows(spark, state_dir) == before
+
+    # k pins into _meta: a contradicting value refuses
+    with pytest.raises(StateParamMismatch, match="sketch"):
+        ingest_batch_sketch(spark, _sk_docs(spark, _SK_BATCHES[0]), state_dir, k=4)
+
+    # the ops snapshot surfaces the single-root leg (state only, no corpus)
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        state_report,
+    )
+
+    rep = state_report(spark, state_dir)
+    assert rep["legs"]["sketch"]["meta"]["k"] == 8
+    assert rep["legs"]["sketch"]["state_rows"] == len(_sk_rows(spark, state_dir))
+    assert "corpus_rows" not in rep["legs"]["sketch"]
+
+
+@pytest.mark.parametrize("crash", ["after_stage", "mid_swap", "before_epoch"])
+def test_sketch_ingest_crash_then_blind_retry_converges(spark, state_dir, crash):
+    """Crash at every swap window, then retry BLINDLY: recovery settles
+    the swap and the idempotent re-merge lands the identical state; the
+    epoch records exactly once."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        SimulatedCrash,
+        epoch_committed,
+        ingest_batch_sketch,
+    )
+
+    ingest_batch_sketch(
+        spark, _sk_docs(spark, _SK_BATCHES[0]), state_dir, k=8, epoch_id="d0"
+    )
+    with pytest.raises(SimulatedCrash):
+        ingest_batch_sketch(
+            spark, _sk_docs(spark, _SK_BATCHES[1]), state_dir,
+            epoch_id="d1", _crash=crash,
+        )
+    # blind retry (recover_state runs inside)
+    r = ingest_batch_sketch(
+        spark, _sk_docs(spark, _SK_BATCHES[1]), state_dir, epoch_id="d1"
+    )
+    if crash == "before_epoch":
+        # the swap landed before the crash; the retry may skip (epoch
+        # unrecorded -> re-merge) but must converge either way
+        assert r is None or r["n_batch"] == 2
+    two = _sk_docs(spark, _SK_BATCHES[0] + _SK_BATCHES[1])
+    assert _sk_rows(spark, state_dir) == _direct_sketch(spark, two, k=8)
+    assert epoch_committed(spark, state_dir, "d1")

@@ -745,3 +745,41 @@ def test_maintain_state_between_streaming_runs(spark, tmp_path):
     q3.awaitTermination(120)
     got = {r.vec_id for r in spark.read.parquet(state + "/corpus_semantic").collect()}
     assert got == {1, 3, 11}
+
+
+def test_stream_sketch_ingest_merges_and_skips_redelivery(spark, tmp_path):
+    """The mergeable-sketch leg through the streaming sink: batches
+    merge into the bounded per-group sketch, a redelivered epoch skips
+    wholesale — and even a FORCED re-merge of the same data (fresh
+    epoch id) leaves the state bit-identical, the algebraic idempotence
+    the leg's replay safety rests on."""
+    from etl_pipeline_for_retail_sales_data_spark.streaming.ingest import (
+        make_sketch_ingestor,
+    )
+
+    state = str(tmp_path / "state")
+    stats = []
+    ingest = make_sketch_ingestor(
+        state, on_stats=lambda bid, s: stats.append((bid, s)), k=8
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "a", "one two three four"),
+            (2, "b", "red green blue cyan"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    ingest(batch, 0)
+    rows = {
+        (r["source"], r["hv"])
+        for r in spark.read.parquet(state + "/kmv_sketch").collect()
+    }
+    assert len(stats) == 1 and stats[0][1]["n_groups"] == 2
+    ingest(batch, 0)  # redelivery: skipped wholesale
+    assert len(stats) == 1
+    ingest(batch, 1)  # same data, new epoch: idempotent re-merge
+    assert len(stats) == 2
+    assert {
+        (r["source"], r["hv"])
+        for r in spark.read.parquet(state + "/kmv_sketch").collect()
+    } == rows
