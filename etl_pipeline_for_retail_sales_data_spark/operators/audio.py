@@ -120,6 +120,13 @@ def wav_landmarks(payload: bytes, frame_len: int = 1024, n_targets: int = 2) -> 
     uniform scaling a volume change applies to every magnitude."""
     import numpy as np
 
+    if not 1 <= n_targets <= 15:
+        raise ValueError(f"n_targets must be in 1..15 (4-bit hash slot), got {n_targets}")
+    if frame_len > 8190:
+        raise ValueError(
+            f"frame_len must be <= 8190 (peak bins must fit the 12-bit hash "
+            f"slot), got {frame_len}"
+        )
     with wave.open(io.BytesIO(payload), "rb") as w:
         if w.getsampwidth() != 2 or w.getnchannels() != 1:
             raise ValueError("landmarking expects 16-bit mono PCM")

@@ -686,6 +686,14 @@ def _walk_boxes(data: bytes, start: int, end: int, found: dict) -> None:
         pos += size
 
 
+def _mp4_boxes(payload: bytes) -> dict:
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (no ftyp)")
+    found: dict = {}
+    _walk_boxes(payload, 0, len(payload), found)
+    return found
+
+
 def parse_mp4(payload: bytes) -> tuple[int, int, int]:
     """Real ISO-BMFF container parse: recursive box walk (size/type
     framing validated at every level), track geometry from tkhd's
@@ -693,12 +701,12 @@ def parse_mp4(payload: bytes) -> tuple[int, int, int]:
     time-to-sample table. Returns (width, height, n_frames). Raises
     ValueError for non-MP4 bytes, malformed/truncated boxes, or a
     container with no video track — the CODED frame payloads are not
-    decoded (H.264 needs ffmpeg-class libs; this is the manifest
-    surface)."""
-    if len(payload) < 12 or payload[4:8] != b"ftyp":
-        raise ValueError("not an MP4 payload (no ftyp)")
-    found: dict = {}
-    _walk_boxes(payload, 0, len(payload), found)
+    decoded here (that is :func:`decode_mp4_frames`; this is the
+    manifest surface)."""
+    return _mp4_manifest(_mp4_boxes(payload))
+
+
+def _mp4_manifest(found: dict) -> tuple[int, int, int]:
     if b"tkhd" not in found or b"stts" not in found:
         raise ValueError("MP4 container has no video track (tkhd/stts missing)")
     tkhd = found[b"tkhd"]
@@ -733,6 +741,8 @@ def encode_mp4_h264(
     so :func:`decode_mp4_frames` recovers them byte-exactly."""
     from . import h264
 
+    if not frames:
+        raise ValueError("encode_mp4_h264 requires at least one frame")
     y0, _, _ = frames[0]
     height, width = y0.shape
     sps = h264.nal_unit(h264.NAL_SPS, 3, h264.encode_sps(width // 16, height // 16, profile_idc))
@@ -766,55 +776,68 @@ def decode_mp4_frames(payload: bytes):
     container, sample table, or bitstream."""
     from . import h264
 
-    width, height, n_frames = parse_mp4(payload)
-    found: dict = {}
-    _walk_boxes(payload, 0, len(payload), found)
+    found = _mp4_boxes(payload)  # ONE box walk serves manifest + samples
+    width, height, n_frames = _mp4_manifest(found)
     if b"stsd" not in found or b"stsz" not in found or b"stco" not in found:
         raise ValueError("MP4 container has no sample table")
-    # avcC lives inside the avc1 sample entry: stsd body is
-    # ver/flags + entry_count, then the avc1 box whose body is the
-    # 78-byte VisualSampleEntry followed by extension boxes.
-    stsd = found[b"stsd"]
-    (avc1_size,) = struct.unpack_from(">I", stsd, 8)
-    if stsd[12:16] != b"avc1" or avc1_size > len(stsd) - 8:
-        raise ValueError("stsd carries no avc1 sample entry")
-    avc1_body = stsd[16 : 8 + avc1_size]
-    ext: dict = {}
-    _walk_boxes(avc1_body, 78, len(avc1_body), ext)
-    if b"avcC" not in ext:
-        raise ValueError("avc1 sample entry carries no avcC configuration")
-    avcc = ext[b"avcC"]
-    if len(avcc) < 7 or avcc[0] != 1:
-        raise ValueError("malformed avcC configuration record")
-    if avcc[4] & 0x03 != 3:
-        raise ValueError("only 4-byte NAL length prefixes are supported")
-    pos = 6
-    annexb = bytearray()
-    n_sps = avcc[5] & 0x1F
-    for _ in range(n_sps):
-        (ln,) = struct.unpack_from(">H", avcc, pos)
-        annexb += b"\x00\x00\x00\x01" + avcc[pos + 2 : pos + 2 + ln]
-        pos += 2 + ln
-    n_pps = avcc[pos]
-    pos += 1
-    for _ in range(n_pps):
-        (ln,) = struct.unpack_from(">H", avcc, pos)
-        annexb += b"\x00\x00\x00\x01" + avcc[pos + 2 : pos + 2 + ln]
-        pos += 2 + ln
-    stsz = found[b"stsz"]
-    fixed_size, n_samples = struct.unpack_from(">II", stsz, 4)
-    if n_samples == 0:
-        raise ValueError("container has no coded samples (manifest-only skeleton)")
-    sizes = (
-        [fixed_size] * n_samples
-        if fixed_size
-        else [struct.unpack_from(">I", stsz, 12 + 4 * i)[0] for i in range(n_samples)]
-    )
-    stco = found[b"stco"]
-    (n_chunks,) = struct.unpack_from(">I", stco, 4)
-    if n_chunks != 1:
-        raise ValueError(f"only single-chunk layouts are supported, got {n_chunks}")
-    (offset,) = struct.unpack_from(">I", stco, 8)
+    try:
+        # avcC lives inside the avc1 sample entry: stsd body is
+        # ver/flags + entry_count, then the avc1 box whose body is the
+        # 78-byte VisualSampleEntry followed by extension boxes.
+        stsd = found[b"stsd"]
+        (avc1_size,) = struct.unpack_from(">I", stsd, 8)
+        if stsd[12:16] != b"avc1" or avc1_size > len(stsd) - 8:
+            raise ValueError("stsd carries no avc1 sample entry")
+        avc1_body = stsd[16 : 8 + avc1_size]
+        ext: dict = {}
+        _walk_boxes(avc1_body, 78, len(avc1_body), ext)
+        if b"avcC" not in ext:
+            raise ValueError("avc1 sample entry carries no avcC configuration")
+        avcc = ext[b"avcC"]
+        if len(avcc) < 7 or avcc[0] != 1:
+            raise ValueError("malformed avcC configuration record")
+        if avcc[4] & 0x03 != 3:
+            raise ValueError("only 4-byte NAL length prefixes are supported")
+        pos = 6
+        annexb = bytearray()
+        n_sps = avcc[5] & 0x1F
+        for _ in range(n_sps):
+            (ln,) = struct.unpack_from(">H", avcc, pos)
+            if pos + 2 + ln > len(avcc):
+                raise ValueError("avcC parameter set overruns the record")
+            annexb += b"\x00\x00\x00\x01" + avcc[pos + 2 : pos + 2 + ln]
+            pos += 2 + ln
+        n_pps = avcc[pos]
+        pos += 1
+        for _ in range(n_pps):
+            (ln,) = struct.unpack_from(">H", avcc, pos)
+            if pos + 2 + ln > len(avcc):
+                raise ValueError("avcC parameter set overruns the record")
+            annexb += b"\x00\x00\x00\x01" + avcc[pos + 2 : pos + 2 + ln]
+            pos += 2 + ln
+        stsz = found[b"stsz"]
+        fixed_size, n_samples = struct.unpack_from(">II", stsz, 4)
+        if n_samples == 0:
+            raise ValueError("container has no coded samples (manifest-only skeleton)")
+        if not fixed_size and len(stsz) < 12 + 4 * n_samples:
+            raise ValueError("stsz declares more samples than it holds")
+        sizes = (
+            [fixed_size] * n_samples
+            if fixed_size
+            else [
+                struct.unpack_from(">I", stsz, 12 + 4 * i)[0]
+                for i in range(n_samples)
+            ]
+        )
+        stco = found[b"stco"]
+        (n_chunks,) = struct.unpack_from(">I", stco, 4)
+        if n_chunks != 1:
+            raise ValueError(f"only single-chunk layouts are supported, got {n_chunks}")
+        (offset,) = struct.unpack_from(">I", stco, 8)
+    except (struct.error, IndexError) as e:
+        # the documented contract is ValueError for ANY malformed layer;
+        # a truncated fixed-width field must not escape as struct.error
+        raise ValueError(f"malformed MP4 sample table: {e}") from e
     if offset + sum(sizes) > len(payload):
         raise ValueError("sample table points past the end of the file")
     for size in sizes:

@@ -377,10 +377,14 @@ def kmv_overlap_matrix(
         F.count("*").cast("int").alias("k_union"),
         F.max("__hv").alias("theta_union"),
     )
+    # no broadcast hint on ustats: it holds one row per GROUP PAIR, so
+    # at the 10k-source scale this function is for it is O(|groups|²)
+    # rows — let the planner shuffle the keyed equi-join (AQE will
+    # still broadcast it when it is actually small)
     common = (
         a.join(b, "__hv")
         .filter(F.col("grp_a") < F.col("grp_b"))
-        .join(F.broadcast(ustats), ["grp_a", "grp_b"])
+        .join(ustats, ["grp_a", "grp_b"])
         .filter(F.col("__hv") <= F.col("theta_union"))
         .groupBy("grp_a", "grp_b")
         .agg(F.count("*").alias("n_common"))
@@ -407,3 +411,30 @@ def kmv_overlap_matrix(
         est_inter.cast("long").alias("est_inter"),
         est_union.cast("long").alias("est_union"),
     )
+
+
+def shingle_hv(df: DataFrame, key_cols: list, text_col: str = "text") -> DataFrame:
+    """THE shared sketch-element definition: lowercase ``\\S+`` tokens →
+    3-gram shingles → distinct 48-bit md5 integers, carried alongside
+    ``key_cols``. One implementation on purpose — the kmv overlap
+    query, the incremental sketch leg, and their DuckDB oracles all
+    hash THIS way, and the stateful leg's replay-safety claim rests on
+    it staying bit-identical to its oracled twin (any drift desyncs
+    them silently)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    base = df.select(*key_cols, toks.alias("__toks")).filter(F.size("__toks") >= 3)
+    sh = base.select(
+        *key_cols,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 2), "
+                "i -> concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]))"
+            )
+        ).alias("__shingle"),
+    )
+    return sh.select(
+        *key_cols,
+        F.conv(F.substring(F.md5(F.col("__shingle")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()

@@ -2082,7 +2082,7 @@ def ingest_batch_sketch(
     The pure-query oracled twin is ``incremental_kmv_funnel`` in the
     registry (day-composed sketches == whole-history sketch, the
     mergeability property, replayed by DuckDB)."""
-    from pyspark.sql import Window
+    from ..operators.sketches import kmv_group_sketches, shingle_hv
 
     with nullcontext() if _locked else _writer_lease(spark, state_dir):
         if not _locked:
@@ -2099,45 +2099,26 @@ def ingest_batch_sketch(
         root = _join(state_dir, "kmv_sketch")
 
         n_batch = batch.count()
-        toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
-        base = batch.select(F.col(group_col), toks.alias("__toks")).filter(
-            F.size("__toks") >= 3
-        )
-        sh = base.select(
-            group_col,
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(__toks) - 2), "
-                    "i -> concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]))"
-                )
-            ).alias("__shingle"),
-        )
-        el = sh.select(
-            group_col,
-            F.conv(F.substring(F.md5(F.col("__shingle")), 1, 12), 16, 10)
-            .cast("long")
-            .alias("hv"),
-        ).distinct()
+        el = shingle_hv(batch, [group_col], text_col=text_col)
         old = kmv_sketch_state(spark, state_dir, group_col, n_buckets).select(
             group_col, "hv"
         )
-        w = Window.partitionBy(group_col).orderBy("hv")
-        merged = (
-            old.unionByName(el)
-            .distinct()
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k_eff)
-            .drop("__rn")
-        )
+        merged = kmv_group_sketches(old.unionByName(el), group_col, k=k_eff)
         tmp, old_dir = root + "._compact_tmp", root + "._compact_old"
         if fs.exists(tmp):
             fs.delete(tmp, True)
         _staged_bucketed_write(merged, tmp, [group_col], n_buckets)
         if _crash == "after_stage":
             raise SimulatedCrash("after_stage")
-        staged = spark.read.parquet(tmp)
-        n_rows = staged.count()
-        n_groups = staged.select(group_col).distinct().count()
+        row = (
+            spark.read.parquet(tmp)
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct(F.col(group_col)).alias("g"),
+            )
+            .collect()[0]
+        )
+        n_rows, n_groups = int(row["n"]), int(row["g"])
         if fs.exists(old_dir):
             fs.delete(old_dir, True)
         if fs.exists(root):

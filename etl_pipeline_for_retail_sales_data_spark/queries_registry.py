@@ -6239,25 +6239,7 @@ def q_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible per pair (minhash_quality_report ethos); a production run
     at scale drops that column and with it the only expensive join."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
-    base = docs.select("source", toks.alias("__toks")).filter(
-        F.size("__toks") >= 3
-    )
-    sh = base.select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__toks) - 2), "
-                "i -> concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]))"
-            )
-        ).alias("shingle"),
-    )
-    el = sh.select(
-        "source",
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10)
-        .cast("long")
-        .alias("hv"),
-    ).distinct()
+    el = SK.shingle_hv(docs, ["source"])
     sk = SK.kmv_group_sketches(el, "source", "hv", k=128)
     matrix = SK.kmv_overlap_matrix(sk, "source", "hv", k=128).select(
         F.col("grp_a").alias("src_a"),
@@ -6347,29 +6329,10 @@ def q_incremental_kmv_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
-    base = docs.select(
-        (F.col("doc_id") % 3).cast("int").alias("day"),
-        "source",
-        toks.alias("__toks"),
-    ).filter(F.size("__toks") >= 3)
-    sh = base.select(
-        "day",
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__toks) - 2), "
-                "i -> concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]))"
-            )
-        ).alias("__shingle"),
+    el = SK.shingle_hv(
+        docs.withColumn("day", (F.col("doc_id") % 3).cast("int")),
+        ["day", "source"],
     )
-    el = sh.select(
-        "day",
-        "source",
-        F.conv(F.substring(F.md5(F.col("__shingle")), 1, 12), 16, 10)
-        .cast("long")
-        .alias("hv"),
-    ).distinct()
     days = spark.range(3).select(F.col("id").cast("int").alias("day_cut"))
     cum = (
         F.broadcast(days)
