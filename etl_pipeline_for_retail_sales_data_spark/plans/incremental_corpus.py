@@ -2151,6 +2151,8 @@ def ingest_batch_all(
     state_mode: str | None = None,
     m_bits: int | None = None,
     bloom_k: int | None = None,
+    sketch_group_col: str | None = None,
+    sketch_k: int | None = None,
     epoch_id=None,
 ) -> dict[str, dict | None]:
     """The five-leg funnel as ONE composed ingest (r9 verdict #8):
@@ -2185,13 +2187,23 @@ def ingest_batch_all(
     callers could only inherit the defaults) and ``state_mode``
     applies to every mode-switchable leg (neardup, embdup, semantic —
     the exact leg is inherently keepers, bloom's state is bounded by
-    ``m_bits`` regardless). Returns ``{"exact": stats, "neardup":
-    stats, "bloom": stats, "embdup": stats, "semantic": stats}`` with
+    ``m_bits`` regardless). ``sketch_group_col`` OPTS IN the sixth,
+    mergeable-sketch leg (r11): when set (e.g. "source"), ``docs``
+    also merges into the bounded per-group KMV sketch state under the
+    same lease/recovery/scan, with its own leg-prefixed epoch
+    (``sketch-<epoch>``) — opt-in because it needs a group column the
+    generic document batch may not carry; ``sketch_k`` passes through
+    (pinned on first ingest). Returns ``{"exact": stats, "neardup":
+    stats, "bloom": stats, "embdup": stats, "semantic": stats}``
+    (plus ``"sketch"`` when opted in) with
     None for a leg whose namespaced epoch already committed, and the
     leg absent when its input frame was not provided. The pure-query
-    oracled twin is ``incremental_all_legs_funnel``."""
+    oracled twin is ``incremental_all_legs_funnel`` (the sketch leg's
+    own twin is ``incremental_kmv_funnel``)."""
     if docs is None and vecs is None:
         raise ValueError("ingest_batch_all needs docs and/or vecs")
+    if sketch_group_col is not None and docs is None:
+        raise ValueError("sketch_group_col requires a docs batch")
     out: dict[str, dict | None] = {}
 
     def leg_epoch(leg: str):
@@ -2218,6 +2230,13 @@ def ingest_batch_all(
                     m_bits=m_bits, k=bloom_k,
                     epoch_id=leg_epoch("bloom"), _locked=True,
                 )
+                if sketch_group_col is not None:
+                    out["sketch"] = ingest_batch_sketch(
+                        spark, docs, state_dir,
+                        group_col=sketch_group_col, text_col=text_col,
+                        k=sketch_k,
+                        epoch_id=leg_epoch("sketch"), _locked=True,
+                    )
             if vecs is not None:
                 out["embdup"] = ingest_batch_embdup(
                     spark, vecs, state_dir, tables, vec_col, vec_id_col,

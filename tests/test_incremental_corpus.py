@@ -1853,3 +1853,51 @@ def test_sketch_ingest_crash_then_blind_retry_converges(spark, state_dir, crash)
     two = _sk_docs(spark, _SK_BATCHES[0] + _SK_BATCHES[1])
     assert _sk_rows(spark, state_dir) == _direct_sketch(spark, two, k=8)
     assert epoch_committed(spark, state_dir, "d1")
+
+
+def test_ingest_batch_all_sketch_opt_in(spark, state_dir):
+    """r11: sketch_group_col opts the mergeable-sketch leg into the
+    composite — same lease/recovery/scan, its own leg-prefixed epoch
+    (skips on redelivery), state identical to chaining the leg
+    individually; requires a docs batch."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_all,
+    )
+
+    with pytest.raises(ValueError, match="requires a docs batch"):
+        ingest_batch_all(
+            spark, state_dir,
+            vecs=spark.createDataFrame(
+                [(1, [0.0] * 4)], "vec_id long, embedding array<double>"
+            ),
+            tables=_lsh_tables_fixture(),
+            centroids=_sem_centroids_fixture(),
+            sketch_group_col="source",
+        )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "one two three four"),
+            (2, "b", "red green blue cyan"),
+            (3, "a", "one two three four"),  # exact dup of 1
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = ingest_batch_all(
+        spark, state_dir, docs=docs, sketch_group_col="source", sketch_k=8,
+        epoch_id="d0",
+    )
+    assert set(out) == {"exact", "neardup", "bloom", "sketch"}
+    assert out["sketch"]["n_groups"] == 2
+    assert IC.epoch_committed(spark, state_dir, "sketch-d0")
+    state = {
+        (r["source"], r["hv"])
+        for r in spark.read.parquet(state_dir + "/kmv_sketch").collect()
+    }
+    assert state == _direct_sketch(spark, docs, k=8)
+
+    # redelivery: the sketch leg skips with the rest
+    again = ingest_batch_all(
+        spark, state_dir, docs=docs, sketch_group_col="source", epoch_id="d0"
+    )
+    assert again["sketch"] is None

@@ -264,6 +264,25 @@ def run_mult(mult: int) -> None:
                 dirs["emb_dup_keep"],
             )
         )
+        # r11: the mergeable-sketch leg — per-group KMV state is BOUNDED
+        # (k rows per group however much history), so its size column
+        # must be CONSTANT across multiples and its time column flat
+        # except the batch's own distinct-projection work
+        dirs["sketch"] = os.path.join(tmp, "sketch")
+        hist_src = hist_docs.withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+        )
+        IC.ingest_batch_sketch(spark, hist_src, dirs["sketch"])
+        times["sketch"] = timed(
+            lambda r: IC.ingest_batch_sketch(
+                spark,
+                synth_docs(spark, BATCH_DOCS, f"p{r}", off * (r + 1)).withColumn(
+                    "source",
+                    F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")),
+                ),
+                dirs["sketch"],
+            )
+        )
         # r10 verdict #8: centroid-migration cost vs member count — one
         # recentroid_state pass per multiple (rewrites every member row
         # under new centroids), so the migration window can be sized
@@ -306,6 +325,7 @@ def run_mult(mult: int) -> None:
             "emb_dup_keep": spark.read.parquet(
                 dirs["emb_dup_keep"] + "/embdup_buckets"
             ).count(),
+            "sketch": spark.read.parquet(dirs["sketch"] + "/kmv_sketch").count(),
         }
         sizes["maintenance"] = sum(
             sizes[k] for k in ("exact", "neardup", "embdup", "bloom", "semantic")
@@ -371,6 +391,11 @@ def main() -> None:
         "per multiple: it rewrites every semantic member row, so it",
         "scales with member count — the number that sizes the migration",
         "window (r10 verdict #8).",
+        "`sketch` (r11): the mergeable KMV leg — state is BOUNDED at",
+        "k rows per group (here 20 sources x 128 = 2560 rows at EVERY",
+        "multiple, the constant-size column), so its per-batch time is",
+        "the batch's own distinct projection plus a groups*k-row merge,",
+        "flat in history by construction.",
         "`maintenance` is one full nightly pass (recover + compact all",
         "five legs + log roll + epoch prune) per multiple: it REWRITES",
         "every leg's state, so it grows with total state rows — the",
@@ -391,7 +416,7 @@ def main() -> None:
         "exact", "neardup", "embdup", "bloom", "semantic",
         "sem_dup_all", "sem_dup_keep",
         "nd_dup_all", "nd_dup_keep", "emb_dup_all", "emb_dup_keep",
-        "maintenance", "recentroid",
+        "sketch", "maintenance", "recentroid",
     ):
         t = [results[m]["times"][leg] for m in MULTS]
         s1 = results[1]["sizes"][leg]
