@@ -2137,6 +2137,34 @@ def ingest_batch_sketch(
     return {"n_batch": n_batch, "n_groups": n_groups, "n_sketch_rows": n_rows}
 
 
+def sketch_report(
+    spark: SparkSession,
+    state_dir: str,
+    group_col: str = "source",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Cross-group overlap monitoring STRAIGHT FROM the sketch state —
+    the payoff of the mergeable leg: per-pair union/intersection
+    estimates (operators/sketches.kmv_overlap_matrix) computed from the
+    persisted ``kmv_sketch`` rows, so the question "how much do my
+    sources overlap after everything ingested so far?" costs
+    |groups|·k rows of work and touches NO ingested corpus. ``k``
+    resolves from the pinned ``_meta`` (the sketches were built with
+    it; estimating with a different k would misread theta). Read-only:
+    no lease, no recovery — a mid-commit reader sees the previous
+    swap's state (the swap is rename-atomic). Raises if the leg has
+    never ingested."""
+    meta = state_meta(spark, state_dir, "sketch")
+    if not meta:
+        raise ValueError(
+            f"no sketch state pinned at {state_dir}; run ingest_batch_sketch first"
+        )
+    from ..operators.sketches import kmv_overlap_matrix
+
+    sk = kmv_sketch_state(spark, state_dir, group_col, n_buckets)
+    return kmv_overlap_matrix(sk, group_col, k=int(meta["k"]))
+
+
 def ingest_batch_all(
     spark: SparkSession,
     state_dir: str,

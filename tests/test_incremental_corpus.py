@@ -1901,3 +1901,38 @@ def test_ingest_batch_all_sketch_opt_in(spark, state_dir):
         spark, state_dir, docs=docs, sketch_group_col="source", epoch_id="d0"
     )
     assert again["sketch"] is None
+
+
+def test_sketch_report_overlap_from_state(spark, state_dir):
+    """sketch_report answers cross-group overlap from the PERSISTED
+    sketches: groups sharing elements show the shared count (exact in
+    the small-set regime), disjoint groups show zero — and the call
+    never touches the ingested batches again."""
+    from etl_pipeline_for_retail_sales_data_spark.plans.incremental_corpus import (
+        ingest_batch_sketch,
+        sketch_report,
+    )
+
+    with pytest.raises(ValueError, match="no sketch state"):
+        sketch_report(spark, state_dir)
+
+    shared = "common phrase shared by both sources"
+    rows = [
+        (1, "a", shared),
+        (2, "b", shared),
+        (3, "a", "alpha only words here now"),
+        (4, "b", "beta private text goes here"),
+        (5, "c", "gamma is entirely disjoint content"),
+    ]
+    ingest_batch_sketch(spark, _sk_docs(spark, rows), state_dir, k=64)
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in sketch_report(spark, state_dir).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    # small-set regime: sketches hold the full element sets -> exact
+    n_shared_shingles = len(shared.split()) - 2
+    assert ab.k_union < 64
+    assert ab.n_common == ab.est_inter == n_shared_shingles
+    assert out[("a", "c")].n_common == 0 and out[("b", "c")].n_common == 0

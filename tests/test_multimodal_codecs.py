@@ -544,3 +544,53 @@ def test_h264_foreign_poc_type0_stream_decodes():
     assert (width, height, prof, len(frames)) == (16, 16, 66, 1)
     assert np.array_equal(frames[0][0], y)
     assert np.array_equal(frames[0][2], cr)
+
+
+def test_h264_property_random_frames_roundtrip():
+    """Property: ANY uint8 4:2:0 content at any MB-aligned geometry
+    survives encode->decode byte-exactly under both profiles (zeros
+    included under High — the emulation-prevention stressor), through
+    both the Annex-B stream and the full MP4 container."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from etl_pipeline_for_retail_sales_data_spark.operators import h264
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.integers(1, 4),   # width in MBs
+        st.integers(1, 3),   # height in MBs
+        st.integers(1, 3),   # frames
+        st.integers(0, 2**31 - 1),  # content seed
+        st.sampled_from([66, 100]),
+    )
+    def check(wmb, hmb, nf, seed, profile):
+        rng = np.random.default_rng(seed)
+        lo = 1 if profile == 66 else 0
+        w, h = wmb * 16, hmb * 16
+        frames = []
+        for _ in range(nf):
+            y = rng.integers(lo, 256, (h, w), dtype=np.uint8)
+            cb = rng.integers(lo, 256, (h // 2, w // 2), dtype=np.uint8)
+            cr = rng.integers(lo, 256, (h // 2, w // 2), dtype=np.uint8)
+            if profile == 100 and rng.integers(0, 2):
+                y[: h // 2, :] = 0  # long zero runs
+            frames.append((y, cb, cr))
+        dw, dh, prof, dec = h264.decode_h264(h264.encode_h264(frames, profile))
+        assert (dw, dh, prof, len(dec)) == (w, h, profile, nf)
+        for (a, b, c), (x, yy, z) in zip(frames, dec):
+            assert (
+                np.array_equal(a, x)
+                and np.array_equal(b, yy)
+                and np.array_equal(c, z)
+            )
+        mw, mh, mprof, mdec = MM.decode_mp4_frames(
+            MM.encode_mp4_h264(frames, profile_idc=profile)
+        )
+        assert (mw, mh, mprof, len(mdec)) == (w, h, profile, nf)
+        assert all(np.array_equal(a[0], x[0]) for a, x in zip(frames, mdec))
+
+    check()
