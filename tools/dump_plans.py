@@ -123,6 +123,13 @@ SHOWCASE = {
     ],
     "sketches-stats": [
         ("cm_heavy_hitters", "count-min sketch: bounded-cell agg + broadcast estimate join"),
+        ("incremental_kmv_funnel", (
+            "mergeable-sketch day composition (r11): the day×element "
+            "range join broadcasts the 3-row day frame; cumulative "
+            "distinct + the k-min rank run on (day, source)-partitioned "
+            "windows — state after day D == k-min over days ≤ D, the "
+            "algebra the stateful leg's replay safety rests on"
+        )),
         ("kmv_overlap_matrix", (
             "theta-sketch overlap (r11): the corpus is scanned ONCE into "
             "<=k-row per-source sketches; all pair algebra (union rank, theta "
