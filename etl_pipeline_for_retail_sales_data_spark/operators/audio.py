@@ -96,12 +96,13 @@ def synth_wav(
     gain = 1.0 + 0.15 * m
     k = np.arange(frame_len)
     n_bins = frame_len // 2 - 32  # keep clear of DC and Nyquist
-    frames = []
-    for t in range(n_frames):
-        b = 16 + _mix(g, t) % n_bins
-        tone = np.sin(2 * np.pi * b * k / frame_len)
-        frames.append(np.round(6000.0 * gain * tone).astype(np.int16))
-    samples = np.concatenate(frames)
+    # all frames in one vectorized sin over an (n_frames, frame_len)
+    # grid — elementwise identical doubles to the old per-frame loop
+    # (same `(2π·b)·k/frame_len` evaluation order per element), ~3x
+    # cheaper per document (the signature stage's hot loop)
+    b = np.array([16 + _mix(g, t) % n_bins for t in range(n_frames)])
+    tones = np.sin(2 * np.pi * b[:, None] * k[None, :] / frame_len)
+    samples = np.round(6000.0 * gain * tones).astype(np.int16).reshape(-1)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)

@@ -37,24 +37,32 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 8,
     damping: float = 0.85,
+    assume_edges_valid: bool = False,
 ) -> DataFrame:
     """PageRank with uniform teleport and dangling-node mass
     redistribution. ``nodes``: one row per vertex (distinct ``id_col``);
     ``edges``: directed (src, dst) pairs, duplicates allowed (parallel
     edges weight the contribution). Returns (id, rank) with
     sum(rank) == n_nodes (total-mass convention, as in the original
-    formulation scaled by n)."""
+    formulation scaled by n).
+
+    ``assume_edges_valid``: callers that CONSTRUCT the node frame from
+    the edge endpoints (or otherwise guarantee every non-null endpoint
+    is a node) can skip the two validation semi-joins that restrict
+    edges to known vertices — at corpus scale those are two full
+    shuffles of the EDGE table bought purely as input hygiene (guide
+    §2.4). Output is identical whenever the guarantee holds."""
     n = nodes.select(F.col(id_col).alias("id")).distinct().persist()
     n_nodes = n.count()
     if n_nodes == 0:
         # keep the contract schema (id_col, rank) on the empty path too
         return n.select(F.col("id").alias(id_col), F.lit(0.0).alias("rank"))
 
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .join(n.withColumnRenamed("id", "src"), "src")
-        .join(n.withColumnRenamed("id", "dst"), "dst")
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_edges_valid:
+        e = e.join(n.withColumnRenamed("id", "src"), "src").join(
+            n.withColumnRenamed("id", "dst"), "dst"
+        )
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     # weighted edges: contribution share of each (src,dst) = multiplicity/deg
     ew = e.join(out_deg, "src").persist()
@@ -62,6 +70,12 @@ def pagerank(
 
     # dangling node set (no out-edges) is static across iterations
     dangling_ids = n.join(out_deg.withColumnRenamed("src", "id"), "id", "left_anti").persist()
+    # one bounded probe: when NOTHING dangles (symmetric near-dup graphs
+    # over edge-incident nodes — the dedup-pipeline caller), the
+    # per-iteration dangling-mass semi-join + broadcast contributes an
+    # exact 0.0 and can be dropped from every round's plan (one fewer
+    # pass over the rank frame per iteration at corpus scale)
+    has_dangling = bool(dangling_ids.limit(1).count())
 
     ranks = n.withColumn("rank", F.lit(1.0))
     rounds = [ranks]
@@ -73,13 +87,19 @@ def pagerank(
             .withColumnRenamed("dst", "id")
         )
         # mass sitting on dangling nodes this iteration, as a broadcast
-        # 1-row frame — no driver collect round-trip per iteration
-        dang = ranks.join(dangling_ids, "id", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
-        )
-        base = (
-            F.lit(1.0 - damping) + F.lit(damping) * F.col("__dang") / F.lit(float(n_nodes))
-        )
+        # 1-row frame — no driver collect round-trip per iteration.
+        # With an empty dangling set the term is exactly +0.0, so the
+        # whole subtree is elided (x + 0.0 == x for every finite rank).
+        if has_dangling:
+            dang = ranks.join(dangling_ids, "id", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+            )
+            base = (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.col("__dang") / F.lit(float(n_nodes))
+            )
+        else:
+            base = F.lit(1.0 - damping)
         # localCheckpoint truncates the logical plan each iteration (a
         # LAZY one truncates immediately too — the plan becomes a
         # LogicalRDD at once, only the compute is deferred), so Catalyst
@@ -92,13 +112,12 @@ def pagerank(
         # eager every few rounds and releasing the frames behind the
         # eager point. On a cluster swap for reliable checkpoint(dir) to
         # also survive executor loss.
-        ranks = (
-            n.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "id",
-                (base + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
-            )
+        ranks = n.join(contribs, "id", "left")
+        if has_dangling:
+            ranks = ranks.crossJoin(F.broadcast(dang))
+        ranks = ranks.select(
+            "id",
+            (base + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
         )
         ranks = local_ckpt(ranks, eager=(it == iterations - 1))
         rounds.append(ranks)

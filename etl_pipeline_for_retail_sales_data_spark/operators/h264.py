@@ -39,6 +39,7 @@ as operators/jpeg.py.
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -73,13 +74,17 @@ class _BitWriter:
     def u(self, n: int, value: int) -> None:
         if value < 0 or (n < 64 and value >> n):
             raise ValueError(f"u({n}) cannot encode {value}")
-        for i in range(n - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((value >> i) & 1)
-            self._nbits += 1
-            if self._nbits == 8:
-                self._out.append(self._acc)
-                self._acc = 0
-                self._nbits = 0
+        # bulk append: fold all n bits into the accumulator at once and
+        # flush whole bytes — O(n/8) instead of the per-bit loop this
+        # replaces (the loop was a top-2 profile entry on PCM streams,
+        # one ue() per macroblock adds up)
+        acc = (self._acc << n) | value
+        nbits = self._nbits + n
+        while nbits >= 8:
+            nbits -= 8
+            self._out.append((acc >> nbits) & 0xFF)
+        self._acc = acc & ((1 << nbits) - 1)
+        self._nbits = nbits
 
     def ue(self, value: int) -> None:
         if value < 0:
@@ -98,8 +103,10 @@ class _BitWriter:
 
     def align_zero(self) -> None:
         """pcm_alignment_zero_bit: pad with zeros to a byte boundary."""
-        while self._nbits:
-            self.u(1, 0)
+        if self._nbits:
+            self._out.append((self._acc << (8 - self._nbits)) & 0xFF)
+            self._acc = 0
+            self._nbits = 0
 
     def write_bytes(self, data: bytes) -> None:
         if self._nbits:
@@ -129,11 +136,15 @@ class _BitReader:
         end = self._pos + n
         if end > len(self._data) * 8:
             raise ValueError("truncated RBSP: bit read past end")
-        value = 0
-        pos = self._pos
-        for _ in range(n):
-            value = (value << 1) | ((self._data[pos >> 3] >> (7 - (pos & 7))) & 1)
-            pos += 1
+        if n == 0:
+            return 0
+        # bulk extract: one int.from_bytes over the covered byte span and
+        # a shift/mask — C-speed, replacing the per-bit indexing loop
+        # (top-2 profile entry on PCM streams)
+        first = self._pos >> 3
+        last = (end + 7) >> 3
+        window = int.from_bytes(self._data[first:last], "big")
+        value = (window >> (last * 8 - end)) & ((1 << n) - 1)
         self._pos = end
         return value
 
@@ -158,9 +169,9 @@ class _BitReader:
 
     def align(self) -> None:
         """Consume pcm_alignment_zero_bit padding."""
-        while self._pos % 8:
-            if self.u(1) != 0:
-                raise ValueError("nonzero pcm_alignment bit")
+        pad = -self._pos % 8
+        if pad and self.u(pad) != 0:
+            raise ValueError("nonzero pcm_alignment bit")
 
     def read_bytes(self, n: int) -> bytes:
         if self._pos % 8:
@@ -175,38 +186,29 @@ class _BitReader:
         return len(self._data) * 8 - self._pos
 
 
+# Escape/de-escape run over every PCM payload byte, so they must not be
+# per-byte Python loops (they were — ~60% of the whole roundtrip in the
+# profile). C-speed regex substitution implements the identical
+# left-to-right scan: sub() consumes the matched 00 00 exactly like the
+# sequential scanner resets its zero counter after acting, so outputs are
+# byte-identical on ALL inputs, conforming or not (differential-fuzzed in
+# tests/test_multimodal_codecs.py).
+_EP_ESCAPE = re.compile(rb"\x00\x00(?=[\x00-\x03])")
+_EP_UNESCAPE = re.compile(rb"\x00\x00\x03")
+
+
 def rbsp_to_ebsp(rbsp: bytes) -> bytes:
     """Insert emulation-prevention bytes (§7.4.1.1): within the NAL
     payload, any 00 00 followed by a byte ≤ 03 gets a 03 spliced in so
     no 00 00 00 / 00 00 01 / 00 00 02 / 00 00 03 pattern survives to be
     mistaken for a start code (or an escape) by a byte-stream parser."""
-    out = bytearray()
-    zeros = 0
-    for b in rbsp:
-        if zeros >= 2 and b <= 3:
-            out.append(3)
-            zeros = 0
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-    return bytes(out)
+    return _EP_ESCAPE.sub(b"\x00\x00\x03", rbsp)
 
 
 def ebsp_to_rbsp(ebsp: bytes) -> bytes:
     """Strip emulation-prevention bytes: every 00 00 03 collapses to
     00 00 (§7.4.1.1)."""
-    out = bytearray()
-    zeros = 0
-    i, n = 0, len(ebsp)
-    while i < n:
-        b = ebsp[i]
-        if zeros >= 2 and b == 3:
-            zeros = 0
-            i += 1
-            continue
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-        i += 1
-    return bytes(out)
+    return _EP_UNESCAPE.sub(b"\x00\x00", ebsp)
 
 
 def nal_unit(nal_unit_type: int, nal_ref_idc: int, rbsp: bytes) -> bytes:
@@ -360,15 +362,14 @@ def split_annexb(data: bytes) -> list[bytes]:
     """Split an Annex-B byte stream into EBSP NAL units (3- or 4-byte
     start codes, per B.1.1 — leading zero_bytes before the 00 00 01
     prefix are absorbed)."""
+    # bytes.find is a C-speed scan; the per-byte Python loop it replaces
+    # was a measurable slice of decode time on PCM-sized payloads
     starts = []
-    i = 0
     n = len(data)
-    while i + 2 < n:
-        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
-            starts.append(i + 3)
-            i += 3
-        else:
-            i += 1
+    i = data.find(b"\x00\x00\x01")
+    while i != -1:
+        starts.append(i + 3)
+        i = data.find(b"\x00\x00\x01", i + 3)
     if not starts:
         raise ValueError("not an Annex-B H.264 stream (no start codes)")
     nals = []

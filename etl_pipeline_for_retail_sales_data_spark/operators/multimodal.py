@@ -1052,11 +1052,12 @@ def image_phash_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         # honest round trip through the real codec: grayscale → RGB PNG
         # bytes (encode_png with supplied pixel content — one codec, no
         # duplicated chunk assembly; r11 review) → CRC-verified decode →
-        # back to one channel
+        # back to one channel. Scanlines come from one vectorized
+        # channel-repeat (identical bytes to the per-pixel loop it
+        # replaces, which was 80% of the cycle in the profile).
         h, w = gray.shape
-        rows = [
-            bytes(v for px in row for v in (px, px, px)) for row in gray.tolist()
-        ]
+        rgb3 = np.repeat(gray[:, :, None], 3, axis=2).reshape(h, w * 3)
+        rows = [r.tobytes() for r in rgb3]
         payload = encode_png(w, h, filters="none", rows=rows)
         dw, dh, rgb = decode_png_pixels(payload)
         return np.frombuffer(rgb, dtype=np.uint8).reshape(dh, dw, 3)[..., 0]
@@ -1143,8 +1144,11 @@ def image_phash_signatures(
         return v
 
     def png_cycle(gray: "np.ndarray") -> "np.ndarray":
+        # scanlines from one vectorized channel-repeat — identical bytes
+        # to the per-pixel loop it replaces (80% of the cycle, profiled)
         h, w = gray.shape
-        rows = [bytes(v for px in row for v in (px, px, px)) for row in gray.tolist()]
+        rgb3 = np.repeat(gray[:, :, None], 3, axis=2).reshape(h, w * 3)
+        rows = [r.tobytes() for r in rgb3]
         dw, dh, rgb = decode_png_pixels(encode_png(w, h, filters="none", rows=rows))
         return np.frombuffer(rgb, dtype=np.uint8).reshape(dh, dw, 3)[..., 0]
 

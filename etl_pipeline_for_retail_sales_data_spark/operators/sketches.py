@@ -169,6 +169,50 @@ def qdigest_build(
     return qdigest_from_hist([(r["__v"], r["__c"]) for r in rows], k, bits)
 
 
+def qdigest_build_split(
+    df: DataFrame,
+    value: Column,
+    split: Column,
+    k: int = 1024,
+    bits: int = 25,
+    hist_cap: int = 2_000_000,
+) -> tuple[dict[int, int], dict[int, int], dict[int, int]]:
+    """(full, split-true, split-false) digests from ONE distributed
+    aggregation — the fused form of three ``qdigest_build`` calls over
+    ``df``, ``df.filter(split)`` and ``df.filter(~split)``. The value
+    histogram of the full table is exactly the cell-wise sum of the two
+    split histograms, so one (split, value) groupBy determines all
+    three digests; ``qdigest_from_hist``'s dict accumulation and the
+    id-sorted bottom-up compression are insertion-order-independent, so
+    each digest is bit-identical to its separately-built twin (pinned
+    in tests). Null split values count only toward the full digest
+    (matching filter/~filter semantics, where they appear in neither
+    half)."""
+    hist_df = (
+        df.select(value.cast("long").alias("__v"), split.alias("__s"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v", "__s")
+        .agg(F.count("*").alias("__c"))
+    )
+    # each value contributes <= 3 rows (true/false/null split), so the
+    # distinct-value contract only scales the cap by that constant
+    rows = hist_df.limit(3 * hist_cap + 1).collect()
+    if len(rows) > 3 * hist_cap:
+        raise ValueError(
+            f"qdigest_build_split: more than hist_cap={hist_cap} distinct "
+            "values; the bounded-domain histogram is the scale contract — "
+            "raise the cap deliberately if the driver can hold it"
+        )
+    h_true = [(r["__v"], r["__c"]) for r in rows if r["__s"] is True]
+    h_false = [(r["__v"], r["__c"]) for r in rows if r["__s"] is False]
+    h_full = [(r["__v"], r["__c"]) for r in rows]
+    return (
+        qdigest_from_hist(h_full, k, bits),
+        qdigest_from_hist(h_true, k, bits),
+        qdigest_from_hist(h_false, k, bits),
+    )
+
+
 def qdigest_merge(
     d1: dict[int, int], d2: dict[int, int], k: int, bits: int
 ) -> dict[int, int]:

@@ -768,29 +768,43 @@ def zipf_fit(
     )
     classes = counts.groupBy("c").agg(F.count("*").alias("m"))
     qs = [i / n_buckets for i in range(1, max(2, n_buckets))]
-    cuts_row = classes.agg(F.percentile_approx("c", qs, 10_000).alias("cuts")).collect()[0]
-    cuts = sorted({int(c) for c in (cuts_row["cuts"] or [])})
-    # bucket = number of cutpoints strictly above c: monotone non-
-    # decreasing along the (c desc) rank order, a function of c alone.
-    # Plain sum of comparisons, not a HOF lambda (heaps_fit rationale:
-    # constraint inference across the bucket join does not re-map a
-    # lambda's outer reference — Spark 4.1 INTERNAL_ERROR).
-    bucket = reduce(
-        operator.add,
-        [(F.col("c") < F.lit(cut).cast("long")).cast("long") for cut in cuts],
-        F.lit(0).cast("long"),
-    )
-    # probe 2 (bounded: ≤ n_buckets rows): exact per-bucket class-size
-    # totals, prefix-summed DRIVER-side into exclusive offsets — a
-    # Spark-side boff branch would re-derive the whole corpus→classes
-    # lineage a second time in the main plan (r11 review; the heaps_fit
-    # pattern)
-    btotals = (
-        classes.select(bucket.alias("__bucket"), "m")
-        .groupBy("__bucket")
-        .agg(F.sum("m").alias("__bm"))
-        .collect()
-    )
+    # the two construction probes (cutpoints, then per-bucket class
+    # sizes) both reduce `classes`; uncached, EACH re-ran the corpus
+    # tokenize+count. scoped_cache shares ONE materialization of the
+    # tiny distinct-frequency frame (O(sqrt(n_tokens)) rows) across
+    # both probes — construction runs one corpus pass, not two (r11
+    # opt); the cache releases before return, so the returned plan (one
+    # further corpus pass at collect time) and cache hygiene are
+    # untouched.
+    from ..cachectl import scoped_cache
+
+    with scoped_cache(classes):
+        cuts_row = classes.agg(
+            F.percentile_approx("c", qs, 10_000).alias("cuts")
+        ).collect()[0]
+        cuts = sorted({int(c) for c in (cuts_row["cuts"] or [])})
+        # bucket = number of cutpoints strictly above c: monotone non-
+        # decreasing along the (c desc) rank order, a function of c
+        # alone. Plain sum of comparisons, not a HOF lambda (heaps_fit
+        # rationale: constraint inference across the bucket join does
+        # not re-map a lambda's outer reference — Spark 4.1
+        # INTERNAL_ERROR).
+        bucket = reduce(
+            operator.add,
+            [(F.col("c") < F.lit(cut).cast("long")).cast("long") for cut in cuts],
+            F.lit(0).cast("long"),
+        )
+        # probe 2 (bounded: ≤ n_buckets rows): exact per-bucket
+        # class-size totals, prefix-summed DRIVER-side into exclusive
+        # offsets — a Spark-side boff branch would re-derive the whole
+        # corpus→classes lineage a second time in the main plan (r11
+        # review; the heaps_fit pattern)
+        btotals = (
+            classes.select(bucket.alias("__bucket"), "m")
+            .groupBy("__bucket")
+            .agg(F.sum("m").alias("__bm"))
+            .collect()
+        )
     spark = df.sparkSession
     run = 0
     boff_rows = []
@@ -1222,23 +1236,19 @@ def heaps_fit(df: DataFrame, text_col: str = "text", n_buckets: int = 128) -> Da
     )
     key = monotone_double_key(df, F.col("doc_id"), "heaps_fit")
     qs = [i / n_buckets for i in range(1, max(2, n_buckets))]
-    stats = base.agg(
-        F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("n"),
-        F.percentile_approx(key(F.col("doc_id")), qs, 10_000).alias("cuts"),
-    ).collect()[0]
-    n_total = int(stats["n"])
-    cuts = sorted({float(c) for c in (stats["cuts"] or [])})
-    cps = sorted(
-        {1 << i for i in range(1, 63) if (1 << i) < n_total}
-        | ({n_total} if n_total else set())
+    # probe 1 (r11 opt): cutpoints only — NO tokenize. The old probe
+    # also summed token counts here, which re-ran regexp_extract_all
+    # over the whole corpus a second time purely to learn n_total;
+    # n_total is exactly the sum of probe 2's per-bucket totals, so
+    # this probe now scans just (doc_id, text-null) — construction runs
+    # TWO corpus regex passes → ONE (probe 2 + the returned plan).
+    cuts_row = (
+        df.na.drop(subset=[text_col])
+        .agg(F.percentile_approx(key(F.col("doc_id")), qs, 10_000).alias("cuts"))
+        .collect()[0]
     )
+    cuts = sorted({float(c) for c in (cuts_row["cuts"] or [])})
     spark = df.sparkSession
-    if not cps:
-        return spark.createDataFrame(
-            [(0, 0, 0, None, None)],
-            "n_tokens long, n_vocab long, n_checkpoints long, "
-            "heaps_beta double, heaps_lnk double",
-        )
     # bucket = count of quantile cutpoints < doc_id — monotone in
     # doc_id, ~even under any id distribution. A plain sum of
     # comparisons, NOT a higher-order-function lambda (drift.ks_drift
@@ -1258,6 +1268,17 @@ def heaps_fit(df: DataFrame, text_col: str = "text", n_buckets: int = 128) -> Da
         .agg(F.sum("__len").alias("__btok"))
         .collect()
     )
+    n_total = sum(int(r["__btok"]) for r in btotals)
+    cps = sorted(
+        {1 << i for i in range(1, 63) if (1 << i) < n_total}
+        | ({n_total} if n_total else set())
+    )
+    if not cps:
+        return spark.createDataFrame(
+            [(0, 0, 0, None, None)],
+            "n_tokens long, n_vocab long, n_checkpoints long, "
+            "heaps_beta double, heaps_lnk double",
+        )
     run = 0
     boff_rows = []
     for r in sorted(btotals, key=lambda r: r["__bucket"]):

@@ -108,7 +108,10 @@ def build_training_corpus(
         # candidate pairs, not the corpus
         incident = sym.select(F.col("doc_a").alias("doc_id")).distinct()
         pr = pagerank(
-            incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4
+            incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4,
+            # incident IS sym's endpoint set — the validation semi-joins
+            # would be identity shuffles of the edge table (r11 opt)
+            assume_edges_valid=True,
         )
         # components' fixpoint runs (and reliable-checkpoints) here too
         decision = D.canonical_dedup(exact_kept, pairs, pr)

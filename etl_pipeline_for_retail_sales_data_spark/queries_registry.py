@@ -4984,7 +4984,7 @@ def q_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE of two half-digests (split by orderkey parity) honors the same
     rank bound — the mergeability contract, checked end-to-end."""
     from .operators.sketches import (
-        qdigest_build,
+        qdigest_build_split,
         qdigest_merge,
         qdigest_quantile,
         qdigest_total,
@@ -4993,9 +4993,13 @@ def q_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     val = cents(F.col("l_extendedprice"))
     k, bits = 1024, 25
-    d = qdigest_build(li, val, k=k, bits=bits)
-    half1 = qdigest_build(li.filter(F.col("l_orderkey") % 2 == 0), val, k=k, bits=bits)
-    half2 = qdigest_build(li.filter(F.col("l_orderkey") % 2 == 1), val, k=k, bits=bits)
+    # ONE corpus histogram pass determines all three digests (full +
+    # both parity halves) — the fused qdigest_build_split replaces three
+    # separate full-table scans with bit-identical digests (r11 opt;
+    # equality with the separate builds pinned in tests)
+    d, half1, half2 = qdigest_build_split(
+        li, val, F.col("l_orderkey") % 2 == 0, k=k, bits=bits
+    )
     merged = qdigest_merge(half1, half2, k=k, bits=bits)
     n = qdigest_total(d)
     pcts = [1, 25, 50, 75, 99]
@@ -5092,6 +5096,9 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         src="doc_a",
         dst="doc_b",
         iterations=6,
+        # edges are doc-id pairs drawn from this same corpus — skip the
+        # two validation shuffles of the edge table (r11 opt)
+        assume_edges_valid=True,
     )  # pagerank's result is a reliable checkpoint — re-reads are file scans
     n_docs = docs.count()
     mass_ok = pr.agg(
@@ -5529,7 +5536,8 @@ def q_canonical_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reliable-checkpoints, so the cache releases with zero recompute and
     # the returned plan reads only file-backed frames (cachectl.py)
     with scoped_cache(pairs):
-        pr = pagerank(incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4)
+        pr = pagerank(incident, sym, id_col="doc_id", src="doc_a", dst="doc_b",
+                      iterations=4, assume_edges_valid=True)
         out = D.canonical_dedup(docs, pairs, pr)
     per_comp = out.groupBy("component").agg(
         F.sum(F.col("is_keeper").cast("long")).alias("__nk")
@@ -5618,7 +5626,8 @@ def q_canonical_dedup_pipeline_capped(spark: SparkSession, sf_dir: str) -> DataF
     sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
     incident = sym.select(F.col("doc_a").alias("doc_id")).distinct()
     with scoped_cache(pairs):
-        pr = pagerank(incident, sym, id_col="doc_id", src="doc_a", dst="doc_b", iterations=4)
+        pr = pagerank(incident, sym, id_col="doc_id", src="doc_a", dst="doc_b",
+                      iterations=4, assume_edges_valid=True)
         out = D.canonical_dedup(docs, pairs, pr)
     per_comp = out.groupBy("component").agg(
         F.sum(F.col("is_keeper").cast("long")).alias("__nk")
@@ -9992,7 +10001,7 @@ def q_pagerank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(
         docs.select("doc_id"), sym, id_col="doc_id", src="doc_a", dst="doc_b",
-        iterations=4,
+        iterations=4, assume_edges_valid=True,
     )
     n_docs = docs.count()
     return pr.agg(

@@ -174,6 +174,39 @@ def test_pagerank_deterministic(spark, pr_result):
     assert {r["id"]: r["rank"] for r in again} == {r["id"]: r["rank"] for r in pr_result}
 
 
+def test_pagerank_fast_paths_bit_identical(spark, pr_result):
+    """r11 optimization pins: (a) assume_edges_valid=True (skip the two
+    edge-validation semi-joins) is bit-identical when edges really are
+    within the node set; (b) on a graph with NO dangling node the elided
+    dangling-mass subtree leaves every rank bit-identical to the padded
+    +0.0 form (exercised indirectly: a symmetric graph routes through
+    the has_dangling=False branch, and the mass/structure invariants
+    still hold exactly)."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (4, 5)], "src long, dst long"
+    )
+    fast = pagerank(nodes, edges, iterations=10, assume_edges_valid=True).collect()
+    assert {r["id"]: r["rank"] for r in fast} == {
+        r["id"]: r["rank"] for r in pr_result
+    }
+    # fully symmetric edge set over its own incident nodes: nothing
+    # dangles, so the dangling subtree is elided; a node's mass must
+    # still conserve exactly and symmetric nodes tie exactly
+    sym_nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    sym_edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    r_default = pagerank(sym_nodes, sym_edges, iterations=6).collect()
+    r_fast = pagerank(
+        sym_nodes, sym_edges, iterations=6, assume_edges_valid=True
+    ).collect()
+    assert {r["id"]: r["rank"] for r in r_fast} == {
+        r["id"]: r["rank"] for r in r_default
+    }
+    assert abs(sum(r["rank"] for r in r_fast) - 3.0) < 1e-9
+
+
 def test_zorder_write_narrows_rowgroup_stats(spark, sf_smoke, tmp_path):
     """The point of Z-ordering, proven on real parquet footers: after a
     z-ordered write, each file's min/max span on BOTH encoded dimensions
@@ -431,6 +464,28 @@ def test_qdigest_build_matches_local_hist(spark, sf_smoke):
     for r in li.select(cents(F.col("l_extendedprice")).alias("c")).collect():
         local[int(r["c"])] = local.get(int(r["c"]), 0) + 1
     assert d == qdigest_from_hist(list(local.items()), k, bits)
+
+
+def test_qdigest_build_split_matches_separate_builds(spark, sf_smoke):
+    """The fused single-scan build (r11 optimization: one (split, value)
+    histogram pass instead of three full-table scans) must produce
+    digests BIT-IDENTICAL to the three separate qdigest_build calls it
+    replaces — full table, split-true half, split-false half."""
+    from etl_pipeline_for_retail_sales_data_spark.functions import cents
+    from etl_pipeline_for_retail_sales_data_spark.operators.sketches import (
+        qdigest_build_split,
+    )
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    val = cents(F.col("l_extendedprice"))
+    split = F.col("l_orderkey") % 2 == 0
+    k, bits = 512, 25
+    d, h1, h2 = qdigest_build_split(li, val, split, k=k, bits=bits)
+    assert d == qdigest_build(li, val, k=k, bits=bits)
+    assert h1 == qdigest_build(li.filter(split), val, k=k, bits=bits)
+    assert h2 == qdigest_build(li.filter(~split), val, k=k, bits=bits)
+    # and the halves still merge to the full count (mergeability intact)
+    assert qdigest_total(qdigest_merge(h1, h2, k, bits)) == qdigest_total(d)
 
 
 def test_bloom_no_false_negatives_and_merge(spark, sf_smoke):
