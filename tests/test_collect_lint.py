@@ -34,6 +34,7 @@ BOUNDED_COLLECTS = {
     ("operators/quality.py", "assert_checks"): "one row per configured CHECK (O(checks))",
     ("operators/similarity.py", "knn_bruteforce"): "limit(max_queries + 1) with an explicit raise beyond",
     ("operators/sketches.py", "qdigest_build"): "limit(hist_cap + 1) with an explicit raise beyond",
+    ("operators/sketches.py", "qdigest_build_split"): "limit(3*hist_cap + 1) with an explicit raise beyond (≤3 split cells per value)",
     ("operators/text.py", "heaps_fit"): "stats probe: 1 row (total + ≤ n_buckets cutpoints); offsets probe: ≤ n_buckets rows",
     ("operators/text.py", "zipf_fit"): "cutpoints probe: 1 row of ≤ n_buckets values; offsets probe: ≤ n_buckets rows",
     ("operators/text.py", "source_token_divergence"): "one row per SOURCE label (max_sources-guarded)",
