@@ -75,6 +75,12 @@ def _mix(g: int, t: int) -> int:
     return x
 
 
+# bin → immutable sin tone row; bounded by the distinct (bin, frame_len)
+# pairs (n_bins ~ frame_len/2), pure function values only — never
+# document- or corpus-keyed state
+_TONE_ROWS: dict = {}
+
+
 def synth_wav(
     doc_id: int,
     group_size: int = 4,
@@ -94,14 +100,26 @@ def synth_wav(
     g = doc_id // group_size
     m = doc_id % group_size
     gain = 1.0 + 0.15 * m
-    k = np.arange(frame_len)
     n_bins = frame_len // 2 - 32  # keep clear of DC and Nyquist
-    # all frames in one vectorized sin over an (n_frames, frame_len)
-    # grid — elementwise identical doubles to the old per-frame loop
-    # (same `(2π·b)·k/frame_len` evaluation order per element), ~3x
-    # cheaper per document (the signature stage's hot loop)
-    b = np.array([16 + _mix(g, t) % n_bins for t in range(n_frames)])
-    tones = np.sin(2 * np.pi * b[:, None] * k[None, :] / frame_len)
+    # per-BIN tone rows from a bounded pure-math table (r11, guide §4.3
+    # "heavyweight init once per task"): sin(2π·b·k/frame_len) depends
+    # only on (b, frame_len) — at most n_bins distinct rows ever exist
+    # (~4 MB at the default 1024), and every doc in a group reuses its
+    # group's 32 rows, so after warmup the per-doc cost is scale+round,
+    # not 32k sins. Scalar·array evaluation order ((2π·b)·k, then
+    # /frame_len) matches the former grid broadcast element-wise, so
+    # the doubles — and every WAV byte — are bit-identical (pinned in
+    # tests/test_audio_fingerprint.py).
+    tones = np.empty((n_frames, frame_len))
+    for t in range(n_frames):
+        b = 16 + _mix(g, t) % n_bins
+        row = _TONE_ROWS.get((b, frame_len))
+        if row is None:
+            k = np.arange(frame_len)
+            row = np.sin(2 * np.pi * b * k / frame_len)
+            row.setflags(write=False)
+            _TONE_ROWS[(b, frame_len)] = row
+        tones[t] = row
     samples = np.round(6000.0 * gain * tones).astype(np.int16).reshape(-1)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
@@ -112,13 +130,15 @@ def synth_wav(
     return buf.getvalue()
 
 
-def wav_landmarks(payload: bytes, frame_len: int = 1024, n_targets: int = 2) -> list:
+def _wav_landmark_arrays(payload: bytes, frame_len: int = 1024, n_targets: int = 2):
     """Decode REAL WAV bytes (stdlib ``wave``) and extract constellation
     landmarks: non-overlapping ``frame_len`` windows → rfft magnitude →
     per-frame peak bin (DC excluded) → for each anchor frame t and each
     d in 1..n_targets a hash (peak[t] << 16) | (peak[t+d] << 4) | d.
-    Returns [(hash, t), ...]. Gain-invariant: argmax commutes with the
-    uniform scaling a volume change applies to every magnitude."""
+    Returns an (int64 hash array, int time array) pair in (t-major,
+    d-ascending) order, or ``[]`` when the payload frames to fewer than
+    2 windows. Gain-invariant: argmax commutes with the uniform scaling
+    a volume change applies to every magnitude."""
     import numpy as np
 
     if not 1 <= n_targets <= 15:
@@ -139,12 +159,32 @@ def wav_landmarks(payload: bytes, frame_len: int = 1024, n_targets: int = 2) -> 
     windows = samples[: n_frames * frame_len].reshape(n_frames, frame_len)
     mags = np.abs(np.fft.rfft(windows, axis=1))
     peaks = 1 + mags[:, 1:].argmax(axis=1)  # DC excluded
-    out = []
-    for t in range(n_frames):
-        for d in range(1, n_targets + 1):
-            if t + d < n_frames:
-                out.append((int(peaks[t]) << 16 | int(peaks[t + d]) << 4 | d, t))
-    return out
+    # vectorized hash build (r11, guide §4.2): one shift/or pass per
+    # target distance instead of a Python tuple loop per landmark. The
+    # stable argsort by anchor frame restores the exact (t-major,
+    # d-ascending) order of the former double loop — list output is
+    # element-for-element identical (tests compare lists directly).
+    p64 = peaks.astype(np.int64)
+    hs, ts = [], []
+    for d in range(1, n_targets + 1):
+        if n_frames - d <= 0:
+            break
+        hs.append((p64[: n_frames - d] << 16) | (p64[d:] << 4) | d)
+        ts.append(np.arange(n_frames - d))
+    h_all = np.concatenate(hs)
+    t_all = np.concatenate(ts)
+    order = np.argsort(t_all, kind="stable")
+    return h_all[order], t_all[order]
+
+
+def wav_landmarks(payload: bytes, frame_len: int = 1024, n_targets: int = 2) -> list:
+    """List-of-(hash, t) form of :func:`_wav_landmark_arrays` — the
+    public shape the tests and offline tooling consume."""
+    arrs = _wav_landmark_arrays(payload, frame_len=frame_len, n_targets=n_targets)
+    if not isinstance(arrs, tuple):
+        return arrs
+    h_all, t_all = arrs
+    return list(zip(h_all.tolist(), t_all.tolist()))
 
 
 def audio_landmark_signatures(
@@ -162,6 +202,8 @@ def audio_landmark_signatures(
     here, not silently downstream. No shuffle."""
 
     def lm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, hashes, ts = [], [], []
             for doc_id in pdf[id_col]:
@@ -169,13 +211,21 @@ def audio_landmark_signatures(
                 payload = synth_wav(
                     i, group_size=group_size, n_frames=n_frames, frame_len=frame_len
                 )
-                for h, t in wav_landmarks(
+                arrs = _wav_landmark_arrays(
                     payload, frame_len=frame_len, n_targets=n_targets
-                ):
-                    ids.append(i)
-                    hashes.append(h)
-                    ts.append(t)
-            yield pd.DataFrame({"doc_id": ids, "lm_hash": hashes, "t": ts})
+                )
+                if isinstance(arrs, tuple):
+                    h_all, t_all = arrs
+                    ids.append(np.full(len(h_all), i, dtype=np.int64))
+                    hashes.append(h_all)
+                    ts.append(t_all)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids) if ids else np.array([], dtype=np.int64),
+                    "lm_hash": np.concatenate(hashes) if hashes else np.array([], dtype=np.int64),
+                    "t": np.concatenate(ts) if ts else np.array([], dtype=np.int64),
+                }
+            )
 
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         lm_batches, LANDMARK_SCHEMA

@@ -1000,6 +1000,7 @@ def winnowing_fingerprints(
     k: int = 3,
     w: int = 4,
     carry_cols: tuple = (),
+    with_size: bool = False,
 ) -> DataFrame:
     """Distinct (doc_id, fp) winnowing fingerprints (Schleimer, Wilkerson
     & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -1016,7 +1017,13 @@ def winnowing_fingerprints(
     one regexp pass, md5 per k-gram, array_min per window, one
     array_distinct) — zero shuffles until the caller joins fingerprints;
     md5 hex strings compare lexicographically the same in the JVM and
-    DuckDB, so selections are bit-reproducible."""
+    DuckDB, so selections are bit-reproducible. ``with_size=True`` rides
+    the per-doc DISTINCT fingerprint count (``n_fp``) on every exploded
+    row: the rows are distinct per doc (array_distinct), so
+    ``size(fps)`` computed in the same map pass equals the post-explode
+    per-doc count — consumers that need set sizes (containment
+    denominators) skip a full groupBy-by-doc_id shuffle (r11, guide
+    §2.1)."""
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     kg_idx = F.sequence(F.lit(0), F.size(toks) - k)
     hashes = F.transform(kg_idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")))
@@ -1037,6 +1044,33 @@ def winnowing_fingerprints(
             lambda j: F.array_min(F.slice(hcol, j + 1, w)),
         )
     )
+    if with_size:
+        # hoist the distinct-fp array (same reason as __h: two refs must
+        # not re-run the O(n·w) selection), then explode an array of
+        # (n_fp, fp) STRUCTS rather than the bare attribute. The struct
+        # generator is deliberate: exploding the plain attribute lets
+        # InferFiltersFromGenerate add a size(__fps)>0 predicate that
+        # filter-pushdown splices through BOTH projections, re-inlining
+        # the whole md5/regexp fingerprint expression into an
+        # interpreted Filter — O(n²) md5+tokenize per doc, measured as a
+        # >10-minute hang at sf0.1. A non-cheap generator blocks that
+        # inference (the same reason the plain-explode form below never
+        # hit it: its generator IS the full expression).
+        hf = h.select("doc_id", *carry_cols, fps.alias("__fps"))
+        gen = F.explode(
+            F.transform(
+                F.col("__fps"),
+                lambda x: F.struct(
+                    F.size("__fps").alias("n_fp"), x.alias("fp")
+                ),
+            )
+        )
+        return hf.select("doc_id", *carry_cols, gen.alias("__s")).select(
+            "doc_id",
+            *carry_cols,
+            F.col("__s.n_fp").alias("n_fp"),
+            F.col("__s.fp").alias("fp"),
+        )
     return h.select("doc_id", *carry_cols, F.explode(fps).alias("fp"))
 
 
@@ -1063,16 +1097,15 @@ def winnowing_overlap_pairs(
     a lower bound; pass None for exact)."""
     from pyspark.sql import Window
 
-    fp = winnowing_fingerprints(df, text_col, k, w)
-    sizes = F.count("*").alias("n_fp")
+    # n_fp rides out of the map-only fingerprint pass (with_size=True):
+    # the former groupBy(doc_id)+collect_list+re-explode round trip was
+    # a full corpus shuffle spent recomputing a size already known
+    # per-document before the explode (r11, guide §2.1 — one Exchange
+    # removed from the plan; measured on the sf0.1 noop bench)
+    fp = winnowing_fingerprints(df, text_col, k, w, with_size=True)
     # reuse-not-cache shape (see ngram_jaccard_pairs): one repartition by
     # fingerprint, window df-cap, exchange-free aliased self-join
-    fp = (
-        fp.groupBy("doc_id")
-        .agg(F.collect_list("fp").alias("__fps"), sizes)
-        .select("doc_id", "n_fp", F.explode("__fps").alias("fp"))
-        .repartition("fp")
-    )
+    fp = fp.repartition("fp")
     if max_df is not None:
         fp = fp.withColumn(
             "__df", F.count("*").over(Window.partitionBy("fp"))

@@ -12542,20 +12542,25 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingestion order) is this doc. The curation diagnostic behind
     'process-in-order, keep-what's-new' dedup policies (cf. the
     incremental corpus plan): novelty ~1.0 = fresh content, ~0.0 = fully
-    recycled. Scale shape: one distinct-shingle pass, one groupBy(shingle)
-    min — the same aggregate exact-dedup uses — then one shingle-keyed
-    join back and a doc-keyed count; no pair joins at all, so it runs on
-    corpora where pairwise scoring can't."""
-    sh = D.doc_shingles_arrow(load_table(spark, sf_dir, "documents"))
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    recycled. Scale shape: one distinct-shingle pass, one min-per-shingle,
+    one doc-keyed count; no pair joins at all, so it runs on corpora
+    where pairwise scoring can't. The per-shingle first occurrence is a
+    window MIN over one repartition("shingle") — the former
+    groupBy(shingle)+join-back re-ran the Arrow shingle pass on BOTH
+    join sides (two corpus scans) and shuffled twice; the window form
+    scans once and shuffles once (r11, guide §2.1 — same pattern as the
+    family's df-cap; results identical, min-per-key is order-free)."""
+    from pyspark.sql import Window as W
+
+    sh = (
+        D.doc_shingles_arrow(load_table(spark, sf_dir, "documents"))
+        .repartition("shingle")
+        .withColumn("first_doc", F.min("doc_id").over(W.partitionBy("shingle")))
+    )
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     ).alias("n_novel")
-    out = (
-        sh.join(firsts, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shingles"), novel)
-    )
+    out = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"), novel)
     frac = F.col("n_novel") / F.col("n_shingles")
     return out.select(
         "doc_id",

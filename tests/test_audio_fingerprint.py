@@ -35,6 +35,39 @@ def test_landmarks_gain_invariant_and_count_pinned():
         assert len(lms[0]) == audio.landmark_count(32, 2) == 61
 
 
+def test_synth_wav_tone_cache_bit_identical_to_grid_formula():
+    """r11: synth_wav assembles frames from the bounded per-bin tone-row
+    table — every WAV byte must equal the former one-shot grid broadcast
+    (same scalar·array evaluation order, so the doubles cannot differ).
+    Covers multiple groups, gains, and repeated calls (cache hits)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def grid_synth(doc_id, group_size=4, n_frames=32, frame_len=1024, framerate=8000):
+        g = doc_id // group_size
+        m = doc_id % group_size
+        gain = 1.0 + 0.15 * m
+        k = np.arange(frame_len)
+        n_bins = frame_len // 2 - 32
+        b = np.array([16 + audio._mix(g, t) % n_bins for t in range(n_frames)])
+        tones = np.sin(2 * np.pi * b[:, None] * k[None, :] / frame_len)
+        samples = np.round(6000.0 * gain * tones).astype(np.int16).reshape(-1)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(framerate)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    for doc_id in [0, 1, 3, 17, 997, 5001]:
+        assert audio.synth_wav(doc_id) == grid_synth(doc_id), doc_id
+        # second call exercises the warm-cache path
+        assert audio.synth_wav(doc_id) == grid_synth(doc_id), doc_id
+
+
 def test_cross_group_aligned_matches_stay_far_below_threshold():
     """The separability margin the pipeline's threshold rests on:
     in-group pairs score the full 61 aligned matches at offset 0;

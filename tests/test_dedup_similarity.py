@@ -659,6 +659,54 @@ def test_winnowing_guarantee_shared_run_collides(spark):
     assert not (by_doc[2] & by_doc[3])
 
 
+def test_winnowing_with_size_matches_grouped_counts(spark):
+    """r11: with_size=True rides the per-doc DISTINCT fingerprint count
+    out of the map pass — it must equal the groupBy(doc_id) count over
+    the plain exploded form (the shuffle it replaces), and the optimized
+    plan must NOT contain the InferFiltersFromGenerate splice (a Filter
+    re-inlining the md5/regexp fingerprint chain — the O(n²)-per-doc
+    interpreted-predicate hang the struct generator exists to block)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "aa bb cc dd one two three four five six ee ff"),
+            (3, "short text only here now ok"),
+        ],
+    )
+    plain = D.winnowing_fingerprints(docs)
+    grouped = {
+        r.doc_id: r.n
+        for r in plain.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    sized = D.winnowing_fingerprints(docs, with_size=True)
+    rows = sized.collect()
+    assert {(r.doc_id, r.fp) for r in rows} == {
+        (r.doc_id, r.fp) for r in plain.collect()
+    }
+    per_doc = {r.doc_id: r.n_fp for r in rows}
+    assert per_doc == grouped
+    plan = sized._jdf.queryExecution().optimizedPlan().toString()
+    monster = [
+        l
+        for l in plan.splitlines()
+        if "Filter" in l and "array_min" in l
+    ]
+    assert not monster, f"fingerprint chain spliced into a Filter: {monster}"
+
+
+def test_winnowing_overlap_plan_has_no_doc_regroup(spark):
+    """r11 plan pin: winnowing_overlap_pairs reads n_fp off the
+    fingerprint rows — the former groupBy(doc_id)+collect_list+re-explode
+    round trip (an extra corpus shuffle and ObjectHashAggregate pair)
+    must stay gone."""
+    docs = _docs(spark, [(1, "a b c d e f g h"), (2, "a b c d e f x y")])
+    df = D.winnowing_overlap_pairs(docs, threshold=0.0, max_df=None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan
+
+
 def test_winnowing_containment_flags_inclusion(spark):
     """Near-verbatim inclusion of a small doc inside a much larger one
     scores containment ~1.0 while whole-doc Jaccard dilutes toward the

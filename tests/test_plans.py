@@ -318,6 +318,21 @@ def test_source_overlap_matrix_has_no_corpus_self_join(spark, sf_smoke):
     assert "BroadcastHashJoin" in txt, txt
 
 
+def test_doc_novelty_single_shingle_pass_no_join(spark, sf_smoke):
+    """r11 rewrite: the per-shingle first occurrence is a window MIN
+    over one repartition("shingle") — the former groupBy+join-back ran
+    the Arrow shingle pass on BOTH join sides. Pin: exactly one
+    MapInPandas (one corpus shingle scan) and no join of any kind."""
+    df = QUERIES["doc_novelty"](spark, sf_smoke)
+    df.collect()
+    txt = plan_of(df)
+    # the AQE toString prints Final and Initial plans; count in Final only
+    final = txt.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1, txt
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in txt, txt
+
+
 def test_heaps_prefix_sum_windows_are_bucketed(spark, sf_smoke):
     """r9 verdict #2 + r10 verdict #5: heaps_law_fit's global prefix sum
     must not plan an unpartitioned Window over per-document rows — the
