@@ -147,11 +147,17 @@ def ngram_jaccard_pairs(
     ``repartition("shingle")``-ed ONCE and every branch inherits that
     partitioning — the df-cap becomes a window count (no join, no new
     exchange) and the self-join runs exchange-free on the pre-partitioned
-    sides, with Catalyst's ReuseExchange materializing the Arrow
-    shingling stage a single time in shuffle files. No ``persist()``:
-    shuffle files are auto-cleaned and cost no executor storage pool,
-    so a long-lived session never accumulates dead cached frames
-    (cachectl.py documents the repo-wide discipline).
+    sides. The map-only shingling stage DOES compute once per join side
+    (measured r11: exchange reuse never fires across deduplicated
+    self-join sides — the subtrees canonicalize differently — and AQE
+    broadcast-converts at local scale): the accepted, bounded price.
+    Both alternatives measured WORSE at sf0.1 (r11 "Measured and
+    rejected" #2: in-row pair explosion ~10-15% slower; materializing
+    the frame trades a storage-free map recompute for a corpus-sized
+    intermediate). No ``persist()``: shuffle files are auto-cleaned and
+    cost no executor storage pool, so a long-lived session never
+    accumulates dead cached frames (cachectl.py documents the repo-wide
+    discipline).
 
     ``max_df``: the hot-shingle cap. A shingle present in d documents
     contributes O(d²) join pairs; at corpus scale stop-phrase shingles
