@@ -69,6 +69,35 @@ def finalize_iterative(df: DataFrame) -> DataFrame:
     return df.checkpoint(eager=True)
 
 
+def shared_frame(df: DataFrame) -> DataFrame:
+    """Materialize a frame that MULTIPLE branches of one returned plan
+    consume — eager RELIABLE checkpoint, zero persisted blocks.
+
+    Why this exists (r12, guide §2.4/§5): the reuse-not-cache shape
+    (repartition + ReuseExchange) does NOT deliver single computation for
+    the deduplicated self-join sides — measured r11: the two aliased
+    sides canonicalize differently, exchange reuse never fires, and the
+    expensive map stage (Arrow shingling, WAV landmarks, md5 chains) runs
+    once PER CONSUMER (2-8 copies in the executed plans). An eager
+    reliable checkpoint runs the stage exactly once and every consumer —
+    join sides, probes, verify branches — re-reads the files. Storage
+    pool untouched (``getPersistentRDDs`` stays empty — the cache-hygiene
+    contract); files live in the checkpoint dir (HDFS/S3 on a cluster)
+    and are reclaimed by the ContextCleaner when the frame is GC'd
+    (``spark.cleaner.referenceTracking.cleanCheckpoints=true``,
+    session.py). The partitioning survives (LogicalRDD carries the
+    physical outputPartitioning), so a join keyed like the checkpointed
+    repartition still plans exchange-free.
+
+    The trade at 100 TB: ONE frame-sized sequential write (+ per-consumer
+    reads) replaces k corpus map passes + k redundant shuffle writes —
+    a win for k >= 2 whenever the map stage is more expensive than the
+    frame's serialized bytes (every Arrow/md5/fft stage in this repo;
+    measured per caller, numbers in OPTIMIZATION_r12.md)."""
+    ensure_checkpoint_dir(df.sparkSession)
+    return df.checkpoint(eager=True)
+
+
 def local_ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
     """``localCheckpoint`` with RELEASABLE blocks.
 

@@ -32,7 +32,19 @@ def spread(df, min_partitions: int | None = None):
     partition, serializing every downstream CPU-heavy expression (regex
     shingling, per-row hashing) onto one core; at 100 TB the scan itself
     yields thousands of splits and this is a no-op. Round-robin is fine:
-    callers do per-row work, not keyed work."""
+    callers do per-row work, not keyed work.
+
+    Post-shuffle frames return UNCHANGED without probing (r12): an
+    aggregated/joined frame is already spread across its shuffle
+    partitions, and the probe below (``df.rdd.getNumPartitions()``) is a
+    TRAP on such frames — resolving an adaptive plan's final partitioning
+    MATERIALIZES every upstream query stage as its own job (measured:
+    the full word count ran as a silent extra job in bpe_train). The
+    pre-AQE physical plan is inspected WITHOUT executing anything; only
+    exchange-free (scan-shaped) plans go on to the cheap partition
+    probe."""
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

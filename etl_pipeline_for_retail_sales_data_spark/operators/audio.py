@@ -155,7 +155,10 @@ def _wav_landmark_arrays(payload: bytes, frame_len: int = 1024, n_targets: int =
     samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
     n_frames = len(samples) // frame_len
     if n_frames < 2:
-        return []
+        # same (hash array, time array) shape as the landmark path (r11
+        # ADVICE: a list-vs-tuple dual return forced isinstance dispatch
+        # in every consumer)
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
     windows = samples[: n_frames * frame_len].reshape(n_frames, frame_len)
     mags = np.abs(np.fft.rfft(windows, axis=1))
     peaks = 1 + mags[:, 1:].argmax(axis=1)  # DC excluded
@@ -180,10 +183,7 @@ def _wav_landmark_arrays(payload: bytes, frame_len: int = 1024, n_targets: int =
 def wav_landmarks(payload: bytes, frame_len: int = 1024, n_targets: int = 2) -> list:
     """List-of-(hash, t) form of :func:`_wav_landmark_arrays` — the
     public shape the tests and offline tooling consume."""
-    arrs = _wav_landmark_arrays(payload, frame_len=frame_len, n_targets=n_targets)
-    if not isinstance(arrs, tuple):
-        return arrs
-    h_all, t_all = arrs
+    h_all, t_all = _wav_landmark_arrays(payload, frame_len=frame_len, n_targets=n_targets)
     return list(zip(h_all.tolist(), t_all.tolist()))
 
 
@@ -211,11 +211,10 @@ def audio_landmark_signatures(
                 payload = synth_wav(
                     i, group_size=group_size, n_frames=n_frames, frame_len=frame_len
                 )
-                arrs = _wav_landmark_arrays(
+                h_all, t_all = _wav_landmark_arrays(
                     payload, frame_len=frame_len, n_targets=n_targets
                 )
-                if isinstance(arrs, tuple):
-                    h_all, t_all = arrs
+                if len(h_all):
                     ids.append(np.full(len(h_all), i, dtype=np.int64))
                     hashes.append(h_all)
                     ts.append(t_all)

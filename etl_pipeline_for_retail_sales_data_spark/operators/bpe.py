@@ -230,7 +230,15 @@ def bpe_train(
     — same merge sequence either way (pinned equal in tests). 2M rows
     ≈ 100 MB driver memory; tune the cap to the driver's heap on a
     cluster, or pass None/0 to force the distributed path."""
-    wf = spread(word_freq(docs, text_col))
+    # NO spread() here (r12): word_freq output is already spread across
+    # the aggregate's shuffle partitions, and spread's partition probe
+    # (`df.rdd.getNumPartitions()`) on a post-shuffle AQE frame
+    # MATERIALIZES the whole upstream plan as its own job — the word
+    # count ran twice (once for the probe, once for the collect), which
+    # is where bpe_top_merges' anti-scaling came from (the probe's cost
+    # grows with shuffle-partition count; r11 scaling block: 8 cores 3×
+    # faster than 32).
+    wf = word_freq(docs, text_col)
     if driver_vocab_cap:
         head = wf.limit(driver_vocab_cap + 1).collect()
         if len(head) <= driver_vocab_cap:

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..cachectl import finalize_iterative, local_ckpt, release_ckpt
+from ..cachectl import finalize_iterative, local_ckpt, release_ckpt, shared_frame
 from ..functions import spread
 from .text import TOKEN_RE
 
@@ -132,6 +132,31 @@ def doc_shingles_arrow(
     return spread(df).filter(F.col(text_col).isNotNull()).mapInPandas(gen, schema)
 
 
+def doc_shingle_arrays(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, toks, n_sh): each document's SORTED distinct shingle
+    array plus its size, computed map-only from the corpus row — no
+    explode, no shuffle, no Python. Same token/shingle definition as
+    :func:`doc_shingles` / :func:`doc_shingles_arrow` (equality pinned
+    in tests), so ``toks`` equals ``array_sort(collect_list(shingle))``
+    over the exploded frame and ``n_sh`` equals the per-doc distinct
+    count — without re-exploding and re-grouping a frame that already
+    exists only to be re-assembled (r12, guide §2.4: the ppjoin verify
+    arrays were a full corpus regroup + a second tokenize pass)."""
+    df = spread(df)
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    base = df.filter(F.size(toks) >= n).select("doc_id", toks.alias("__toks"))
+    tcol = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(tcol) - n)
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(tcol, i + 1, n), " "))
+    # hoist the sorted-distinct array into its own projection (the
+    # winnowing lesson: a multiply-referenced non-cheap expression must
+    # be an attribute, or each reference re-evaluates it)
+    out = base.select("doc_id", F.array_sort(F.array_distinct(shingles)).alias("toks"))
+    return out.select("doc_id", "toks", F.size("toks").cast("long").alias("n_sh"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -147,17 +172,17 @@ def ngram_jaccard_pairs(
     ``repartition("shingle")``-ed ONCE and every branch inherits that
     partitioning — the df-cap becomes a window count (no join, no new
     exchange) and the self-join runs exchange-free on the pre-partitioned
-    sides. The map-only shingling stage DOES compute once per join side
-    (measured r11: exchange reuse never fires across deduplicated
-    self-join sides — the subtrees canonicalize differently — and AQE
-    broadcast-converts at local scale): the accepted, bounded price.
-    Both alternatives measured WORSE at sf0.1 (r11 "Measured and
-    rejected" #2: in-row pair explosion ~10-15% slower; materializing
-    the frame trades a storage-free map recompute for a corpus-sized
-    intermediate). No ``persist()``: shuffle files are auto-cleaned and
-    cost no executor storage pool, so a long-lived session never
-    accumulates dead cached frames (cachectl.py documents the repo-wide
-    discipline).
+    sides. The map-only shingling stage computes ONCE at runtime: the
+    two join sides prune to the same column set, so AQE stage reuse
+    matches their canonicalized exchanges (r12 accumulator-verified —
+    r11's "computes once per side" reading came from counting
+    MapInPandas nodes in the PRE-reuse initial plan). Alternatives
+    measured and rejected: in-row pair explosion ~10-15% slower (r11);
+    eager checkpoint of the shingle frame slower still (r12 — pure
+    write+read cost once reuse is known to fire). No ``persist()``:
+    shuffle files are auto-cleaned and cost no executor storage pool,
+    so a long-lived session never accumulates dead cached frames
+    (cachectl.py documents the repo-wide discipline).
 
     ``max_df``: the hot-shingle cap. A shingle present in d documents
     contributes O(d²) join pairs; at corpus scale stop-phrase shingles
@@ -207,6 +232,16 @@ def ngram_jaccard_pairs(
         sh = sh.withColumn(
             "__df", F.count("*").over(Window.partitionBy("shingle"))
         ).filter(F.col("__df") <= max_df)
+    # NOTE (r12, measured): the aliased self-join below computes the
+    # Arrow shingling ONCE at runtime — AQE stage reuse matches the two
+    # sides' canonicalized exchanges (both prune to the identical
+    # (doc_id, shingle, n_sh, __df) column set). Verified with a
+    # row-count accumulator inside the Arrow stage (500 docs → 500
+    # processed), and an eager-checkpoint variant measured SLOWER
+    # (plans/r12/ab_shared_frame.json — write+read of the shingle frame
+    # buys nothing when reuse already fires). The initial explain()
+    # shows 2 MapInPandas nodes, but that is pre-reuse plan text, not
+    # executed work.
     a = sh.alias("A")
     b = sh.alias("B")
     inter = (
@@ -268,15 +303,28 @@ def ngram_jaccard_pairs_salted(
     # window count over that partitioning (no aggregate+join), and the
     # hot/cold split becomes a plain FILTER on the carried __df — the
     # broadcast semi/anti probes of the old formulation vanish. All four
-    # collect-time consumers (cold A/B, hot A/B) read the ONE reused
-    # exchange, so nothing is persisted (cachectl.py discipline); the
-    # p99 probe below is the only extra pass (its own job).
+    # collect-time consumers (cold A/B, hot A/B) read ONE materialization
+    # of this frame: AQE stage reuse within the main execution, plus (on
+    # the default p99 path) the shared_frame checkpoint below so the
+    # probe execution reads it too. Nothing is persisted (cachectl.py).
     sh = (
         doc_shingles_arrow(df, text_col, n, with_size=True)
         .repartition("shingle")
         .withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
     )
     if hot_df == "p99":
+        # r12: the p99 probe is its own Spark execution, so AQE stage
+        # reuse (which deduplicates the four hot/cold join sides WITHIN
+        # the main execution — accumulator-verified) cannot help it: the
+        # probe re-ran the whole Arrow shingle pass + window. One eager
+        # reliable checkpoint (cachectl.shared_frame) feeds the probe
+        # AND the main plan — the shingle stage runs exactly once per
+        # query (A/B: 1.5x on this query, 1.4x on the canonical
+        # pipeline, plans/r12/ab_ppjoin_salted.json). Integer-hot_df
+        # callers skip probe and checkpoint: construction stays fully
+        # lazy (pinned by test_exact_form_forwards_salt_kwargs) and the
+        # single execution already shares the exchange at runtime.
+        sh = shared_frame(sh)
         # exact percentile over the (small) per-shingle df frame; one
         # scalar to the driver. Empty corpus → no shingles → 0 threshold.
         dfreq = sh.groupBy("shingle").agg(F.first("__df").alias("__df"))
@@ -970,7 +1018,9 @@ def shingle_cosine_pairs(
     from pyspark.sql import Window
 
     # reuse-not-cache shape (see ngram_jaccard_pairs): one repartition by
-    # shingle, window df-cap, exchange-free aliased self-join
+    # shingle, window df-cap, aliased self-join whose two sides prune to
+    # the same columns — AQE stage reuse runs the Arrow tf pass once
+    # (r12 accumulator-verified; eager checkpoint measured slower)
     sh = doc_shingle_tf(df, text_col, n).repartition("shingle")
     if max_df is not None:
         sh = sh.withColumn(
@@ -1110,7 +1160,11 @@ def winnowing_overlap_pairs(
     # removed from the plan; measured on the sf0.1 noop bench)
     fp = winnowing_fingerprints(df, text_col, k, w, with_size=True)
     # reuse-not-cache shape (see ngram_jaccard_pairs): one repartition by
-    # fingerprint, window df-cap, exchange-free aliased self-join
+    # fingerprint, window df-cap, aliased self-join whose two sides
+    # prune to the same columns — AQE stage reuse runs the md5/regexp
+    # fingerprint stage once (r12 accumulator-verified; an eager
+    # checkpoint of this frame measured 3x SLOWER — the JVM chain
+    # recomputes cheaper than the frame writes)
     fp = fp.repartition("fp")
     if max_df is not None:
         fp = fp.withColumn(
@@ -1314,8 +1368,9 @@ def _ppjoin_candidates(
     """(candidate pairs, doc_id-partitioned shingle frame) for PPJoin.
     ``positional`` toggles the positional filter so tests can assert the
     candidate count strictly drops; production callers always leave it
-    on. The returned shingle frame is partitioned by doc_id, so the
-    caller's per-doc verify-array aggregate is exchange-free."""
+    on. The returned shingle frame is kept for callers that want the
+    exploded rows (tests); ppjoin_jaccard_pairs itself verifies against
+    map-only per-doc arrays (doc_shingle_arrays, r12) instead."""
     from pyspark.sql import Window
 
     t_micro = int(round(threshold * 1_000_000))
@@ -1342,6 +1397,9 @@ def _ppjoin_candidates(
         ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1)
         .select("doc_id", "shingle", "n_sh", "pos")
         .repartition("shingle")  # barrier: rank window computed once
+        # (r12 accumulator-verified: the two prefix join sides prune to
+        # the same columns, so AQE stage reuse fires here — the executed
+        # plan shows ReusedExchange on the PB side)
     )
     a = prefix.alias("PA")
     b = prefix.alias("PB")
@@ -1448,24 +1506,20 @@ def ppjoin_jaccard_pairs(
     verify join. The t=0.5 prefix keeps ~half of each document's index
     rows; higher thresholds keep fewer."""
     cand, sh = _ppjoin_candidates(df, text_col, n, threshold, positional=True)
-    # Verify shape, MEASURED against two r8 prune variants and kept
-    # (tools/profile_ppjoin.py): checkpointing the candidate frame and
-    # semi-pruning the arrays to candidate docs LOST on this corpus at
-    # both sf0.1 (3.5s vs 4.4/4.8s) and x16 (17-18s vs 20s) — the
-    # synthetic corpus is candidate-DENSE (x16: ~2.0M candidate pairs
-    # for 4,096 true pairs), so the checkpoint I/O on the candidate set
-    # exceeds the array-pass saving, and pruning prunes almost nothing.
-    # The profiling also established that exchange reuse does not
-    # survive the window-heavy candidate lineage (each extra consumer
-    # re-runs the pipeline; a repartition barrier is defeated by
-    # per-branch column pruning), so any future multi-consumer variant
-    # must go through cachectl.finalize_iterative, paying that I/O —
-    # only worth it on selective-prefix corpora where candidates are a
-    # tiny corpus fraction.
-    arrays = sh.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("shingle")).alias("toks"),
-        F.first("n_sh").alias("n_sh"),
-    )
+    # Verify arrays, r12: computed MAP-ONLY per document
+    # (doc_shingle_arrays) instead of re-grouping the exploded shingle
+    # frame. The old collect_list regroup branch pruned to a NARROWER
+    # column set than the candidate branch (no __df), so its exchanges
+    # never matched for AQE stage reuse (accumulator-verified: the
+    # Arrow shingling ran TWICE per query) and it paid
+    # Exchange(shingle)+Exchange(doc_id) on the exploded rows besides.
+    # Now the corpus tokenizes once per side-purpose: one Arrow pass
+    # for candidates, one JVM expression pass for the verify arrays —
+    # zero extra shuffles on the arrays side.
+    # (r8 history, still honored: checkpointing the CANDIDATE frame and
+    # semi-pruning the arrays to candidate docs both measured SLOWER on
+    # this candidate-dense corpus — tools/profile_ppjoin.py.)
+    arrays = doc_shingle_arrays(df, text_col, n)
     aa = arrays.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n_sh").alias("n_a")
     )

@@ -63,6 +63,12 @@ def pagerank(
         e = e.join(n.withColumnRenamed("id", "src"), "src").join(
             n.withColumnRenamed("id", "dst"), "dst"
         )
+    else:
+        # the fast path skips only the two SEMI-JOIN shuffles; null
+        # endpoints are still dropped map-side (r11 ADVICE: a violated
+        # guarantee should not silently leak rank mass through null
+        # keys — this filter is free, the semi-joins were not)
+        e = e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     # weighted edges: contribution share of each (src,dst) = multiplicity/deg
     ew = e.join(out_deg, "src").persist()

@@ -72,7 +72,10 @@ class _BitWriter:
         self._nbits = 0  # bits currently in _acc (0..7)
 
     def u(self, n: int, value: int) -> None:
-        if value < 0 or (n < 64 and value >> n):
+        if value < 0 or value >> n:
+            # n >= 64 included (r11 ADVICE): unlike the per-bit loop this
+            # bulk fold replaced, an oversized value would corrupt bits
+            # already buffered in the accumulator, so validate every n
             raise ValueError(f"u({n}) cannot encode {value}")
         # bulk append: fold all n bits into the accumulator at once and
         # flush whole bytes — O(n/8) instead of the per-bit loop this

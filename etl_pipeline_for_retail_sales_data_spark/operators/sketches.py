@@ -103,10 +103,12 @@ def cm_estimate(cells: DataFrame, probes: DataFrame, key: str, depth: int = 4, w
 # ---------------------------------------------------------------------------
 
 
-def _qd_compress(cells: dict[int, int], n: int, k: int, bits: int) -> dict[int, int]:
-    """Classic bottom-up q-digest compression: merge (node, sibling,
-    parent) triples whose combined count fits under n/k. Deterministic:
-    levels bottom-up, node ids ascending."""
+def _qd_compress_ref(cells: dict[int, int], n: int, k: int, bits: int) -> dict[int, int]:
+    """REFERENCE implementation (the published sequential formulation,
+    kept verbatim for the equivalence pin in tests): classic bottom-up
+    q-digest compression — merge (node, sibling, parent) triples whose
+    combined count fits under n/k. Deterministic: levels bottom-up,
+    node ids ascending."""
     thr = n // k
     if thr <= 0:
         return dict(cells)
@@ -126,20 +128,104 @@ def _qd_compress(cells: dict[int, int], n: int, k: int, bits: int) -> dict[int, 
     return out
 
 
+def _qd_compress(cells: dict[int, int], n: int, k: int, bits: int) -> dict[int, int]:
+    """Vectorized q-digest compression — EXACTLY the reference result
+    (r12, guide §1.2 step 2: with the distributed pass already one
+    histogram aggregation, the remaining qdigest cost was this driver
+    loop — ~2 s per million cells in interpreted Python, ×3 digests per
+    qdigest_quantiles call).
+
+    Why per-level vectorization is legal: within one level, the
+    sequential loop's (node, sibling, parent) triples are INDEPENDENT —
+    a merge writes only the pair's own parent (level-1, not iterated
+    this level) and removes only the pair itself, and when the
+    lower-id child declines the merge the higher-id child re-evaluates
+    the identical total. So each parent's outcome depends only on
+    (child counts at this level, the parent's own pre-level count):
+    merge iff their sum <= thr. All arithmetic is int64 (counts are
+    bounded by n, which fits — the collect cap guarantees it);
+    equivalence with the sequential form is fuzz-pinned in tests."""
+    import numpy as np
+
+    thr = n // k
+    if thr <= 0 or not cells:
+        return dict(cells)
+    nodes = np.fromiter(cells.keys(), np.int64, len(cells))
+    cnts = np.fromiter(cells.values(), np.int64, len(cells))
+    order = np.argsort(nodes)
+    nodes, cnts = nodes[order], cnts[order]
+    for level in range(bits, 0, -1):
+        lo_i = np.searchsorted(nodes, np.int64(1) << level)
+        hi_i = np.searchsorted(nodes, np.int64(1) << (level + 1))
+        if lo_i == hi_i:
+            continue
+        ch_nodes, ch_cnts = nodes[lo_i:hi_i], cnts[lo_i:hi_i]
+        prefix_n, prefix_c = nodes[:lo_i], cnts[:lo_i]
+        suffix_n, suffix_c = nodes[hi_i:], cnts[hi_i:]
+        parents, inv = np.unique(ch_nodes >> 1, return_inverse=True)
+        sums = np.zeros(len(parents), np.int64)
+        np.add.at(sums, inv, ch_cnts)
+        # existing parent counts (parents live in the sorted prefix)
+        if len(prefix_n):
+            pos = np.searchsorted(prefix_n, parents)
+            safe = np.minimum(pos, len(prefix_n) - 1)
+            has = (pos < len(prefix_n)) & (prefix_n[safe] == parents)
+            pexist = np.where(has, prefix_c[safe], 0)
+        else:
+            pos = np.zeros(len(parents), np.int64)
+            has = np.zeros(len(parents), bool)
+            pexist = np.zeros(len(parents), np.int64)
+        totals = sums + pexist
+        merged = totals <= thr
+        if not merged.any():
+            continue
+        # drop merged pairs' children; keep the rest of the level
+        keep_child = ~merged[inv]
+        # update/insert merged parents into the prefix
+        upd = merged & has
+        if upd.any():
+            prefix_c = prefix_c.copy()
+            prefix_c[pos[upd]] = totals[upd]
+        new = merged & ~has
+        if new.any():
+            ins = np.searchsorted(prefix_n, parents[new])
+            prefix_n = np.insert(prefix_n, ins, parents[new])
+            prefix_c = np.insert(prefix_c, ins, totals[new])
+        nodes = np.concatenate([prefix_n, ch_nodes[keep_child], suffix_n])
+        cnts = np.concatenate([prefix_c, ch_cnts[keep_child], suffix_c])
+    return dict(zip(nodes.tolist(), cnts.tolist()))
+
+
 def qdigest_from_hist(
     hist: list[tuple[int, int]], k: int, bits: int
 ) -> dict[int, int]:
     """Build the digest from a (value, count) histogram. Values must be
     in [0, 2^bits)."""
+    import numpy as np
+
+    if not hist:
+        return {}
+    arr = np.asarray(hist, dtype=np.int64)
+    return _qdigest_from_arrays(arr[:, 0], arr[:, 1], k, bits)
+
+
+def _qdigest_from_arrays(values, counts, k: int, bits: int) -> dict[int, int]:
+    """Array-native digest build (r12): the leaf-cell accumulation of
+    :func:`qdigest_from_hist` as numpy aggregation instead of a per-row
+    Python loop — exact integer math, same cells, same compression."""
+    import numpy as np
+
     dom = 1 << bits
-    cells: dict[int, int] = {}
-    n = 0
-    for v, c in hist:
-        if not (0 <= v < dom):
-            raise ValueError(f"qdigest: value {v} outside [0, {dom})")
-        cells[dom + v] = cells.get(dom + v, 0) + c
-        n += c
-    return _qd_compress(cells, n, k, bits)
+    if len(values) == 0:
+        return {}
+    bad = (values < 0) | (values >= dom)
+    if bad.any():
+        raise ValueError(f"qdigest: value {int(values[bad][0])} outside [0, {dom})")
+    uv, inv = np.unique(values, return_inverse=True)
+    uc = np.zeros(len(uv), np.int64)
+    np.add.at(uc, inv, counts)
+    cells = dict(zip((uv + dom).tolist(), uc.tolist()))
+    return _qd_compress(cells, int(counts.sum()), k, bits)
 
 
 def qdigest_build(
@@ -159,14 +245,19 @@ def qdigest_build(
         .groupBy("__v")
         .agg(F.count("*").alias("__c"))
     )
-    rows = hist_df.limit(hist_cap + 1).collect()
-    if len(rows) > hist_cap:
+    # Arrow transfer (r12, guide §6): the bounded histogram is the one
+    # big driver fetch in this family — toPandas moves it as columnar
+    # batches instead of pickled Rows (measured ~4x on ~1M rows)
+    pdf = hist_df.limit(hist_cap + 1).toPandas()
+    if len(pdf) > hist_cap:
         raise ValueError(
             f"qdigest_build: more than hist_cap={hist_cap} distinct values; "
             "the bounded-domain histogram is the scale contract — raise the "
             "cap deliberately if the driver can hold it"
         )
-    return qdigest_from_hist([(r["__v"], r["__c"]) for r in rows], k, bits)
+    return _qdigest_from_arrays(
+        pdf["__v"].to_numpy("int64"), pdf["__c"].to_numpy("int64"), k, bits
+    )
 
 
 def qdigest_build_split(
@@ -188,28 +279,37 @@ def qdigest_build_split(
     in tests). Null split values count only toward the full digest
     (matching filter/~filter semantics, where they appear in neither
     half)."""
+    # split encoded as int (1/0/-1 for true/false/null) so the collected
+    # frame is fully numeric for the Arrow transfer + numpy splits below;
+    # the grouping is identical (three distinct split states either way)
+    skey = F.when(split, 1).when(~split, 0).otherwise(-1)
     hist_df = (
-        df.select(value.cast("long").alias("__v"), split.alias("__s"))
+        df.select(value.cast("long").alias("__v"), skey.alias("__s"))
         .filter(F.col("__v").isNotNull())
         .groupBy("__v", "__s")
         .agg(F.count("*").alias("__c"))
     )
-    # each value contributes <= 3 rows (true/false/null split), so the
-    # distinct-value contract only scales the cap by that constant
-    rows = hist_df.limit(3 * hist_cap + 1).collect()
-    if len(rows) > 3 * hist_cap:
+    # each value contributes <= 3 rows (true/false/null split); fetch up
+    # to that bound, then enforce the DOCUMENTED per-digest contract —
+    # at most hist_cap distinct values (r11 ADVICE: the row-count check
+    # alone let up to 3x hist_cap distinct values through while the
+    # message claimed otherwise)
+    import numpy as np
+
+    pdf = hist_df.limit(3 * hist_cap + 1).toPandas()
+    v = pdf["__v"].to_numpy("int64")
+    s = pdf["__s"].to_numpy("int64")
+    c = pdf["__c"].to_numpy("int64")
+    if len(pdf) > 3 * hist_cap or len(np.unique(v)) > hist_cap:
         raise ValueError(
             f"qdigest_build_split: more than hist_cap={hist_cap} distinct "
             "values; the bounded-domain histogram is the scale contract — "
             "raise the cap deliberately if the driver can hold it"
         )
-    h_true = [(r["__v"], r["__c"]) for r in rows if r["__s"] is True]
-    h_false = [(r["__v"], r["__c"]) for r in rows if r["__s"] is False]
-    h_full = [(r["__v"], r["__c"]) for r in rows]
     return (
-        qdigest_from_hist(h_full, k, bits),
-        qdigest_from_hist(h_true, k, bits),
-        qdigest_from_hist(h_false, k, bits),
+        _qdigest_from_arrays(v, c, k, bits),
+        _qdigest_from_arrays(v[s == 1], c[s == 1], k, bits),
+        _qdigest_from_arrays(v[s == 0], c[s == 0], k, bits),
     )
 
 

@@ -241,56 +241,62 @@ def bm25_rank(
     time IN THE LITERAL ORDER of ``query_terms`` via conditional
     aggregation — never a float SUM over an engine-ordered group.
 
-    Scale shape — the inverted-index discipline with exactly two corpus
-    passes, both collapsing to SMALL persisted frames: (1) doc lengths —
-    one doc-keyed aggregate (O(docs) rows, persisted because it feeds
-    both the avgdl scalar and the per-doc join; shuffle keyed by doc,
-    never by (doc, term)); (2) query postings — the token stream is
-    filtered to the query terms BEFORE any shuffle, so the tf aggregate
-    and everything downstream is O(postings of the query), not
-    O(corpus). df(term) is the per-term row count of the already-unique
-    (doc, term) tf frame; df/avgdl are broadcast scalars; one hash agg
-    keyed by doc pivots the ≤len(query_terms) rows per doc.
-    """
-    tok = doc_terms(df, text_col)
-    # reuse-not-cache (cachectl.py): dl's own aggregate exchange is
-    # re-read by the avgdl scalar and the per-doc join (ReuseExchange);
-    # tf lands in a term-keyed repartition exchange shared by df(term)
-    # and the scoring join — the corpus explodes once per frame, nothing
-    # persists
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).repartition("doc_id")
-    # corpus scalars: N and avgdl (exact integer sum / exact count)
-    scalars = df.agg(F.count("*").alias("n_docs")).crossJoin(
-        dl.agg((F.sum("dl") / F.count("*")).alias("avgdl"))
-    )
-    tf = (
-        tok.filter(F.col("term").isin(query_terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .repartition("term")
-    )
-    # one row per (doc, term) ⇒ per-term row count IS count_distinct(doc)
-    dft = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
-    base = (
-        tf.join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(scalars))
-    )
-    idf = (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (F.col("df_docs") + F.lit(0.5))
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
-    )
-    part = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
-    pivoted = base.groupBy("doc_id", "dl").agg(
+    Scale shape (r12 — map-side rewrite, guide §2.3 "aggregate before
+    you shuffle" taken to its limit): dl and the per-term tfs are
+    computed per document FROM THE TOKEN ARRAY (``size`` /
+    filtered-``size`` — no explode, no row multiplication), so the
+    whole query is two corpus map passes and ZERO data-sized shuffles:
+    (1) one aggregate over the per-doc stat rows yields every scalar at
+    once (N, avgdl, df(term) per term — a 1-row broadcast); (2) the
+    scoring pass re-derives the per-doc stats, cross-joins the scalar
+    row, and feeds TakeOrderedAndProject. The former shape exploded the
+    corpus twice and shuffled it twice (doc-keyed dl aggregate,
+    term-keyed tf repartition) plus a tf⋈dl sort-merge join — all of it
+    reconstructing per-document numbers that the document row already
+    knew. Values are bit-identical: same integer dl/tf/df inputs, same
+    float expression tree in the same literal-order sum
+    (oracle-pinned)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    tf_cols = [
+        F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("long").alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    # one row per input row; null text ⇒ dl = size(null) = -1 (excluded
+    # from avgdl and from matching below, like the exploded form where a
+    # null text produced no token rows)
+    per_doc = df.select("doc_id", F.size(toks).cast("long").alias("dl"), *tf_cols)
+    has_dl = F.col("dl") >= 1
+    scalars = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.when(has_dl, F.col("dl")))
+            / F.sum(has_dl.cast("long"))
+        ).alias("avgdl"),
         *[
-            F.max(F.when(F.col("term") == t, part)).alias(f"s_{i}")
-            for i, t in enumerate(query_terms)
-        ]
+            F.sum((F.col(f"tf_{i}") >= 1).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
     )
+    matched = per_doc.filter(
+        F.greatest(*[F.col(f"tf_{i}") for i in range(len(query_terms))]) >= 1
+        if len(query_terms) > 1
+        else F.col("tf_0") >= 1
+    )
+    base = matched.crossJoin(F.broadcast(scalars))
     total = None
     for i in range(len(query_terms)):
-        term_score = F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (
+            F.col(f"df_{i}") + F.lit(0.5)
+        )
+        denom = F.col(f"tf_{i}") + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        part = idf * F.col(f"tf_{i}") * F.lit(k1 + 1.0) / denom
+        term_score = F.coalesce(
+            F.when(F.col(f"tf_{i}") >= 1, part), F.lit(0.0)
+        )
         total = term_score if total is None else total + term_score
+    pivoted = base
     from pyspark.sql import Window
 
     # global top-k as sort+limit (planned as TakeOrderedAndProject — a

@@ -2,13 +2,14 @@
 to test_plan_lint.py's single-partition-window rule, same r10-verdict
 spirit: a defect class humans keep re-introducing gets automated).
 
-A driver-side ``.collect()`` is the one API that silently turns a
-distributed operator into a single-process one — fine when the frame is
-PROVABLY bounded (a scalar aggregate, a ``limit(k+1)`` cap probe, an
-O(n_buckets) stats frame), fatal when it is data-sized. Every
-``.collect()`` call in the package must therefore sit inside a function
-listed below WITH ITS BOUND NAMED; adding a new collect site fails this
-test until the author states why the transfer is bounded.
+A driver-side ``.collect()`` (or ``.toPandas()`` — same transfer, Arrow
+framing, r12) is the one API that silently turns a distributed operator
+into a single-process one — fine when the frame is PROVABLY bounded (a
+scalar aggregate, a ``limit(k+1)`` cap probe, an O(n_buckets) stats
+frame), fatal when it is data-sized. Every such call in the package
+must therefore sit inside a function listed below WITH ITS BOUND NAMED;
+adding a new site fails this test until the author states why the
+transfer is bounded.
 
 (``collect_list``/``collect_set`` aggregations are unrelated — they run
 distributed — and are not matched.)
@@ -33,8 +34,8 @@ BOUNDED_COLLECTS = {
     ("operators/pq.py", "_probe_dim"): "limit(1) dimensionality probe",
     ("operators/quality.py", "assert_checks"): "one row per configured CHECK (O(checks))",
     ("operators/similarity.py", "knn_bruteforce"): "limit(max_queries + 1) with an explicit raise beyond",
-    ("operators/sketches.py", "qdigest_build"): "limit(hist_cap + 1) with an explicit raise beyond",
-    ("operators/sketches.py", "qdigest_build_split"): "limit(3*hist_cap + 1) with an explicit raise beyond (≤3 split cells per value)",
+    ("operators/sketches.py", "qdigest_build"): "limit(hist_cap + 1) toPandas with an explicit raise beyond",
+    ("operators/sketches.py", "qdigest_build_split"): "limit(3*hist_cap + 1) toPandas; raises past hist_cap DISTINCT values (documented contract) or 3*hist_cap rows",
     ("operators/text.py", "heaps_fit"): "stats probe: 1 row (total + ≤ n_buckets cutpoints); offsets probe: ≤ n_buckets rows",
     ("operators/text.py", "zipf_fit"): "cutpoints probe: 1 row of ≤ n_buckets values; offsets probe: ≤ n_buckets rows",
     ("operators/text.py", "source_token_divergence"): "one row per SOURCE label (max_sources-guarded)",
@@ -69,7 +70,7 @@ def _collect_sites():
             if (
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
-                and node.func.attr == "collect"
+                and node.func.attr in ("collect", "toPandas")
             ):
                 enclosing, best = None, None
                 for lo, hi, name in funcs:

@@ -311,6 +311,35 @@ def test_arrow_signature_path_equals_expression_path(spark, sf_smoke):
     assert expr_sh == arrow_sh
 
 
+def test_doc_shingle_arrays_equal_grouped_explode(spark, sf_smoke):
+    # r12: ppjoin's verify arrays are computed map-only per document
+    # (doc_shingle_arrays) — must equal array_sort(collect_list(shingle))
+    # + the distinct count over the exploded Arrow frame they replaced
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    direct = sorted(
+        (r["doc_id"], tuple(r["toks"]), r["n_sh"])
+        for r in D.doc_shingle_arrays(docs, "text", 3).collect()
+    )
+    grouped = sorted(
+        (r["doc_id"], tuple(r["toks"]), r["n_sh"])
+        for r in D.doc_shingles_arrow(docs, "text", 3, with_size=True)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("shingle")).alias("toks"),
+            F.first("n_sh").alias("n_sh"),
+        )
+        .collect()
+    )
+    assert direct == grouped
+    # edge docs: < n tokens → no row (same as the exploded frame)
+    short = _docs(spark, [(1, "one two"), (2, "three whole tokens here")])
+    assert D.doc_shingle_arrays(short, "text", 3).count() == 1
+
+
 def test_arrow_paths_on_edge_docs(spark):
     # short docs (< n tokens) drop out of both paths identically; empty ok
     docs = _docs(spark, [(1, "one"), (2, "two words"), (3, "three whole tokens here")])

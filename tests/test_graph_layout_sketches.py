@@ -402,6 +402,38 @@ def test_qdigest_rank_error_within_paper_bound():
         assert abs(_rank(vals, est) - q * n) <= bound, q
 
 
+def test_qdigest_vectorized_compress_equals_reference():
+    # r12: _qd_compress was vectorized (numpy per-level merges) — must
+    # produce EXACTLY the reference sequential result on every input,
+    # including multi-level cell sets (merge inputs), singleton children,
+    # zero-threshold and empty cases
+    import random
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.sketches import (
+        _qd_compress,
+        _qd_compress_ref,
+    )
+
+    rng = random.Random(42)
+    for trial in range(30):
+        bits = rng.choice([4, 8, 14])
+        dom = 1 << bits
+        k = rng.choice([4, 16, 256])
+        # random cell set spanning MANY levels (like a merge input), not
+        # just leaves
+        cells: dict[int, int] = {}
+        for _ in range(rng.randint(0, 500)):
+            node = rng.randint(1, (dom << 1) - 1)
+            cells[node] = cells.get(node, 0) + rng.randint(1, 50)
+        n = sum(cells.values())
+        assert _qd_compress(cells, n, k, bits) == _qd_compress_ref(
+            cells, n, k, bits
+        ), (trial, bits, k)
+    assert _qd_compress({}, 0, 256, 14) == {}
+    # thr == 0 path: unchanged cells
+    assert _qd_compress({17: 1}, 1, 256, 14) == {17: 1}
+
+
 def test_qdigest_deterministic_and_merge_bound():
     import random
 
