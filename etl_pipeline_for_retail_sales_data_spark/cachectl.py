@@ -73,17 +73,20 @@ def shared_frame(df: DataFrame) -> DataFrame:
     """Materialize a frame that MULTIPLE branches of one returned plan
     consume — eager RELIABLE checkpoint, zero persisted blocks.
 
-    Why this exists (r12, guide §2.4/§5): the reuse-not-cache shape
-    (repartition + ReuseExchange) does NOT deliver single computation for
-    the deduplicated self-join sides — measured r11: the two aliased
-    sides canonicalize differently, exchange reuse never fires, and the
-    expensive map stage (Arrow shingling, WAV landmarks, md5 chains) runs
-    once PER CONSUMER (2-8 copies in the executed plans). An eager
-    reliable checkpoint runs the stage exactly once and every consumer —
-    join sides, probes, verify branches — re-reads the files. Storage
-    pool untouched (``getPersistentRDDs`` stays empty — the cache-hygiene
-    contract); files live in the checkpoint dir (HDFS/S3 on a cluster)
-    and are reclaimed by the ContextCleaner when the frame is GC'd
+    When to use it (r12, guide §2.4/§5 — and when NOT to): AQE stage
+    reuse already deduplicates plan branches whose canonicalized
+    exchanges match (identically-pruned self-join sides — accumulator-
+    verified in r12, correcting r11's initial-plan reading), so
+    checkpointing those is pure write+read overhead (measured
+    regressions, plans/r12/ab_shared_frame.json). Reach for this ONLY
+    when a recompute is real: (a) a construction-time PROBE is a
+    separate execution and cannot share stages with the main collect
+    (the salted-ngram p99 path — A/B 1.5×), or (b) consumer branches
+    prune to different column sets and their exchanges cannot
+    canonicalize equal. Storage pool untouched (``getPersistentRDDs``
+    stays empty — the cache-hygiene contract); files live in the
+    checkpoint dir (HDFS/S3 on a cluster) and are reclaimed by the
+    ContextCleaner when the frame is GC'd
     (``spark.cleaner.referenceTracking.cleanCheckpoints=true``,
     session.py). The partitioning survives (LogicalRDD carries the
     physical outputPartitioning), so a join keyed like the checkpointed

@@ -67,6 +67,7 @@ def kmeans_assign(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Run ``iters`` rounds of Lloyd's algorithm; return the final
     (vec_id, cluster, dist) assignment. Rounds are chained through LAZY
@@ -77,7 +78,15 @@ def kmeans_assign(
     count() action. The cost is holding every round's n-row assignment
     until the chain materializes; at billion-point scale cap that by
     going eager every few rounds and releasing frames behind the eager
-    point."""
+    point.
+
+    ``keep_vec=True`` additionally carries the (as_double) vector
+    through the final checkpoint as column ``v`` (r12): the rounds
+    already carry it — only the final select dropped it — and a caller
+    that needs vectors next to the assignment (semantic_dedup's unit
+    vectors) otherwise re-scans the embedding table and pays a
+    sort-merge join back onto ``vec_id``, once per differently-pruned
+    plan branch."""
     pts = spread(emb).select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).persist()
@@ -99,7 +108,8 @@ def kmeans_assign(
             centroids = _recompute_centroids(assigned)
     # final assignment to a RELIABLE checkpoint so every local checkpoint
     # releases here — no session-lifetime blocks (cachectl.py)
-    out = finalize_iterative(assigned.select("vec_id", "cluster", "dist"))
+    cols = ["vec_id", "cluster", "dist"] + (["v"] if keep_vec else [])
+    out = finalize_iterative(assigned.select(*cols))
     pts.unpersist()
     for frame in rounds:
         release_ckpt(frame)
@@ -318,12 +328,29 @@ def semantic_dedup(
     (tests/test_semantic_bpe_pq.py).
     """
     from .dedup import connected_components
-    from .similarity import dot, unit_vectors
+    from .similarity import dot
 
-    assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    uv = unit_vectors(emb, id_col, vec_col, out_col="uv")
-    base = assigned.select("vec_id", "cluster").join(
-        uv.withColumnRenamed(id_col, "vec_id"), "vec_id"
+    # r12: the assignment checkpoint carries the vector (keep_vec), so
+    # unit vectors are a map expression over the checkpoint files — the
+    # former unit_vectors(emb) leg re-scanned the embedding table and
+    # sort-merge-joined it back onto vec_id, and because the four
+    # downstream consumers prune base differently, that join lineage
+    # recomputed per branch. Expression identical to
+    # similarity.unit_vectors (same as_double input, norm projection,
+    # per-element divide), and the isNotNull filter reproduces the
+    # inner join's drop of null-embedding rows — outputs unchanged
+    # (oracle + property tests green).
+    assigned = kmeans_assign(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    base = (
+        assigned.filter(F.col("v").isNotNull())
+        .withColumn("__norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .select(
+            "vec_id",
+            "cluster",
+            F.transform(F.col("v"), lambda x: x / F.col("__norm")).alias("uv"),
+        )
     )
     if max_cluster_size is not None:
         # one cheap size aggregate decides whether splitting engages at

@@ -94,7 +94,9 @@ def _subvectors(
     )
 
 
-def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+def _assign_codes(
+    subs: DataFrame, codebooks: DataFrame, with_sv: bool = False
+) -> DataFrame:
     """(vec_id, sub, code, dist): nearest codebook centroid per
     subvector; the codebook (m·ksub rows) is broadcast. The argmin is a
     hash AGGREGATE of min(struct(dist, code)) — lexicographic struct
@@ -102,20 +104,30 @@ def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
     — instead of a row_number window: the aggregate gets a map-side
     partial combine and no per-key sort, which at corpus scale turns
     the assignment's shuffle from sort-based ranking into partial-agg
-    reduction (ksub candidate rows collapse to 1 before the exchange)."""
+    reduction (ksub candidate rows collapse to 1 before the exchange).
+
+    ``with_sv=True`` rides the subvector through the argmin struct (the
+    clustering._assign trick: (dist, code) is unique per scored row, so
+    sv is never compared) — pq_train's centroid update then reads sv
+    straight off the assignment instead of joining back to the subs
+    frame, removing one (vec_id, sub)-keyed join per Lloyd round (r12,
+    guide §2.4). Off by default: encode/search consumers don't need the
+    extra shuffle bytes."""
     scored = subs.join(F.broadcast(codebooks), "sub").select(
-        "vec_id", "sub", "code", _sq_dist(F.col("sv"), F.col("centroid")).alias("dist")
+        "vec_id", "sub", "sv", "code",
+        _sq_dist(F.col("sv"), F.col("centroid")).alias("dist"),
     )
-    return (
-        scored.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("dist", "code")).alias("__m"))
-        .select(
-            "vec_id",
-            "sub",
-            F.col("__m.code").alias("code"),
-            F.col("__m.dist").alias("dist"),
-        )
+    fields = ["dist", "code"] + (["sv"] if with_sv else [])
+    out = scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct(*fields)).alias("__m")
     )
+    cols = [
+        F.col("vec_id"),
+        F.col("sub"),
+        F.col("__m.code").alias("code"),
+        F.col("__m.dist").alias("dist"),
+    ] + ([F.col("__m.sv").alias("sv")] if with_sv else [])
+    return out.select(*cols)
 
 
 def pq_train(
@@ -146,10 +158,11 @@ def pq_train(
     codebooks = local_ckpt(seeds, eager=True)
     rounds = [codebooks]
     for it in range(iters):
-        assigned = _assign_codes(subs, codebooks)
-        expl = assigned.join(subs, ["vec_id", "sub"]).select(
-            "sub", "code", F.posexplode("sv").alias("dim", "x")
-        )
+        # sv rides the argmin struct (with_sv) — no join back to subs
+        # per round (r12; values identical, the struct min never
+        # compares sv because (dist, code) is unique per candidate row)
+        assigned = _assign_codes(subs, codebooks, with_sv=True)
+        expl = assigned.select("sub", "code", F.posexplode("sv").alias("dim", "x"))
         # LAZY checkpoints chain the rounds into ONE job, fired by the
         # final round's eager materialization (previously each round ran
         # its own eager-checkpoint job). Intermediate codebooks are

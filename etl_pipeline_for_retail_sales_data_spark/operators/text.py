@@ -1267,9 +1267,18 @@ def heaps_fit(df: DataFrame, text_col: str = "text", n_buckets: int = 128) -> Da
     )
     # probe 2 (bounded: ≤ n_buckets rows): exact per-bucket token
     # totals, prefix-summed DRIVER-side into exclusive offsets — the
-    # capped-collect discipline, O(n_buckets) rows only
+    # capped-collect discipline, O(n_buckets) rows only. Token counts
+    # via regexp_count (r12): counting non-overlapping matches equals
+    # size(regexp_extract_all(...)) by definition (pinned in tests) but
+    # skips materializing every document's token ARRAY purely to take
+    # its length — the probe pass keeps the regex scan and drops the
+    # array build.
     btotals = (
-        base.select(F.size("__toks").alias("__len"), bucket.alias("__bucket"))
+        df.na.drop(subset=[text_col])
+        .select(
+            F.regexp_count(F.lower(F.col(text_col)), F.lit(TOKEN_RE)).alias("__len"),
+            bucket.alias("__bucket"),
+        )
         .groupBy("__bucket")
         .agg(F.sum("__len").alias("__btok"))
         .collect()

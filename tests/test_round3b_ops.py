@@ -417,3 +417,34 @@ def test_heaps_fit_monotone_vocab_and_exact_counts(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     e = heaps_fit(empty).collect()[0]
     assert e.n_tokens == 0 and e.n_vocab == 0 and e.heaps_beta is None
+
+
+def test_regexp_count_equals_extract_all_size(spark, sf_smoke):
+    """r12: heaps_fit's probe 2 counts tokens via regexp_count instead of
+    size(regexp_extract_all(...)) — the two must agree on every document
+    (same regex engine, same non-overlapping match semantics), including
+    empty and punctuation-only texts."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_retail_sales_data_spark.operators.text import TOKEN_RE
+    from etl_pipeline_for_retail_sales_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").unionByName(
+        spark.createDataFrame(
+            [(9001, ""), (9002, "   "), (9003, "!.,;"), (9004, "one  two\tthree")],
+            "doc_id long, text string",
+        ),
+        allowMissingColumns=True,
+    )
+    bad = (
+        docs.na.drop(subset=["text"])
+        .select(
+            F.size(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+            ).alias("a"),
+            F.regexp_count(F.lower(F.col("text")), F.lit(TOKEN_RE)).alias("b"),
+        )
+        .filter("a != b")
+        .count()
+    )
+    assert bad == 0
