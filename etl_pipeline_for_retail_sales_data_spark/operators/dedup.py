@@ -136,25 +136,53 @@ def doc_shingle_arrays(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(doc_id, toks, n_sh): each document's SORTED distinct shingle
-    array plus its size, computed map-only from the corpus row — no
-    explode, no shuffle, no Python. Same token/shingle definition as
-    :func:`doc_shingles` / :func:`doc_shingles_arrow` (equality pinned
-    in tests), so ``toks`` equals ``array_sort(collect_list(shingle))``
-    over the exploded frame and ``n_sh`` equals the per-doc distinct
-    count — without re-exploding and re-grouping a frame that already
-    exists only to be re-assembled (r12, guide §2.4: the ppjoin verify
-    arrays were a full corpus regroup + a second tokenize pass)."""
-    df = spread(df)
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    base = df.filter(F.size(toks) >= n).select("doc_id", toks.alias("__toks"))
-    tcol = F.col("__toks")
-    idx = F.sequence(F.lit(0), F.size(tcol) - n)
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(tcol, i + 1, n), " "))
-    # hoist the sorted-distinct array into its own projection (the
-    # winnowing lesson: a multiply-referenced non-cheap expression must
-    # be an attribute, or each reference re-evaluates it)
-    out = base.select("doc_id", F.array_sort(F.array_distinct(shingles)).alias("toks"))
-    return out.select("doc_id", "toks", F.size("toks").cast("long").alias("n_sh"))
+    array plus its size, built per document in one Arrow pass — no
+    explode, no regroup shuffle. Same token/shingle definition as
+    :func:`doc_shingles_arrow` (equality pinned in tests), so ``toks``
+    equals ``array_sort(collect_list(shingle))`` over the exploded
+    frame and ``n_sh`` equals the per-doc distinct count — without
+    re-exploding and re-grouping a frame that existed only to be
+    re-assembled (r12, guide §2.4: the ppjoin verify arrays were a
+    full corpus regroup). Arrow, not JVM expressions: the
+    transform/slice/array_join + array_distinct + array_sort chain runs
+    through the interpreted HOF evaluator and measured ~30% SLOWER
+    end-to-end than the Python set-build (the doc_shingles_arrow lesson
+    repeated — r12 rejected variant, OPTIMIZATION_r12.md). Sorting:
+    Python's str sort is code-point order == Spark's UTF8 binary order
+    (UTF-8 is order-preserving), the repo-wide tiebreak argument."""
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(r"[^ \t\n\x0b\f\r]+")  # ASCII expansion of Java \S
+
+    def gen(batches):
+        for pdf in batches:
+            ids, arrs, sizes = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = pat.findall(text.lower())
+                uniq = sorted(
+                    {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                )
+                if uniq:
+                    ids.append(doc_id)
+                    arrs.append(uniq)
+                    sizes.append(len(uniq))
+            # explicit dtypes: an all-empty batch otherwise yields
+            # float64 columns that Arrow cannot convert to list<string>
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "toks": pd.Series(arrs, dtype="object"),
+                    "n_sh": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return (
+        spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .mapInPandas(gen, "doc_id long, toks array<string>, n_sh long")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -1506,20 +1534,22 @@ def ppjoin_jaccard_pairs(
     verify join. The t=0.5 prefix keeps ~half of each document's index
     rows; higher thresholds keep fewer."""
     cand, sh = _ppjoin_candidates(df, text_col, n, threshold, positional=True)
-    # Verify arrays, r12: computed MAP-ONLY per document
-    # (doc_shingle_arrays) instead of re-grouping the exploded shingle
-    # frame. The old collect_list regroup branch pruned to a NARROWER
-    # column set than the candidate branch (no __df), so its exchanges
-    # never matched for AQE stage reuse (accumulator-verified: the
-    # Arrow shingling ran TWICE per query) and it paid
-    # Exchange(shingle)+Exchange(doc_id) on the exploded rows besides.
-    # Now the corpus tokenizes once per side-purpose: one Arrow pass
-    # for candidates, one JVM expression pass for the verify arrays —
-    # zero extra shuffles on the arrays side.
+    # Verify arrays, r12: one Arrow pass building each document's sorted
+    # array directly (doc_shingle_arrays) instead of re-grouping the
+    # exploded shingle frame. The old collect_list regroup branch pruned
+    # to a NARROWER column set than the candidate branch (no __df), so
+    # its exchanges never matched for AQE stage reuse
+    # (accumulator-verified: the Arrow shingling ran TWICE per query)
+    # and it paid Exchange(shingle)+Exchange(doc_id) on the exploded
+    # rows besides. The repartition below gives the aa/bb verify sides
+    # ONE reusable exchange (identical pruning → stage reuse fires) —
+    # without it the map stage computes once per side, which is exactly
+    # how the rejected JVM-expression variant lost (A/B in
+    # OPTIMIZATION_r12.md).
     # (r8 history, still honored: checkpointing the CANDIDATE frame and
     # semi-pruning the arrays to candidate docs both measured SLOWER on
     # this candidate-dense corpus — tools/profile_ppjoin.py.)
-    arrays = doc_shingle_arrays(df, text_col, n)
+    arrays = doc_shingle_arrays(df, text_col, n).repartition("doc_id")
     aa = arrays.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n_sh").alias("n_a")
     )
